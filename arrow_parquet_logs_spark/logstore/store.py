@@ -1,0 +1,287 @@
+"""Two-tier partitioned Parquet log store — the reference's core, Spark-first.
+
+Reference semantics preserved (SURVEY.md §1.3):
+
+- fixed 5-column schema, strict validation with per-row error detail
+  (reference writer.py:39-93),
+- ISO-8601 ingest incl. ``Z``, stored as µs UTC (reference writer.py:63-67),
+- inclusive time-range bounds on both ends (reference reader.py:469-472),
+- read-your-writes: queries union the hot landing tier with the compacted
+  archive tier (reference reader.py:580-613),
+- per-(container, session) organization → Hive-style partition directories,
+  so partition pruning replaces the reference's SQLite file catalog
+  (reference metadata.py:44-53).
+
+Deliberately fixed (SURVEY.md §1.3 [BUG — fix] items):
+
+- *exactly-once compaction*: the reference re-loads small archives into live
+  buffers without retiring them, duplicating rows (reference writer.py:181-219
+  + never-called metadata.py:68-75). Here compaction writes a new immutable
+  archive **version** with a manifest naming the landing files it consumed,
+  then atomically swaps a CURRENT pointer (``os.replace``). Readers resolve
+  CURRENT and *exclude consumed landing files*, so a crash at any point —
+  before the swap, after the swap but before landing cleanup — never yields
+  duplicates or losses.
+- real composite keys: ``(container, session)`` are two partition columns,
+  not a collision-prone ``f"{c}_{s}"`` string (reference main.py:168).
+- unknown filter ops raise (see ``filters.py``).
+
+Scale notes: the landing tier is many small parquet files (micro-batch
+appends); compaction bounds file counts. At 100 TB the same layout holds —
+partition pruning on (container, session[, dt]) keeps scans proportional to
+the query, and the manifest/pointer protocol is what table formats (Delta,
+Iceberg) formalize; we use it file-per-session here to stay dependency-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from datetime import datetime, timezone
+from typing import Any, Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.logstore.filters import compile_filters
+from arrow_parquet_logs_spark.schema import LOG_SCHEMA
+from arrow_parquet_logs_spark.session import ensure_runtime_confs
+
+_REQUIRED = ("timestamp", "level", "message")
+
+
+class LogValidationError(ValueError):
+    """Strict-schema ingest failure, with per-row detail (writer.py:81-93 parity)."""
+
+
+def _parse_ts(value: Any, idx: int) -> datetime:
+    if isinstance(value, datetime):
+        dt = value
+    elif isinstance(value, str):
+        try:
+            dt = datetime.fromisoformat(value.replace("Z", "+00:00"))
+        except ValueError as e:
+            raise LogValidationError(f"row {idx}: bad timestamp {value!r}: {e}") from None
+    else:
+        raise LogValidationError(f"row {idx}: timestamp must be ISO-8601 string, got {type(value).__name__}")
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
+def validate_rows(rows: Sequence[Any], container: str, session: str) -> list[tuple]:
+    """JSON rows → typed tuples in LOG_SCHEMA order; loud per-row errors."""
+    out = []
+    for i, row in enumerate(rows):
+        if not isinstance(row, dict):
+            raise LogValidationError(f"row {i}: expected object, got {type(row).__name__}")
+        missing = [f for f in _REQUIRED if f not in row]
+        if missing:
+            raise LogValidationError(f"row {i}: missing fields {missing}")
+        level, message = row["level"], row["message"]
+        if not isinstance(level, str) or not isinstance(message, str):
+            raise LogValidationError(f"row {i}: level/message must be strings")
+        out.append((_parse_ts(row["timestamp"], i), level, message, container, session))
+    return out
+
+
+class LogStore:
+    """Append-oriented log table: hot landing tier ∪ versioned archive tier."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = ensure_runtime_confs(spark)
+        self.root = root
+        os.makedirs(self._landing_root(), exist_ok=True)
+        os.makedirs(self._archive_root(), exist_ok=True)
+
+    # ---- layout -----------------------------------------------------------
+    def _landing_root(self) -> str:
+        return os.path.join(self.root, "landing")
+
+    def _archive_root(self) -> str:
+        return os.path.join(self.root, "archive")
+
+    def _part_dir(self, tier_root: str, container: str, session: str) -> str:
+        return os.path.join(tier_root, f"container={container}", f"session={session}")
+
+    def _sessions(self) -> list[tuple[str, str]]:
+        seen = set()
+        for tier in (self._landing_root(), self._archive_root()):
+            for cdir in sorted(os.listdir(tier)) if os.path.isdir(tier) else []:
+                if not cdir.startswith("container="):
+                    continue
+                for sdir in sorted(os.listdir(os.path.join(tier, cdir))):
+                    if sdir.startswith("session="):
+                        seen.add((cdir.split("=", 1)[1], sdir.split("=", 1)[1]))
+        return sorted(seen)
+
+    # ---- archive version manifest (exactly-once commit protocol) ----------
+    def _current_manifest(self, container: str, session: str) -> dict:
+        adir = self._part_dir(self._archive_root(), container, session)
+        cur = os.path.join(adir, "CURRENT")
+        if not os.path.exists(cur):
+            return {"version": 0, "files": [], "consumed_landing": []}
+        with open(cur) as fh:
+            vname = fh.read().strip()
+        with open(os.path.join(adir, vname, "MANIFEST.json")) as fh:
+            return json.load(fh)
+
+    def _commit_version(self, container: str, session: str, manifest: dict) -> None:
+        adir = self._part_dir(self._archive_root(), container, session)
+        vdir = os.path.join(adir, f"v{manifest['version']}")
+        with open(os.path.join(vdir, "MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+        tmp = os.path.join(adir, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{manifest['version']}")
+        os.replace(tmp, os.path.join(adir, "CURRENT"))  # the atomic commit point
+
+    # ---- write path (reference §3.1) --------------------------------------
+    def write_logs(self, container: str, session: str, rows: Sequence[Any]) -> int:
+        """Validated micro-batch append into the landing tier.
+
+        Equivalent of POST /api/logs/<container>/<session> (reference
+        main.py:302-337): JSON rows → strict schema → columnar append. One
+        parquet file per call (the reference appends one IPC batch per call).
+        """
+        if not rows:
+            raise LogValidationError("empty batch")
+        tuples = validate_rows(rows, container, session)
+        ldir = self._part_dir(self._landing_root(), container, session)
+        os.makedirs(ldir, exist_ok=True)
+        df = self.spark.createDataFrame(tuples, LOG_SCHEMA)
+        # single small file per micro-batch append; compaction merges later
+        tmp = os.path.join(ldir, f".tmp-{uuid.uuid4().hex}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n = 0
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(tmp, f), os.path.join(ldir, f"batch-{uuid.uuid4().hex}.parquet"))
+                n += 1
+        for f in os.listdir(tmp):
+            os.remove(os.path.join(tmp, f))
+        os.rmdir(tmp)
+        return len(tuples)
+
+    # ---- read path (reference §3.2) ---------------------------------------
+    def _tier_files(self, container: str, session: str) -> tuple[list[str], list[str]]:
+        """(archive files, live landing files) honoring the CURRENT manifest."""
+        man = self._current_manifest(container, session)
+        adir = self._part_dir(self._archive_root(), container, session)
+        archive = [os.path.join(adir, f"v{man['version']}", f) for f in man["files"]]
+        ldir = self._part_dir(self._landing_root(), container, session)
+        consumed = set(man["consumed_landing"])
+        landing = []
+        if os.path.isdir(ldir):
+            landing = [
+                os.path.join(ldir, f)
+                for f in sorted(os.listdir(ldir))
+                if f.endswith(".parquet") and f not in consumed
+            ]
+        return archive, landing
+
+    def read_df(
+        self,
+        container: str | None = None,
+        session: str | None = None,
+        filters: Iterable[Sequence[Any]] = (),
+        start_ts: Any = None,
+        end_ts: Any = None,
+        ordered: bool = True,
+    ) -> DataFrame:
+        """Two-tier union read with pushdown filters.
+
+        ``start_ts``/``end_ts`` are **inclusive** on both ends (reference
+        reader.py:469-472). Unlike the reference — which returns archive-file
+        order then buffer order (reference reader.py:495-510) — the public
+        default is ``ORDER BY timestamp`` (cheap in Spark); pass
+        ``ordered=False`` for the shuffle-free path.
+        """
+        files: list[str] = []
+        for c, s in [(container, session)] if container and session else self._sessions():
+            if container and c != container:
+                continue
+            a, l = self._tier_files(c, s)
+            files += a + l
+        if not files:
+            df = self.spark.createDataFrame([], LOG_SCHEMA)
+        else:
+            df = self.spark.read.schema(LOG_SCHEMA).parquet(*files)
+        pred = compile_filters(filters)
+        if start_ts is not None:
+            pred = pred & (F.col("timestamp") >= F.lit(start_ts).cast("timestamp"))
+        if end_ts is not None:
+            pred = pred & (F.col("timestamp") <= F.lit(end_ts).cast("timestamp"))
+        df = df.where(pred)
+        if ordered:
+            df = df.orderBy("timestamp", "container", "session")
+        return df
+
+    def read_logs(self, **kwargs) -> list[dict]:
+        return [r.asDict() for r in self.read_df(**kwargs).collect()]
+
+    def count(self, **kwargs) -> int:
+        kwargs.setdefault("ordered", False)
+        return self.read_df(**kwargs).count()
+
+    def stream(self, batch_size: int = 1000, **kwargs) -> Iterator[list[dict]]:
+        """Bounded-memory driver-side iteration (reference reader.py:148-179)."""
+        batch: list[dict] = []
+        for row in self.read_df(**kwargs).toLocalIterator():
+            batch.append(row.asDict())
+            if len(batch) >= batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+    def summary(self, container: str, session: str) -> dict:
+        """files/rows/bytes per tier (reference reader.py:560-577) — from
+        filesystem + parquet footers, no data scan."""
+        import pyarrow.parquet as pq
+
+        out = {}
+        for tier, files in zip(("archive", "landing"), self._tier_files(container, session)):
+            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            size = sum(os.path.getsize(f) for f in files)
+            out[tier] = {"files_scanned": len(files), "total_rows": rows, "total_size_bytes": size}
+        out["total_rows"] = out["archive"]["total_rows"] + out["landing"]["total_rows"]
+        out["files_scanned"] = out["archive"]["files_scanned"] + out["landing"]["files_scanned"]
+        return out
+
+    # ---- compaction (reference §2.9 T5, done exactly-once) ----------------
+    def compact(self, container: str, session: str, target_files: int = 1) -> dict:
+        """Merge archive + landing into a new archive version, atomically.
+
+        Crash-safe: all work happens in a fresh ``v<N+1>`` directory; the
+        store's state changes only at the ``os.replace`` of CURRENT. Landing
+        files consumed by the new version are deleted best-effort afterwards —
+        if deletion is interrupted, readers still exclude them via the
+        manifest, so rows are never double-counted (fixes the reference's
+        reload-without-retire duplication, writer.py:181-219).
+        """
+        man = self._current_manifest(container, session)
+        archive, landing = self._tier_files(container, session)
+        inputs = archive + landing
+        if not landing and len(archive) <= target_files:
+            return {"version": man["version"], "compacted": False}
+        new_version = man["version"] + 1
+        adir = self._part_dir(self._archive_root(), container, session)
+        vdir = os.path.join(adir, f"v{new_version}")
+        df = self.spark.read.schema(LOG_SCHEMA).parquet(*inputs)
+        # sort within files by timestamp → parquet min/max stats give
+        # row-group skipping for time-range scans on the compacted tier
+        (df.repartition(target_files).sortWithinPartitions("timestamp").write.mode("overwrite").parquet(vdir))
+        files = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
+        manifest = {
+            "version": new_version,
+            "files": files,
+            "consumed_landing": sorted(man["consumed_landing"] + [os.path.basename(f) for f in landing]),
+        }
+        self._commit_version(container, session, manifest)
+        for f in landing:  # best-effort retire; manifest already excludes them
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        return {"version": new_version, "compacted": True, "files": len(files), "input_files": len(inputs)}

@@ -1,0 +1,180 @@
+"""Reference-workload queries: the log-server surface over the ``events`` table.
+
+``events`` is the driver's analog of the reference's log table (timestamped
+rows + a level-like ``event_type`` + a session-like ``user_id``). Each query
+here maps one reference operator family (SURVEY.md §2.1-§2.8) onto idiomatic
+DataFrame code, with a DuckDB oracle:
+
+- S1/S2 parquet scan + F1/F3 pushdown time-range filter (inclusive bounds,
+  reference reader.py:469-472),
+- A1-A3 filtered counts, A4 summary stats,
+- U1 two-tier UNION ALL read (reference reader.py:488-510),
+- O1-O2 ordering / top-k (tail-the-log),
+- F1/F4 the (col, op, val) filter-triple compiler path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.logstore.filters import compile_filters
+from arrow_parquet_logs_spark.functions.numeric import dsum, davg
+from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+_T0 = "2024-01-05 00:00:00"
+_T1 = "2024-01-12 00:00:00"
+_SPLIT = "2024-01-20 00:00:00"
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+@register(
+    "logs_ts_range_scan",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_T0}' AND ts <= TIMESTAMP '{_T1}'
+    ORDER BY ts, event_id
+    """,
+    tags=("scan", "filter", "reference-parity"),
+    bench=True,
+)
+def logs_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range scan, inclusive on both ends (reference reader.py:469-472).
+
+    The range predicate reaches the parquet scan (PushedFilters) so row
+    groups outside [T0, T1] are skipped via min/max statistics — the Spark
+    equivalent of the reference's ds.Expression pushdown (reader.py:29-59).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where((F.col("ts") >= _ts(_T0)) & (F.col("ts") <= _ts(_T1)))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+
+
+@register(
+    "logs_filtered_count",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    WHERE event_type = 'error' AND ts >= TIMESTAMP '{_T0}' AND ts <= TIMESTAMP '{_T1}'
+    """,
+    tags=("agg", "reference-parity"),
+)
+def logs_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered count (reference reader.py:181-206): count pushes no data —
+    only row-group metadata + residual filter evaluation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where((F.col("event_type") == "error") & (F.col("ts") >= _ts(_T0)) & (F.col("ts") <= _ts(_T1)))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "logs_two_tier_union",
+    oracle=f"""
+    SELECT event_id, ts, event_type FROM events
+    WHERE ts < TIMESTAMP '{_SPLIT}' AND event_type = 'error'
+    UNION ALL
+    SELECT event_id, ts, event_type FROM events
+    WHERE ts >= TIMESTAMP '{_SPLIT}' AND event_type = 'error'
+    """,
+    tags=("union", "reference-parity"),
+)
+def logs_two_tier_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive ∪ buffer two-tier read (reference reader.py:488-510): UNION ALL
+    of the cold slice and the hot slice with the same residual filter. In the
+    LogStore this is landing ∪ archive; here the split is simulated by time."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    cold = ev.where(F.col("ts") < _ts(_SPLIT))
+    hot = ev.where(F.col("ts") >= _ts(_SPLIT))
+    return cold.unionByName(hot).where(F.col("event_type") == "error")
+
+
+@register(
+    "logs_summary_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "reference-parity"),
+)
+def logs_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-level summary (reference reader.py:560-577 generalized to group-by,
+    which the reference lacks entirely — SURVEY.md §2.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            dsum(F.col("value"), "sum_value", 12, 2),
+            davg(F.col("value"), "avg_value", 12, 2),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "logs_tail_topk",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 20
+    """,
+    tags=("topk", "reference-parity"),
+)
+def logs_tail_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-the-log: top-k newest rows. Spark plans TakeOrderedAndProject —
+    per-partition heap + driver merge, no global sort at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "ts", "user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    ).limit(20)
+
+
+@register(
+    "logs_distinct_levels",
+    oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    tags=("distinct", "reference-parity"),
+)
+def logs_distinct_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_type").distinct().orderBy("event_type")
+
+
+@register(
+    "logs_filter_compiler",
+    oracle=f"""
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE event_type != 'view' AND value >= 50.0 AND value < 250.0
+      AND ts >= TIMESTAMP '{_T0}'
+    ORDER BY event_id
+    """,
+    tags=("filter", "reference-parity"),
+)
+def logs_filter_compiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (col, op, val) triple compiler (reference reader.py:29-86) feeding
+    a scan — one compilation, Catalyst decides pushdown vs residual."""
+    ev = load_table(spark, sf_dir, "events")
+    pred = compile_filters(
+        [
+            ("event_type", "!=", "view"),
+            ("value", ">=", 50.0),
+            ("value", "<", 250.0),
+            ("ts", ">=", _T0),
+        ]
+    )
+    return ev.where(pred).select("event_id", "ts", "event_type", "value").orderBy("event_id")

@@ -1,0 +1,71 @@
+"""SparkSession factory + runtime conf pinning.
+
+The reference engine hand-rolls its physical choices (snappy parquet,
+dictionary encoding, statistics, pushdown — reference writer.py:310-319,
+reader.py:29-59); on Spark every one of those is a default. What we pin here
+is the part that affects *semantics* and *local-mode efficiency*:
+
+- UTC session timezone (reference stores timestamp(us, UTC), schema.py:5),
+- Arrow-accelerated Python interchange (the reference's "keep Python out of
+  the hot loop" thesis, README.md:3-7),
+- AQE on (runtime re-planning: skew joins, partition coalescing) — this is
+  the 100 TB safety net,
+- shuffle partitions sized to local cores (the 200 default over-parallelizes
+  local runs; on a real cluster this would be ~2-3× total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs every entry point pins, so behavior is identical
+#: whether the session was built by :func:`get_spark` or handed to us by an
+#: external driver.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # the driver's events table stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects by default; read as long ns and convert (sources.tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # parquet scan parallelism: default 128 MB splits are right at scale; keep.
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs on an externally-provided session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # non-runtime-settable in this build — leave the session default.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "arrow-parquet-logs-spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or reuse) the local session.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or ``*``.
+    Local mode is one JVM; ``spark.driver.memory`` is the only memory knob.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32" if cpus == "*" else str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_runtime_confs(spark)

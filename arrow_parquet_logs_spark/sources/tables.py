@@ -1,0 +1,52 @@
+"""Driver-table loaders.
+
+One parquet file per table under ``<sf_dir>/`` (TESTDATA.md). The only
+special case is ``events``: its ``ts`` column is parquet ``TIMESTAMP(NANOS)``,
+which Spark's vectorized reader rejects outright
+(``PARQUET_TYPE_ILLEGAL``). We read it under
+``spark.sql.legacy.parquet.nanosAsLong=true`` (ts arrives as a long of
+nanoseconds) and convert to a µs ``TimestampType`` by integer division —
+the exact truncation DuckDB applies when it casts TIMESTAMP_NS→TIMESTAMP,
+so oracle comparisons agree to the microsecond.
+
+At 100 TB these would be partitioned datasets, not single files; loaders take
+a directory so the same code reads a partitioned layout unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.session import ensure_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # long ns → µs timestamp (truncating `div`, matches DuckDB's cast)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
