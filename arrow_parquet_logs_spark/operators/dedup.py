@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine — each expressed so the candidate-generation stage bounds
+the quadratic blow-up *before* any pairwise work, which is the whole game at
+100 TB:
+
+- exact: hash-groupBy on content (one shuffle on the content key),
+- n-gram Jaccard: inverted-index self-join on shingles (exact, but candidate
+  count ∝ shingle co-occurrence; LSH below is the scale path),
+- MinHash-LSH: portable md5-minhash signatures → banding → equi-join on band
+  keys (candidates ∝ true near-dups), exact Jaccard verification after,
+- SimHash: 63-bit signatures + 4-chunk pigeonhole banding — *guarantees*
+  recall for hamming ≤ 3 while joining on 16-bit chunk keys,
+- embedding cosine: pairwise only within a coarse cell (here the ``label``
+  column stands in for an IVF/k-means cell id).
+
+All hashing uses functions.hashing.hash64 (md5-derived) so every stage is
+reproducible in the DuckDB oracle bit-for-bit. No Python UDFs anywhere —
+signatures are nested Catalyst ``transform``/``array_min`` expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from arrow_parquet_logs_spark.functions.hashing import hash64
+from arrow_parquet_logs_spark.functions.vector import cosine_sim
+from arrow_parquet_logs_spark.operators.text import distinct_shingles, token_counts
+
+
+# ---------------------------------------------------------------- exact ----
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: canonical (min) id + multiplicity per
+    distinct content. Shuffles the md5 of the content, not the content."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def keep_latest(df: DataFrame, keys: list[str], order_col: str, tiebreak: str) -> DataFrame:
+    """Keep-latest-per-key dedup (row_number window == 1)."""
+    w = W.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col(tiebreak).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+# ------------------------------------------------------- shingle helpers ----
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(F.col(id_col).alias("sid"), distinct_shingles(text_col, n).alias("sh"))
+
+
+def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs via array_intersect on the two
+    (already-distinct) shingle arrays — per-pair cost, no re-join on shingles."""
+    a = sets.select(F.col("sid").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sets.select(F.col("sid").alias("b_id"), F.col("sh").alias("b_sh"))
+    common = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - common
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", (common.cast("double") / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------ n-gram Jaccard ----
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact near-dup pairs via inverted-index self-join on shingles.
+
+    Candidate generation joins on the shingle value, so only docs sharing at
+    least one shingle ever meet. Exact but worst-case quadratic on hot
+    shingles — at 100 TB prefer ``minhash_lsh_pairs`` (same output above the
+    threshold, probabilistic recall) or cap shingle document-frequency."""
+    sets = _shingle_sets(df, id_col, text_col, n)
+    inv = sets.select("sid", F.explode("sh").alias("g"))
+    a = inv.select(F.col("sid").alias("a_id"), "g")
+    b = inv.select(F.col("sid").alias("b_id"), "g")
+    cand = a.join(b, "g").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
+    return _verify_jaccard(cand, sets, threshold)
+
+
+# -------------------------------------------------------- MinHash-LSH ----
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 32
+) -> DataFrame:
+    """k md5-minhash values per doc, as one nested Catalyst expression:
+    sig[i] = min over shingles of hash64(shingle, seed=i). One scan, no
+    shuffle, no Python."""
+    sets = _shingle_sets(df, id_col, text_col, n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("sh"), lambda s: hash64(F.concat(s, F.lit("#"), i.cast("string"))))
+        ),
+    )
+    return sets.withColumn("sigs", sig)
+
+
+def lsh_band_keys(sig_df: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
+    """(sid, band_key): band_key = md5('<band>:<sig slice joined>') — the
+    band index is embedded in the hashed string, so a single equi-join on
+    band_key finds same-band collisions without positional bookkeeping."""
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat(
+                b.cast("string"),
+                F.lit(":"),
+                F.concat_ws(",", F.transform(F.slice(F.col("sigs"), b * F.lit(rows) + F.lit(1), rows), lambda x: x.cast("string"))),
+            )
+        ),
+    )
+    return sig_df.select("sid", F.explode(keys).alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    The only join is on band keys — candidates are pairs agreeing on all
+    ``k/bands`` minhashes in some band (P(candidate) ≈ 1-(1-j^r)^b), so work
+    scales with true-duplicate density, not corpus². This is the 100 TB
+    dedup path; AQE's skew handling covers degenerate hot bands (e.g. the
+    empty-document band)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    bk = lsh_band_keys(sigs, bands, rows)
+    a = bk.select(F.col("sid").alias("a_id"), "band_key")
+    b = bk.select(F.col("sid").alias("b_id"), "band_key")
+    cand = a.join(b, "band_key").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
+    return _verify_jaccard(cand, sigs.select("sid", "sh"), threshold)
+
+
+# ------------------------------------------------------------ SimHash ----
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63) -> DataFrame:
+    """63-bit SimHash from token-frequency-weighted md5 bit votes.
+
+    Shape: (id, token, cnt) → ×bits bit positions → two partial-agg
+    shuffles keyed on (id, bit) then (id). 63 not 64 to stay in signed-long
+    territory in every engine."""
+    tc = token_counts(df, id_col, text_col).select(
+        F.col(id_col).alias("sid"), hash64(F.col("token")).alias("th"), F.col("cnt")
+    )
+    bit_votes = (
+        tc.select("sid", "th", "cnt", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"))
+        .selectExpr("sid", "j", "CASE WHEN ((th >> j) & 1) = 1 THEN cnt ELSE -cnt END AS v")
+        .groupBy("sid", "j")
+        .agg(F.sum("v").alias("vj"))
+    )
+    return (
+        bit_votes.selectExpr("sid", "CASE WHEN vj > 0 THEN shiftleft(1L, j) ELSE 0L END AS bit")
+        .groupBy("sid")
+        .agg(F.sum("bit").alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ 3 via 4-chunk pigeonhole
+    banding: any two signatures within hamming 3 agree exactly on ≥1 of 4
+    disjoint 16-bit chunks, so an equi-join on (chunk_idx, chunk_value) has
+    *guaranteed* recall — brute-force-identical output at index-join cost."""
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        "sid", "simhash", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c")
+    ).selectExpr("sid", "simhash", "concat(c, ':', (simhash >> (c * 16)) & 65535) AS chunk_key")
+    a = chunks.select(F.col("sid").alias("a_id"), F.col("simhash").alias("a_sig"), "chunk_key")
+    b = chunks.select(F.col("sid").alias("b_id"), F.col("simhash").alias("b_sig"), "chunk_key")
+    return (
+        a.join(b, "chunk_key")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+        .selectExpr("a_id", "b_id", "CAST(bit_count(a_sig ^ b_sig) AS INT) AS hamming")
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# -------------------------------------------------- embedding cosine ----
+def embedding_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-dup vector pairs by cosine, restricted to a coarse cell.
+
+    ``cell_col`` is the IVF idea: pairwise comparison only within a
+    quantization cell (here the provided label; at scale, a k-means
+    assignment produced upstream), turning O(N²) into Σ O(|cell|²)."""
+    a = emb.select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v")
+    )
+    b = emb.select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v")
+    )
+    cos = F.round(cosine_sim(F.col("a_v"), F.col("b_v")), 6)
+    return (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("cell", "a_id", "b_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

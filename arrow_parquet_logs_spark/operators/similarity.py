@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact top-k neighbors for a (small) query set — the
+  query side is broadcast, candidates stream through one scan, ranking is a
+  window on rounded cosine with an id tie-break (deterministic under any
+  partitioning).
+- ``ivf_topk``: the scale path — candidates restricted to the query's coarse
+  cell (label stands in for a k-means/IVF assignment), cutting the scanned
+  fraction to |cell|/N per query. Same output contract.
+- ``knn_label_vote``: majority-label classification on top of either.
+
+Cosine runs as Catalyst ``zip_with``/``aggregate`` in double precision
+(functions.vector) — no UDFs. Ranking keys round to 6 decimals so float
+summation-order noise can't flip an ordering between engines or cluster
+layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from arrow_parquet_logs_spark.functions.vector import cosine_sim
+
+
+def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact ANN baseline: broadcast queries × one pass over candidates."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v"))
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_v"))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(cosine_sim(F.col("q_v"), F.col("c_v")), 6).alias("cosine"))
+    )
+    return _ranked(pairs, k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: only same-cell candidates are scored. With an upstream
+    k-means assignment this is the standard 1/nprobe cost reduction; the
+    join on the cell key partitions the work with no cross-cell shuffle."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v"), F.col(cell_col).alias("cell")
+    )
+    c = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_v"), F.col(cell_col).alias("cell")
+    )
+    pairs = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(cosine_sim(F.col("q_v"), F.col("c_v")), 6).alias("cosine"))
+    )
+    return _ranked(pairs, k)
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority vote: top-k by cosine, then argmax label with
+    (votes desc, label asc) tie-break."""
+    topk = brute_force_topk(emb, queries, k, id_col, vec_col)
+    labeled = topk.join(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("nbr_label")), "vec_id"
+    )
+    votes = labeled.groupBy("q_id", "nbr_label").agg(F.count(F.lit(1)).alias("votes"))
+    w = W.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("nbr_label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("q_id", F.col("nbr_label").alias("pred_label"), F.col("votes").cast("int").alias("votes"))
+        .orderBy("q_id")
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators over document corpora — pure Catalyst expressions.
+
+Everything here compiles to JVM-side expressions (split / transform / filter
+/ regexp — whole-stage codegen); no Python runs per row, honoring the
+reference's keep-Python-out-of-the-hot-loop thesis (reference README.md:3-7)
+at Spark scale. The building blocks:
+
+- ``tokens`` / ``shingles``: whitespace tokenization and word n-gram
+  shingling (arrays, no explode until an operator needs rows),
+- ``token_counts``: exploded (id, token, count) frame — the shared input for
+  TF/word-frequency, SimHash, and quality scoring,
+- quality features + score: length/stopword/alpha ratios,
+- ``lang_profiles``: tiny marker-token table for n-gram/stopword language ID
+  (broadcast-joined; the 100 TB path is the same plan — the profile table is
+  constant-size).
+
+Each builder has a DuckDB-dialect SQL twin in ``queries.textq`` so results
+are oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: stopword set used by quality scoring + language ID (kept deliberately
+#: tiny and embedded in both engines' expressions).
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+#: (lang, marker-token) profile rows for the n-gram-heuristic language ID.
+LANG_PROFILES = [
+    ("en", "the"), ("en", "and"), ("en", "of"),
+    ("de", "der"), ("de", "und"), ("de", "nicht"),
+    ("es", "de"), ("es", "la"), ("es", "que"),
+    ("fr", "le"), ("fr", "et"), ("fr", "les"),
+    ("it", "di"), ("it", "che"), ("it", "la"),
+    ("pt", "de"), ("pt", "que"), ("pt", "um"),
+]
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; short docs fall back to one whole-doc shingle."""
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + F.lit(1), n)),
+    )
+    return F.when(F.size(tok) >= n, windows).otherwise(F.array(F.concat_ws(" ", tok)))
+
+
+def distinct_shingles(text_col: Column | str, n: int = 3) -> Column:
+    return F.array_distinct(shingles(tokens(text_col), n))
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token, cnt) — one shuffle on (id, token); partial agg map-side."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1] from cheap surface features.
+
+    score = 0.3·min(n_tokens/100, 1) + 0.4·stopword_ratio + 0.3·alpha_ratio
+    (all double arithmetic in a fixed evaluation order so any engine —
+    or any Spark partitioning — reproduces identical bits).
+    """
+    tok = tokens(text_col)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(tok)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    digit_chars = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    stop_hits = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    alpha_ratio = alpha_chars.cast("double") / n_chars
+    score = (
+        F.lit(0.3) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * alpha_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("int").alias("n_chars_m"),
+        n_tokens.cast("int").alias("n_tokens"),
+        alpha_chars.cast("int").alias("alpha_chars"),
+        digit_chars.cast("int").alias("digit_chars"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, spark, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram-heuristic language ID: score = distinct marker tokens present,
+    argmax with (score desc, lang asc) tie-break, 'und' when no marker hits.
+
+    The profile table is constant-size → broadcast join; the doc side only
+    explodes *distinct* tokens, so cost is O(total distinct tokens)."""
+    from pyspark.sql import Window as W
+
+    profiles = spark.createDataFrame(LANG_PROFILES, "lang string, marker string")
+    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+    scores = (
+        toks.join(F.broadcast(profiles), F.col("token") == F.col("marker"))
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("lang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return df.select(id_col).join(best.select(id_col, "lang", "score"), id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(F.col("score"), F.lit(0)).cast("int").alias("marker_hits"),
+    )

@@ -1,6 +1,13 @@
 """Import all query families so registration side effects populate REGISTRY."""
 
-from arrow_parquet_logs_spark.queries import reference, tpch  # noqa: F401
+from arrow_parquet_logs_spark.queries import (  # noqa: F401
+    events,
+    multimodalq,
+    reference,
+    textq,
+    tpch,
+    vectorq,
+)
 
 from arrow_parquet_logs_spark.queries.catalog import (  # noqa: F401
     REGISTRY,

@@ -1,0 +1,197 @@
+"""Event-analytics queries: JSON extraction, sessionization, event-time
+windows, keep-latest dedup, exact percentiles — the stream-shaped workload
+family (SURVEY.md §2.9/§2.11) in batch form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.operators.dedup import keep_latest
+from arrow_parquet_logs_spark.operators.sessionize import session_stats, session_windows, tumbling_counts
+from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+_GAP_US = 6 * 3600 * 1_000_000  # 6-hour session gap
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+               / count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("json", "agg"),
+    bench=True,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON props (reference stores opaque strings; SURVEY.md
+    §2.8 'extension need'): get_json_object stays JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("window", "sessionize"),
+    bench=True,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via lag + cumulative sum (SNIPPETS/guide 'islands'
+    pattern): one shuffle on user_id covers both windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, gap="6 hours")
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("window", "eventtime"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (epoch-aligned, so date_trunc is
+    the exact batch equivalent)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev, duration="1 hour")
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 21600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+    tags=("window", "sessionize"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window operator; end = last event + gap (half-open),
+    matching the islands formulation exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_windows(ev, gap="6 hours")
+
+
+@register(
+    "events_user_error_rate",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("agg",),
+)
+def events_user_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_err.alias("n_errors"),
+            (n_err.cast("double") / F.count(F.lit(1))).alias("error_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_dedup_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    tags=("dedup", "window"),
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (SURVEY.md §2.11): row_number window, one
+    shuffle on the dedup key; with unique (ts, event_id) ordering the
+    surviving row is deterministic at any parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    return keep_latest(ev, ["user_id", "event_type"], "ts", "event_id").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    ).orderBy("user_id", "event_type")
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. At 100 TB swap for approx_percentile
+    (t-digest sketch, one pass, mergeable) — exact here because the oracle
+    must agree bit-for-bit; the rounded output absorbs interpolation noise."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,316 @@
+"""Text-analysis + dedup queries over ``documents``.
+
+The DuckDB oracles reproduce every pipeline stage — tokenization, shingling,
+md5-minhash, LSH banding, SimHash bit votes — bit-for-bit (shared dialect
+fragments below), so even the probabilistic operators are hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.functions.hashing import hash64
+from arrow_parquet_logs_spark.operators import dedup as D
+from arrow_parquet_logs_spark.operators import text as X
+from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+# ---- DuckDB dialect fragments (mirror operators.text exactly) -------------
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+# word 3-gram shingles with whole-doc fallback (mirrors text.shingles)
+_SH3 = (
+    "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(range(0, len(t)-2), "
+    "i -> array_to_string(list_slice(t, i+1, i+3), ' '))) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+_H64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+_STOP = "('the','a','an','of','and','to','in','is','it','that')"
+
+_SHINGLE_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SH3} AS s FROM toks)
+"""
+
+_VERIFY_SQL = """
+    SELECT a_id, b_id,
+           CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+    FROM (
+        SELECT c.a_id, c.b_id,
+               len(list_intersect(sa.s, sb.s)) AS common,
+               len(sa.s) AS na, len(sb.s) AS nb
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+    )
+    WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6
+"""
+
+
+@register(
+    "docs_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(X.tokens("text")).cast("int").alias("n_tokens"), "n_chars"
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_token_freq",
+    oracle=f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+    tags=("text", "agg", "topk"),
+    bench=True,
+)
+def docs_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency: explode → two-phase agg (map-side combine on
+    token) → top-50 TakeOrdered. The classic wordcount, minus any RDDs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "docs_lang_facet",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    tags=("text", "agg"),
+)
+def docs_lang_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "docs_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+    tags=("dedup",),
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content hash, keep canonical min-id. The
+    shuffle key is the 32-byte md5, not the document body."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs).orderBy("keep_id")
+
+
+@register(
+    "docs_lang_id",
+    oracle=f"""
+    WITH profiles(lang, marker) AS (VALUES
+        ('en','the'),('en','and'),('en','of'),
+        ('de','der'),('de','und'),('de','nicht'),
+        ('es','de'),('es','la'),('es','que'),
+        ('fr','le'),('fr','et'),('fr','les'),
+        ('it','di'),('it','che'),('it','la'),
+        ('pt','de'),('pt','que'),('pt','um')),
+    toks AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents),
+    scores AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS score
+        FROM toks JOIN profiles ON token = marker GROUP BY doc_id, lang
+    ),
+    best AS (
+        SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        FROM scores
+    )
+    SELECT d.doc_id,
+           COALESCE(b.lang, 'und') AS pred_lang,
+           CAST(COALESCE(b.score, 0) AS INTEGER) AS marker_hits
+    FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "langid"),
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID against a broadcast marker profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.lang_id(docs, spark).orderBy("doc_id")
+
+
+@register(
+    "docs_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_m,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS alpha_chars,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS digit_chars,
+           CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOP})) AS DOUBLE) / len({_TOKS}) AS stopword_ratio,
+           round(
+             0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * (CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOP})) AS DOUBLE) / len({_TOKS}))
+             + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)),
+           6) AS quality_score
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+    bench=True,
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-feature quality scoring — pure codegen expressions, fixed
+    evaluation order so scores are bit-stable everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_features(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_fingerprint",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT t.doc_id,
+           md5(array_to_string(t.t, ' ')) AS md5_fp,
+           list_min(list_transform(sh.s, g -> {_H64.format(x='g')})) AS minshingle_fp
+    FROM toks t JOIN sh ON sh.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the normalized token stream + the
+    min-shingle-hash (1-permutation minhash) — both portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    sh = X.distinct_shingles("text", 3)
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks)).alias("md5_fp"),
+        F.array_min(F.transform(sh, lambda g: hash64(g))).alias("minshingle_fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    {_VERIFY_SQL}
+    """,
+    tags=("dedup", "jaccard"),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (threshold 0.6) via inverted-index
+    self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(0, 32), i -> list_min(list_transform(s,
+                   g -> {_H64.format(x="concat(g, '#', CAST(i AS VARCHAR))")}))) AS sig
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 8), b -> md5(concat(CAST(b AS VARCHAR), ':',
+                   array_to_string(list_slice(sig, b*4+1, b*4+4), ','))))) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    {_VERIFY_SQL}
+    """,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8×4) candidate pairs, Jaccard-verified at 0.6.
+    The oracle reproduces signatures and banding exactly (portable md5
+    hashes), so the probabilistic pipeline is still hash-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.6)
+
+
+_SIMHASH_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tc AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        GROUP BY doc_id, token
+    ),
+    th AS (SELECT doc_id, {_H64.format(x='token')} AS th, cnt FROM tc),
+    votes AS (
+        SELECT doc_id, j, SUM(CASE WHEN ((th >> j) & 1) = 1 THEN cnt ELSE -cnt END) AS vj
+        FROM th CROSS JOIN (SELECT unnest(range(0, 63)) AS j) js
+        GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN vj > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "docs_simhash",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+    tags=("dedup", "simhash"),
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash signatures (frequency-weighted md5 bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs).select(F.col("sid").alias("doc_id"), "simhash").orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3). Spark joins on 16-bit pigeonhole
+    chunks (guaranteed recall at that radius); the oracle brute-forces —
+    identical output, which is exactly the point of the guarantee."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)

@@ -250,17 +250,22 @@ def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
     """,
     tags=("join", "anti"),
 )
 def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join = NOT EXISTS — the dedup/quarantine workhorse."""
+    """LEFT ANTI join = NOT EXISTS — the dedup/quarantine workhorse.
+
+    (Filter on urgent orders keeps the result non-empty at every sf — an
+    all-customers NOT EXISTS is vacuously empty in this dataset.)"""
     t = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return (
         t["customer"]
-        .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )

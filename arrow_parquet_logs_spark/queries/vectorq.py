@@ -1,0 +1,123 @@
+"""Vector similarity queries over ``embeddings``.
+
+Cosine math in double precision on both engines; ranking keys are rounded to
+6 decimals with an id tie-break so orderings can never be flipped by float
+summation order (see operators.similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.operators import similarity as S
+from arrow_parquet_logs_spark.operators.dedup import embedding_dup_pairs
+from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+_COS = "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 6)"
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    p AS (
+        SELECT q.q_id, c.vec_id, {_COS.format(a='q.qv', b='c.embedding')} AS cosine
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id != q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """,
+    tags=("similarity", "ann"),
+    bench=True,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 10-query set: broadcast queries, one
+    candidate scan, window rank — the exact baseline every ANN variant is
+    measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS cell FROM embeddings WHERE vec_id < 10),
+    p AS (
+        SELECT q.q_id, c.vec_id, {_COS.format(a='q.qv', b='c.embedding')} AS cosine
+        FROM q JOIN embeddings c ON c.label = q.cell
+        WHERE c.vec_id != q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: same contract, candidates limited to the query's coarse
+    cell — the 1/nprobe scan-fraction path that survives 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    p AS (
+        SELECT q.q_id, c.vec_id, {_COS.format(a='q.qv', b='c.embedding')} AS cosine
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id != q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM p
+    ),
+    votes AS (
+        SELECT r.q_id, e.label AS nbr_label, CAST(count(*) AS BIGINT) AS votes
+        FROM r JOIN embeddings e ON e.vec_id = r.vec_id
+        WHERE r.rn <= 10 GROUP BY r.q_id, e.label
+    ),
+    best AS (
+        SELECT q_id, nbr_label, votes,
+               row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, nbr_label) AS rn
+        FROM votes
+    )
+    SELECT q_id, nbr_label AS pred_label, CAST(votes AS INT) AS votes
+    FROM best WHERE rn = 1 ORDER BY q_id
+    """,
+    tags=("similarity", "knn"),
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN(10) majority-label classification of 20 query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_label_vote(emb, emb.where(F.col("vec_id") < 20), k=10)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT cell, a_id, b_id, cosine FROM (
+        SELECT a.label AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
+               {_COS.format(a='a.embedding', b='b.embedding')} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4) within coarse cells — the
+    IVF-bucketed formulation of embedding dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.4)

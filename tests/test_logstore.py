@@ -1,0 +1,127 @@
+"""Reference-semantics tests (SURVEY.md §1.3 decisions) for the LogStore."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from arrow_parquet_logs_spark.logstore import FilterError, LogStore
+from arrow_parquet_logs_spark.logstore.store import LogValidationError
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return LogStore(spark, str(tmp_path / "logs"))
+
+
+def _w(store, c="a", s="s1", ts="2024-01-01T00:00:00Z", level="INFO", msg="m"):
+    return store.write_logs(c, s, [{"timestamp": ts, "level": level, "message": msg}])
+
+
+def test_empty_store_reads_empty(store):
+    assert store.read_logs(container="a", session="s1") == []
+    assert store.count(container="a", session="s1") == 0
+
+
+def test_read_your_writes_and_iso_z(store):
+    store.write_logs(
+        "a",
+        "s1",
+        [
+            {"timestamp": "2024-01-01T00:00:00Z", "level": "INFO", "message": "m1"},
+            {"timestamp": "2024-01-01T00:00:05+00:00", "level": "ERROR", "message": "m2"},
+        ],
+    )
+    _w(store, ts="2024-01-01T00:00:10Z", msg="m3")
+    rows = store.read_logs(container="a", session="s1")
+    assert [r["message"] for r in rows] == ["m1", "m2", "m3"]
+    assert rows[0]["timestamp"].isoformat() == "2024-01-01T00:00:00"
+
+
+def test_inclusive_time_range_bounds(store):
+    for i in range(3):
+        _w(store, ts=f"2024-01-01T00:00:{i * 5:02d}Z", msg=f"m{i}")
+    rows = store.read_logs(
+        container="a", session="s1", start_ts="2024-01-01 00:00:00", end_ts="2024-01-01 00:00:05"
+    )
+    assert [r["message"] for r in rows] == ["m0", "m1"]  # both ends inclusive
+
+
+def test_compaction_exactly_once(store):
+    for i in range(3):
+        _w(store, msg=f"m{i}", ts=f"2024-01-01T00:00:0{i}Z")
+    before = store.read_logs(container="a", session="s1")
+    res = store.compact("a", "s1")
+    assert res["compacted"]
+    after = store.read_logs(container="a", session="s1")
+    assert [r["message"] for r in after] == [r["message"] for r in before]
+    # again: writes + compact keep exactly-once
+    _w(store, msg="m3", ts="2024-01-01T00:00:03Z")
+    assert store.count(container="a", session="s1") == 4
+    store.compact("a", "s1")
+    assert store.count(container="a", session="s1") == 4
+    # third compact is a no-op
+    assert store.compact("a", "s1")["compacted"] is False
+
+
+def test_crash_window_consumed_landing_excluded(store):
+    _w(store, msg="m0")
+    _w(store, msg="m1", ts="2024-01-01T00:00:01Z")
+    store.compact("a", "s1")
+    # simulate crash-before-cleanup: resurrect a consumed landing file
+    adir = store._part_dir(store._archive_root(), "a", "s1")
+    cur = open(os.path.join(adir, "CURRENT")).read()
+    man = json.load(open(os.path.join(adir, cur, "MANIFEST.json")))
+    archive_file = os.path.join(adir, cur, man["files"][0])
+    ghost = os.path.join(store._part_dir(store._landing_root(), "a", "s1"), man["consumed_landing"][0])
+    shutil.copy(archive_file, ghost)
+    assert store.count(container="a", session="s1") == 2  # not double-counted
+
+
+def test_composite_keys_do_not_collide(store):
+    _w(store, c="a_b", s="c", msg="k1")
+    _w(store, c="a", s="b_c", msg="k2")
+    assert [r["message"] for r in store.read_logs(container="a_b", session="c")] == ["k1"]
+    assert [r["message"] for r in store.read_logs(container="a", session="b_c")] == ["k2"]
+
+
+def test_validation_errors_are_loud(store):
+    cases = [
+        [{"level": "INFO", "message": "x"}],
+        [{"timestamp": "nope", "level": "I", "message": "x"}],
+        [{"timestamp": "2024-01-01T00:00:00Z", "level": 7, "message": "x"}],
+        ["not-a-dict"],
+        [],
+    ]
+    for rows in cases:
+        with pytest.raises(LogValidationError):
+            store.write_logs("a", "s1", rows)
+
+
+def test_unknown_filter_op_raises(store):
+    _w(store)
+    with pytest.raises(FilterError):
+        store.read_logs(container="a", session="s1", filters=[("level", "~", "x")])
+
+
+def test_filters_and_stream(store):
+    for i in range(5):
+        _w(store, ts=f"2024-01-01T00:00:0{i}Z", level="INFO" if i % 2 else "ERROR", msg=f"m{i}")
+    errs = store.read_logs(container="a", session="s1", filters=[("level", "==", "ERROR")])
+    assert [r["message"] for r in errs] == ["m0", "m2", "m4"]
+    batches = list(store.stream(batch_size=2, container="a", session="s1"))
+    assert [len(b) for b in batches] == [2, 2, 1]
+
+
+def test_summary_counts_tiers(store):
+    _w(store, msg="m0")
+    _w(store, msg="m1", ts="2024-01-01T00:00:01Z")
+    s = store.summary("a", "s1")
+    assert s["landing"]["total_rows"] == 2 and s["archive"]["total_rows"] == 0
+    store.compact("a", "s1")
+    s = store.summary("a", "s1")
+    assert s["archive"]["total_rows"] == 2 and s["landing"]["total_rows"] == 0
+    assert s["archive"]["files_scanned"] == 1

@@ -1,0 +1,124 @@
+"""Operator-level unit tests: recall guarantees, plumbing shapes, plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_parquet_logs_spark.operators import dedup as D
+from arrow_parquet_logs_spark.operators import multimodal as M
+from arrow_parquet_logs_spark.operators import text as X
+from arrow_parquet_logs_spark.plans.inspect import assert_broadcast, assert_pushed_filters, explain_str
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    row = df.select(X.distinct_shingles("text", 3).alias("s")).head()
+    assert row.s == ["one two"]
+
+
+def test_minhash_lsh_catches_known_nearduos(spark, sf_dir):
+    """LSH output must equal brute-force output at high jaccard (0.9+ pairs
+    collide in some band with overwhelming probability at 8×4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    brute = {
+        (r.a_id, r.b_id)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {(r.a_id, r.b_id) for r in D.minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert brute, "fixture should contain 0.9+ near-dup pairs"
+    assert lsh == brute
+
+
+def test_simhash_banding_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole guarantee: chunk-join recall is exact for hamming ≤ 3."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sig = D.simhash(docs)
+    brute = (
+        sig.alias("a")
+        .join(sig.alias("b"), F.col("a.sid") < F.col("b.sid"))
+        .selectExpr("a.sid a_id", "b.sid b_id", "CAST(bit_count(a.simhash ^ b.simhash) AS INT) hamming")
+        .where("hamming <= 3")
+    )
+    banded = D.simhash_pairs(docs, max_hamming=3)
+    assert sorted(map(tuple, banded.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    )
+    rows = {r.keep_id: r.n_copies for r in D.exact_dedup_groups(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_keep_latest_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 20), (3, "j", 5)], "event_id long, key string, ts long"
+    )
+    rows = {r.key: r.event_id for r in D.keep_latest(df, ["key"], "ts", "event_id").collect()}
+    assert rows == {"k": 2, "j": 3}
+
+
+def test_lang_id_fallback_und(spark):
+    df = spark.createDataFrame([(1, "zzz qqq xxx")], "doc_id long, text string")
+    row = X.lang_id(df, spark).head()
+    assert row.pred_lang == "und" and row.marker_hits == 0
+
+
+# ---- multimodal plumbing ---------------------------------------------------
+def test_attach_media_schema_and_digest(spark):
+    df = spark.createDataFrame([(1, bytearray(b"payload-bytes"))], "id long, raw binary")
+    m = M.attach_media(df, "raw", "image", "png")
+    row = m.head()
+    assert row.media.byte_len == 13
+    assert len(row.media.sha256) == 64
+    assert m.schema["media"].dataType["media_type"].dataType.simpleString() == "string"
+
+
+def test_decode_media_raises_without_codecs(spark):
+    df = M.attach_media(
+        spark.createDataFrame([(1, bytearray(b"x"))], "id long, raw binary"), "raw", "image", "png"
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_media(df)
+
+
+def test_decode_media_stub_deterministic(spark):
+    df = M.attach_media(
+        spark.createDataFrame(
+            [(i, bytearray(f"payload-{i}".encode())) for i in range(10)], "id long, raw binary"
+        ),
+        "raw",
+        "image",
+        "png",
+    )
+    out1 = sorted(map(tuple, M.decode_media(df, allow_fake=True).collect()))
+    out2 = sorted(map(tuple, M.decode_media(df.repartition(4), allow_fake=True).collect()))
+    assert out1 == out2  # partitioning-invariant
+    assert all(16 <= r[3] < 80 for r in out1)  # width in stub range
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, bytearray(b"v"))], "id long, raw binary")
+    media = M.attach_media(df, "raw", "video", "mp4").withColumn(
+        "media", F.col("media").withField("duration_ms", F.lit(3500).cast("long"))
+    )
+    frames = M.frame_sample_plan(media, every_ms=1000)
+    assert [r.frame_ts_ms for r in frames.collect()] == [0, 1000, 2000]
+
+
+# ---- plan shape assertions (the 100 TB checks) -----------------------------
+def test_ts_range_scan_pushes_filters(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_quantity") >= 45).select("l_orderkey", "l_quantity")
+    assert_pushed_filters(q, "GreaterThanOrEqual(l_quantity,45.0)")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in explain_str(q)
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    assert_broadcast(REGISTRY["brand_revenue_broadcast"].fn(spark, sf_dir))
+    assert_broadcast(REGISTRY["tpch_q5_region_volume"].fn(spark, sf_dir), 2)
