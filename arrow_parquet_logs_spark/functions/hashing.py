@@ -43,3 +43,22 @@ def hash64_sql(expr: str, dialect: str = "duckdb", seed: int | None = None) -> s
         expr = f"concat({expr}, '#{seed}')"
     fmt = HASH64_DUCK_FMT if dialect == "duckdb" else HASH64_SPARK_FMT
     return fmt.format(expr=expr)
+
+
+# ---- MinHash permutation family -------------------------------------------
+# k independent hash functions as affine rehashes of ONE base hash:
+#     h_i(s) = (a_i · (hash64(s) mod P) + b_i) mod P,   P = 2³¹ − 1
+# One md5 per shingle instead of k — the md5 is the expensive part (k× fewer
+# digest evaluations turned a 191 s sf0.1 signature stage into seconds).
+# 31-bit values keep a_i·h < 2⁶² (no bigint overflow under ANSI mode) and the
+# arithmetic is bit-identical in any engine. Coefficients are fixed (seeded
+# PRNG) and embedded as literals in both Spark expressions and oracle SQL.
+MINHASH_P = 2_147_483_647
+
+def minhash_coeffs(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, MINHASH_P) for _ in range(k)]
+    b = [rng.randrange(0, MINHASH_P) for _ in range(k)]
+    return a, b

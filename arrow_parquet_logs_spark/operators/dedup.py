@@ -76,27 +76,48 @@ def ngram_jaccard_pairs(
     threshold, probabilistic recall) or cap shingle document-frequency."""
     sets = _shingle_sets(df, id_col, text_col, n)
     inv = sets.select("sid", F.explode("sh").alias("g"))
+    sizes = sets.select("sid", F.size("sh").alias("n_sh"))
     a = inv.select(F.col("sid").alias("a_id"), "g")
     b = inv.select(F.col("sid").alias("b_id"), "g")
-    cand = a.join(b, "g").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
-    return _verify_jaccard(cand, sets, threshold)
+    # |A ∩ B| directly as the match count of the index join (shingles are
+    # distinct per doc) — no pair-distinct shuffle, no second array pass
+    common = (
+        a.join(b, "g")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("sid").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("sid").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # -------------------------------------------------------- MinHash-LSH ----
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 32
 ) -> DataFrame:
-    """k md5-minhash values per doc, as one nested Catalyst expression:
-    sig[i] = min over shingles of hash64(shingle, seed=i). One scan, no
-    shuffle, no Python."""
+    """k minhash values per doc, as one nested Catalyst expression:
+    sig[i] = min over shingles of (aᵢ·h + bᵢ) mod P where h = hash64(shingle)
+    mod P is computed ONCE per shingle (md5 dominates cost; the k-way fan-out
+    is cheap integer arithmetic). One scan, no shuffle, no Python."""
+    from arrow_parquet_logs_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
+    ca, cb = minhash_coeffs(k)
     sets = _shingle_sets(df, id_col, text_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("sh"), lambda s: hash64(F.concat(s, F.lit("#"), i.cast("string"))))
-        ),
+    base = F.transform(F.col("sh"), lambda s: hash64(s) % MINHASH_P)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__hb"), lambda h: (F.lit(ca[i]) * h + F.lit(cb[i])) % MINHASH_P))
+            for i in range(k)
+        ]
     )
-    return sets.withColumn("sigs", sig)
+    return sets.withColumn("__hb", base).withColumn("sigs", sig).drop("__hb")
 
 
 def lsh_band_keys(sig_df: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:

@@ -233,16 +233,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.6)
 
 
+def _minhash_sig_sql() -> str:
+    from arrow_parquet_logs_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
+    a, b = minhash_coeffs(32)
+    lit_a = "[" + ",".join(map(str, a)) + "]"
+    lit_b = "[" + ",".join(map(str, b)) + "]"
+    return f"""
+    hb AS (
+        SELECT doc_id, list_transform(s, g -> {_H64.format(x='g')} % {MINHASH_P}) AS h
+        FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(0, 32), i -> list_min(list_transform(h,
+                   x -> (({lit_a})[i+1] * x + ({lit_b})[i+1]) % {MINHASH_P}))) AS sig
+        FROM hb
+    )"""
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    sigs AS (
-        SELECT doc_id,
-               list_transform(range(0, 32), i -> list_min(list_transform(s,
-                   g -> {_H64.format(x="concat(g, '#', CAST(i AS VARCHAR))")}))) AS sig
-        FROM sh
-    ),
+    {_minhash_sig_sql()},
     bands AS (
         SELECT doc_id,
                unnest(list_transform(range(0, 8), b -> md5(concat(CAST(b AS VARCHAR), ':',

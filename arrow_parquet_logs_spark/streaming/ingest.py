@@ -1,0 +1,126 @@
+"""Structured Streaming ingest — the reference's hand-rolled micro-batching
+(SURVEY.md §2.9 T1-T8) re-expressed as Spark streaming primitives:
+
+| reference behavior                     | here |
+|----------------------------------------|------|
+| per-(container,session) buffers (T1)   | ``partitionBy('container','session')`` sink |
+| size-based rotation (T2)               | micro-batch files + LogStore.compact |
+| async flush pool (T3)                  | micro-batch execution itself |
+| counter.txt crash-safe naming (T4)     | checkpointLocation |
+| graceful drain (T6, deadlocks in ref)  | ``query.stop()`` + checkpoint recovery |
+| no late-data policy (T7)               | ``withWatermark`` on event-time aggs |
+| read-your-writes (T8)                  | committed micro-batches are parquet → LogStore reads them |
+
+The hot tier lands as parquet micro-batches in the LogStore ``landing``
+layout, so batch reads (LogStore.read_df) see streamed rows immediately and
+compaction folds them into archive versions exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.schema import LOG_INGEST_SCHEMA
+from arrow_parquet_logs_spark.session import ensure_runtime_confs
+
+
+def _raw_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add mutates in place, and the ingest
+    # schema is a shared module-level constant
+    schema = T.StructType(
+        list(LOG_INGEST_SCHEMA.fields)
+        + [T.StructField("container", T.StringType()), T.StructField("session", T.StringType())]
+    )
+    return spark.readStream.schema(schema).json(src_dir)
+
+
+def read_log_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of JSON-lines ingest records:
+    ``{"timestamp": ISO-8601, "level": ..., "message": ..., "container":
+    ..., "session": ...}`` (the POST body rows of reference main.py:302-337,
+    with the path params inlined).
+
+    Timestamps parse with ``try_to_timestamp`` and unparseable rows are
+    FILTERED OUT here, not thrown on: under ANSI mode a strict cast would
+    poison the micro-batch — the bad file is retried forever and the whole
+    ingest pipeline wedges on one malformed row. The batch path
+    (LogStore.write_logs) keeps per-row strict rejection at the request
+    boundary (reference writer.py:81-93 parity); the streaming path
+    quarantines instead — see :func:`start_quarantine`."""
+    raw = _raw_stream(spark, src_dir)
+    return raw.select(
+        F.try_to_timestamp("timestamp").alias("timestamp"),
+        "level",
+        "message",
+        "container",
+        "session",
+    ).where(F.col("timestamp").isNotNull())
+
+
+def start_quarantine(spark: SparkSession, src_dir: str, quarantine_dir: str, checkpoint: str):
+    """Companion stream capturing rows the ingest filter dropped (bad or
+    missing timestamp), with the raw timestamp string preserved for triage.
+    Own checkpoint → independent, exactly-once via the file-sink commit log."""
+    raw = _raw_stream(spark, src_dir)
+    bad = raw.where(F.try_to_timestamp("timestamp").isNull()).withColumn(
+        "reject_reason", F.lit("bad_timestamp")
+    )
+    return (
+        bad.writeStream.format("parquet")
+        .option("path", quarantine_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_ingest(
+    spark: SparkSession, src_dir: str, store_root: str, checkpoint: str, available_now: bool = True
+):
+    """Stream into the LogStore landing tier, partitioned by (container,
+    session). ``availableNow`` drains everything present then stops — the
+    batch-friendly trigger; drop it for a long-running ingest daemon."""
+    df = read_log_stream(spark, src_dir)
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", f"{store_root}/landing")
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("container", "session")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_level_counts(
+    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time tumbling counts per level with a late-data watermark —
+    the streaming aggregation the reference stores data for but can't run."""
+    return (
+        stream.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("w"), "level")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "level", "n")
+    )
+
+
+def run_windowed_counts_once(
+    spark: SparkSession, src_dir: str, query_name: str = "level_counts"
+) -> DataFrame:
+    """Drive the windowed agg to completion over the files currently in
+    ``src_dir`` (memory sink + availableNow) and return the result table."""
+    stream = read_log_stream(spark, src_dir)
+    q = (
+        windowed_level_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,104 @@
+"""Streaming tier: availableNow ingest into the LogStore layout,
+read-your-writes, watermarked windowed aggs, custom stateful operator."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from arrow_parquet_logs_spark.logstore import LogStore
+from arrow_parquet_logs_spark.streaming import run_windowed_counts_once, start_ingest, start_quarantine
+from arrow_parquet_logs_spark.streaming.stateful import track_session_counts
+from arrow_parquet_logs_spark.streaming.ingest import read_log_stream
+
+
+def _write_batch(src, name, rows):
+    with open(src / name, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def src(tmp_path):
+    d = tmp_path / "incoming"
+    d.mkdir()
+    _write_batch(
+        d,
+        "b1.json",
+        [
+            {"timestamp": "2024-01-01T00:00:00Z", "level": "INFO", "message": "m1", "container": "a", "session": "s1"},
+            {"timestamp": "2024-01-01T00:01:00Z", "level": "ERROR", "message": "m2", "container": "a", "session": "s1"},
+            {"timestamp": "2024-01-01T00:07:00Z", "level": "INFO", "message": "m3", "container": "a", "session": "s2"},
+        ],
+    )
+    return d
+
+
+def test_stream_ingest_lands_in_logstore(spark, tmp_path, src):
+    store_root = str(tmp_path / "store")
+    q = start_ingest(spark, str(src), store_root, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    store = LogStore(spark, store_root)
+    rows = store.read_logs(container="a", session="s1")
+    assert [r["message"] for r in rows] == ["m1", "m2"]
+    # second micro-batch: restart with same checkpoint → no reprocessing dupes
+    _write_batch(
+        src,
+        "b2.json",
+        [{"timestamp": "2024-01-01T00:02:00Z", "level": "INFO", "message": "m4", "container": "a", "session": "s1"}],
+    )
+    q2 = start_ingest(spark, str(src), store_root, str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert [r["message"] for r in store.read_logs(container="a", session="s1")] == ["m1", "m2", "m4"]
+    # streamed rows then compact exactly-once
+    store.compact("a", "s1")
+    assert store.count(container="a", session="s1") == 3
+
+
+def test_poison_rows_quarantined_not_fatal(spark, tmp_path, src):
+    """A malformed timestamp must not wedge the micro-batch (ANSI cast would
+    throw and the file would be retried forever) — it is filtered from the
+    landing stream and captured by the quarantine stream."""
+    _write_batch(
+        src,
+        "poison.json",
+        [
+            {"timestamp": "garbage", "level": "INFO", "message": "bad-ts", "container": "a", "session": "s1"},
+            {"level": "INFO", "message": "no-ts", "container": "a", "session": "s1"},
+        ],
+    )
+    store_root = str(tmp_path / "store")
+    q = start_ingest(spark, str(src), store_root, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    store = LogStore(spark, store_root)
+    assert [r["message"] for r in store.read_logs(container="a", session="s1")] == ["m1", "m2"]
+    qq = start_quarantine(spark, str(src), str(tmp_path / "quar"), str(tmp_path / "ckq"))
+    qq.awaitTermination()
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    assert {r.message for r in quar.collect()} == {"bad-ts", "no-ts"}
+    assert {r.reject_reason for r in quar.collect()} == {"bad_timestamp"}
+
+
+def test_windowed_level_counts(spark, src):
+    out = run_windowed_counts_once(spark, str(src), query_name="t_wlc")
+    rows = {(r.window_start.isoformat(), r.level): r.n for r in out.collect()}
+    assert rows[("2024-01-01T00:00:00", "INFO")] == 1
+    assert rows[("2024-01-01T00:00:00", "ERROR")] == 1
+    assert rows[("2024-01-01T00:05:00", "INFO")] == 1
+
+
+def test_stateful_session_counts(spark, tmp_path, src):
+    stream = read_log_stream(spark, str(src))
+    q = (
+        track_session_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r.container, r.session): r.total_rows for r in spark.table("t_state").collect()}
+    assert rows == {("a", "s1"): 2, ("a", "s2"): 1}
