@@ -4,6 +4,7 @@ from arrow_parquet_logs_spark.queries import (  # noqa: F401
     events,
     multimodalq,
     reference,
+    scalarq,
     textq,
     tpch,
     vectorq,

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from arrow_parquet_logs_spark.logstore.filters import compile_filters
 from arrow_parquet_logs_spark.functions.numeric import dsum, davg
 from arrow_parquet_logs_spark.queries.catalog import register
-from arrow_parquet_logs_spark.sources.tables import load_table
+from arrow_parquet_logs_spark.sources.tables import load_events_range, load_table
 
 _T0 = "2024-01-05 00:00:00"
 _T1 = "2024-01-12 00:00:00"
@@ -48,13 +48,11 @@ def logs_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The range predicate reaches the parquet scan (PushedFilters) so row
     groups outside [T0, T1] are skipped via min/max statistics — the Spark
     equivalent of the reference's ds.Expression pushdown (reader.py:29-59).
+    load_events_range pushes on the raw ns column (a filter on the derived
+    µs timestamp would not push at all).
     """
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.where((F.col("ts") >= _ts(_T0)) & (F.col("ts") <= _ts(_T1)))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy("ts", "event_id")
-    )
+    ev = load_events_range(spark, sf_dir, _T0, _T1)
+    return ev.select("event_id", "ts", "user_id", "event_type", "value").orderBy("ts", "event_id")
 
 
 @register(
@@ -69,11 +67,8 @@ def logs_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logs_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered count (reference reader.py:181-206): count pushes no data —
     only row-group metadata + residual filter evaluation."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.where((F.col("event_type") == "error") & (F.col("ts") >= _ts(_T0)) & (F.col("ts") <= _ts(_T1)))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
+    ev = load_events_range(spark, sf_dir, _T0, _T1)
+    return ev.where(F.col("event_type") == "error").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
 @register(
@@ -90,10 +85,14 @@ def logs_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logs_two_tier_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive ∪ buffer two-tier read (reference reader.py:488-510): UNION ALL
     of the cold slice and the hot slice with the same residual filter. In the
-    LogStore this is landing ∪ archive; here the split is simulated by time."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    cold = ev.where(F.col("ts") < _ts(_SPLIT))
-    hot = ev.where(F.col("ts") >= _ts(_SPLIT))
+    LogStore this is landing ∪ archive; here the split is simulated by time.
+    Each side gets a pushed ns-range superset filter plus the exact residual."""
+    cold = (
+        load_events_range(spark, sf_dir, end=_SPLIT)
+        .where(F.col("ts") < _ts(_SPLIT))
+        .select("event_id", "ts", "event_type")
+    )
+    hot = load_events_range(spark, sf_dir, start=_SPLIT).select("event_id", "ts", "event_type")
     return cold.unionByName(hot).where(F.col("event_type") == "error")
 
 
@@ -167,8 +166,10 @@ def logs_distinct_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def logs_filter_compiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (col, op, val) triple compiler (reference reader.py:29-86) feeding
-    a scan — one compilation, Catalyst decides pushdown vs residual."""
-    ev = load_table(spark, sf_dir, "events")
+    a scan — one compilation, Catalyst decides pushdown vs residual. The
+    time bound additionally rides the pushdown-capable raw-ns path (the
+    compiled ts triple stays as the exact residual)."""
+    ev = load_events_range(spark, sf_dir, start=_T0)
     pred = compile_filters(
         [
             ("event_type", "!=", "view"),

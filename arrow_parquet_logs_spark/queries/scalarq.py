@@ -1,0 +1,184 @@
+"""Scalar-function surface (SURVEY.md §2.8 X1-X6) + remaining aggregate
+shapes: exact/approx distinct, HAVING, correlated-aggregate join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.functions.numeric import dec
+from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.sources.tables import load_table, load_tables
+
+
+@register(
+    "logs_iso_format",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+    tags=("scalar", "reference-parity"),
+)
+def logs_iso_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: timestamp → ISO-8601 string at the output boundary (reference
+    reader.py:140-141 does per-row .isoformat(); here it's one codegen'd
+    date_format over the column)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_id") < 100)
+        .select("event_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts_iso"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "rows_to_json",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type, user_id := user_id))::VARCHAR AS js
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+    tags=("scalar", "json", "reference-parity"),
+)
+def rows_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: row → JSON at the delivery boundary (reference reader.py:546 does
+    json.dumps per row in Python; to_json keeps it JVM-side and the JSON
+    text is byte-identical across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.to_json(F.struct(F.col("event_id"), F.col("event_type"), F.col("user_id"))).alias("js"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_type, 1, 6) AS type_prefix,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num,
+           concat(p_brand, '/', p_type) AS brand_type
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("scalar",),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function pass-through (upper/substr/length/regexp_extract/
+    concat) — all whole-stage codegen, no UDFs (SURVEY.md §2.10 thesis)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT (expand + two-phase agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; driver runs rows-only
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality path —
+    one pass, fixed memory, mergeable across partitions. No SQL oracle: the
+    sketch estimate is engine-specific by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+    tags=("agg", "join", "correlated"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate decorrelated into a per-key agg
+    + equi-join — the plan Catalyst produces for the subquery form, written
+    explicitly. Both sides shuffle once on l_partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec("l_quantity", 12, 2)).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice", 14, 2)).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "agg_having_large_orders",
+    oracle="""
+    SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    ORDER BY l_orderkey
+    """,
+    tags=("agg", "having"),
+)
+def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (TPC-H Q18 core): filter on the aggregate, pushed
+    after partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = F.sum(dec("l_quantity", 12, 2))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(total.cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+        .orderBy("l_orderkey")
+    )

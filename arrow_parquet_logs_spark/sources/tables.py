@@ -42,6 +42,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_range(
+    spark: SparkSession, sf_dir: str, start: str | None = None, end: str | None = None
+) -> DataFrame:
+    """events scan with a time-range predicate that actually pushes down.
+
+    The µs ``ts`` is derived from the raw ns long, and filters on a derived
+    column never reach the parquet reader (plan shows only IsNotNull — no
+    row-group skipping, fatal at 100 TB). Since truncation is monotonic, an
+    inclusive µs range [start, end] is exactly ns ∈ [start·1000, end·1000+999]
+    on the RAW column — so we filter the long column first (pushed, stats
+    prune row groups) and convert after. Bounds stay inclusive on both ends
+    (reference reader.py:469-472 semantics).
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") != "bigint":  # plain µs/ms storage: direct pushdown
+        if start:
+            df = df.where(F.col("ts") >= F.lit(start).cast("timestamp"))
+        if end:
+            df = df.where(F.col("ts") <= F.lit(end).cast("timestamp"))
+        return df
+    if start:
+        df = df.where(F.col("ts") >= F.unix_micros(F.lit(start).cast("timestamp")) * 1000)
+    if end:
+        df = df.where(F.col("ts") <= F.unix_micros(F.lit(end).cast("timestamp")) * 1000 + 999)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 

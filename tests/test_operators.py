@@ -117,6 +117,19 @@ def test_ts_range_scan_pushes_filters(spark, sf_dir):
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in explain_str(q)
 
 
+def test_events_range_pushes_raw_ns_filters(spark, sf_dir):
+    """The events time range must push to the parquet scan on the RAW ns
+    column (a filter on the derived µs timestamp pushes nothing)."""
+    from arrow_parquet_logs_spark.sources.tables import load_events_range
+
+    df = load_events_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-12 00:00:00")
+    assert_pushed_filters(
+        df,
+        "GreaterThanOrEqual(ts,1704412800000000000)",
+        "LessThanOrEqual(ts,1705017600000000999)",
+    )
+
+
 def test_dim_join_broadcasts(spark, sf_dir):
     from arrow_parquet_logs_spark.queries import REGISTRY
 
