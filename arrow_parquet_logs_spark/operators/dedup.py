@@ -74,7 +74,8 @@ def ngram_jaccard_pairs(
     least one shingle ever meet. Exact but worst-case quadratic on hot
     shingles — at 100 TB prefer ``minhash_lsh_pairs`` (same output above the
     threshold, probabilistic recall) or cap shingle document-frequency."""
-    sets = _shingle_sets(df, id_col, text_col, n)
+    # persisted: feeds the inverted index and the per-doc sizes
+    sets = _shingle_sets(df, id_col, text_col, n).persist()
     inv = sets.select("sid", F.explode("sh").alias("g"))
     sizes = sets.select("sid", F.size("sh").alias("n_sh"))
     a = inv.select(F.col("sid").alias("a_id"), "g")
@@ -154,7 +155,10 @@ def minhash_lsh_pairs(
     dedup path; AQE's skew handling covers degenerate hot bands (e.g. the
     empty-document band)."""
     rows = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    # persist the shingle/signature frame: it feeds banding once and the
+    # Jaccard verification twice — without it the docs are re-scanned and
+    # re-shingled three times inside one action (at 100 TB: checkpoint it)
+    sigs = minhash_signatures(df, id_col, text_col, n, k).persist()
     bk = lsh_band_keys(sigs, bands, rows)
     a = bk.select(F.col("sid").alias("a_id"), "band_key")
     b = bk.select(F.col("sid").alias("b_id"), "band_key")

@@ -109,7 +109,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
+        # cast ntz→session-tz timestamp (UTC): same wall-clock value, but the
+        # output type matches the oracle engine's TIMESTAMP exactly
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )

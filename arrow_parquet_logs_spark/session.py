@@ -17,6 +17,7 @@ is the part that affects *semantics* and *local-mode efficiency*:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -63,6 +64,11 @@ def get_spark(app_name: str = "arrow-parquet-logs-spark", cpus: int | str | None
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep managed-table data (bucketed tables in tests) out of the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,51 @@
+"""Physical-plan properties that carry the 100 TB story: partition pruning
+on the store layout, and bucketed co-located joins (the zero-shuffle path
+for repeated fact-fact joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_parquet_logs_spark.plans.inspect import explain_str
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+
+def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """container=/session= (here event_type=) Hive layout → partition filters
+    never touch non-matching directories — the Spark replacement for the
+    reference's SQLite file lookup (metadata.py:44-53)."""
+    out = str(tmp_path / "part_events")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+    q = spark.read.parquet(out).where(F.col("event_type") == "error").select("event_id")
+    plan = explain_str(q)
+    pf = [ln.strip() for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0], plan
+    assert q.count() == ev.where("event_type = 'error'").count()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both sides on the join key removes the per-query
+    shuffle: SortMergeJoin with zero Exchange operators. At 100 TB this is
+    the difference between re-shuffling 100 TB per join and none."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    j = spark.table("b_lineitem").join(
+        spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    # disable auto-broadcast so the bucketed SMJ path is what's planned
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert j.count() == li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
