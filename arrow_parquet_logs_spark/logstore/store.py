@@ -273,10 +273,18 @@ class LogStore:
         # row-group skipping for time-range scans on the compacted tier
         (df.repartition(target_files).sortWithinPartitions("timestamp").write.mode("overwrite").parquet(vdir))
         files = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
+        ldir = self._part_dir(self._landing_root(), container, session)
+        still_present = set(os.listdir(ldir)) if os.path.isdir(ldir) else set()
         manifest = {
             "version": new_version,
             "files": files,
-            "consumed_landing": sorted(man["consumed_landing"] + [os.path.basename(f) for f in landing]),
+            # carry forward only names still on disk (their deletion was
+            # interrupted earlier) plus this version's inputs — keeps the
+            # exclusion list bounded instead of growing forever
+            "consumed_landing": sorted(
+                {n for n in man["consumed_landing"] if n in still_present}
+                | {os.path.basename(f) for f in landing}
+            ),
         }
         self._commit_version(container, session, manifest)
         for f in landing:  # best-effort retire; manifest already excludes them

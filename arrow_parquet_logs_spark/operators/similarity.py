@@ -19,7 +19,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from arrow_parquet_logs_spark.functions.vector import cosine_sim
+from arrow_parquet_logs_spark.functions.vector import as_double_array, dot, l2_norm
+
+
+def _with_vec_and_norm(
+    df: DataFrame, id_col: str, vec_col: str, prefix: str, *extra: str
+) -> DataFrame:
+    """Pre-materialize the double-cast vector and its L2 norm per ROW — the
+    norm is then computed N+Q times instead of N·Q times inside the pair
+    join. cosine = dot/(qn·cn) associates exactly as dot/(l2(a)·l2(b)), so
+    results are bit-identical to the naive form."""
+    v = as_double_array(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        v.alias(f"{prefix}_v"),
+        l2_norm(v).alias(f"{prefix}_n"),
+        *[F.col(c) for c in extra],
+    )
+
+
+def _cos(q: str = "q", c: str = "c"):
+    return F.round(
+        dot(F.col(f"{q}_v"), F.col(f"{c}_v")) / (F.col(f"{q}_n") * F.col(f"{c}_n")), 6
+    )
 
 
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
@@ -40,12 +62,12 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact ANN baseline: broadcast queries × one pass over candidates."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v"))
-    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_v"))
+    q = _with_vec_and_norm(queries, id_col, vec_col, "q")
+    c = _with_vec_and_norm(emb, id_col, vec_col, "c")
     pairs = (
         c.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", F.round(cosine_sim(F.col("q_v"), F.col("c_v")), 6).alias("cosine"))
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
     return _ranked(pairs, k)
 
@@ -61,16 +83,12 @@ def ivf_topk(
     """IVF-style ANN: only same-cell candidates are scored. With an upstream
     k-means assignment this is the standard 1/nprobe cost reduction; the
     join on the cell key partitions the work with no cross-cell shuffle."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v"), F.col(cell_col).alias("cell")
-    )
-    c = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_v"), F.col(cell_col).alias("cell")
-    )
+    q = _with_vec_and_norm(queries.withColumn("cell", F.col(cell_col)), id_col, vec_col, "q", "cell")
+    c = _with_vec_and_norm(emb.withColumn("cell", F.col(cell_col)), id_col, vec_col, "c", "cell")
     pairs = (
         c.join(F.broadcast(q), "cell")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", F.round(cosine_sim(F.col("q_v"), F.col("c_v")), 6).alias("cosine"))
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
     return _ranked(pairs, k)
 

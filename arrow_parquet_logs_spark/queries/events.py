@@ -171,6 +171,49 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_attribution",
+    oracle="""
+    SELECT event_id, user_id, ts, last_view_ts,
+           epoch_us(ts) - epoch_us(last_view_ts) AS us_since_view
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+        FROM events
+    )
+    WHERE event_type = 'purchase' AND last_view_ts IS NOT NULL
+    ORDER BY event_id
+    """,
+    tags=("window", "asof"),
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (last-touch attribution): each purchase matched to the most
+    recent prior 'view' of the same user. Spark has no native as-of join —
+    the window-carry formulation (last_value IGNORE NULLS over the merged
+    event stream) does it with ONE shuffle on user_id, versus the naive
+    inequality join's quadratic blow-up. This is the scale pattern for any
+    event-to-event as-of enrichment."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    last_view = F.last(F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("last_view_ts", last_view)
+        .where((F.col("event_type") == "purchase") & F.col("last_view_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_view_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_view_ts")).alias("us_since_view"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "events_value_percentiles",
     oracle="""
     SELECT event_type,

@@ -280,6 +280,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, threshold=0.6)
 
 
+@register(
+    "docs_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    ) WHERE rn <= 3 AND doc_id < 100
+    ORDER BY doc_id, tfidf DESC, token
+    """,
+    tags=("text", "tfidf"),
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-doc term frequency ⋈ corpus document frequency (the DF
+    table is vocabulary-sized → broadcast), idf = ln(N/df), top-3 terms per
+    doc. Two shuffles total: (doc, token) and token."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "token")
+    )
+
+
 _SIMHASH_CTE = f"""
     toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     tc AS (
