@@ -163,6 +163,37 @@ class LogStore:
         os.rmdir(tmp)
         return len(tuples)
 
+    def import_arrow_buffers(self, container: str, session: str, paths: Sequence[str]) -> int:
+        """Migrate reference-format ``.arrow`` buffer files into the landing
+        tier (sources.arrow_ipc). Rows gain constant container/session
+        columns if absent (reference denormalizes them at ingest,
+        writer.py:72-74); timestamps are cast to µs UTC."""
+        from arrow_parquet_logs_spark.sources.arrow_ipc import read_arrow_ipc
+
+        df = read_arrow_ipc(self.spark, paths)
+        for col, val in (("container", container), ("session", session)):
+            if col not in df.columns:
+                df = df.withColumn(col, F.lit(val))
+        df = df.select(
+            F.col("timestamp").cast("timestamp"),
+            "level",
+            "message",
+            "container",
+            "session",
+        )
+        ldir = self._part_dir(self._landing_root(), container, session)
+        os.makedirs(ldir, exist_ok=True)
+        tmp = os.path.join(ldir, f".tmp-{uuid.uuid4().hex}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n = df.count()
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(tmp, f), os.path.join(ldir, f"import-{uuid.uuid4().hex}.parquet"))
+            else:
+                os.remove(os.path.join(tmp, f))
+        os.rmdir(tmp)
+        return n
+
     # ---- read path (reference §3.2) ---------------------------------------
     def _tier_files(self, container: str, session: str) -> tuple[list[str], list[str]]:
         """(archive files, live landing files) honoring the CURRENT manifest."""
@@ -219,6 +250,25 @@ class LogStore:
 
     def read_logs(self, **kwargs) -> list[dict]:
         return [r.asDict() for r in self.read_df(**kwargs).collect()]
+
+    def read_response(self, container: str, session: str, **kwargs) -> dict:
+        """The reference's GET /api/logs response envelope (main.py:280-290):
+        ``{logs, total_rows, files_scanned, filter}`` — with the empty-store
+        short-circuit of main.py:256-263."""
+        archive, landing = self._tier_files(container, session)
+        flt = {
+            "start_ts": str(kwargs.get("start_ts")) if kwargs.get("start_ts") else None,
+            "end_ts": str(kwargs.get("end_ts")) if kwargs.get("end_ts") else None,
+        }
+        if not archive and not landing:
+            return {"logs": [], "total_rows": 0, "files_scanned": 0, "filter": flt}
+        logs = self.read_logs(container=container, session=session, **kwargs)
+        return {
+            "logs": logs,
+            "total_rows": len(logs),
+            "files_scanned": len(archive) + len(landing),
+            "filter": flt,
+        }
 
     def count(self, **kwargs) -> int:
         kwargs.setdefault("ordered", False)

@@ -1,0 +1,102 @@
+"""Arrow IPC migration source, response envelope, salted skew operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_parquet_logs_spark.logstore import LogStore
+from arrow_parquet_logs_spark.operators.relational import salted_agg, salted_join
+from arrow_parquet_logs_spark.sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+
+def _buffer_table(messages, session="s1", start_sec=0):
+    schema = pa.schema(
+        [
+            pa.field("timestamp", pa.timestamp("us", tz="UTC")),
+            pa.field("level", pa.string()),
+            pa.field("message", pa.string()),
+            pa.field("container", pa.string()),
+            pa.field("session", pa.string()),
+        ]
+    )
+    n = len(messages)
+    return pa.table(
+        {
+            "timestamp": pa.array(
+                [dt.datetime(2024, 1, 1, 0, 0, start_sec + i, tzinfo=dt.timezone.utc) for i in range(n)],
+                type=schema.field(0).type,
+            ),
+            "level": ["INFO"] * n,
+            "message": messages,
+            "container": ["a"] * n,
+            "session": [session] * n,
+        },
+        schema=schema,
+    )
+
+
+def test_read_arrow_ipc_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "buffer-0001.arrow")
+    write_arrow_ipc(_buffer_table(["m1", "m2"]), p)
+    df = read_arrow_ipc(spark, [p])
+    assert [r.message for r in df.orderBy("timestamp").collect()] == ["m1", "m2"]
+    with pytest.raises(ValueError):
+        read_arrow_ipc(spark, [])
+
+
+def test_import_arrow_buffers_into_logstore(spark, tmp_path):
+    """Reference hot-tier migration: .arrow buffers → landing tier →
+    ordinary reads and exactly-once compaction."""
+    p1, p2 = str(tmp_path / "buffer-0001.arrow"), str(tmp_path / "buffer-0002.arrow")
+    write_arrow_ipc(_buffer_table(["m1", "m2"]), p1)
+    write_arrow_ipc(_buffer_table(["m3"], start_sec=10), p2)
+    store = LogStore(spark, str(tmp_path / "store"))
+    assert store.import_arrow_buffers("a", "s1", [p1, p2]) == 3
+    assert [r["message"] for r in store.read_logs(container="a", session="s1")] == ["m1", "m2", "m3"]
+    store.compact("a", "s1")
+    assert store.count(container="a", session="s1") == 3
+
+
+def test_read_response_envelope(spark, tmp_path):
+    store = LogStore(spark, str(tmp_path / "store"))
+    empty = store.read_response("a", "s1")
+    assert empty == {"logs": [], "total_rows": 0, "files_scanned": 0, "filter": {"start_ts": None, "end_ts": None}}
+    store.write_logs("a", "s1", [{"timestamp": "2024-01-01T00:00:00Z", "level": "I", "message": "m"}])
+    resp = store.read_response("a", "s1", start_ts="2024-01-01 00:00:00")
+    assert resp["total_rows"] == 1 and resp["files_scanned"] == 1
+    assert resp["filter"]["start_ts"] == "2024-01-01 00:00:00"
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        (r.l_returnflag): (r.n, r.q)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (r.n, r.q)
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            [F.count(F.lit(1)).alias("pn"), F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("pq")],
+            [F.sum("pn").alias("n"), F.sum("pq").alias("q")],
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    direct = li.join(orders, "l_orderkey").count()
+    assert salted_join(li, orders, "l_orderkey", salt=4).count() == direct
