@@ -137,61 +137,76 @@ class LogStore:
         os.replace(tmp, os.path.join(adir, "CURRENT"))  # the atomic commit point
 
     # ---- write path (reference §3.1) --------------------------------------
+    def _append_landing_table(self, container: str, session: str, table, prefix: str) -> None:
+        """Atomically land an Arrow table as one parquet file (write tmp →
+        rename, like reference writer.py:321-323), with the reference's
+        writer knobs: snappy, dictionary encoding, statistics, µs timestamps
+        (reference writer.py:310-319)."""
+        import pyarrow.parquet as pq
+
+        ldir = self._part_dir(self._landing_root(), container, session)
+        os.makedirs(ldir, exist_ok=True)
+        tmp = os.path.join(ldir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(
+            table,
+            tmp,
+            compression="snappy",
+            use_dictionary=True,
+            write_statistics=True,
+            coerce_timestamps="us",
+        )
+        os.replace(tmp, os.path.join(ldir, f"{prefix}-{uuid.uuid4().hex}.parquet"))
+
     def write_logs(self, container: str, session: str, rows: Sequence[Any]) -> int:
         """Validated micro-batch append into the landing tier.
 
         Equivalent of POST /api/logs/<container>/<session> (reference
-        main.py:302-337): JSON rows → strict schema → columnar append. One
+        main.py:302-337): JSON rows → strict schema → columnar append, one
         parquet file per call (the reference appends one IPC batch per call).
+        The hot path is pure Arrow→Parquet — no Spark job, honoring the
+        reference's thin-API thesis (README.md:3-7); Spark enters on the
+        read/compaction side, where distribution actually matters.
         """
+        import pyarrow as pa
+
         if not rows:
             raise LogValidationError("empty batch")
         tuples = validate_rows(rows, container, session)
-        ldir = self._part_dir(self._landing_root(), container, session)
-        os.makedirs(ldir, exist_ok=True)
-        df = self.spark.createDataFrame(tuples, LOG_SCHEMA)
-        # single small file per micro-batch append; compaction merges later
-        tmp = os.path.join(ldir, f".tmp-{uuid.uuid4().hex}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        n = 0
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                os.replace(os.path.join(tmp, f), os.path.join(ldir, f"batch-{uuid.uuid4().hex}.parquet"))
-                n += 1
-        for f in os.listdir(tmp):
-            os.remove(os.path.join(tmp, f))
-        os.rmdir(tmp)
+        cols = list(zip(*tuples))
+        table = pa.table(
+            {
+                "timestamp": pa.array(cols[0], type=pa.timestamp("us", tz="UTC")),
+                "level": pa.array(cols[1], type=pa.string()),
+                "message": pa.array(cols[2], type=pa.string()),
+                "container": pa.array(cols[3], type=pa.string()),
+                "session": pa.array(cols[4], type=pa.string()),
+            }
+        )
+        self._append_landing_table(container, session, table, "batch")
         return len(tuples)
 
     def import_arrow_buffers(self, container: str, session: str, paths: Sequence[str]) -> int:
         """Migrate reference-format ``.arrow`` buffer files into the landing
-        tier (sources.arrow_ipc). Rows gain constant container/session
-        columns if absent (reference denormalizes them at ingest,
-        writer.py:72-74); timestamps are cast to µs UTC."""
-        from arrow_parquet_logs_spark.sources.arrow_ipc import read_arrow_ipc
+        tier — pure Arrow, one parquet file per buffer (the buffers are
+        ≤10 MB by the reference's rotation contract, main.py:28). Rows gain
+        constant container/session columns if absent (the reference
+        denormalizes them at ingest, writer.py:72-74); timestamps are cast
+        to µs UTC."""
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
 
-        df = read_arrow_ipc(self.spark, paths)
-        for col, val in (("container", container), ("session", session)):
-            if col not in df.columns:
-                df = df.withColumn(col, F.lit(val))
-        df = df.select(
-            F.col("timestamp").cast("timestamp"),
-            "level",
-            "message",
-            "container",
-            "session",
-        )
-        ldir = self._part_dir(self._landing_root(), container, session)
-        os.makedirs(ldir, exist_ok=True)
-        tmp = os.path.join(ldir, f".tmp-{uuid.uuid4().hex}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        n = df.count()
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                os.replace(os.path.join(tmp, f), os.path.join(ldir, f"import-{uuid.uuid4().hex}.parquet"))
-            else:
-                os.remove(os.path.join(tmp, f))
-        os.rmdir(tmp)
+        n = 0
+        for p in paths:
+            with pa.memory_map(p) as src:
+                table = ipc.open_stream(src).read_all()
+            cols = {name: table.column(name) for name in table.column_names}
+            cols["timestamp"] = cols["timestamp"].cast(pa.timestamp("us", tz="UTC"))
+            for name, val in (("container", container), ("session", session)):
+                if name not in cols:
+                    cols[name] = pa.array([val] * table.num_rows, type=pa.string())
+            out = pa.table({k: cols[k] for k in ("timestamp", "level", "message", "container", "session")})
+            self._append_landing_table(container, session, out, "import")
+            n += out.num_rows
         return n
 
     # ---- read path (reference §3.2) ---------------------------------------

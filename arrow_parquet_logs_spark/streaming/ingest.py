@@ -95,6 +95,17 @@ def start_ingest(
     return writer.start()
 
 
+def dedup_log_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """At-least-once ingest → effectively-once rows: drop duplicate
+    (container, session, timestamp, message) records arriving within the
+    watermark horizon. State is bounded by the watermark — the streaming
+    form of §2.11's exact dedup, covering producer retries the reference
+    would store twice."""
+    return stream.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+        ["container", "session", "timestamp", "message"]
+    )
+
+
 def windowed_level_counts(
     stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -6,6 +6,8 @@
 Each query is forced end-to-end with the noop sink (full physical plan —
 scan, shuffles, windows — without driver-side collect skew). One tiny
 warm-up action first so JVM/codegen startup isn't billed to the first query.
+``logstore_cycle`` additionally times the reference's own workload shape:
+strict JSON ingest → landing tier → inclusive range read → compaction.
 """
 
 from __future__ import annotations
@@ -16,6 +18,50 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _logstore_cycle(spark, sf_dir: str, n_rows: int = 20_000) -> float:
+    """The reference's own workload, end to end: JSON-row ingest with strict
+    validation → landing tier → inclusive time-range read → compaction →
+    count (reference §3.1 + §3.2). Measures the store, not a query."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.logstore import LogStore
+    from arrow_parquet_logs_spark.sources.tables import load_table
+
+    sample = (
+        load_table(spark, sf_dir, "events")
+        .limit(n_rows)
+        .select(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("timestamp"),
+            F.col("event_type").alias("level"),
+            F.col("props").alias("message"),
+        )
+        .collect()
+    )
+    rows = [r.asDict() for r in sample]
+    root = tempfile.mkdtemp(prefix="bench_logstore_")
+    try:
+        t0 = time.perf_counter()
+        store = LogStore(spark, root)
+        # micro-batch appends (the reference appends one batch per POST)
+        chunk = max(1, len(rows) // 8)
+        for i in range(0, len(rows), chunk):
+            store.write_logs("bench", "s1", rows[i : i + chunk])
+        store.read_logs(
+            container="bench",
+            session="s1",
+            start_ts="2024-01-05 00:00:00",
+            end_ts="2024-01-20 00:00:00",
+        )
+        store.compact("bench", "s1")
+        store.count(container="bench", session="s1")
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -31,6 +77,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    timings["logstore_cycle"] = round(_logstore_cycle(spark, sf_dir), 3)
 
     out = {
         "metric": "bench_total_sec",

@@ -88,6 +88,33 @@ def test_windowed_level_counts(spark, src):
     assert rows[("2024-01-01T00:05:00", "INFO")] == 1
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path, src):
+    """Producer-retry duplicates collapse to one row inside the watermark."""
+    from arrow_parquet_logs_spark.streaming.ingest import dedup_log_stream
+
+    _write_batch(
+        src,
+        "dup.json",
+        [
+            {"timestamp": "2024-01-01T00:00:00Z", "level": "INFO", "message": "m1", "container": "a", "session": "s1"},
+            {"timestamp": "2024-01-01T00:09:00Z", "level": "INFO", "message": "fresh", "container": "a", "session": "s1"},
+        ],
+    )
+    q = (
+        dedup_log_stream(read_log_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    msgs = sorted(r.message for r in spark.table("t_dedup").collect())
+    assert msgs.count("m1") == 1  # the duplicate collapsed
+    assert "fresh" in msgs
+
+
 def test_stateful_session_counts(spark, tmp_path, src):
     stream = read_log_stream(spark, str(src))
     q = (
