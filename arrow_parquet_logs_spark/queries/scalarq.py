@@ -162,6 +162,29 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS val
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    tags=("unpivot",),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) via ``stack`` — the inverse of pivot, no
+    shuffle at all (row-local expansion)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice) AS (measure, val)",
+    ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+@register(
     "agg_having_large_orders",
     oracle="""
     SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty

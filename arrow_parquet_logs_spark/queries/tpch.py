@@ -453,6 +453,43 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_customer_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 25
+    """,
+    tags=("sql", "join", "agg"),
+)
+def sql_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface (TPC-H Q10 shape): temp views + spark.sql —
+    Catalyst produces the same plan as the DataFrame form, so the choice is
+    purely ergonomic (SNIPPETS/guide)."""
+    from arrow_parquet_logs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name,
+               CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 25
+        """
+    )
+
+
+@register(
     "top15_expensive_items",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag

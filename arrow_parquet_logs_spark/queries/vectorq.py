@@ -105,6 +105,35 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embeddings_array_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS v_min,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS v_max,
+           round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')), 6) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("array", "scalar"),
+)
+def embeddings_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column (SURVEY.md §2.8 has
+    no array functions in the reference — all of Spark's array library
+    applies): size / array_min / array_max / aggregate-fold norm, all
+    codegen, no explode."""
+    from arrow_parquet_logs_spark.functions.vector import l2_norm, as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("v_min"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("v_max"),
+        F.round(l2_norm(as_double_array("embedding")), 6).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+@register(
     "dedup_embedding_cosine",
     oracle=f"""
     SELECT cell, a_id, b_id, cosine FROM (
