@@ -93,6 +93,58 @@ def ivf_topk(
     return _ranked(pairs, k)
 
 
+def brute_force_topk_pandas(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The Arrow-batched BLAS formulation of ``brute_force_topk``.
+
+    This is the one place the pandas-UDF path beats Catalyst expressions:
+    a dense f64 matmul (candidates-batch × queriesᵀ) through numpy's BLAS
+    versus an element-wise fold per pair. The query matrix rides to executors
+    as a broadcast variable; each ``mapInPandas`` batch emits its pair block;
+    ranking stays in Catalyst (same window, same rounding, same contract —
+    and the same SQL oracle validates it)."""
+    import numpy as np
+
+    sc = emb.sparkSession.sparkContext
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:  # empty query set → empty result, correct schema
+        return emb.sparkSession.createDataFrame([], "q_id long, vec_id long, cosine double, rn int")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (Q, d)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))  # (Q,)
+    bq = sc.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, mat, norms = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (B, d)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)  # (B, Q)
+            b, q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(ids, b),
+                    "vec_id": np.repeat(c_ids, q),
+                    "cosine": np.round(sims.ravel(), 6),
+                }
+            )
+
+    pairs = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="q_id long, vec_id long, cosine double"
+    ).where(F.col("vec_id") != F.col("q_id"))
+    return _ranked(pairs, k)
+
+
 def knn_label_vote(
     emb: DataFrame,
     queries: DataFrame,

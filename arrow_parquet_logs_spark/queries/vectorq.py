@@ -45,6 +45,32 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_pandas",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    p AS (
+        SELECT q.q_id, c.vec_id, {_COS.format(a='q.qv', b='c.embedding')} AS cosine
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id != q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """,
+    tags=("similarity", "ann", "pandas-udf"),
+)
+def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ann_cosine_topk, computed as an Arrow-batched BLAS
+    matmul in mapInPandas — the justified pandas-UDF case (dense linear
+    algebra the expression engine can't fuse). Identical oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk_pandas(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
     "ann_ivf_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS cell FROM embeddings WHERE vec_id < 10),
