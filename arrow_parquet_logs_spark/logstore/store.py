@@ -325,13 +325,38 @@ class LogStore:
         manifest, so rows are never double-counted (fixes the reference's
         reload-without-retire duplication, writer.py:181-219).
         """
+        adir = self._part_dir(self._archive_root(), container, session)
+        os.makedirs(adir, exist_ok=True)
+        # single-compactor-per-session guard: two concurrent compactions
+        # would race to write the same v<N+1> directory; O_EXCL makes the
+        # second one fail loudly instead of corrupting it. Stale locks from
+        # a crashed compactor are safe to delete (nothing is committed until
+        # the CURRENT swap).
+        lock = os.path.join(adir, ".compact.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            raise RuntimeError(
+                f"compaction already in progress for ({container}, {session}) — "
+                f"remove stale {lock} if the previous compactor crashed"
+            ) from None
+        try:
+            return self._compact_locked(container, session, target_files, adir)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _compact_locked(self, container: str, session: str, target_files: int, adir: str) -> dict:
         man = self._current_manifest(container, session)
         archive, landing = self._tier_files(container, session)
         inputs = archive + landing
         if not landing and len(archive) <= target_files:
             return {"version": man["version"], "compacted": False}
         new_version = man["version"] + 1
-        adir = self._part_dir(self._archive_root(), container, session)
         vdir = os.path.join(adir, f"v{new_version}")
         df = self.spark.read.schema(LOG_SCHEMA).parquet(*inputs)
         # sort within files by timestamp → parquet min/max stats give

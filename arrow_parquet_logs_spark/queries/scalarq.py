@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from arrow_parquet_logs_spark.functions.numeric import dec
 from arrow_parquet_logs_spark.queries.catalog import register
-from arrow_parquet_logs_spark.sources.tables import load_table, load_tables
+from arrow_parquet_logs_spark.sources.tables import load_table
 
 
 @register(

@@ -81,6 +81,19 @@ def test_crash_window_consumed_landing_excluded(store):
     assert store.count(container="a", session="s1") == 2  # not double-counted
 
 
+def test_concurrent_compaction_guard(store):
+    _w(store)
+    _w(store, ts="2024-01-01T00:00:01Z", msg="m1")
+    adir = store._part_dir(store._archive_root(), "a", "s1")
+    os.makedirs(adir, exist_ok=True)
+    open(os.path.join(adir, ".compact.lock"), "w").write("999999")
+    with pytest.raises(RuntimeError, match="already in progress"):
+        store.compact("a", "s1")
+    os.remove(os.path.join(adir, ".compact.lock"))
+    assert store.compact("a", "s1")["compacted"]  # lock released → works
+    assert not os.path.exists(os.path.join(adir, ".compact.lock"))
+
+
 def test_composite_keys_do_not_collide(store):
     _w(store, c="a_b", s="c", msg="k1")
     _w(store, c="a", s="b_c", msg="k2")
