@@ -281,6 +281,92 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    starts AS (SELECT doc_id, t, range(0, greatest(len(t) - 50, 0) + 1, 40) AS ss FROM toks)
+    SELECT doc_id,
+           unnest(ss) AS chunk_start,
+           unnest(list_transform(ss, s -> array_to_string(list_slice(t, s + 1, s + 50), ' '))) AS chunk_text,
+           unnest(list_transform(ss, s -> CAST(least(len(t) - s, 50) AS INTEGER))) AS chunk_tokens
+    FROM starts
+    ORDER BY doc_id, chunk_start
+    """,
+    tags=("text", "chunking"),
+)
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token windows, stride 40 → 10
+    overlap) — the context-window prep stage of a training pipeline. Pure
+    row-local array expressions: no shuffle, output rows ∝ tokens/stride."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = X.tokens("text")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(tok) - F.lit(50), F.lit(0)), F.lit(40))
+    chunk = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.concat_ws(" ", F.slice(tok, s + F.lit(1), 50)).alias("chunk_text"),
+            F.least(F.size(tok) - s, F.lit(50)).cast("int").alias("chunk_tokens"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunk).alias("c"))
+        .select("doc_id", "c.chunk_start", "c.chunk_text", "c.chunk_tokens")
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+@register(
+    "docs_redact_entities",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(text, '\b(customer|key|value)\b', '<ENT>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '\b(customer|key|value)\b')) AS INTEGER) AS n_redacted
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "redaction"),
+)
+def docs_redact_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based redaction/scrubbing (the PII-masking operator shape):
+    regexp_replace + match counting, fully codegen — swap the pattern for
+    email/phone/SSN classes in a real pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\b(customer|key|value)\b"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", pat, "<ENT>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("int").alias("n_redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_split_assignment",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_H64.format(x="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS INTEGER) AS bucket,
+           CASE WHEN {_H64.format(x="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+                WHEN {_H64.format(x="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "split"),
+)
+def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash bucket
+    (80/10/10). Hash-based splitting survives reshuffles, re-ingestion, and
+    incremental appends — the property random() splits lose."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100).cast("int")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
     "docs_tfidf_top_terms",
     oracle=f"""
     WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
