@@ -39,6 +39,7 @@ import json
 import os
 import uuid
 from datetime import datetime, timezone
+from functools import reduce
 from typing import Any, Iterable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -129,8 +130,10 @@ class LogStore:
     def _commit_version(self, container: str, session: str, manifest: dict) -> None:
         adir = self._part_dir(self._archive_root(), container, session)
         vdir = os.path.join(adir, f"v{manifest['version']}")
-        with open(os.path.join(vdir, "MANIFEST.json"), "w") as fh:
+        mtmp = os.path.join(vdir, f".MANIFEST.{uuid.uuid4().hex}")
+        with open(mtmp, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(mtmp, os.path.join(vdir, "MANIFEST.json"))
         tmp = os.path.join(adir, f".CURRENT.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(f"v{manifest['version']}")
@@ -242,17 +245,28 @@ class LogStore:
         order then buffer order (reference reader.py:495-510) — the public
         default is ``ORDER BY timestamp`` (cheap in Spark); pass
         ``ordered=False`` for the shuffle-free path.
+
+        Files landed by the streaming sink store container/session only in
+        the partition *directory* (partitionBy strips them from file data),
+        so a leaf-file read with an explicit schema returns NULLs for them;
+        :meth:`_read_session_files` re-fills the constants per session group.
         """
-        files: list[str] = []
+        groups: list[tuple[str, str]] = []
         for c, s in [(container, session)] if container and session else self._sessions():
             if container and c != container:
                 continue
+            if session and s != session:
+                continue
+            groups.append((c, s))
+        dfs = []
+        for c, s in groups:
             a, l = self._tier_files(c, s)
-            files += a + l
-        if not files:
+            if a or l:
+                dfs.append(self._read_session_files(c, s, a + l))
+        if not dfs:
             df = self.spark.createDataFrame([], LOG_SCHEMA)
         else:
-            df = self.spark.read.schema(LOG_SCHEMA).parquet(*files)
+            df = reduce(lambda x, y: x.unionByName(y), dfs)
         pred = compile_filters(filters)
         if start_ts is not None:
             pred = pred & (F.col("timestamp") >= F.lit(start_ts).cast("timestamp"))
@@ -262,6 +276,18 @@ class LogStore:
         if ordered:
             df = df.orderBy("timestamp", "container", "session")
         return df
+
+    def _read_session_files(self, container: str, session: str, files: Sequence[str]) -> DataFrame:
+        """Read one session's files, restoring the constant container/session
+        columns for files whose writer stripped them into partition dirs
+        (streaming sink; reference denormalizes the same way, writer.py:72-74)."""
+        df = self.spark.read.schema(LOG_SCHEMA).parquet(*files)
+        return df.withColumns(
+            {
+                "container": F.coalesce(F.col("container"), F.lit(container)),
+                "session": F.coalesce(F.col("session"), F.lit(session)),
+            }
+        )
 
     def read_logs(self, **kwargs) -> list[dict]:
         return [r.asDict() for r in self.read_df(**kwargs).collect()]
@@ -358,28 +384,34 @@ class LogStore:
             return {"version": man["version"], "compacted": False}
         new_version = man["version"] + 1
         vdir = os.path.join(adir, f"v{new_version}")
-        df = self.spark.read.schema(LOG_SCHEMA).parquet(*inputs)
+        # _read_session_files: streamed landing files carry container/session
+        # only in the partition path — re-fill before the rewrite or the
+        # archive would bake NULL keys in permanently
+        df = self._read_session_files(container, session, inputs)
         # sort within files by timestamp → parquet min/max stats give
         # row-group skipping for time-range scans on the compacted tier
         (df.repartition(target_files).sortWithinPartitions("timestamp").write.mode("overwrite").parquet(vdir))
         files = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
+        # Grace-period retirement: delete only files consumed by the
+        # PREVIOUS version (they've been manifest-excluded for a full cycle,
+        # so a reader that resolved its file list against manifest N just
+        # before this commit can still finish scanning this round's landing
+        # files — they survive until version N+2). Interrupted deletions are
+        # retried on every later compaction; a name leaves the manifest only
+        # once its file is confirmed gone.
         ldir = self._part_dir(self._landing_root(), container, session)
-        still_present = set(os.listdir(ldir)) if os.path.isdir(ldir) else set()
+        survivors = []
+        for name in man["consumed_landing"]:
+            try:
+                os.remove(os.path.join(ldir, name))
+            except FileNotFoundError:
+                pass
+            except OSError:
+                survivors.append(name)  # retry next round
         manifest = {
             "version": new_version,
             "files": files,
-            # carry forward only names still on disk (their deletion was
-            # interrupted earlier) plus this version's inputs — keeps the
-            # exclusion list bounded instead of growing forever
-            "consumed_landing": sorted(
-                {n for n in man["consumed_landing"] if n in still_present}
-                | {os.path.basename(f) for f in landing}
-            ),
+            "consumed_landing": sorted(set(survivors) | {os.path.basename(f) for f in landing}),
         }
         self._commit_version(container, session, manifest)
-        for f in landing:  # best-effort retire; manifest already excludes them
-            try:
-                os.remove(f)
-            except OSError:
-                pass
         return {"version": new_version, "compacted": True, "files": len(files), "input_files": len(inputs)}

@@ -100,44 +100,6 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------------- MinHash-LSH ----
-def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 32
-) -> DataFrame:
-    """k minhash values per doc, as one nested Catalyst expression:
-    sig[i] = min over shingles of (aᵢ·h + bᵢ) mod P where h = hash64(shingle)
-    mod P is computed ONCE per shingle (md5 dominates cost; the k-way fan-out
-    is cheap integer arithmetic). One scan, no shuffle, no Python."""
-    from arrow_parquet_logs_spark.functions.hashing import MINHASH_P, minhash_coeffs
-
-    ca, cb = minhash_coeffs(k)
-    sets = _shingle_sets(df, id_col, text_col, n)
-    base = F.transform(F.col("sh"), lambda s: hash64(s) % MINHASH_P)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__hb"), lambda h: (F.lit(ca[i]) * h + F.lit(cb[i])) % MINHASH_P))
-            for i in range(k)
-        ]
-    )
-    return sets.withColumn("__hb", base).withColumn("sigs", sig).drop("__hb")
-
-
-def lsh_band_keys(sig_df: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
-    """(sid, band_key): band_key = md5('<band>:<sig slice joined>') — the
-    band index is embedded in the hashed string, so a single equi-join on
-    band_key finds same-band collisions without positional bookkeeping."""
-    keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat(
-                b.cast("string"),
-                F.lit(":"),
-                F.concat_ws(",", F.transform(F.slice(F.col("sigs"), b * F.lit(rows) + F.lit(1), rows), lambda x: x.cast("string"))),
-            )
-        ),
-    )
-    return sig_df.select("sid", F.explode(keys).alias("band_key"))
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -160,7 +122,10 @@ def minhash_lsh_pairs(
     ca, cb = minhash_coeffs(k)
     # persist the shingle sets: they feed hashing once and the Jaccard
     # verification twice — without it the docs are re-scanned and
-    # re-shingled three times inside one action (at 100 TB: checkpoint it)
+    # re-shingled three times inside one action (at 100 TB: checkpoint it).
+    # Ownership note: the cache entry outlives this call (the returned DF is
+    # lazy); Spark's cache manager dedups identical plans across calls and
+    # evicts LRU under memory pressure, so repeated invocations stay bounded.
     sets = _shingle_sets(df, id_col, text_col, n).persist()
     # signatures via explode + codegen min-aggregation rather than nested
     # higher-order functions: HOFs evaluate interpreted per element, while
@@ -191,12 +156,13 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------------------ SimHash ----
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63) -> DataFrame:
-    """63-bit SimHash from token-frequency-weighted md5 bit votes.
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
+    """60-bit SimHash from token-frequency-weighted md5 bit votes.
 
     Shape: (id, token, cnt) → ×bits bit positions → two partial-agg
-    shuffles keyed on (id, bit) then (id). 63 not 64 to stay in signed-long
-    territory in every engine."""
+    shuffles keyed on (id, bit) then (id). 60 bits because hash64 yields
+    60 significant bits (15 hex digits of md5) — voting on higher positions
+    would produce constant-zero signature bits."""
     tc = token_counts(df, id_col, text_col).select(
         F.col(id_col).alias("sid"), hash64(F.col("token")).alias("th"), F.col("cnt")
     )
@@ -218,12 +184,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ 3 via 4-chunk pigeonhole
     banding: any two signatures within hamming 3 agree exactly on ≥1 of 4
-    disjoint 16-bit chunks, so an equi-join on (chunk_idx, chunk_value) has
+    disjoint 15-bit chunks, so an equi-join on (chunk_idx, chunk_value) has
     *guaranteed* recall — brute-force-identical output at index-join cost."""
     sh = simhash(df, id_col, text_col)
     chunks = sh.select(
         "sid", "simhash", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c")
-    ).selectExpr("sid", "simhash", "concat(c, ':', (simhash >> (c * 16)) & 65535) AS chunk_key")
+    ).selectExpr("sid", "simhash", "concat(c, ':', (simhash >> (c * 15)) & 32767) AS chunk_key")
     a = chunks.select(F.col("sid").alias("a_id"), F.col("simhash").alias("a_sig"), "chunk_key")
     b = chunks.select(F.col("sid").alias("b_id"), F.col("simhash").alias("b_sig"), "chunk_key")
     return (

@@ -82,7 +82,9 @@ def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) ->
 
         for pdf in batches:
             payloads = pdf["payload"]
-            digests = [hashlib.sha256(bytes(b)).digest() for b in payloads]
+            # NULL payloads (schema allows them) hash as empty rather than
+            # exploding the whole Arrow batch with bytes(None)
+            digests = [hashlib.sha256(bytes(b) if b is not None else b"").digest() for b in payloads]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
@@ -108,8 +110,11 @@ def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) ->
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling *plan* for video payloads: one output row per planned
     frame via explode over the metadata duration — no payload bytes move
-    until a decode stage consumes the plan."""
+    until a decode stage consumes the plan. Media with NULL or zero
+    duration (images, un-probed files) contributes zero rows, not a
+    spurious frame 0."""
     n = (F.coalesce(F.col("media.duration_ms"), F.lit(0)) / every_ms).cast("int")
-    return df.withColumn(
-        "frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))))
-    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    frames = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("frame_idx", F.explode(frames)).withColumn(
+        "frame_ts_ms", F.col("frame_idx") * every_ms
+    )

@@ -28,7 +28,10 @@ def with_session_ids(
 
 def _gap_us(gap: str) -> int:
     qty, unit = gap.split()
-    mult = {"seconds": 1, "minutes": 60, "minute": 60, "hours": 3600, "hour": 3600}[unit]
+    units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    mult = units.get(unit.rstrip("s").lower())
+    if mult is None:
+        raise ValueError(f"unsupported gap unit {unit!r} (use second/minute/hour/day[s])")
     return int(qty) * mult * 1_000_000
 
 

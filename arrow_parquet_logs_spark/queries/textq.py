@@ -422,7 +422,7 @@ _SIMHASH_CTE = f"""
     th AS (SELECT doc_id, {_H64.format(x='token')} AS th, cnt FROM tc),
     votes AS (
         SELECT doc_id, j, SUM(CASE WHEN ((th >> j) & 1) = 1 THEN cnt ELSE -cnt END) AS vj
-        FROM th CROSS JOIN (SELECT unnest(range(0, 63)) AS j) js
+        FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
         GROUP BY doc_id, j
     ),
     sig AS (
@@ -438,7 +438,8 @@ _SIMHASH_CTE = f"""
     tags=("dedup", "simhash"),
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash signatures (frequency-weighted md5 bit votes)."""
+    """60-bit SimHash signatures (frequency-weighted md5 bit votes; 60 =
+    the significant bits of the portable hash)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(docs).select(F.col("sid").alias("doc_id"), "simhash").orderBy("doc_id")
 

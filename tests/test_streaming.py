@@ -42,6 +42,11 @@ def test_stream_ingest_lands_in_logstore(spark, tmp_path, src):
     store = LogStore(spark, store_root)
     rows = store.read_logs(container="a", session="s1")
     assert [r["message"] for r in rows] == ["m1", "m2"]
+    # partitionBy strips container/session from file data — the read path
+    # must restore them (regression: they came back as None)
+    assert [(r["container"], r["session"]) for r in rows] == [("a", "s1")] * 2
+    # and session-only filtering must actually filter
+    assert {r["session"] for r in store.read_logs(session="s2")} == {"s2"}
     # second micro-batch: restart with same checkpoint → no reprocessing dupes
     _write_batch(
         src,
@@ -51,9 +56,12 @@ def test_stream_ingest_lands_in_logstore(spark, tmp_path, src):
     q2 = start_ingest(spark, str(src), store_root, str(tmp_path / "ckpt"))
     q2.awaitTermination()
     assert [r["message"] for r in store.read_logs(container="a", session="s1")] == ["m1", "m2", "m4"]
-    # streamed rows then compact exactly-once
+    # streamed rows then compact exactly-once — and the archive must carry
+    # real keys, not NULLs baked from partition-stripped files
     store.compact("a", "s1")
     assert store.count(container="a", session="s1") == 3
+    archived = store.read_logs(container="a", session="s1")
+    assert {(r["container"], r["session"]) for r in archived} == {("a", "s1")}
 
 
 def test_poison_rows_quarantined_not_fatal(spark, tmp_path, src):
