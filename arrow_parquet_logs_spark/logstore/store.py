@@ -127,6 +127,39 @@ class LogStore:
         with open(os.path.join(adir, vname, "MANIFEST.json")) as fh:
             return json.load(fh)
 
+    def archive_versions(self, container: str, session: str) -> list[int]:
+        """Committed archive versions still on disk (newest last)."""
+        adir = self._part_dir(self._archive_root(), container, session)
+        if not os.path.isdir(adir):
+            return []
+        out = []
+        for d in os.listdir(adir):
+            if d.startswith("v") and os.path.exists(os.path.join(adir, d, "MANIFEST.json")):
+                out.append(int(d[1:]))
+        return sorted(out)
+
+    def read_archive_version(self, container: str, session: str, version: int) -> DataFrame:
+        """Time-travel read of a committed archive version.
+
+        Old versions are immutable directories that stay on disk after a
+        newer CURRENT is committed — the same property Delta/Iceberg expose
+        as time travel, for free from the versioned-swap protocol. (A
+        retention job may delete old versions; this reads whatever remains.)
+        """
+        adir = self._part_dir(self._archive_root(), container, session)
+        mpath = os.path.join(adir, f"v{version}", "MANIFEST.json")
+        if not os.path.exists(mpath):
+            raise ValueError(
+                f"no archive version {version} for ({container}, {session}); "
+                f"available: {self.archive_versions(container, session)}"
+            )
+        with open(mpath) as fh:
+            man = json.load(fh)
+        files = [os.path.join(adir, f"v{version}", f) for f in man["files"]]
+        if not files:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        return self._read_session_files(container, session, files)
+
     def _commit_version(self, container: str, session: str, manifest: dict) -> None:
         adir = self._part_dir(self._archive_root(), container, session)
         vdir = os.path.join(adir, f"v{manifest['version']}")

@@ -109,6 +109,22 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_lineitem",
+    oracle=None,  # sampling is engine-specific by construction; rows-only
+    tags=("sample",),
+)
+def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE-style Bernoulli sampling with a fixed seed — reproducible
+    within Spark (same seed + same partitioning), but sampling sequences are
+    engine-specific so there is no cross-engine oracle. At 100 TB this is
+    the first stage of any profiling/eyeball query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.01, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
     "agg_approx_distinct",
     oracle=None,  # HLL sketches are engine-specific; driver runs rows-only
     tags=("agg", "approx"),

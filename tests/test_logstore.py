@@ -81,6 +81,19 @@ def test_crash_window_consumed_landing_excluded(store):
     assert store.count(container="a", session="s1") == 2  # not double-counted
 
 
+def test_time_travel_archive_versions(store):
+    _w(store, msg="m0")
+    store.compact("a", "s1")
+    _w(store, msg="m1", ts="2024-01-01T00:00:01Z")
+    store.compact("a", "s1")
+    assert store.archive_versions("a", "s1") == [1, 2]
+    v1 = [r.message for r in store.read_archive_version("a", "s1", 1).collect()]
+    v2 = [r.message for r in store.read_archive_version("a", "s1", 2).orderBy("timestamp").collect()]
+    assert v1 == ["m0"] and v2 == ["m0", "m1"]  # old version still readable
+    with pytest.raises(ValueError, match="available"):
+        store.read_archive_version("a", "s1", 99)
+
+
 def test_concurrent_compaction_guard(store):
     _w(store)
     _w(store, ts="2024-01-01T00:00:01Z", msg="m1")
