@@ -1,5 +1,6 @@
 from arrow_parquet_logs_spark.operators import (
     dedup,
+    ivf,
     multimodal,
     relational,
     sessionize,
@@ -7,4 +8,4 @@ from arrow_parquet_logs_spark.operators import (
     text,
 )
 
-__all__ = ["dedup", "multimodal", "relational", "sessionize", "similarity", "text"]
+__all__ = ["dedup", "ivf", "multimodal", "relational", "sessionize", "similarity", "text"]

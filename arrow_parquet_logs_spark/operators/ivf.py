@@ -1,0 +1,130 @@
+"""Learned IVF cells: deterministic k-means for vector search partitioning.
+
+SCALING.md's ANN story requires *learned* cells — this corpus's ``label``
+column is provably uncorrelated with cosine similarity, so partitioning by
+it buys nothing. This module supplies the real path:
+
+- ``fit_kmeans``: Lloyd's iterations on a driver-side sample (numpy).
+  Deterministic by construction: centroids initialize from the k smallest
+  ids, points assign by (distance, centroid-idx) lexicographic order, and
+  the sample is an id-ordered prefix. At 100 TB the sample is a TABLESAMPLE
+  collect (a few 10⁵ rows fits any driver); the *fit* is cheap — it's the
+  *assignment* that must scale.
+- ``assign_cells``: broadcast the centroid matrix as array literals and
+  assign every vector JVM-side (aggregate-fold distances, argmin with idx
+  tie-break) — one scan, no shuffle, no Python.
+- ``ivf_search``: queries probe their ``nprobe`` nearest cells only.
+
+No SQL oracle: the fitted centroids depend on float reduction order inside
+numpy, which a second engine can't replay from SQL text alone — the driver
+records the rows-only check, and the recall-vs-brute-force test quantifies
+quality instead (tests/test_ivf.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from arrow_parquet_logs_spark.functions.vector import as_double_array
+
+
+def fit_kmeans(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means on an id-ordered driver sample.
+
+    Returns the centroid matrix as plain Python lists (ready to embed as
+    Catalyst literals / broadcast)."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(f"need ≥{k} vectors to fit {k} cells, got {len(x)}")
+    cent = x[:k].copy()  # id-ordered prefix init — deterministic
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        assign = d.argmin(axis=1)  # numpy argmin takes first minimum → idx tie-break
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in cent]
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def assign_cells(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding", out_col: str = "cell"
+) -> DataFrame:
+    """Nearest-centroid assignment, entirely in codegen: distances to all k
+    centroids as literal-array folds, argmin via least-chain with index
+    tie-break. Cost O(k·d) per row, no shuffle — this is the stage that runs
+    over all 100 TB, which is why it must not touch Python."""
+    v = as_double_array(vec_col)
+    dists = [_sq_dist(v, c) for c in centroids]
+    # argmin with lowest-index tie-break: fold over (dist, idx) structs
+    pairs = F.array(
+        *[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, p: F.when((p["d"] < acc["d"]), p).otherwise(acc),
+    )
+    return emb.withColumn(out_col, best["i"])
+
+
+def ivf_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: candidates restricted to each query's ``nprobe`` nearest
+    cells. Scan fraction ≈ nprobe/n_cells of the corpus per query batch."""
+    from arrow_parquet_logs_spark.operators.similarity import _cos, _with_vec_and_norm
+
+    cells = assign_cells(emb, centroids, vec_col)
+    c = _with_vec_and_norm(cells, id_col, vec_col, "c", "cell")
+
+    q_assigned = queries
+    v = as_double_array(vec_col)
+    dists = F.array(
+        *[
+            F.struct(_sq_dist(v, cen).alias("d"), F.lit(i).alias("i"))
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    probe = F.transform(
+        F.slice(F.array_sort(dists), 1, nprobe), lambda p: p["i"]
+    )  # nprobe nearest cell ids (struct sort: by d, then i)
+    q = _with_vec_and_norm(
+        q_assigned.withColumn("probe_cells", probe), id_col, vec_col, "q", "probe_cells"
+    )
+    qx = q.select("q_id", "q_v", "q_n", F.explode("probe_cells").alias("cell"))
+    pairs = (
+        c.join(F.broadcast(qx), "cell")
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+        .orderBy("q_id", "rn")
+    )

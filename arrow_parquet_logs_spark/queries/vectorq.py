@@ -96,6 +96,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_kmeans",
+    oracle=None,  # centroids come from a numpy fit the oracle can't replay from SQL text
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-IVF ANN: deterministic k-means cells (operators.ivf), queries
+    probe their 4 nearest of 16 cells. This is the production formulation —
+    this corpus's label column is uncorrelated with cosine, so only learned
+    cells actually concentrate neighbors (recall measured in tests/test_ivf)."""
+    from arrow_parquet_logs_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.fit_kmeans(emb, k=16, iters=5)
+    return ivf.ivf_search(emb, emb.where(F.col("vec_id") < 10), cents, k=5, nprobe=4)
+
+
+@register(
     "knn_label_vote",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),

@@ -1,0 +1,45 @@
+"""Learned-IVF quality: k-means cells must beat metadata cells on recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_parquet_logs_spark.operators import ivf, similarity as S
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+
+def _recall(approx, exact) -> float:
+    a = {(r.q_id, r.vec_id) for r in approx.collect()}
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    return len(a & e) / len(e)
+
+
+def test_kmeans_cells_beat_label_cells(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    cents = ivf.fit_kmeans(emb, k=16, iters=5)
+    learned = ivf.ivf_search(emb, queries, cents, k=5, nprobe=4)
+    label_cells = S.ivf_topk(emb, queries, k=5)
+    r_learned, r_label = _recall(learned, exact), _recall(label_cells, exact)
+    # labels are uncorrelated with cosine → learned cells must do better
+    assert r_learned > r_label, (r_learned, r_label)
+    assert r_learned >= 0.5, r_learned  # 4/16 cells probed
+
+
+def test_assign_cells_deterministic_and_total(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.fit_kmeans(emb, k=8, iters=3)
+    a = ivf.assign_cells(emb, cents).groupBy("cell").count().collect()
+    b = ivf.assign_cells(emb.repartition(16), cents).groupBy("cell").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partitioning-invariant
+    assert sum(r["count"] for r in a) == emb.count()  # every vector assigned
+    assert all(0 <= r["cell"] < 8 for r in a)
+
+
+def test_fit_kmeans_too_few_vectors(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="need"):
+        ivf.fit_kmeans(df, k=4)
