@@ -142,6 +142,46 @@ def test_filters_and_stream(store):
     assert [len(b) for b in batches] == [2, 2, 1]
 
 
+def test_concurrent_writer_reader_smoke(store):
+    """Reference-parity concurrency smoke (client.py:307-458 threaded demo),
+    upgraded to actually assert: a writer appends batches while a reader
+    polls; reads never error, never regress, and converge to the final
+    count. A mid-run compaction must be invisible to both."""
+    import threading
+
+    errors = []
+    counts = []
+    stop = threading.Event()
+
+    def writer():
+        try:
+            for i in range(12):
+                store.write_logs(
+                    "a",
+                    "s1",
+                    [{"timestamp": f"2024-01-01T00:{i:02d}:00Z", "level": "INFO", "message": f"m{i}"}],
+                )
+                if i == 6:
+                    store.compact("a", "s1")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                counts.append(store.count(container="a", session="s1"))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    tw, tr = threading.Thread(target=writer), threading.Thread(target=reader)
+    tw.start(); tr.start(); tw.join(); tr.join()
+    assert not errors, errors
+    assert counts == sorted(counts), "reads regressed during concurrent writes"
+    assert store.count(container="a", session="s1") == 12
+
+
 def test_summary_counts_tiers(store):
     _w(store, msg="m0")
     _w(store, msg="m1", ts="2024-01-01T00:00:01Z")
