@@ -154,6 +154,61 @@ def logs_distinct_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "logstore_roundtrip",
+    oracle=f"""
+    SELECT event_type AS level,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events
+    WHERE event_id < 2000 AND ts >= TIMESTAMP '{_T0}'
+    GROUP BY event_type ORDER BY level
+    """,
+    tags=("logstore", "reference-parity", "end-to-end"),
+)
+def logstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LogStore itself, oracle-checked end to end: ingest a
+    deterministic slice of events as log rows (strict-validated Arrow
+    writes), compact (manifest swap), then read back through the two-tier
+    union with an inclusive time filter and aggregate. If any stage —
+    validation, µs truncation, landing write, compaction rewrite, manifest
+    exclusion, range read — dropped or duplicated a row, the hash would
+    not match plain SQL over the source table."""
+    import tempfile
+
+    from arrow_parquet_logs_spark.logstore import LogStore
+    from arrow_parquet_logs_spark.sources.tables import load_events_range
+
+    rows = (
+        load_events_range(spark, sf_dir)
+        .where(F.col("event_id") < 2000)
+        .select(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("timestamp"),
+            F.col("event_type").alias("level"),
+            F.col("props").alias("message"),
+        )
+        .collect()
+    )
+    store = LogStore(spark, tempfile.mkdtemp(prefix="logstore_roundtrip_"))
+    batch = [r.asDict() for r in rows]
+    third = max(1, len(batch) // 3)
+    store.write_logs("bench", "s1", batch[:third])
+    store.write_logs("bench", "s1", batch[third : 2 * third])
+    store.compact("bench", "s1")  # first two batches → archive tier
+    store.write_logs("bench", "s1", batch[2 * third :])  # landing tier
+    return (
+        store.read_df(container="bench", session="s1", start_ts=_T0, ordered=False)
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("timestamp").alias("first_ts"),
+            F.max("timestamp").alias("last_ts"),
+        )
+        .orderBy("level")
+    )
+
+
+@register(
     "logs_filter_compiler",
     oracle=f"""
     SELECT event_id, ts, event_type, value
