@@ -306,7 +306,8 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) OVER (
-               PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
     FROM lineitem WHERE l_suppkey <= 3
     ORDER BY l_suppkey, l_orderkey, l_linenumber
@@ -314,13 +315,16 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("window",),
 )
 def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per supplier: a cumulative frame over a total order
-    (unique (shipdate, orderkey, linenumber)) so the prefix sums are
-    deterministic; DECIMAL keeps them exact at any partitioning."""
+    """Running total per supplier over a cumulative ROWS frame. The order
+    key ends with the summed measure itself (l_extendedprice), so even if
+    every other key column ties — (orderkey, linenumber) is NOT unique in
+    this synthetic data — the tied rows contribute equal values and the
+    prefix-sum multiset is order-invariant; DECIMAL keeps sums exact at any
+    partitioning."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 3)
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(
@@ -329,6 +333,67 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.sum(dec("l_extendedprice", 14, 2)).over(w).cast("double").alias("running_revenue"),
     ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_trailing_30d_revenue",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) OVER (
+               PARTITION BY l_suppkey ORDER BY l_shipdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+    FROM lineitem WHERE l_suppkey <= 2
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    tags=("window", "rangeframe"),
+)
+def window_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (trailing 30-day revenue per supplier) —
+    the value-based frame PySpark's rangeBetween can't express numerically,
+    written as a SQL window over the DataFrame. RANGE frames are
+    tie-inclusive, so the result is deterministic without a unique order key
+    (all rows with equal shipdate get the same frame)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 2)
+    return li.selectExpr(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        """CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) OVER (
+               PARTITION BY l_suppkey ORDER BY l_shipdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d""",
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    tags=("agg", "groupingsets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers — the markers
+    disambiguate subtotal NULLs from genuine NULL group keys, which rollup
+    consumers need at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+        """
+    )
 
 
 @register(
