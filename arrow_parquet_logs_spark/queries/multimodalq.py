@@ -14,6 +14,36 @@ from arrow_parquet_logs_spark.sources.tables import load_table
 
 
 @register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id AS id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(16 + CAST(concat('0x', substr(sha256(text), 1, 2)) AS INTEGER) % 64 AS INTEGER) AS width,
+           CAST(16 + CAST(concat('0x', substr(sha256(text), 3, 2)) AS INTEGER) % 64 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(concat('0x', substr(sha256(text), 5, 2)) AS INTEGER) / 255.0 AS mean_luma
+    FROM documents ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal pipeline — attach_media struct wrapping →
+    Arrow-batched mapInPandas decode — with a real oracle: the stub decode
+    derives features from the payload's sha256 digest bytes, which SQL can
+    recompute from the hex digest. This puts the pandas-UDF execution path
+    itself (batch iteration, schema contract, Arrow round-trip) under the
+    driver's hash gate, not just unit tests."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.select("doc_id", F.col("text").cast("binary").alias("raw")), "raw", "image", "png"
+    )
+    return decode_media(media, id_col="doc_id", allow_fake=True).orderBy("id")
+
+
+@register(
     "multimodal_metadata",
     oracle="""
     SELECT doc_id,
