@@ -202,6 +202,66 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------------ duplicate clusters ----
+def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
+                         max_iters: int = 20) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via min-label propagation.
+
+    Pair output alone can't drive dedup policy (keep one per *cluster*, not
+    per pair — pairs chain: A~B, B~C ⇒ {A,B,C}). Iterate: every node takes
+    the min label among itself and its neighbors, until a fixpoint — the
+    classic iterative-join connected components (what GraphFrames runs
+    underneath). Rounds needed = graph diameter; near-dup clusters are
+    shallow (duplicates of one source), so convergence is fast. Each round
+    is one join + one aggregation; at 100 TB checkpoint labels every few
+    rounds to cut lineage.
+
+    Returns (doc_id, cluster_id=min reachable id, is_canonical).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # localCheckpoint each round: without lineage truncation the plan
+        # doubles per iteration and the driver OOMs just *printing* it by
+        # ~10 rounds (found by a 10-node path-graph probe)
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select("id", F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            "graph diameter exceeds max_iters; raise it (labels move one hop "
+            "per round) or pre-contract long chains"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 # -------------------------------------------------- embedding cosine ----
 def embedding_dup_pairs(
     emb: DataFrame,

@@ -412,6 +412,49 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+        SELECT a_id, b_id FROM (
+            SELECT c.a_id, c.b_id,
+                   len(list_intersect(sa.s, sb.s)) AS common,
+                   len(sa.s) AS na, len(sb.s) AS nb
+            FROM (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id) c
+            JOIN sh sa ON sa.doc_id = c.a_id
+            JOIN sh sb ON sb.doc_id = c.b_id
+        ) WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           MIN(dst) AS cluster_id,
+           src = MIN(dst) AS is_canonical
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: pairs chain (A~B, B~C ⇒ one
+    cluster), so keep-one-per-cluster needs connected components — iterative
+    min-label propagation in Spark, checked against a recursive-CTE
+    transitive closure in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.6)
+    return D.connected_components(pairs).orderBy("doc_id")
+
+
 _SIMHASH_CTE = f"""
     toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     tc AS (
