@@ -7,6 +7,7 @@ from arrow_parquet_logs_spark.queries import (  # noqa: F401
     scalarq,
     textq,
     tpch,
+    tpch_extra,
     vectorq,
 )
 

@@ -1,0 +1,452 @@
+"""TPC-H query shapes 7/8/13/14/15/16/18/19/22 over the driver's star schema.
+
+The reference has no joins or aggregation at all (SURVEY.md §2.3-§2.4 — its
+only aggregate is a filtered COUNT, reference reader.py:181-206), so this
+whole family is extension surface: each query here pins down one classic
+relational plan shape the engine must produce well at 100 TB:
+
+- Q7/Q8: multi-way star joins — every dimension side broadcast, the single
+  fact-fact join (orders ⋈ lineitem) shuffles once on the order key;
+- Q13: left outer + two-level aggregation (count-of-counts histogram);
+- Q14: conditional aggregation (CASE inside SUM) over a pushed date range;
+- Q15: aggregate → scalar-max selection via a broadcast cross-join (no
+  single-partition window, which would serialize at scale);
+- Q16: count(DISTINCT) with dimension exclusion filters;
+- Q18: HAVING-filtered semi-join feeding a top-k;
+- Q19: OR-of-ANDs disjunctive predicate — Catalyst pushes the common
+  p_partkey equi-join and evaluates the disjunction post-join, with the
+  per-branch part filters pushed into the part scan;
+- Q22: scalar-subquery threshold + anti-join (dormant rich customers).
+
+Driver tables lack partsupp / l_shipmode / l_commitdate, so queries needing
+those columns (Q2/Q9/Q11/Q12/Q20/Q21) are adapted or out of scope; the
+shapes kept here cover the same physical-plan space. Determinism follows
+queries.catalog rules: DECIMAL money aggregation, aliases identical in both
+engines, total order before any LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.functions.numeric import dec
+from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.queries.tpch import _DISC_PRICE_SQL, _disc_price
+from arrow_parquet_logs_spark.sources.tables import load_table, load_tables
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year, {_DISC_PRICE_SQL} AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year between two nations.
+
+    Physical intent: customer/supplier/nation are broadcast (the nation
+    filter makes them tiny), so the only shuffle is orders ⋈ lineitem on the
+    order key; the disjunctive nation-pair predicate is evaluated after the
+    broadcast joins, before aggregation."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .select("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"),
+                _disc_price().alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year, {_DISC_PRICE_SQL} AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_5's share of PROMO-part revenue sold into EUROPE,
+    per order year.
+
+    Seven-table star join where every dimension side (part, customer,
+    supplier, nation ×2, region) broadcasts; numerator and denominator are
+    computed in one aggregation pass via conditional DECIMAL sums, then a
+    single double division — no second scan, no re-shuffle."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "part", "nation", "region"
+    )
+    n1 = t["nation"].select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].where(F.col("p_type") == "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+              F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").alias("o_year"), _disc_price().alias("volume"),
+                "supp_nation")
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero))
+    return (
+        base.groupBy("o_year")
+        .agg((num.cast("double") / F.sum("volume").cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg", "outer", "tpch"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of orders-per-customer (count-of-counts).
+
+    Left outer join keeps order-less customers as c_count=0 (count() of the
+    null key column counts no rows — exactly the SQL semantics). Two-level
+    aggregation: the first shuffles on c_custkey, the second on the tiny
+    c_count domain; both have map-side partial aggregation."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: percent of one month's revenue from PROMO parts.
+
+    The month predicate pushes to the lineitem parquet scan (row-group
+    skipping on l_shipdate min/max); part broadcasts; single aggregation
+    computes both conditional and total sums."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    zero = F.lit(0).cast("decimal(18,6)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero))
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * promo.cast("double") / F.sum(_disc_price()).cast("double")).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "agg", "scalar-subquery", "tpch"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the max quarterly revenue.
+
+    The scalar max is attached via a broadcast cross-join of a 1-row
+    aggregate — never a partitionBy()-less window, which would funnel every
+    revenue row through one task at scale. Equality on total_revenue is safe
+    because both sides are the identical DECIMAL-sum-cast-double value."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "distinct", "tpch"),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (partsupp → lineitem adaptation): how many distinct
+    suppliers ship each surviving (brand, type, size) combination.
+
+    Exclusion predicates stay on the broadcast part side and prune before
+    the join; count(DISTINCT) expands to a two-phase aggregate (distinct on
+    (group, l_suppkey) then count) — both phases partial-agg on the map
+    side. The driver schema has no partsupp table, so lineitem supplies the
+    part↔supplier relation (reference has neither: SURVEY.md §2.3)."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    p = t["part"].where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("join", "semi", "having", "topk", "tpch"),
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers whose orders exceed 300 total quantity, top 20
+    by order value.
+
+    The IN-subquery becomes a HAVING-filtered aggregate left-semi-joined to
+    orders *before* the customer join, so only qualifying orders (≈1% of
+    them) ever reach the wide join. LIMIT is preceded by a total order
+    (o_totalprice desc, o_orderkey unique) per catalog determinism rules."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 12, 2)).alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"),
+              "left_semi")
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "agg", "disjunctive", "tpch"),
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR-of-ANDs predicate mixing part and
+    lineitem columns.
+
+    Catalyst keeps the equi-join on p_partkey and extracts the
+    join-side-local parts of the disjunction: the brand/size union pushes
+    into the (broadcast) part scan, the quantity bounds into the lineitem
+    scan, with the full disjunction re-checked post-join. One broadcast, one
+    aggregation, no shuffle of lineitem."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .where(branch)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_dormant_rich_customers",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("join", "anti", "scalar-subquery", "agg", "tpch"),
+)
+def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adaptation: above-average-balance customers with no orders
+    since 2000, grouped by nation (driver schema has no phone column, so
+    nationkey stands in for the phone country code; 'dormant since 2000'
+    stands in for 'never ordered', which is empty on this data).
+
+    Shape: scalar-subquery threshold (broadcast 1-row aggregate), anti-join
+    against a date-filtered order-key set, then a small aggregation. The
+    threshold average is DECIMAL-sum/count so both engines compute the
+    identical double and the > comparison can't flap."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    avg_bal = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(dec("c_acctbal", 12, 2)).cast("double") / F.count(F.lit(1))).alias("thr"))
+    )
+    recent = (
+        t["orders"]
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
