@@ -31,6 +31,42 @@ def test_minhash_lsh_catches_known_nearduos(spark, sf_dir):
     assert lsh == brute
 
 
+def test_minhash_pandas_matches_catalyst(spark, sf_dir):
+    """The mapInPandas signature stage must reproduce the Catalyst pipeline
+    bit-for-bit — shingles AND signatures — on the real corpus plus the
+    tokenization edge cases (trailing whitespace kept as empty token by
+    split's limit=-1, ASCII-only \\s, empty doc → [''] token)."""
+    from arrow_parquet_logs_spark.functions.hashing import MINHASH_P, minhash_coeffs
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+    from arrow_parquet_logs_spark.operators.dedup import _minhash_sets_pandas, _shingle_sets
+
+    edge = spark.createDataFrame(
+        [(9001, "foo\t"), (9002, "\tfoo bar baz"), (9003, ""), (9004, "  "),
+         (9005, "a\xa0b c d e"), (9006, "x\n\ny z w")],
+        "doc_id long, text string",
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200).unionByName(edge)
+    )
+    k = 32
+    ca, cb = minhash_coeffs(k)
+    sets = _shingle_sets(docs, "doc_id", "text", 3)
+    hashes = sets.select("sid", F.explode("sh").alias("g")).select(
+        "sid", (hash64(F.col("g")) % MINHASH_P).alias("h")
+    )
+    cat = {
+        r["sid"]: list(r[1:])
+        for r in hashes.groupBy("sid")
+        .agg(*[F.min((F.lit(ca[i]) * F.col("h") + F.lit(cb[i])) % MINHASH_P).alias(f"s{i}")
+               for i in range(k)])
+        .collect()
+    }
+    cat_sh = {r["sid"]: sorted(r["sh"]) for r in sets.collect()}
+    pd_rows = _minhash_sets_pandas(docs, "doc_id", "text", 3, k).collect()
+    assert {r["sid"]: r["sig"] for r in pd_rows} == cat
+    assert {r["sid"]: sorted(r["sh"]) for r in pd_rows} == cat_sh
+
+
 def test_simhash_banding_equals_bruteforce(spark, sf_dir):
     """Pigeonhole guarantee: chunk-join recall is exact for hamming ≤ 3."""
     docs = load_table(spark, sf_dir, "documents").limit(200)
