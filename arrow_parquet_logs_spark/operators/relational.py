@@ -49,3 +49,44 @@ def salted_join(
     rsalt = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = lsalt.join(rsalt, [key, "__salt"])
     return out.drop("__salt")
+
+
+def interval_join_by_bucket(
+    events: DataFrame,
+    windows: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "s",
+    end_col: str = "e",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join without a nested-loop: bucketize time, equi-join
+    on the bucket, refine with the exact containment predicate.
+
+    Spark has no native range join — the naive ``ON ts BETWEEN s AND e``
+    plans as BroadcastNestedLoopJoin (quadratic, broadcast-bound). Instead:
+    each window explodes into the hour buckets it overlaps; each event maps
+    to exactly ONE bucket, so the bucket equi-join meets every qualifying
+    (event, window) pair exactly once (no post-join dedup) and shuffles hash-
+    partitioned on the bucket key like any equi-join. Cost is
+    O(windows × avg_span_hours + events); pick the bucket width of the
+    typical window span at your scale.
+
+    ``how='left_windows'`` keeps windows with no events (for per-window
+    aggregation with zero counts): LEFT from the exploded windows, refine
+    predicate folded into the join condition so unmatched rows survive.
+    Returns the joined frame with all columns from both sides (event columns
+    NULL on unmatched windows).
+    """
+    hb = F.explode(
+        F.sequence(
+            F.date_trunc("hour", F.col(start_col)),
+            F.date_trunc("hour", F.col(end_col)),
+            F.expr("INTERVAL 1 HOUR"),
+        )
+    ).alias("__hb")
+    w = windows.select("*", hb)
+    ev = events.withColumn("__hb", F.date_trunc("hour", F.col(ts_col)))
+    contained = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    if how == "left_windows":
+        return w.join(ev, (w["__hb"] == ev["__hb"]) & contained, "left").drop("__hb")
+    return w.join(ev, "__hb").where(contained).drop("__hb")

@@ -167,3 +167,126 @@ def knn_label_vote(
         .select("q_id", F.col("nbr_label").alias("pred_label"), F.col("votes").cast("int").alias("votes"))
         .orderBy("q_id")
     )
+
+
+def srp_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    chunk_bits: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Sign-random-projection (SRP) LSH signatures as pigeonhole chunk keys.
+
+    Classic SRP: bit b = sign(v · r_b) for random hyperplanes r_b; two
+    vectors at angle θ disagree on each bit with probability θ/π, so chunked
+    equality joins find small-angle (high-cosine) pairs. Two determinism
+    choices make it oracle-checkable bit-for-bit in any engine:
+
+    - hyperplanes are Rademacher (±1) vectors derived from the portable
+      md5 hash64 of "bit:dim" — no stored model, any engine regenerates
+      them exactly;
+    - components are quantized to integers first (floor(x·10⁶) after an
+      exact float→double cast: one double multiply + floor, both
+      bit-deterministic), so every dot product is exact int64 arithmetic —
+      no float-summation-order hazard on the sign boundary.
+
+    Returns (id, chunk, chunk_val): ``bits/chunk_bits`` keys per vector.
+    Join on (chunk, chunk_val) for candidates — pigeonhole guarantees any
+    pair within hamming < bits/chunk_bits shares ≥1 chunk. The reference
+    has no similarity surface at all (SURVEY.md §2.11 extension).
+    """
+    spark = emb.sparkSession
+    dims = len(emb.select(vec_col).first()[0])
+    planes = (
+        spark.range(bits)
+        .withColumnRenamed("id", "b")
+        .crossJoin(spark.range(dims).withColumnRenamed("id", "d"))
+        .select(
+            "b",
+            "d",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("b").cast("string"), F.col("d").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    comps = emb.select(
+        F.col(id_col).alias("sid"), F.posexplode(F.col(vec_col)).alias("d", "x")
+    ).select(
+        "sid", "d", F.floor(F.col("x").cast("double") * F.lit(float(scale))).alias("q")
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "d")
+        .groupBy("sid", "b")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("dot"))
+    )
+    return (
+        dots.select(
+            "sid",
+            (F.col("b") / chunk_bits).cast("int").alias("chunk"),
+            # typed F.shiftleft only accepts an int literal for numBits —
+            # the column-shift form must go through expr (SQL signature)
+            F.when(
+                F.col("dot") >= 0,
+                F.expr(f"shiftleft(1L, CAST(b % {chunk_bits} AS INT))"),
+            )
+            .otherwise(F.lit(0))
+            .alias("bitval"),
+        )
+        .groupBy("sid", "chunk")
+        .agg(F.sum("bitval").alias("chunk_val"))
+    )
+
+
+def srp_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """ANN via SRP-LSH bucketing: candidates = vectors sharing ≥1 signature
+    chunk with the query, scored by exact cosine, ranked top-k.
+
+    The scale path alongside IVF (operators.ivf): no training pass, one
+    equi-join on (chunk, chunk_val) whose bucket sizes are bounded by
+    2^chunk_bits buckets per chunk, then exact scoring only on candidates.
+    Same output contract as ``brute_force_topk`` (q_id, vec_id, cosine, rn)
+    — recall depends on the corpus' angular structure (bits/chunk_bits
+    trade recall for candidate count)."""
+    sigs = srp_signatures(emb, id_col, vec_col, bits, chunk_bits)
+    q_ids = queries.select(F.col(id_col).alias("q_id"))
+    q_sig = sigs.join(F.broadcast(q_ids), sigs.sid == F.col("q_id")).select(
+        "q_id", "chunk", "chunk_val"
+    )
+    cand = (
+        sigs.withColumnRenamed("sid", "c_id")
+        .join(F.broadcast(q_sig), ["chunk", "chunk_val"])
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    q = _with_vec_and_norm(queries, id_col, vec_col, "q")
+    c = _with_vec_and_norm(emb, id_col, vec_col, "c")
+    pairs = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
+        .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
+    )
+    return _ranked(pairs, k)

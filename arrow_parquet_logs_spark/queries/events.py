@@ -238,3 +238,212 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY floor(value / 25.0)
+    ORDER BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (bucket = floor(value/25)) — the
+    distribution profile every data-quality pass wants. floor of a single
+    double division is bit-deterministic across engines (no accumulation);
+    the per-bucket sum goes through DECIMAL per catalog rules. One shuffle
+    on the tiny bucket domain with map-side partial aggregation; at 100 TB
+    this is the same plan (bucket count is data-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    from arrow_parquet_logs_spark.functions.numeric import dec
+
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "events_hourly_gap_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, value
+        FROM (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id < 50
+        ) WHERE rn = 1
+    ),
+    spans AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS hmin, date_trunc('hour', max(ts)) AS hmax
+        FROM events WHERE user_id < 50 GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+        FROM spans
+    )
+    SELECT user_id, h,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           (value IS NOT NULL) AS is_observed
+    FROM grid LEFT JOIN hourly USING (user_id, h)
+    ORDER BY user_id, h
+    """,
+    tags=("window", "gap-fill", "timeseries"),
+)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: per-user hourly grid from the
+    user's own [min, max] span, carrying the last observed value across
+    silent hours (training pipelines call this gap-filling / resampling).
+
+    Shape: per-key hourly reduce (keep-latest via struct-max would also do;
+    row_number keeps the tie-break explicit) → per-key ``sequence()`` grid
+    exploded → left join → ``last(ignorenulls)`` running window. Two
+    shuffles on user_id total; the grid explode is O(span-hours) per key,
+    generated, never stored. The forward-fill carries raw stored doubles —
+    no arithmetic — so cross-engine equality is exact."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    hr = F.date_trunc("hour", F.col("ts"))
+    wlast = W.partitionBy("user_id", "h").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    hourly = (
+        ev.withColumn("h", hr)
+        .withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("hmin"),
+            F.date_trunc("hour", F.max("ts")).alias("hmax"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    wfill = (
+        W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("value", ignorenulls=True).over(wfill).alias("filled_value"),
+            F.col("value").isNotNull().alias("is_observed"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+@register(
+    "events_burst_interval_join",
+    oracle="""
+    WITH err AS (
+        SELECT ts, event_id, lag(ts) OVER (ORDER BY ts, event_id) AS prev
+        FROM events WHERE event_type = 'error'
+    ),
+    marked AS (
+        SELECT ts, event_id,
+               CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END AS nb
+        FROM err
+    ),
+    bursts AS (
+        SELECT ts, CAST(sum(nb) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst_id
+        FROM marked
+    ),
+    w AS (
+        SELECT burst_id, min(ts) AS burst_start, max(ts) AS burst_end,
+               CAST(count(*) AS BIGINT) AS n_errors
+        FROM bursts GROUP BY burst_id HAVING count(*) >= 3
+    ),
+    j AS (
+        SELECT w.burst_id, w.burst_start, w.burst_end, w.n_errors, ev.event_id, ev.value
+        FROM w LEFT JOIN events ev
+          ON ev.event_type = 'purchase' AND ev.ts BETWEEN w.burst_start AND w.burst_end
+    )
+    SELECT burst_id, burst_start, burst_end, n_errors,
+           CAST(count(event_id) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS purchase_value
+    FROM j GROUP BY burst_id, burst_start, burst_end, n_errors
+    ORDER BY burst_id
+    """,
+    tags=("window", "interval-join", "sessionize"),
+)
+def events_burst_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst windows (gap-merge sessionization of the error stream,
+    30-min gap, ≥3 errors) interval-joined to the purchases that fell inside
+    each burst — the point-in-interval enrichment every incident/attribution
+    pipeline needs.
+
+    The join is `operators.relational.interval_join_by_bucket`: windows
+    explode into covered hour buckets, events equi-join on their single
+    bucket, exact containment refines — a shuffled hash join, NOT the
+    BroadcastNestedLoopJoin a naive range predicate plans. Burst detection
+    uses a global-order window (fine here: one service stream; at 100 TB
+    detect bursts per service/tenant key, or repartitionByRange + boundary
+    fix-up, to avoid the single-partition sort)."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.operators.relational import interval_join_by_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error")
+    worder = W.orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marked = err.select(
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(worder).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(worder)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("nb"),
+    )
+    bursts = marked.select(
+        "ts",
+        F.sum("nb").over(worder.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("burst_id"),
+    )
+    w = (
+        bursts.groupBy("burst_id")
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+            F.count(F.lit(1)).alias("n_errors"),
+        )
+        .where(F.col("n_errors") >= 3)
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "ts", "value")
+    joined = interval_join_by_bucket(
+        purchases, w, ts_col="ts", start_col="burst_start", end_col="burst_end", how="left_windows"
+    )
+    return (
+        joined.groupBy("burst_id", "burst_start", "burst_end", "n_errors")
+        .agg(
+            F.count("event_id").alias("n_purchases"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("purchase_value"),
+        )
+        .orderBy("burst_id")
+    )

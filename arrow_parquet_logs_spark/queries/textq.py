@@ -539,3 +539,40 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical output, which is exactly the point of the guarantee."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, max_hamming=3)
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+    SELECT lang, doc_id, rn
+    FROM (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_H64.format(x="concat('strat:', CAST(doc_id AS VARCHAR))")}, doc_id
+               ) AS INT) AS rn
+        FROM documents
+    )
+    WHERE rn <= 30
+    ORDER BY lang, rn
+    """,
+    tags=("text", "sample", "stratified"),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: at most 30 docs per language,
+    chosen by content-stable hash order (not random()) — re-ingestion,
+    repartitioning, and incremental appends all reproduce the same sample,
+    the property training-mix construction needs. One window shuffle on the
+    stratum key; at 100 TB swap row_number for a per-stratum hash-threshold
+    filter (no global ordering) when strata are huge."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = hash64(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(order_key, "doc_id")
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("int").alias("rn"))
+        .where(F.col("rn") <= 30)
+        .orderBy("lang", "rn")
+    )

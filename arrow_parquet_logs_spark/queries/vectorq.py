@@ -193,3 +193,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-bucketed formulation of embedding dedup."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "ann_srp_lsh_topk",
+    oracle=f"""
+    WITH planes AS (
+        SELECT b, d,
+               CASE WHEN (CAST(concat('0x', substr(md5(concat(CAST(b AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2) = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(0, 32) t1(b) CROSS JOIN range(0, 64) t2(d)
+    ),
+    comps AS (
+        SELECT vec_id, d, CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM embeddings CROSS JOIN range(0, 64) t(d)
+    ),
+    dots AS (SELECT vec_id, b, sum(q * s) AS dot FROM comps JOIN planes USING (d) GROUP BY vec_id, b),
+    chunks AS (
+        SELECT vec_id, CAST(b // 8 AS INT) AS chunk,
+               CAST(sum(CASE WHEN dot >= 0 THEN (1 << CAST(b % 8 AS INT)) ELSE 0 END) AS BIGINT) AS chunk_val
+        FROM dots GROUP BY vec_id, b // 8
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM chunks q JOIN chunks c ON q.chunk = c.chunk AND q.chunk_val = c.chunk_val
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    ),
+    scored AS (
+        SELECT cand.q_id, cand.c_id AS vec_id,
+               {_COS.format(a='qe.embedding', b='ce.embedding')} AS cosine
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.q_id
+        JOIN embeddings ce ON ce.vec_id = cand.c_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+        FROM scored
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH (32 bits, 4×8-bit pigeonhole
+    chunks): candidates share ≥1 signature chunk with the query, then exact
+    cosine + rank. Hyperplanes are md5-derived Rademacher vectors and dot
+    products are integer-quantized, so the oracle regenerates the entire
+    probabilistic index bit-for-bit — no stored model, no float-sign
+    hazard. This is the training-free scale path next to the learned IVF
+    (`ann_ivf_kmeans`); 2^8 buckets per chunk bound the join fan-out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.srp_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)

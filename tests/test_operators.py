@@ -171,3 +171,19 @@ def test_dim_join_broadcasts(spark, sf_dir):
 
     assert_broadcast(REGISTRY["brand_revenue_broadcast"].fn(spark, sf_dir))
     assert_broadcast(REGISTRY["tpch_q5_region_volume"].fn(spark, sf_dir), 2)
+
+
+def test_srp_lsh_finds_exact_duplicates(spark):
+    """SRP-LSH recall guarantee at hamming 0: identical vectors share every
+    signature chunk, so a duplicated vector MUST surface as its twin's
+    top-1 with cosine 1.0 regardless of bucket randomness."""
+    from arrow_parquet_logs_spark.operators.similarity import srp_lsh_topk
+
+    base = [0.5, -0.25, 0.125, 0.75, -0.5, 0.3, -0.1, 0.2]
+    rows = [(0, base), (1, base), (2, [-x for x in base]), (3, [0.9, 0.1, 0.0, -0.3, 0.2, 0.6, -0.7, 0.05])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = srp_lsh_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    assert out, "duplicate vector produced no candidates"
+    top = out[0]
+    assert (top["q_id"], top["vec_id"], top["rn"]) == (0, 1, 1)
+    assert abs(top["cosine"] - 1.0) < 1e-9
