@@ -118,3 +118,53 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.withColumn("frame_idx", F.explode(frames)).withColumn(
         "frame_ts_ms", F.col("frame_idx") * every_ms
     )
+
+
+_RESIZE_SCHEMA = (
+    "id long, width int, height int, resized_payload binary, resized_sha256 string"
+)
+
+
+def resize_media(
+    df: DataFrame, target_w: int, target_h: int, id_col: str = "id", allow_fake: bool = False
+) -> DataFrame:
+    """Resize payloads to (target_w, target_h) via Arrow-batched
+    ``mapInPandas`` — the thumbnail/normalization stage of an image
+    training pipeline.
+
+    Codecs are unavailable here, so the pixel work is STUBBED behind
+    ``allow_fake=True``: the fake 'resized' payload is the first
+    ``target_w·target_h//64`` bytes of sha256(payload) cycled — deterministic
+    in content only (re-ingestion/partitioning invariant), with the output
+    contract (binary column + its digest, bounded byte size) identical to a
+    real resize. ``NotImplementedError`` otherwise, same gate as
+    ``decode_media``. The Spark shape is production-real: payload bytes
+    cross to Python once, Arrow-batched, and the output payload is a fresh
+    bounded-size binary column (never wider than the input batch)."""
+    if not _CODECS_AVAILABLE and not allow_fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) not available in this environment; "
+            "pass allow_fake=True for the deterministic stub resize"
+        )
+    n_bytes = max(1, (target_w * target_h) // 64)
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            fakes = []
+            for b in pdf["payload"]:
+                d = hashlib.sha256(bytes(b) if b is not None else b"").digest()
+                fakes.append((d * (n_bytes // len(d) + 1))[:n_bytes])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                    "resized_payload": fakes,
+                    "resized_sha256": [hashlib.sha256(f).hexdigest() for f in fakes],
+                }
+            )
+
+    flat = df.select(F.col(id_col).alias(id_col), F.col("media.payload").alias("payload"))
+    return flat.mapInPandas(resize, schema=_RESIZE_SCHEMA)

@@ -202,7 +202,7 @@ def srp_signatures(
     planes = (
         spark.range(bits)
         .withColumnRenamed("id", "b")
-        .crossJoin(spark.range(dims).withColumnRenamed("id", "d"))
+        .select("b", F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("d"))
         .select(
             "b",
             "d",

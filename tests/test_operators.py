@@ -187,3 +187,25 @@ def test_srp_lsh_finds_exact_duplicates(spark):
     top = out[0]
     assert (top["q_id"], top["vec_id"], top["rn"]) == (0, 1, 1)
     assert abs(top["cosine"] - 1.0) < 1e-9
+
+
+def test_resize_media_stub_contract(spark):
+    """Resize plumbing: gated without codecs, deterministic and
+    partitioning-invariant with the stub, bounded output payload size."""
+    df = M.attach_media(
+        spark.createDataFrame(
+            [(i, bytearray(f"img-{i}".encode())) for i in range(6)], "id long, raw binary"
+        ),
+        "raw",
+        "image",
+        "png",
+    )
+    with pytest.raises(NotImplementedError):
+        M.resize_media(df, 32, 32)
+    out1 = sorted((r.id, bytes(r.resized_payload), r.resized_sha256, r.width, r.height)
+                  for r in M.resize_media(df, 32, 32, allow_fake=True).collect())
+    out2 = sorted((r.id, bytes(r.resized_payload), r.resized_sha256, r.width, r.height)
+                  for r in M.resize_media(df.repartition(3), 32, 32, allow_fake=True).collect())
+    assert out1 == out2
+    assert all(len(p) == (32 * 32) // 64 for _, p, *_ in out1)
+    assert all((w, h) == (32, 32) for *_, w, h in out1)

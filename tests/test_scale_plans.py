@@ -49,3 +49,49 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_tpch_star_joins_broadcast(spark, sf_dir):
+    """Q7/Q8: every dimension side must plan broadcast — the fact table
+    never shuffles for a dimension join at any scale."""
+    from arrow_parquet_logs_spark.plans.inspect import assert_broadcast
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    assert_broadcast(REGISTRY["tpch_q7_volume_shipping"].fn(spark, sf_dir), 4)
+    assert_broadcast(REGISTRY["tpch_q8_market_share"].fn(spark, sf_dir), 6)
+
+
+def test_q19_disjunction_pushes_quantity_bounds(spark, sf_dir):
+    """Q19's OR-of-ANDs must still push the lineitem-local envelope
+    (quantity bounds appear in the disjunctive pushed filter) rather than
+    scanning unfiltered."""
+    from arrow_parquet_logs_spark.plans.inspect import explain_str
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["tpch_q19_disjunctive_revenue"].fn(spark, sf_dir))
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_quantity" in pushed, plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The bucketized interval join must plan as an equi-join (hash or SMJ),
+    never BroadcastNestedLoopJoin — the difference between O(n+w·span) and
+    O(n·w) at scale."""
+    from arrow_parquet_logs_spark.plans.inspect import explain_str
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["events_burst_interval_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_srp_candidate_join_bounded(spark, sf_dir):
+    """SRP-LSH candidate generation joins on (chunk, chunk_val) — an
+    equi-join, and the plane table side is broadcast."""
+    from arrow_parquet_logs_spark.plans.inspect import explain_str
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["ann_srp_lsh_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
