@@ -198,7 +198,14 @@ def srp_signatures(
     has no similarity surface at all (SURVEY.md §2.11 extension).
     """
     spark = emb.sparkSession
-    dims = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        # empty corpus → empty signature frame with the contract schema
+        # (Catalyst never feeds operators empty-probed like this, but
+        # callers composing pipelines do — the recurring empty-input trap)
+        id_type = dict(emb.dtypes)[id_col]
+        return spark.createDataFrame([], f"sid {id_type}, chunk int, chunk_val bigint")
+    dims = len(first[0])
     planes = (
         spark.range(bits)
         .withColumnRenamed("id", "b")

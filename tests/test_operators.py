@@ -209,3 +209,26 @@ def test_resize_media_stub_contract(spark):
     assert out1 == out2
     assert all(len(p) == (32 * 32) // 64 for _, p, *_ in out1)
     assert all((w, h) == (32, 32) for *_, w, h in out1)
+
+
+def test_new_pandas_operators_empty_inputs(spark):
+    """Every pandas/numpy-boundary operator must survive EMPTY inputs —
+    Catalyst never probes them that way, composed pipelines do (recurring
+    bug class)."""
+    from arrow_parquet_logs_spark.operators.dedup import (
+        minhash_lsh_pairs_pandas,
+        ngram_jaccard_pairs,
+    )
+    from arrow_parquet_logs_spark.operators.similarity import srp_lsh_topk
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_pairs_pandas(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs, pandas_shingles=True).count() == 0
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert srp_lsh_topk(empty_emb, empty_emb).count() == 0
+    one = spark.createDataFrame([(1, [0.1] * 8)], "vec_id long, embedding array<float>")
+    assert srp_lsh_topk(one, one.where("vec_id < 0")).count() == 0
+    empty_media = M.attach_media(
+        spark.createDataFrame([], "id long, raw binary"), "raw", "image", "png"
+    )
+    assert M.resize_media(empty_media, 32, 32, allow_fake=True).count() == 0
