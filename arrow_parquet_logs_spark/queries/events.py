@@ -447,3 +447,65 @@ def events_burst_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("burst_id")
     )
+
+
+@register(
+    "events_stream_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "window", "eventtime"),
+)
+def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup as a Structured Streaming job: file-source stream
+    over the same parquet, 2h watermark, tumbling event-time window,
+    availableNow drain — and the result must hash-match the SAME DuckDB
+    oracle as the batch form (events_hourly_rollup). That shared oracle
+    pins the streaming≡batch equivalence of event-time windowing.
+
+    Sink choice: complete-mode memory sink. Append mode only emits windows
+    the watermark has passed, so the final <2h of windows would never close
+    on a finite input (observed: 528/531 windows) — complete mode emits all
+    state at each micro-batch. Fine here (one window row per hour); a
+    continuous production job would run append mode to a parquet sink,
+    where the tail windows close as new data advances the watermark."""
+    import itertools
+
+    from pyspark.sql import types as T
+
+    global _STREAM_SEQ
+    try:
+        _STREAM_SEQ
+    except NameError:
+        _STREAM_SEQ = itertools.count()
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-source streams take a directory; glob-filter down to the table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) parquet arrives as long ns (same handling as the
+        # batch loader): integer `div` — a double `/` would round-trip the
+        # ~1.7e18 ns value through float53 and can flip a microsecond
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    name = f"stream_rollup_{next(_STREAM_SEQ)}"
+    (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name).orderBy("window_start")
