@@ -576,3 +576,49 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 30)
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    fp AS (
+        SELECT sh.doc_id, d.text,
+               list_min(list_transform(sh.s, g -> {_H64.format(x='g')})) AS mfp
+        FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+    FROM fp a JOIN fp b ON a.mfp = b.mfp AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 40
+    ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "levenshtein", "blocking"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage-style near-dup: block on the 1-permutation minhash
+    fingerprint (docs sharing their min shingle hash), verify blocked pairs
+    with exact Levenshtein ≤ 40. The classic blocking+verification shape:
+    the equi-join on the fingerprint bounds the quadratic stage, the O(n·m)
+    edit distance runs only on candidates (135 pairs at sf0.01, not
+    1500²/2). Levenshtein is definition-identical in Spark and DuckDB, so
+    the verification stage is oracle-exact."""
+    from arrow_parquet_logs_spark.operators.text import distinct_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "text",
+        F.array_min(F.transform(distinct_shingles("text", 3), lambda g: hash64(g))).alias("mfp"),
+    )
+    a = fp.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"), "mfp")
+    b = fp.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"), "mfp")
+    return (
+        a.join(b, "mfp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", F.levenshtein("a_text", "b_text").cast("int").alias("edit_dist")
+        )
+        .where(F.col("edit_dist") <= 40)
+        .orderBy("a_id", "b_id")
+    )

@@ -450,3 +450,69 @@ def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "window_rank_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS INT)    AS quartile,
+           round(percent_rank() OVER w, 6)     AS pct_rank,
+           round(cume_dist()    OVER w, 6)     AS cdist,
+           lag(o_totalprice)  OVER w           AS prev_price,
+           lead(o_totalprice) OVER w           AS next_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function library over one window spec — rank /
+    dense_rank / ntile / percent_rank / cume_dist / lag / lead. One shuffle
+    on the partition key serves all seven functions (Spark plans a single
+    Window operator when the spec is shared); the order key carries a
+    unique tie-break so every engine ranks identically. Fractional ranks
+    are rounded to absorb double division noise."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+        )
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@register(
+    "set_except_all_nations",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    tags=("setop",),
+)
+def set_except_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): nation keys of BUILDING customers
+    minus, occurrence-for-occurrence, those of AUTOMOBILE customers —
+    duplicate-preserving semantics DISTINCT-based EXCEPT loses. Spark plans
+    a single hash aggregation on (value, count) pairs; same one shuffle as
+    the distinct form."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.exceptAll(b)

@@ -34,7 +34,6 @@ _COS = "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]
     SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
     """,
     tags=("similarity", "ann"),
-    bench=True,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a 10-query set: broadcast queries, one
@@ -61,6 +60,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
     """,
     tags=("similarity", "ann", "pandas-udf"),
+    bench=True,
 )
 def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as ann_cosine_topk, computed as an Arrow-batched BLAS

@@ -72,6 +72,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
+    # Python-worker warm-up: the first mapInPandas stage pays the Arrow
+    # worker-pool spin-up (one python process per core); steady-state
+    # clusters run with reused workers (spark.python.worker.reuse default),
+    # so bill that once here, not to the first pandas-path query.
+    def _ident(batches):
+        yield from batches
+
+    spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
+
     timings: dict[str, float] = {}
     for name, fn in sorted(bench_queries().items()):
         t0 = time.perf_counter()
