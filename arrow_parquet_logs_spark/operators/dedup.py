@@ -164,7 +164,11 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, sets, threshold)
 
 
-_JAVA_WS = "[ \t\n\x0b\f\r]+"  # Java \s (ASCII-only), applied with split limit=-1
+import re as _re
+
+#: Java \s (ASCII-only), applied with split limit=-1 — precompiled once;
+#: _py_shingles runs once per document on the hot fast path.
+_JAVA_WS = _re.compile("[ \t\n\x0b\f\r]+")
 
 
 def _py_shingles(text, n: int) -> list[str]:
@@ -174,9 +178,7 @@ def _py_shingles(text, n: int) -> list[str]:
     (no \\xa0), trailing empty tokens are KEPT (split limit=-1), short docs
     collapse to one whole-doc shingle (empirically pinned; see
     tests/test_operators.py::test_minhash_pandas_matches_catalyst)."""
-    import re
-
-    toks = re.split(_JAVA_WS, ("" if text is None else str(text)).strip(" ").lower())
+    toks = _JAVA_WS.split(("" if text is None else str(text)).strip(" ").lower())
     if len(toks) >= n:
         return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
     return [" ".join(toks)]

@@ -120,11 +120,6 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-_RESIZE_SCHEMA = (
-    "id long, width int, height int, resized_payload binary, resized_sha256 string"
-)
-
-
 def resize_media(
     df: DataFrame, target_w: int, target_h: int, id_col: str = "id", allow_fake: bool = False
 ) -> DataFrame:
@@ -147,6 +142,12 @@ def resize_media(
             "pass allow_fake=True for the deterministic stub resize"
         )
     n_bytes = max(1, (target_w * target_h) // 64)
+    # honor the caller's id column name AND type in the output contract
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, width int, height int, "
+        "resized_payload binary, resized_sha256 string"
+    )
 
     def resize(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -158,7 +159,7 @@ def resize_media(
                 fakes.append((d * (n_bytes // len(d) + 1))[:n_bytes])
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "width": [target_w] * len(pdf),
                     "height": [target_h] * len(pdf),
                     "resized_payload": fakes,
@@ -167,4 +168,4 @@ def resize_media(
             )
 
     flat = df.select(F.col(id_col).alias(id_col), F.col("media.payload").alias("payload"))
-    return flat.mapInPandas(resize, schema=_RESIZE_SCHEMA)
+    return flat.mapInPandas(resize, schema=out_schema)

@@ -72,10 +72,11 @@ def interval_join_by_bucket(
     typical window span at your scale.
 
     ``how='left_windows'`` keeps windows with no events (for per-window
-    aggregation with zero counts): LEFT from the exploded windows, refine
-    predicate folded into the join condition so unmatched rows survive.
-    Returns the joined frame with all columns from both sides (event columns
-    NULL on unmatched windows).
+    aggregation with zero counts): the inner bucket-join result, plus
+    exactly ONE all-NULL-events row per unmatched window (an anti-join on
+    the window columns — not a LEFT from the exploded frame, which would
+    emit one NULL row per empty covered bucket and inflate any
+    ``count(*)``-style per-window aggregate).
     """
     hb = F.explode(
         F.sequence(
@@ -87,6 +88,15 @@ def interval_join_by_bucket(
     w = windows.select("*", hb)
     ev = events.withColumn("__hb", F.date_trunc("hour", F.col(ts_col)))
     contained = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    inner = w.join(ev, "__hb").where(contained).drop("__hb")
     if how == "left_windows":
-        return w.join(ev, (w["__hb"] == ev["__hb"]) & contained, "left").drop("__hb")
-    return w.join(ev, "__hb").where(contained).drop("__hb")
+        matched = inner.select(*windows.columns).distinct()
+        unmatched = windows.join(matched, windows.columns, "left_anti").select(
+            "*",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in events.schema.fields
+            ],
+        )
+        return inner.unionByName(unmatched)
+    return inner

@@ -176,6 +176,7 @@ def srp_signatures(
     bits: int = 32,
     chunk_bits: int = 8,
     scale: int = 1_000_000,
+    dims: int | None = None,
 ) -> DataFrame:
     """Sign-random-projection (SRP) LSH signatures as pigeonhole chunk keys.
 
@@ -196,16 +197,24 @@ def srp_signatures(
     Join on (chunk, chunk_val) for candidates — pigeonhole guarantees any
     pair within hamming < bits/chunk_bits shares ≥1 chunk. The reference
     has no similarity surface at all (SURVEY.md §2.11 extension).
+
+    Rows with NULL vectors carry no signal and are dropped. ``dims`` is
+    inferred with a small eager probe when not passed — pass it explicitly
+    in lazy pipelines to keep plan construction job-free.
     """
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
     spark = emb.sparkSession
-    first = emb.select(vec_col).first()
-    if first is None or first[0] is None:
-        # empty corpus → empty signature frame with the contract schema
-        # (Catalyst never feeds operators empty-probed like this, but
-        # callers composing pipelines do — the recurring empty-input trap)
-        id_type = dict(emb.dtypes)[id_col]
-        return spark.createDataFrame([], f"sid {id_type}, chunk int, chunk_val bigint")
-    dims = len(first[0])
+    emb = emb.where(F.col(vec_col).isNotNull())
+    if dims is None:
+        first = emb.select(vec_col).first()
+        if first is None:
+            # empty corpus → empty signature frame with the contract schema
+            # (Catalyst never feeds operators empty-probed like this, but
+            # callers composing pipelines do — the recurring empty-input trap)
+            id_type = dict(emb.dtypes)[id_col]
+            return spark.createDataFrame([], f"sid {id_type}, chunk int, chunk_val bigint")
+        dims = len(first[0])
     planes = (
         spark.range(bits)
         .withColumnRenamed("id", "b")
@@ -213,17 +222,10 @@ def srp_signatures(
         .select(
             "b",
             "d",
+            # the one shared portable hash (functions.hashing) — the DuckDB
+            # oracle regenerates these exact planes from the same recipe
             F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.col("b").cast("string"), F.col("d").cast("string"))),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
+                hash64(F.concat_ws(":", F.col("b").cast("string"), F.col("d").cast("string"))) % 2
                 == 0,
                 F.lit(1),
             )
@@ -276,11 +278,15 @@ def srp_lsh_topk(
     2^chunk_bits buckets per chunk, then exact scoring only on candidates.
     Same output contract as ``brute_force_topk`` (q_id, vec_id, cosine, rn)
     — recall depends on the corpus' angular structure (bits/chunk_bits
-    trade recall for candidate count)."""
+    trade recall for candidate count).
+
+    Query signatures are computed from the *queries* frame's own vectors
+    (same deterministic planes), so external query sets — ids absent from
+    the corpus, or colliding ids with different vectors — bucket by their
+    actual embedding, never by a corpus lookup."""
     sigs = srp_signatures(emb, id_col, vec_col, bits, chunk_bits)
-    q_ids = queries.select(F.col(id_col).alias("q_id"))
-    q_sig = sigs.join(F.broadcast(q_ids), sigs.sid == F.col("q_id")).select(
-        "q_id", "chunk", "chunk_val"
+    q_sig = srp_signatures(queries, id_col, vec_col, bits, chunk_bits).select(
+        F.col("sid").alias("q_id"), "chunk", "chunk_val"
     )
     cand = (
         sigs.withColumnRenamed("sid", "c_id")

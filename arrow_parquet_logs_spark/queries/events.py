@@ -14,6 +14,12 @@ from arrow_parquet_logs_spark.sources.tables import load_table
 
 _GAP_US = 6 * 3600 * 1_000_000  # 6-hour session gap
 
+# unique memory-sink names for the streaming query (one-shot sinks are
+# dropped after collection; the counter guards concurrent/failed runs)
+import itertools as _itertools  # noqa: E402
+
+_STREAM_SEQ = _itertools.count()
+
 
 @register(
     "events_json_extract",
@@ -470,17 +476,19 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a finite input (observed: 528/531 windows) — complete mode emits all
     state at each micro-batch. Fine here (one window row per hour); a
     continuous production job would run append mode to a parquet sink,
-    where the tail windows close as new data advances the watermark."""
-    import itertools
+    where the tail windows close as new data advances the watermark.
 
+    The result is materialized (≤ one row per hour) and the memory-sink
+    table dropped immediately, so repeated invocations don't accumulate
+    driver-held sink tables."""
     from pyspark.sql import types as T
 
-    global _STREAM_SEQ
-    try:
-        _STREAM_SEQ
-    except NameError:
-        _STREAM_SEQ = itertools.count()
+    from arrow_parquet_logs_spark.session import ensure_runtime_confs
 
+    # the ONLY query not routed through load_table — repair the session
+    # confs (nanosAsLong + UTC) itself or a vanilla driver session dies on
+    # the TIMESTAMP(NANOS) schema read and shifts windows off-UTC
+    ensure_runtime_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-source streams take a directory; glob-filter down to the table
     stream = (
@@ -508,4 +516,8 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    return spark.table(name).orderBy("window_start")
+    rows = spark.table(name).orderBy("window_start").collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, "window_start timestamp, n_events bigint").orderBy(
+        "window_start"
+    )

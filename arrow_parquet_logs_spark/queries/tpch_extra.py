@@ -258,6 +258,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+        # referenced from two DAG branches (join leg + scalar max) — persist
+        # or the lineitem scan+agg runs twice inside one action
+        .persist()
     )
     top = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (

@@ -232,3 +232,21 @@ def test_new_pandas_operators_empty_inputs(spark):
         spark.createDataFrame([], "id long, raw binary"), "raw", "image", "png"
     )
     assert M.resize_media(empty_media, 32, 32, allow_fake=True).count() == 0
+
+
+def test_srp_external_and_null_queries(spark):
+    """SRP must bucket external query sets by their OWN vectors (ids absent
+    from the corpus, or colliding ids with different vectors), and NULL
+    vectors must be dropped, not collapse the whole corpus to empty."""
+    from arrow_parquet_logs_spark.operators.similarity import srp_lsh_topk
+
+    base = [0.5, -0.25, 0.125, 0.75, -0.5, 0.3, -0.1, 0.2]
+    corpus = spark.createDataFrame(
+        [(0, None), (1, base), (2, [x * 0.5 for x in base])],
+        "vec_id long, embedding array<float>",
+    )
+    # external id 99 not in corpus, same direction as base → must find id 1
+    ext = spark.createDataFrame([(99, [x * 2.0 for x in base])], "vec_id long, embedding array<float>")
+    out = srp_lsh_topk(corpus, ext, k=2).collect()
+    assert out and out[0]["q_id"] == 99 and out[0]["vec_id"] in (1, 2)
+    assert abs(out[0]["cosine"] - 1.0) < 1e-9  # same direction, unit cosine
