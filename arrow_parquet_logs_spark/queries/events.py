@@ -521,3 +521,50 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "window_start timestamp, n_events bigint").orderBy(
         "window_start"
     )
+
+
+@register(
+    "events_value_moments",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS mean_value,
+           round(
+             (CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+             / (count(*) - 1), 6) AS var_value,
+           round(sqrt(
+             (CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+             / (count(*) - 1)), 6) AS stddev_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profile (mean/variance/stddev) from DECIMAL-exact raw
+    moments: Σx and Σx² aggregate as exact fixed-point (order-independent —
+    partition-count- and engine-invariant), then the two-pass-free variance
+    identity runs as a fixed sequence of double ops on those exact inputs.
+    Spark's built-in stddev over doubles is summation-order-dependent and
+    could never hash-match another engine; this form does, and is the same
+    one-shuffle single-pass plan."""
+    from arrow_parquet_logs_spark.functions.numeric import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    sx = F.sum(dec("value", 12, 2)).cast("double")
+    sxx = F.sum(dec("value", 12, 2) * dec("value", 12, 2)).cast("double")
+    n = F.count(F.lit(1))
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            F.round(sx / n, 6).alias("mean_value"),
+            F.round(var, 6).alias("var_value"),
+            F.round(F.sqrt(var), 6).alias("stddev_value"),
+        )
+        .orderBy("event_type")
+    )

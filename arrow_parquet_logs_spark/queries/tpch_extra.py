@@ -519,3 +519,38 @@ def set_except_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     b = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
     return a.exceptAll(b)
+
+
+@register(
+    "orders_calendar_breakdown",
+    oracle="""
+    SELECT year(o_orderdate) AS yr,
+           quarter(o_orderdate) AS qtr,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY yr, qtr, dow
+    """,
+    tags=("agg", "datetime"),
+)
+def orders_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function breadth over one aggregation: year / quarter /
+    day-of-week rollup. Engines disagree on week-day numbering — Spark's
+    dayofweek is 1=Sunday, DuckDB's is 0=Sunday — so the Spark side aligns
+    with an explicit -1 (the kind of silent cross-engine divergence the
+    oracle harness exists to catch)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("total_value"),
+        )
+        .orderBy("yr", "qtr", "dow")
+    )
