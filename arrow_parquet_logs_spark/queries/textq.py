@@ -622,3 +622,34 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 40)
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "docs_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 \t\n]')) AS INT) AS n_pieces,
+           CAST(len({_TOKS}) AS INT) AS n_words,
+           round(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 \t\n]')) AS DOUBLE)
+                 / len({_TOKS}), 6) AS pieces_per_word
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alpha runs, single digits, and punctuation as
+    separate pieces (the GPT-2-pattern shape minus lookahead, so the regex
+    is valid in both Java and RE2 dialects) next to the whitespace word
+    count — pieces_per_word is the fertility proxy training-cost estimates
+    use. Pure codegen regex, one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 \t\n]', 0)")
+    )
+    words = F.size(X.tokens("text"))
+    return docs.select(
+        "doc_id",
+        pieces.cast("int").alias("n_pieces"),
+        words.cast("int").alias("n_words"),
+        F.round(pieces.cast("double") / words, 6).alias("pieces_per_word"),
+    ).orderBy("doc_id")
