@@ -568,3 +568,139 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+           JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id),
+    c AS (SELECT (SELECT count(*) FROM s1) AS n_signup,
+                 (SELECT count(*) FROM s2) AS n_view,
+                 (SELECT count(*) FROM s3) AS n_click,
+                 (SELECT count(*) FROM s4) AS n_purchase)
+    SELECT n_signup, n_view, n_click, n_purchase,
+           CASE WHEN n_signup > 0
+                THEN round(CAST(n_view AS DOUBLE) / n_signup, 6) ELSE 0.0 END AS view_rate,
+           CASE WHEN n_view > 0
+                THEN round(CAST(n_click AS DOUBLE) / n_view, 6) ELSE 0.0 END AS click_rate,
+           CASE WHEN n_click > 0
+                THEN round(CAST(n_purchase AS DOUBLE) / n_click, 6) ELSE 0.0 END AS purchase_rate
+    FROM c
+    """,
+    tags=("funnel", "join", "agg"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel (signup → view → click → purchase): each stage
+    keeps users whose first qualifying event comes strictly after their
+    previous stage's first event — the product-analytics funnel the
+    reference's log model feeds but can't compute (no joins, auth.py:205-249
+    does point lookups only). Each stage is an equi-join + partial min-agg on
+    user_id; at cluster scale all four stages co-partition on the same key,
+    so one exchange is reused, and stage outputs shrink monotonically. The
+    final stage counts are 1-row aggregates combined by (broadcast) cross
+    join — no driver collect."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, etype: str, prev_t: str, tcol: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "view", "t1", "t2")
+    s3 = first_after(s2, "click", "t2", "t3")
+    s4 = first_after(s3, "purchase", "t3", "t4")
+    c1, c2, c3, c4 = (
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((s1, "n_signup"), (s2, "n_view"), (s3, "n_click"), (s4, "n_purchase"))
+    )
+
+    def rate(num: str, den: str) -> F.Column:
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num).cast("double") / F.col(den), 6)
+        ).otherwise(F.lit(0.0))
+
+    return c1.crossJoin(c2).crossJoin(c3).crossJoin(c4).select(
+        "n_signup",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        rate("n_view", "n_signup").alias("view_rate"),
+        rate("n_click", "n_view").alias("click_rate"),
+        rate("n_purchase", "n_click").alias("purchase_rate"),
+    )
+
+
+@register(
+    "events_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    sizes AS (
+        SELECT cohort, count(*) AS cohort_users FROM first_seen GROUP BY cohort),
+    per AS (
+        SELECT f.cohort, a.wk, count(*) AS n_active
+        FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+        GROUP BY f.cohort, a.wk)
+    SELECT CAST(CAST(p.cohort AS DATE) AS VARCHAR) AS cohort_week,
+           CAST(CAST(datediff('day', CAST(p.cohort AS DATE), CAST(p.wk AS DATE)) AS DOUBLE)
+                / 7 AS INT) AS week_offset,
+           CAST(p.n_active AS BIGINT) AS n_active,
+           round(CAST(p.n_active AS DOUBLE) / s.cohort_users, 6) AS retention_rate
+    FROM per p JOIN sizes s ON p.cohort = s.cohort
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("retention", "cohort", "agg"),
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen ISO week, then
+    the share of each cohort active in every later week. Three aggregations
+    all keyed on user_id (first-seen, distinct weekly activity, the
+    cohort×week rollup) — at scale the user_id exchange is computed once and
+    reused; the cohort-sizes side of the final join is tiny (≤ weeks in
+    retention window) and broadcasts. date_trunc runs under the pinned UTC
+    session so both engines truncate the same naive instants."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    sizes = first_seen.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    per = (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort", "wk")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        per.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.to_date("wk"), F.to_date("cohort")).cast("double") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            F.col("n_active"),
+            F.round(F.col("n_active").cast("double") / F.col("cohort_users"), 6).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

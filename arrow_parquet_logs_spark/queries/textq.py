@@ -653,3 +653,86 @@ def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.cast("int").alias("n_words"),
         F.round(pieces.cast("double") / words, 6).alias("pieces_per_word"),
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+                    ELSE [] END AS g
+        FROM toks),
+    top AS (
+        SELECT doc_id, max(cnt) AS max_cnt FROM (
+            SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            GROUP BY doc_id, tok)
+        GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INT) AS n_tokens,
+           round(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS distinct_ratio,
+           round(CAST(t.max_cnt AS DOUBLE) / b.n_tokens, 6) AS top_token_frac,
+           CASE WHEN len(b.g) = 0 THEN 0.0
+                ELSE round(CAST(len(b.g) - len(list_distinct(b.g)) AS DOUBLE) / len(b.g), 6)
+           END AS dup_bigram_frac
+    FROM base b JOIN top t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: type/token
+    (distinct) ratio, most-frequent-token mass, and duplicate-bigram
+    fraction — the filters LLM data pipelines use to drop boilerplate and
+    degenerate repetition. distinct/bigram stats are pure array expressions
+    (one scan, no shuffle); the top-token mass uses the scalable
+    explode → (doc_id, token) partial-count idiom rather than a per-doc sort,
+    so skewed huge documents still aggregate map-side. The tokenizer never
+    yields an empty list (''→['']), so the n_tokens denominator is safe;
+    the bigram list is CASE-guarded because Spark's sequence(0, -1)
+    descends instead of returning empty."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens("text").alias("t"))
+    grams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        grams.alias("g"),
+    )
+    top = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"))
+    )
+    ng = F.size("g")
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("max_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.when(ng == 0, F.lit(0.0))
+            .otherwise(F.round((ng - F.size(F.array_distinct("g"))).cast("double") / ng, 6))
+            .alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
