@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from arrow_parquet_logs_spark.functions.hashing import hash64
 from arrow_parquet_logs_spark.functions.vector import cosine_sim
+from arrow_parquet_logs_spark.operators._parallel import spread_for_python
 from arrow_parquet_logs_spark.operators.text import distinct_shingles, token_counts
 
 
@@ -202,7 +203,9 @@ def _shingle_sets_pandas(df: DataFrame, id_col: str, text_col: str, n: int) -> D
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(gen, f"sid {id_type}, sh array<string>")
+    return spread_for_python(df.select(id_col, text_col)).mapInPandas(
+        gen, f"sid {id_type}, sh array<string>"
+    )
 
 
 def _minhash_sets_pandas(
@@ -250,7 +253,7 @@ def _minhash_sets_pandas(
                 sigs.append(sig.tolist())
             yield pd.DataFrame({"sid": sids, "sh": shs, "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+    return spread_for_python(df.select(id_col, text_col)).mapInPandas(gen, out_schema)
 
 
 def minhash_lsh_pairs_pandas(

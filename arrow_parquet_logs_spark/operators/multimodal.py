@@ -25,6 +25,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
+from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
 from arrow_parquet_logs_spark.schema import MEDIA_STRUCT  # noqa: F401  (public schema)
 
 #: set True only in tests / environments without codecs.
@@ -104,7 +106,7 @@ def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) ->
         F.col("media.media_type").alias("media_type"),
         F.col("media.byte_len").alias("byte_len"),
     )
-    return flat.mapInPandas(decode, schema=_DECODE_SCHEMA)
+    return spread_for_python(flat).mapInPandas(decode, schema=_DECODE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -168,4 +170,4 @@ def resize_media(
             )
 
     flat = df.select(F.col(id_col).alias(id_col), F.col("media.payload").alias("payload"))
-    return flat.mapInPandas(resize, schema=out_schema)
+    return spread_for_python(flat).mapInPandas(resize, schema=out_schema)

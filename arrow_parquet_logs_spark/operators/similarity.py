@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from arrow_parquet_logs_spark.operators._parallel import spread_for_python
 from arrow_parquet_logs_spark.functions.vector import as_double_array, dot, l2_norm
 
 
@@ -139,7 +140,7 @@ def brute_force_topk_pandas(
                 }
             )
 
-    pairs = emb.select(id_col, vec_col).mapInPandas(
+    pairs = spread_for_python(emb.select(id_col, vec_col)).mapInPandas(
         score, schema="q_id long, vec_id long, cosine double"
     ).where(F.col("vec_id") != F.col("q_id"))
     return _ranked(pairs, k)
