@@ -704,3 +704,63 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_winsorized_mean",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(b.p05, 6) AS p05,
+           round(b.p95, 6) AS p95,
+           round(CAST(SUM(CAST(round(least(greatest(e.value, b.p05), b.p95), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS winsorized_mean,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS raw_mean
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.p05, b.p95
+    ORDER BY e.event_type
+    """,
+    tags=("stats", "robust", "agg"),
+)
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) mean per event type: values clipped to
+    the exact [p05, p95] band before averaging — the robust-stats treatment
+    metric pipelines apply before training-signal aggregation. Two passes
+    over one co-partitioned key: exact percentiles reduce to one tiny row
+    per type (broadcast back), then the clamped values round to 6 decimals
+    and sum as exact DECIMAL so the mean is partition- and engine-invariant.
+    At 100 TB the first pass swaps to approx_percentile (mergeable t-digest)
+    with everything else unchanged."""
+    from arrow_parquet_logs_spark.functions.numeric import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = F.round(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")), 6)
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(clamped.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "_wm"
+            ),
+            (F.sum(dec("value", 12, 2)).cast("double") / F.count(F.lit(1))).alias("_rm"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            F.round("_wm", 6).alias("winsorized_mean"),
+            F.round("_rm", 6).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -221,3 +221,56 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_qty") > 150)
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "lineitem_price_quantity_corr",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("stats", "agg"),
+)
+def lineitem_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from DECIMAL-exact raw sums
+    (Σx, Σy, Σxy, Σx², Σy² aggregate as fixed-point, so any partitioning or
+    engine produces identical bits), then the moment identities evaluate in
+    one fixed double-op order. Spark's built-in corr/covar_samp stream
+    doubles in partition order and could never hash-match another engine;
+    this form is the same single-pass one-shuffle plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity", 12, 2), dec("l_extendedprice", 12, 2)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return agg.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_items"),
+        F.round((sxy - sx * sy / n) / (n - F.lit(1)), 6).alias("covar_qty_price"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

@@ -736,3 +736,92 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BM25_TERMS = ("spark", "data", "join")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return f"len(list_filter(t, x -> x = '{term}')) AS tf_{term}"
+
+
+def _bm25_w_sql(term: str) -> str:
+    return (
+        f"ln(1 + (n_docs - df_{term} + 0.5) / (df_{term} + 0.5))"
+        f" * (tf_{term} * 2.2)"
+        f" / (tf_{term} + 1.2 * (0.25 + (0.75 * dl) / avgdl))"
+    )
+
+
+@register(
+    "docs_bm25_retrieval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    per AS (SELECT doc_id, len(t) AS dl,
+                   {", ".join(_bm25_tf_sql(t) for t in _BM25_TERMS)}
+            FROM toks),
+    st AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                  {", ".join(f"count(CASE WHEN tf_{t} > 0 THEN 1 END) AS df_{t}" for t in _BM25_TERMS)}
+           FROM per)
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM (SELECT doc_id, {" + ".join(f"({_bm25_w_sql(t)})" for t in _BM25_TERMS)} AS s
+          FROM per, st)
+    WHERE s > 0
+    ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed term query (k1=1.2, b=0.75) — the
+    retrieval scorer a training-data pipeline uses for quality-weighted
+    sampling and search-style eval. One corpus scan computes per-doc term
+    frequencies as array expressions (no explode, no shuffle); document
+    frequencies and avgdl reduce to ONE scalar row that broadcasts back, so
+    the whole query is scan → 1-row agg → scan-side projection → top-k.
+    Every double op evaluates in one pinned order (terms summed
+    left-to-right) so scores are engine- and partition-invariant; ranking is
+    on the rounded score with doc_id tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens("text").alias("t"))
+    def tf_col(term: str) -> F.Column:
+        # factory, not a default-arg lambda: a 2-parameter lambda would be
+        # treated as the (element, index) higher-order-function form
+        return F.size(F.filter("t", lambda x: x == F.lit(term)))
+
+    per = toks.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        *[tf_col(term).alias(f"tf_{term}") for term in _BM25_TERMS],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, F.lit(1))).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def w(term: str) -> F.Column:
+        tf, df = F.col(f"tf_{term}"), F.col(f"df_{term}")
+        idf = F.log(F.lit(1) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        return (
+            idf
+            * (tf * F.lit(2.2))
+            / (tf + F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / F.col("avgdl")))
+        )
+
+    score = w(_BM25_TERMS[0])
+    for term in _BM25_TERMS[1:]:
+        score = score + w(term)
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("s"))
+        .where(F.col("s") > 0)
+        .select("doc_id", F.round("s", 6).alias("bm25"), F.round("s", 6).alias("_r"))
+        .orderBy(F.col("_r").desc(), "doc_id")
+        .drop("_r")
+        .limit(10)
+    )

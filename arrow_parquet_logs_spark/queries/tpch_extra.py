@@ -554,3 +554,52 @@ def orders_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "qtr", "dow")
     )
+
+
+@register(
+    "full_outer_segment_order_balance",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+    ords AS (
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spent
+        FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS INT) AS in_segment,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           round(COALESCE(o.spent, 0.0), 2) AS total_spent
+    FROM cust c FULL OUTER JOIN ords o ON c.c_custkey = o.o_custkey
+    ORDER BY custkey
+    """,
+    tags=("join", "full-outer"),
+)
+def full_outer_segment_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: the high-balance customer segment against
+    per-customer order totals — unmatched rows survive on BOTH sides
+    (rich customers who never ordered, and orders from low-balance
+    customers). One shuffle on the shared custkey; the aggregate side
+    pre-reduces before the join so the outer join sees one row per key."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_acctbal")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("spent"),
+        )
+    )
+    joined = cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("int").alias(
+            "in_segment"
+        ),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.round(F.coalesce("spent", F.lit(0.0)), 2).alias("total_spent"),
+    ).orderBy("custkey")
