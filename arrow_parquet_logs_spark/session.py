@@ -47,6 +47,20 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # non-runtime-settable in this build — leave the session default.
             pass
+    # Shuffle-partition repair, only when the session still carries Spark's
+    # untouched default (200): AQE coalescing fixes batch over-partitioning
+    # at runtime, but streaming STATE partitions don't coalesce — a
+    # watermarked agg on a vanilla local session otherwise drags 200 state
+    # stores through every micro-batch. A deliberately-configured session
+    # (ours pin it at build time; a real cluster sizes it to ~2-3× cores)
+    # is left alone. All queries are partition-count-invariant (pinned by
+    # the shuffle=7 parity tests), so this only affects speed.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
     return spark
 
 

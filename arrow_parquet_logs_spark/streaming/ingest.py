@@ -135,3 +135,44 @@ def run_windowed_counts_once(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def error_context_join(
+    errors: DataFrame, context: DataFrame, lookback: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each ERROR row paired with the non-error
+    rows of the same (container, session) in the ``lookback`` window ending
+    at the error — the "what led up to this error" query, live. Both sides
+    carry watermarks and the join condition bounds event-time distance, so
+    Spark can expire buffered state: per-key state holds at most
+    watermark + lookback of rows regardless of stream length (the unbounded
+    state that sinks naive stream joins). Keys shuffle-partition both sides
+    identically — the join is co-located, no broadcast of a stream."""
+    e = errors.where(F.col("level") == "ERROR").select(
+        F.col("container").alias("e_container"),
+        F.col("session").alias("e_session"),
+        F.col("timestamp").alias("e_ts"),
+        F.col("message").alias("e_message"),
+    ).withWatermark("e_ts", watermark)
+    c = context.where(F.col("level") != "ERROR").select(
+        F.col("container").alias("c_container"),
+        F.col("session").alias("c_session"),
+        F.col("timestamp").alias("c_ts"),
+        F.col("level").alias("c_level"),
+        F.col("message").alias("c_message"),
+    ).withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("e_container") == F.col("c_container"))
+        & (F.col("e_session") == F.col("c_session"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+    )
+    return e.join(c, cond, "inner").select(
+        F.col("e_container").alias("container"),
+        F.col("e_session").alias("session"),
+        "e_ts",
+        "e_message",
+        "c_ts",
+        "c_level",
+        "c_message",
+    )

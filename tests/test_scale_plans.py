@@ -95,3 +95,54 @@ def test_srp_candidate_join_bounded(spark, sf_dir):
 
     plan = explain_str(REGISTRY["ann_srp_lsh_topk"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_new_query_plans_have_no_accidental_nested_loops(spark, sf_dir):
+    """Funnel / retention / BM25 / winsorized-mean / full-outer plans: the
+    only nested-loop or cartesian operators allowed are joins of 1-row
+    aggregate frames (funnel's stage-count combine, BM25's scalar stats row)
+    — a data-shaped nested loop would be quadratic at scale."""
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    # these two intentionally cross-join 1-row aggregates; everything else
+    # must plan entirely with hash/sort-merge joins
+    one_row_cross = {"events_funnel_conversion", "docs_bm25_retrieval"}
+    for name in (
+        "events_funnel_conversion",
+        "events_weekly_retention",
+        "docs_bm25_retrieval",
+        "events_winsorized_mean",
+        "full_outer_segment_order_balance",
+        "docs_repetition_signals",
+        "lineitem_price_quantity_corr",
+    ):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
+        if name not in one_row_cross:
+            assert "NestedLoop" not in plan and "CartesianProduct" not in plan, (name, plan)
+
+
+def test_retention_broadcasts_cohort_sizes(spark, sf_dir):
+    """The cohort-sizes side of the retention join is ≤ #weeks rows — it
+    must broadcast, never shuffle the activity side for it."""
+    from arrow_parquet_logs_spark.plans.inspect import assert_broadcast
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    assert_broadcast(REGISTRY["events_weekly_retention"].fn(spark, sf_dir), 1)
+
+
+def test_full_outer_preserves_both_sides(spark, sf_dir):
+    """FULL OUTER semantics guard: the result must contain left-only rows
+    (high-balance customers without orders) AND right-only rows (orders
+    from customers outside the segment)."""
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    rows = REGISTRY["full_outer_segment_order_balance"].fn(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer").where("c_acctbal > 5000")
+    ordc = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    n_seg = cust.count()
+    n_ord = ordc.count()
+    n_match = cust.join(ordc, cust.c_custkey == ordc.o_custkey).count()
+    # |FULL OUTER| = |L| + |R| - |matched keys| (1 row per key on each side)
+    assert len(rows) == n_seg + n_ord - n_match
+    assert any(r.in_segment == 0 and r.n_orders > 0 for r in rows), "right-only rows lost"
+    assert sum(1 for r in rows if r.in_segment == 1 and r.n_orders == 0) == n_seg - n_match

@@ -137,3 +137,65 @@ def test_stateful_session_counts(spark, tmp_path, src):
     q.awaitTermination()
     rows = {(r.container, r.session): r.total_rows for r in spark.table("t_state").collect()}
     assert rows == {("a", "s1"): 2, ("a", "s2"): 1}
+
+
+def test_stream_stream_error_context_join(spark, tmp_path, src):
+    """Stream-stream interval join ≡ the same join run as batch: every ERROR
+    paired with same-session non-error rows within the 5-minute lookback."""
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.streaming.ingest import error_context_join
+
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            # context rows inside / outside the 5-min lookback of m2's error
+            {"timestamp": "2024-01-01T00:00:30Z", "level": "WARN", "message": "w1", "container": "a", "session": "s1"},
+            {"timestamp": "2023-12-31T23:54:00Z", "level": "INFO", "message": "old", "container": "a", "session": "s1"},
+            # same-timestamp, different session — must NOT join
+            {"timestamp": "2024-01-01T00:00:30Z", "level": "WARN", "message": "w2", "container": "a", "session": "s2"},
+            # a second error with its own context
+            {"timestamp": "2024-01-01T00:08:00Z", "level": "ERROR", "message": "e2", "container": "a", "session": "s2"},
+        ],
+    )
+    stream = read_log_stream(spark, str(src))
+    out_dir, ckpt = str(tmp_path / "joined"), str(tmp_path / "jckpt")
+    q = (
+        error_context_join(stream, stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.session, r.e_message, r.c_message)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+    # batch oracle: identical join over the same files, no streaming machinery
+    batch = spark.read.json(str(src)).select(
+        F.try_to_timestamp("timestamp").alias("timestamp"), "level", "message", "container", "session"
+    )
+    e = batch.where(F.col("level") == "ERROR").selectExpr(
+        "container AS e_container", "session AS e_session", "timestamp AS e_ts", "message AS e_message"
+    )
+    c = batch.where(F.col("level") != "ERROR").selectExpr(
+        "container AS c_container", "session AS c_session", "timestamp AS c_ts", "message AS c_message"
+    )
+    expected = sorted(
+        (r.e_session, r.e_message, r.c_message)
+        for r in e.join(
+            c,
+            (F.col("e_container") == F.col("c_container"))
+            & (F.col("e_session") == F.col("c_session"))
+            & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 minutes"))
+            & (F.col("c_ts") <= F.col("e_ts")),
+        ).collect()
+    )
+    assert got == expected
+    assert ("s1", "m2", "w1") in got  # in-window context joined
+    assert all(m != "old" for _, _, m in got)  # outside lookback excluded
+    assert all(not (s == "s1" and m == "w2") for s, _, m in got)  # session isolation
