@@ -274,3 +274,47 @@ def lineitem_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "events_value_percentiles_approx",
+    oracle=None,  # t-digest style sketch estimates are engine-specific
+    tags=("agg", "approx", "percentile"),
+)
+def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the 100 TB quantile path — one pass, bounded
+    memory, partition-mergeable, unlike the exact `percentile` used by the
+    oracle-checked twin (events_value_percentiles). accuracy=10000 keeps the
+    estimate within 1/10000 rank error. Rows-only: the sketch is
+    engine-specific by construction; the exact twin carries the hash gate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "docs_top_terms_approx",
+    oracle=None,  # count-sketch heavy-hitters are engine-specific
+    tags=("text", "approx", "topk"),
+)
+def docs_top_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy hitters over the token stream: the sketch
+    (bounded memory, mergeable) replaces the full token→count shuffle that
+    the exact top-k (docs_token_freq) pays — at 100 TB the only way to rank
+    a vocabulary that doesn't fit anywhere. Rows-only like the other
+    sketches; the exact twin is hash-checked."""
+    from arrow_parquet_logs_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return toks.select(
+        F.explode(F.expr("approx_top_k(tok, 10)")).alias("e")
+    ).select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
