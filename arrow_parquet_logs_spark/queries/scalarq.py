@@ -318,3 +318,94 @@ def docs_top_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         F.explode(F.expr("approx_top_k(tok, 10)")).alias("e")
     ).select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
+
+
+@register(
+    "scalar_function_breadth",
+    oracle="""
+    SELECT n_nationkey,
+           upper(n_name) AS name_upper,
+           lower(n_name) AS name_lower,
+           lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS key_padded,
+           substr(n_name, 1, 3) AS name_prefix,
+           length(n_name) AS name_len,
+           reverse(n_name) AS name_rev,
+           replace(n_name, 'A', '_') AS name_sub,
+           CAST(abs(n_nationkey - 12) AS BIGINT) AS key_dist,
+           CAST(n_nationkey % 5 AS BIGINT) AS key_mod,
+           CAST(sign(n_nationkey - 12) AS DOUBLE) AS key_sign,
+           round(power(n_nationkey, 2) / 100, 6) AS key_sq,
+           COALESCE(NULLIF(n_name, 'FRANCE'), 'REDACTED') AS name_masked,
+           CASE WHEN n_regionkey IS NULL THEN -1 ELSE n_regionkey END AS region_nvl,
+           greatest(n_nationkey, n_regionkey * 5) AS g,
+           least(n_nationkey, n_regionkey * 5) AS l
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("scalar", "functions"),
+)
+def scalar_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One projection exercising the string / math / null-handling scalar
+    family (SURVEY.md §2.8's X-functions beyond the reference's four):
+    upper/lower/lpad/substr/length/reverse/replace, abs/mod/sign/power,
+    coalesce/nullif and greatest/least — all whole-stage-codegen row
+    expressions, zero shuffles, zero UDFs."""
+    na = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return na.select(
+        "n_nationkey",
+        F.upper("n_name").alias("name_upper"),
+        F.lower("n_name").alias("name_lower"),
+        F.lpad(k.cast("string"), 4, "0").alias("key_padded"),
+        F.substring("n_name", 1, 3).alias("name_prefix"),
+        F.length("n_name").alias("name_len"),
+        F.reverse("n_name").alias("name_rev"),
+        F.regexp_replace("n_name", "A", "_").alias("name_sub"),
+        F.abs(k - 12).cast("bigint").alias("key_dist"),
+        (k % 5).cast("bigint").alias("key_mod"),
+        F.signum(k - 12).cast("double").alias("key_sign"),
+        F.round(F.pow(k, 2) / 100, 6).alias("key_sq"),
+        F.coalesce(F.nullif("n_name", F.lit("FRANCE")), F.lit("REDACTED")).alias("name_masked"),
+        F.when(F.col("n_regionkey").isNull(), F.lit(-1))
+        .otherwise(F.col("n_regionkey"))
+        .alias("region_nvl"),
+        F.greatest(k, F.col("n_regionkey") * 5).alias("g"),
+        F.least(k, F.col("n_regionkey") * 5).alias("l"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "orders_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+           CAST(CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS VARCHAR) AS week_before,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS quarter_out,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_95,
+           CAST(CAST(last_day(o_orderdate) AS DATE) AS VARCHAR) AS month_end,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    tags=("scalar", "date"),
+)
+def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic family: fixed-interval shifts, month-precise
+    add (add_months handles end-of-month clamping identically in both
+    engines), day deltas against an epoch, and month boundary snapping —
+    all codegen date math on the pushed-down key filter."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.where(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.date_format(d, "yyyy-MM-dd").alias("o_orderdate"),
+            F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+            F.date_format(F.date_sub(d, 7), "yyyy-MM-dd").alias("week_before"),
+            F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("quarter_out"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_95"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        )
+        .orderBy("o_orderkey")
+    )
