@@ -251,22 +251,24 @@ def dedup_ngram_jaccard_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> str:
+    # exploded rows + k columnar min-aggregates, not nested list lambdas:
+    # identical integer values, but DuckDB executes the aggregate form ~50×
+    # faster (the lambda form re-evaluates an interpreted closure per
+    # (doc, i, shingle) triple — 64 s at sf0.1 vs ~1 s for this)
     from arrow_parquet_logs_spark.functions.hashing import MINHASH_P, minhash_coeffs
 
     a, b = minhash_coeffs(32)
-    lit_a = "[" + ",".join(map(str, a)) + "]"
-    lit_b = "[" + ",".join(map(str, b)) + "]"
+    mins = ", ".join(
+        f"min(({a[i]} * h + {b[i]}) % {MINHASH_P}) AS s{i}" for i in range(32)
+    )
+    sig_list = "[" + ", ".join(f"s{i}" for i in range(32)) + "]"
     return f"""
     hb AS (
-        SELECT doc_id, list_transform(s, g -> {_H64.format(x='g')} % {MINHASH_P}) AS h
+        SELECT doc_id, unnest(list_transform(s, g -> {_H64.format(x='g')} % {MINHASH_P})) AS h
         FROM sh
     ),
-    sigs AS (
-        SELECT doc_id,
-               list_transform(range(0, 32), i -> list_min(list_transform(h,
-                   x -> (({lit_a})[i+1] * x + ({lit_b})[i+1]) % {MINHASH_P}))) AS sig
-        FROM hb
-    )"""
+    sigagg AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {sig_list} AS sig FROM sigagg)"""
 
 
 _MINHASH_ORACLE = f"""
@@ -824,4 +826,98 @@ def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_r").desc(), "doc_id")
         .drop("_r")
         .limit(10)
+    )
+
+
+@register(
+    "pipeline_training_set",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_minhash_sig_sql()},
+    bands AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 8), b -> md5(concat(CAST(b AS VARCHAR), ':',
+                   array_to_string(list_slice(sig, b*4+1, b*4+4), ','))))) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.6
+    ),
+    exact AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    kept1 AS (SELECT doc_id FROM exact WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT v.b_id AS doc_id FROM ver v
+        JOIN kept1 ka ON ka.doc_id = v.a_id
+        JOIN kept1 kb ON kb.doc_id = v.b_id
+    ),
+    kept2 AS (
+        SELECT k.doc_id FROM kept1 k
+        LEFT JOIN dropped d ON k.doc_id = d.doc_id WHERE d.doc_id IS NULL
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               round(
+                 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+                 + 0.4 * (CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOP})) AS DOUBLE) / len({_TOKS}))
+                 + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)),
+               6) AS quality_score
+        FROM documents
+    )
+    SELECT k.doc_id,
+           CASE WHEN {_H64.format(x="concat('split:', CAST(k.doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+                WHEN {_H64.format(x="concat('split:', CAST(k.doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           q.n_tokens,
+           q.quality_score
+    FROM kept2 k JOIN q ON k.doc_id = q.doc_id
+    WHERE q.quality_score >= 0.5
+    ORDER BY k.doc_id
+    """,
+    tags=("pipeline", "dedup", "quality", "split"),
+)
+def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-set pipeline, composed from this repo's own
+    operators: exact dedup (keep lowest doc_id per identical text) →
+    MinHash-LSH near-dup drop (a surviving smaller doc suppresses its ≥0.6
+    Jaccard partner) → surface-quality filter (score ≥ 0.5) → content-stable
+    80/10/10 split assignment. Every stage is the operator the registry
+    already verifies individually; this query pins their COMPOSITION under
+    one oracle hash. Scale shape: one window on the text fingerprint, the
+    LSH band join (density-bounded), one broadcast-able drop list, and
+    scan-side quality/split expressions — no stage is corpus-quadratic."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+    kept1 = docs.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+    pairs = D.minhash_lsh_pairs_pandas(kept1, threshold=0.6)
+    dropped = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    kept2 = kept1.join(dropped, "doc_id", "left_anti")
+    feats = X.quality_features(kept2).select("doc_id", "n_tokens", "quality_score")
+    bucket = (
+        hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    ).cast("int")
+    return (
+        feats.where(F.col("quality_score") >= 0.5)
+        .select(
+            "doc_id",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+            "n_tokens",
+            "quality_score",
+        )
+        .orderBy("doc_id")
     )
