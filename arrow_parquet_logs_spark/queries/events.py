@@ -764,3 +764,84 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_error_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1),
+    stats AS (
+        SELECT h, n_errors,
+               CAST(SUM(n_errors) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(n_errors * n_errors) OVER w AS DOUBLE) AS sxx,
+               CAST(count(*) OVER w AS DOUBLE) AS n
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT CAST(h AS VARCHAR) AS hour,
+           n_errors,
+           round(sx / n, 6) AS mean_24h,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_24h,
+           round((n_errors - sx / n)
+                 / (CASE WHEN sqrt((sxx - sx * sx / n) / (n - 1)) > 0
+                         THEN sqrt((sxx - sx * sx / n) / (n - 1)) END), 6) AS zscore,
+           CAST(CASE WHEN sqrt((sxx - sx * sx / n) / (n - 1)) > 0
+                          AND abs((n_errors - sx / n)
+                                  / sqrt((sxx - sx * sx / n) / (n - 1))) >= 2
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM stats WHERE n >= 12
+    ORDER BY hour
+    """,
+    tags=("anomaly", "window", "stats"),
+)
+def events_error_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate anomaly detection: each hour's error count z-scored
+    against its trailing 24h window (current hour excluded). The windowed
+    Σx and Σx² are INTEGER sums — exact in any order — and the variance
+    identity then runs in one pinned double sequence, so the z-scores are
+    engine- and partition-invariant with no DECIMAL needed. The frame is a
+    ROWS window over the tiny hourly rollup (O(hours) rows), a single
+    partition here; shard by service/tenant at scale. Warm-up hours
+    (fewer than 12 trailing samples) are suppressed."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    w = W.orderBy("h").rowsBetween(-24, -1)
+    st = hourly.select(
+        "h",
+        "n_errors",
+        F.sum("n_errors").over(w).cast("double").alias("sx"),
+        F.sum(F.col("n_errors") * F.col("n_errors")).over(w).cast("double").alias("sxx"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+    )
+    sx, sxx = F.col("sx"), F.col("sxx")
+    # NULL divisor (not a filter) guards the warm-up rows: ANSI mode throws
+    # on the division even though `where(n >= 12)` discards those rows,
+    # because the projection fuses with the filter in one codegen stage
+    n = F.when(F.col("n") >= 12, F.col("n"))
+    std = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1)))
+    # constant trailing window → std = 0: z is undefined (NULL), never an
+    # anomaly flag — and never an ANSI divide-by-zero
+    z = (F.col("n_errors") - sx / n) / F.when(std > 0, std)
+    return (
+        st.where(F.col("n") >= 12)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_errors",
+            F.round(sx / n, 6).alias("mean_24h"),
+            F.round(std, 6).alias("std_24h"),
+            F.round(z, 6).alias("zscore"),
+            F.when(z.isNotNull() & (F.abs(z) >= 2), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+        .orderBy("hour")
+    )

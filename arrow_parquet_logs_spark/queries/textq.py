@@ -921,3 +921,51 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_weighted_sample",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               round(
+                 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+                 + 0.4 * (CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOP})) AS DOUBLE) / len({_TOKS}))
+                 + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)),
+               6) AS w
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, w,
+               round(pow(({_H64.format(x="concat('samp:', CAST(doc_id AS VARCHAR))")} % 1000000 + 0.5) / 1000000.0,
+                         1.0 / w), 6) AS samp_key
+        FROM q WHERE w > 0
+    )
+    SELECT doc_id, w AS weight, samp_key
+    FROM keyed ORDER BY samp_key DESC, doc_id LIMIT 100
+    """,
+    tags=("sample", "weighted", "quality"),
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirtsis A-ES): each doc
+    draws a content-stable uniform u from the portable hash and ranks by
+    u^(1/w) with w = quality score — the top-k IS a weighted-without-
+    replacement sample, reproducible across engines, reshuffles, and
+    re-ingestion (unlike rand()-based sampling). One scan + one TakeOrdered;
+    at 100 TB the same expression feeds a per-partition top-k merge. Ranking
+    is on the rounded key with doc_id tie-break."""
+    from arrow_parquet_logs_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", F.col("quality_score").alias("w"))
+    u = (
+        hash64(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))) % 1_000_000
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("w")), 6)
+    return (
+        q.where(F.col("w") > 0)
+        .select("doc_id", F.col("w").alias("weight"), key.alias("samp_key"))
+        .orderBy(F.col("samp_key").desc(), "doc_id")
+        .limit(100)
+    )
