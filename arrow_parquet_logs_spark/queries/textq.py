@@ -969,3 +969,27 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("samp_key").desc(), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "docs_posexplode_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(i AS INT) AS pos, t[i+1] AS token
+    FROM toks, unnest(range(0, least(len(t), 10))) AS u(i)
+    ORDER BY doc_id, pos
+    """,
+    tags=("text", "explode", "lateral"),
+)
+def docs_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW posexplode): token stream with
+    ordinal positions — the flatten-with-index shape sequence-labeling
+    pipelines need. Row-local expansion, no shuffle; the pushed doc_id
+    filter bounds the blowup."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    head = F.slice(X.tokens("text"), 1, 10)
+    return (
+        docs.select("doc_id", F.posexplode(head).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+        .orderBy("doc_id", "pos")
+    )

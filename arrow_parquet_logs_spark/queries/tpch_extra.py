@@ -603,3 +603,47 @@ def full_outer_segment_order_balance(spark: SparkSession, sf_dir: str) -> DataFr
         F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
         F.round(F.coalesce("spent", F.lit(0.0)), 2).alias("total_spent"),
     ).orderBy("custkey")
+
+
+@register(
+    "window_value_anchors",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           round(o_totalprice - first_value(o_totalprice) OVER w, 2) AS drift_from_first
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "anchors"),
+)
+def window_value_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value anchor functions over a unique
+    (date, key) ordering — completes the window-function library next to
+    the ranking/offset families. One shuffle on the partition key; the
+    full-frame last_value is the only whole-partition buffer."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    run = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    full = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(run).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(run).alias("second_price"),
+        F.round(F.col("o_totalprice") - F.first("o_totalprice").over(run), 2).alias(
+            "drift_from_first"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
