@@ -128,3 +128,88 @@ def ivf_search(
         .select("q_id", "vec_id", "cosine", "rn")
         .orderBy("q_id", "rn")
     )
+
+
+def save_index(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist the fitted centroid matrix as a (cell, centroid) parquet —
+    the index artifact a production pipeline fits once (on a sample) and
+    ships to every search job, instead of refitting per query."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(rows, "cell int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_index(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    if [r.cell for r in rows] != list(range(len(rows))):
+        raise ValueError(f"corrupt IVF index at {path}: non-contiguous cell ids")
+    return [[float(v) for v in r.centroid] for r in rows]
+
+
+def materialize_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus **partitioned by cell** (Hive layout): the IVF
+    inverted lists as directories. At 100 TB this is what makes nprobe
+    real — a search reads only the probed cells' files via partition
+    pruning; every other cell is never opened."""
+    assign_cells(emb.select(id_col, vec_col), centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def search_materialized(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_search` against a materialized cell-partitioned corpus.
+
+    The query batch's probe cells resolve driver-side (the batch is small by
+    definition), so the scan carries an explicit `cell IN (...)` partition
+    filter — the plan touches only probed directories. Scoring/ranking are
+    identical to the in-memory form (same contract, same results).
+    """
+    from arrow_parquet_logs_spark.operators.similarity import _cos, _with_vec_and_norm
+
+    v = as_double_array(vec_col)
+    dists = F.array(
+        *[
+            F.struct(_sq_dist(v, cen).alias("d"), F.lit(i).alias("i"))
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    probe = F.transform(F.slice(F.array_sort(dists), 1, nprobe), lambda p: p["i"])
+    q_probed = queries.withColumn("probe_cells", probe)
+    probed_cells = sorted(
+        {c for r in q_probed.select(F.explode("probe_cells").alias("c")).distinct().collect() for c in [r.c]}
+    )
+    corpus = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    c = _with_vec_and_norm(corpus, id_col, vec_col, "c", "cell")
+    q = _with_vec_and_norm(q_probed, id_col, vec_col, "q", "probe_cells")
+    qx = q.select("q_id", "q_v", "q_n", F.explode("probe_cells").alias("cell"))
+    pairs = (
+        c.join(F.broadcast(qx), "cell")
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+        .orderBy("q_id", "rn")
+    )

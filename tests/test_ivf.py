@@ -43,3 +43,29 @@ def test_fit_kmeans_too_few_vectors(spark):
     df = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="need"):
         ivf.fit_kmeans(df, k=4)
+
+
+def test_ivf_index_persistence_and_materialized_search(spark, sf_dir, tmp_path):
+    """fit → save → load round-trips exactly; searching the materialized
+    cell-partitioned corpus returns identical results to the in-memory
+    search, and the scan carries a `cell` partition filter (only probed
+    directories are read — the at-scale nprobe contract)."""
+    from arrow_parquet_logs_spark.operators import ivf
+    from arrow_parquet_logs_spark.plans.inspect import explain_str
+    from arrow_parquet_logs_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.fit_kmeans(emb, k=8, iters=3)
+    idx = str(tmp_path / "ivf_index")
+    ivf.save_index(spark, cents, idx)
+    assert ivf.load_index(spark, idx) == cents
+
+    mat = str(tmp_path / "ivf_cells")
+    ivf.materialize_cells(emb, cents, mat)
+    queries = emb.where(F.col("vec_id") < 5)
+    got = ivf.search_materialized(spark, mat, queries, cents, k=3, nprobe=2)
+    plan = explain_str(got)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    expected = ivf.ivf_search(emb, queries, cents, k=3, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expected.collect()]
