@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from datetime import datetime, timezone
 from functools import reduce
@@ -103,6 +104,11 @@ class LogStore:
         return os.path.join(self.root, "archive")
 
     def _part_dir(self, tier_root: str, container: str, session: str) -> str:
+        # every filesystem path derives from here — validating at this choke
+        # point means a hostile name ('../../etc', 'x=y') can never escape
+        # the layout through ANY read/write/compact entry point
+        self._check_name("container", container)
+        self._check_name("session", session)
         return os.path.join(tier_root, f"container={container}", f"session={session}")
 
     def _sessions(self) -> list[tuple[str, str]]:
@@ -115,6 +121,41 @@ class LogStore:
                     if sdir.startswith("session="):
                         seen.add((cdir.split("=", 1)[1], sdir.split("=", 1)[1]))
         return sorted(seen)
+
+    # ---- catalog (reference main.py:97-219 container/session endpoints) ---
+    _NAME_OK = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+    def _check_name(self, kind: str, name: str) -> str:
+        """Names become Hive partition directory components — reject anything
+        that could escape the layout or collide with the `key=value` syntax
+        (the reference accepts raw path params, main.py:150, and would happily
+        write through a `../`)."""
+        if not isinstance(name, str) or not self._NAME_OK.match(name) or set(name) == {"."}:
+            raise ValueError(
+                f"invalid {kind} name {name!r}: must match [A-Za-z0-9_.-]+"
+            )
+        return name
+
+    def create_session(self, container: str, session: str) -> dict:
+        """Catalog parity with POST /api/containers/<id>/sessions
+        (reference main.py:148-186): registers the (container, session)
+        partition by creating its landing directory. Idempotent — the
+        reference 409s on duplicates, but a directory layout has no
+        separate registry to disagree with."""
+        self._check_name("container", container)
+        self._check_name("session", session)
+        path = self._part_dir(self._landing_root(), container, session)
+        existed = os.path.isdir(path)
+        os.makedirs(path, exist_ok=True)
+        return {"container": container, "session": session, "created": not existed}
+
+    def list_containers(self) -> list[str]:
+        """GET /api/containers parity (reference main.py:129-146)."""
+        return sorted({c for c, _ in self._sessions()})
+
+    def list_sessions(self, container: str) -> list[str]:
+        """GET /api/containers/<id>/sessions parity (main.py:187-219)."""
+        return sorted(s for c, s in self._sessions() if c == container)
 
     # ---- archive version manifest (exactly-once commit protocol) ----------
     def _current_manifest(self, container: str, session: str) -> dict:
@@ -284,11 +325,15 @@ class LogStore:
         so a leaf-file read with an explicit schema returns NULLs for them;
         :meth:`_read_session_files` re-fills the constants per session group.
         """
+        for kind, name in (("container", container), ("session", session)):
+            if name is not None:  # only None means "all"; '' etc. are invalid
+                self._check_name(kind, name)
         groups: list[tuple[str, str]] = []
-        for c, s in [(container, session)] if container and session else self._sessions():
-            if container and c != container:
+        both = container is not None and session is not None
+        for c, s in [(container, session)] if both else self._sessions():
+            if container is not None and c != container:
                 continue
-            if session and s != session:
+            if session is not None and s != session:
                 continue
             groups.append((c, s))
         dfs = []

@@ -191,3 +191,27 @@ def test_summary_counts_tiers(store):
     s = store.summary("a", "s1")
     assert s["archive"]["total_rows"] == 2 and s["landing"]["total_rows"] == 0
     assert s["archive"]["files_scanned"] == 1
+
+
+def test_catalog_endpoints_and_name_validation(store):
+    """Container/session catalog parity (reference main.py:97-219) plus the
+    safety the reference lacks: names are partition directory components, so
+    traversal/keyword characters must be rejected at every entry point."""
+    r = store.create_session("web", "sess-1")
+    assert r == {"container": "web", "session": "sess-1", "created": True}
+    assert store.create_session("web", "sess-1")["created"] is False  # idempotent
+    _w(store, msg="m0")  # writes to ("a", "s1")
+    assert "web" in store.list_containers() and "a" in store.list_containers()
+    assert store.list_sessions("web") == ["sess-1"]
+    assert store.list_sessions("a") == ["s1"]
+    assert store.list_sessions("nope") == []
+
+    import pytest as _pytest
+
+    for bad_c, bad_s in [("../esc", "s"), ("c", "a/b"), ("x=y", "s"), ("", "s"), ("c", "..")]:
+        with _pytest.raises(ValueError, match="invalid"):
+            store.create_session(bad_c, bad_s)
+        with _pytest.raises(ValueError, match="invalid"):
+            store.write_logs(bad_c, bad_s, [{"timestamp": "2024-01-01T00:00:00Z", "level": "INFO", "message": "m"}])
+        with _pytest.raises(ValueError, match="invalid"):
+            store.read_df(bad_c, bad_s).count()
