@@ -888,6 +888,7 @@ def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY k.doc_id
     """,
     tags=("pipeline", "dedup", "quality", "split"),
+    bench=True,
 )
 def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-set pipeline, composed from this repo's own
