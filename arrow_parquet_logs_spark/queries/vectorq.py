@@ -245,3 +245,45 @@ def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`ann_ivf_kmeans`); 2^8 buckets per chunk bound the join fan-out."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.srp_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embeddings_label_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label, i AS dim,
+               CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM embeddings, unnest(range(0, len(embedding))) AS u(i))
+    SELECT label,
+           CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid_c
+    FROM ex GROUP BY label, dim ORDER BY label, dim
+    """,
+    tags=("vector", "centroid", "agg"),
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean over vectors) — the class-
+    prototype / cluster-mean reduction every embedding pipeline runs.
+    posexplode → (label, dim) partial aggregation keeps it one shuffle with
+    map-side combine, the shape that scales to billions of vectors (never
+    collect-and-average). Components integer-quantize (floor(x·1e6), exact
+    int64 sums) so the mean is a fixed-order division — partition- and
+    engine-invariant without decimal casts of dyadic floats (which can tie
+    at the rounding digit and split engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    q = F.floor(F.col("v").cast("double") * F.lit(1000000.0)).cast("bigint")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum(q).alias("sq"))
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            "n_vecs",
+            F.round(F.col("sq").cast("double") / F.col("n_vecs") / F.lit(1000000.0), 6).alias(
+                "centroid_c"
+            ),
+        )
+        .orderBy("label", "dim")
+    )
