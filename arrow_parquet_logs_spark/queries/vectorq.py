@@ -257,7 +257,8 @@ def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            CAST(dim AS INT) AS dim,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid_c
+           CAST(CAST(floor(CAST(sum(q) AS DOUBLE) * 1000.0 / count(*)) AS BIGINT)
+                AS DOUBLE) / 1000000000.0 AS centroid_c
     FROM ex GROUP BY label, dim ORDER BY label, dim
     """,
     tags=("vector", "centroid", "agg"),
@@ -281,9 +282,16 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.col("dim").cast("int").alias("dim"),
             "n_vecs",
-            F.round(F.col("sq").cast("double") / F.col("n_vecs") / F.lit(1000000.0), 6).alias(
-                "centroid_c"
-            ),
+            # floor-quantized nano-units, NOT round(x, 6): sq/n can land
+            # exactly on a .5 tie at the rounding digit, where Spark
+            # (BigDecimal HALF_UP on the shortest decimal repr) and C-library
+            # rounding disagree; floor of the same IEEE double never does
+            (
+                F.floor(F.col("sq").cast("double") * F.lit(1000.0) / F.col("n_vecs"))
+                .cast("bigint")
+                .cast("double")
+                / F.lit(1_000_000_000.0)
+            ).alias("centroid_c"),
         )
         .orderBy("label", "dim")
     )
