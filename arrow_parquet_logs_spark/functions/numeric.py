@@ -36,3 +36,21 @@ def davg(col: Column, alias: str, precision: int = 12, scale: int = 2) -> Column
     s = F.sum(dec(col, precision, scale)).cast("double")
     n = F.count(F.col(col) if isinstance(col, str) else col).cast("double")
     return (s / n).alias(alias)
+
+
+def qfloor(col: Column, digits: int = 6) -> Column:
+    """Tie-free quantization to ``digits`` decimals: floor(x·10^d)/10^d.
+
+    ``round(x, d)`` diverges between engines when the exact rational value
+    of x sits on a .5 tie at digit d+1 (Spark rounds the shortest decimal
+    repr via BigDecimal HALF_UP; DuckDB rounds the binary double, which for
+    non-dyadic ties is slightly below) — and means/rates over integer or
+    cent-exact sums produce such ties whenever the divisor carries enough
+    factors of two. floor of the identical IEEE double can never split:
+    same input bits, same multiply, same floor. Use for any rounded value
+    whose exact form is RATIONAL (sums/counts/rates); round() stays fine
+    after irrational ops (sqrt, ln) where ties have measure zero.
+    SQL twin: ``floor((x) * 1e6) / 1e6``.
+    """
+    scale = float(10**digits)
+    return F.floor(col * scale) / F.lit(scale)

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from arrow_parquet_logs_spark.functions.numeric import qfloor
+
 #: stopword set used by quality scoring + language ID (kept deliberately
 #: tiny and embedded in both engines' expressions).
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
@@ -92,7 +94,7 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         alpha_chars.cast("int").alias("alpha_chars"),
         digit_chars.cast("int").alias("digit_chars"),
         stop_ratio.alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        qfloor(score).alias("quality_score"),
     )
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from arrow_parquet_logs_spark.functions.numeric import qfloor
 from arrow_parquet_logs_spark.operators.dedup import keep_latest
 from arrow_parquet_logs_spark.operators.sessionize import session_stats, session_windows, tumbling_counts
 from arrow_parquet_logs_spark.queries.catalog import register
@@ -223,8 +224,8 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_percentiles",
     oracle="""
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90,
+           floor((quantile_cont(value, 0.5)) * 1000000) / 1000000 AS p50,
+           floor((quantile_cont(value, 0.9)) * 1000000) / 1000000 AS p90,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -238,8 +239,8 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            qfloor(F.expr("percentile(value, 0.5)")).alias("p50"),
+            qfloor(F.expr("percentile(value, 0.9)")).alias("p90"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
@@ -268,7 +269,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the tiny bucket domain with map-side partial aggregation; at 100 TB
     this is the same plan (bucket count is data-independent)."""
     ev = load_table(spark, sf_dir, "events")
-    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.functions.numeric import dec, qfloor
 
     return (
         ev.groupBy(F.floor(F.col("value") / 25.0).cast("int").alias("bucket"))
@@ -528,12 +529,11 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS mean_value,
-           round(
-             (CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+           floor((CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS mean_value,
+           floor(((CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
               - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
                 * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*))
-             / (count(*) - 1), 6) AS var_value,
+             / (count(*) - 1)) * 1000000) / 1000000 AS var_value,
            round(sqrt(
              (CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
               - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
@@ -562,8 +562,8 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             n.alias("n"),
-            F.round(sx / n, 6).alias("mean_value"),
-            F.round(var, 6).alias("var_value"),
+            qfloor(sx / n).alias("mean_value"),
+            qfloor(var).alias("var_value"),
             F.round(F.sqrt(var), 6).alias("stddev_value"),
         )
         .orderBy("event_type")
@@ -590,11 +590,11 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (SELECT count(*) FROM s4) AS n_purchase)
     SELECT n_signup, n_view, n_click, n_purchase,
            CASE WHEN n_signup > 0
-                THEN round(CAST(n_view AS DOUBLE) / n_signup, 6) ELSE 0.0 END AS view_rate,
+                THEN floor((CAST(n_view AS DOUBLE) / n_signup) * 1000000) / 1000000 ELSE 0.0 END AS view_rate,
            CASE WHEN n_view > 0
-                THEN round(CAST(n_click AS DOUBLE) / n_view, 6) ELSE 0.0 END AS click_rate,
+                THEN floor((CAST(n_click AS DOUBLE) / n_view) * 1000000) / 1000000 ELSE 0.0 END AS click_rate,
            CASE WHEN n_click > 0
-                THEN round(CAST(n_purchase AS DOUBLE) / n_click, 6) ELSE 0.0 END AS purchase_rate
+                THEN floor((CAST(n_purchase AS DOUBLE) / n_click) * 1000000) / 1000000 ELSE 0.0 END AS purchase_rate
     FROM c
     """,
     tags=("funnel", "join", "agg"),
@@ -635,7 +635,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rate(num: str, den: str) -> F.Column:
         return F.when(
-            F.col(den) > 0, F.round(F.col(num).cast("double") / F.col(den), 6)
+            F.col(den) > 0, qfloor(F.col(num).cast("double") / F.col(den))
         ).otherwise(F.lit(0.0))
 
     return c1.crossJoin(c2).crossJoin(c3).crossJoin(c4).select(
@@ -667,7 +667,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(datediff('day', CAST(p.cohort AS DATE), CAST(p.wk AS DATE)) AS DOUBLE)
                 / 7 AS INT) AS week_offset,
            CAST(p.n_active AS BIGINT) AS n_active,
-           round(CAST(p.n_active AS DOUBLE) / s.cohort_users, 6) AS retention_rate
+           floor((CAST(p.n_active AS DOUBLE) / s.cohort_users) * 1000000) / 1000000 AS retention_rate
     FROM per p JOIN sizes s ON p.cohort = s.cohort
     ORDER BY cohort_week, week_offset
     """,
@@ -698,7 +698,7 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("week_offset"),
             F.col("n_active"),
-            F.round(F.col("n_active").cast("double") / F.col("cohort_users"), 6).alias(
+            qfloor(F.col("n_active").cast("double") / F.col("cohort_users")).alias(
                 "retention_rate"
             ),
         )
@@ -716,11 +716,10 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type)
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(b.p05, 6) AS p05,
-           round(b.p95, 6) AS p95,
-           round(CAST(SUM(CAST(round(least(greatest(e.value, b.p05), b.p95), 6)
-                               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS winsorized_mean,
-           round(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS raw_mean
+           floor((b.p05) * 1000000) / 1000000 AS p05,
+           floor((b.p95) * 1000000) / 1000000 AS p95,
+           floor((CAST(SUM(CAST(floor((least(greatest(e.value, b.p05), b.p95)) * 1000000) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS winsorized_mean,
+           floor((CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS raw_mean
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY e.event_type, b.p05, b.p95
     ORDER BY e.event_type
@@ -743,7 +742,7 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.05)").alias("p05"),
         F.expr("percentile(value, 0.95)").alias("p95"),
     )
-    clamped = F.round(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")), 6)
+    clamped = qfloor(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")))
     return (
         ev.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type", "p05", "p95")
@@ -757,10 +756,10 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_events",
-            F.round("p05", 6).alias("p05"),
-            F.round("p95", 6).alias("p95"),
-            F.round("_wm", 6).alias("winsorized_mean"),
-            F.round("_rm", 6).alias("raw_mean"),
+            qfloor(F.col("p05")).alias("p05"),
+            qfloor(F.col("p95")).alias("p95"),
+            qfloor(F.col("_wm")).alias("winsorized_mean"),
+            qfloor(F.col("_rm")).alias("raw_mean"),
         )
         .orderBy("event_type")
     )

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from arrow_parquet_logs_spark.functions.numeric import dec
+from arrow_parquet_logs_spark.functions.numeric import dec, qfloor
 from arrow_parquet_logs_spark.queries.catalog import register
 from arrow_parquet_logs_spark.sources.tables import load_table
 
@@ -240,7 +240,7 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_items,
-           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+           floor(((sxy - sx * sy / n) / (n - 1)) * 1000000) / 1000000 AS covar_qty_price,
            round((n * sxy - sx * sy)
                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
     FROM s ORDER BY l_returnflag
@@ -269,7 +269,7 @@ def lineitem_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         n.cast("bigint").alias("n_items"),
-        F.round((sxy - sx * sy / n) / (n - F.lit(1)), 6).alias("covar_qty_price"),
+        qfloor((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_qty_price"),
         F.round(
             (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
         ).alias("corr_qty_price"),

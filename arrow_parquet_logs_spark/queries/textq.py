@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from arrow_parquet_logs_spark.functions.hashing import hash64
+from arrow_parquet_logs_spark.functions.numeric import qfloor
 from arrow_parquet_logs_spark.operators import dedup as D
 from arrow_parquet_logs_spark.operators import text as X
 from arrow_parquet_logs_spark.queries.catalog import register
@@ -170,11 +171,11 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS alpha_chars,
            CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS digit_chars,
            CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOP})) AS DOUBLE) / len({_TOKS}) AS stopword_ratio,
-           round(
+           floor((
              0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
              + 0.4 * (CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOP})) AS DOUBLE) / len({_TOKS}))
-             + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)),
-           6) AS quality_score
+             + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+           ) * 1000000) / 1000000 AS quality_score
     FROM documents ORDER BY doc_id
     """,
     tags=("text", "quality"),
@@ -632,8 +633,8 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 \t\n]')) AS INT) AS n_pieces,
            CAST(len({_TOKS}) AS INT) AS n_words,
-           round(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 \t\n]')) AS DOUBLE)
-                 / len({_TOKS}), 6) AS pieces_per_word
+           floor((CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 \t\n]')) AS DOUBLE)
+                 / len({_TOKS})) * 1000000) / 1000000 AS pieces_per_word
     FROM documents ORDER BY doc_id
     """,
     tags=("text", "tokenize", "bpe"),
@@ -653,7 +654,7 @@ def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         pieces.cast("int").alias("n_pieces"),
         words.cast("int").alias("n_words"),
-        F.round(pieces.cast("double") / words, 6).alias("pieces_per_word"),
+        qfloor(pieces.cast("double") / words).alias("pieces_per_word"),
     ).orderBy("doc_id")
 
 
@@ -677,10 +678,10 @@ def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id)
     SELECT b.doc_id,
            CAST(b.n_tokens AS INT) AS n_tokens,
-           round(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS distinct_ratio,
-           round(CAST(t.max_cnt AS DOUBLE) / b.n_tokens, 6) AS top_token_frac,
+           floor((CAST(b.n_distinct AS DOUBLE) / b.n_tokens) * 1000000) / 1000000 AS distinct_ratio,
+           floor((CAST(t.max_cnt AS DOUBLE) / b.n_tokens) * 1000000) / 1000000 AS top_token_frac,
            CASE WHEN len(b.g) = 0 THEN 0.0
-                ELSE round(CAST(len(b.g) - len(list_distinct(b.g)) AS DOUBLE) / len(b.g), 6)
+                ELSE floor((CAST(len(b.g) - len(list_distinct(b.g)) AS DOUBLE) / len(b.g)) * 1000000) / 1000000
            END AS dup_bigram_frac
     FROM base b JOIN top t ON b.doc_id = t.doc_id
     ORDER BY b.doc_id
@@ -726,14 +727,14 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_tokens").cast("int").alias("n_tokens"),
-            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+            qfloor(F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
                 "distinct_ratio"
             ),
-            F.round(F.col("max_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            qfloor(F.col("max_cnt").cast("double") / F.col("n_tokens")).alias(
                 "top_token_frac"
             ),
             F.when(ng == 0, F.lit(0.0))
-            .otherwise(F.round((ng - F.size(F.array_distinct("g"))).cast("double") / ng, 6))
+            .otherwise(qfloor((ng - F.size(F.array_distinct("g"))).cast("double") / ng))
             .alias("dup_bigram_frac"),
         )
         .orderBy("doc_id")
@@ -870,11 +871,11 @@ def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
         SELECT doc_id,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
-               round(
+               floor((
                  0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
                  + 0.4 * (CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOP})) AS DOUBLE) / len({_TOKS}))
-                 + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)),
-               6) AS quality_score
+                 + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+               ) * 1000000) / 1000000 AS quality_score
         FROM documents
     )
     SELECT k.doc_id,
@@ -929,11 +930,11 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT doc_id,
-               round(
+               floor((
                  0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
                  + 0.4 * (CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOP})) AS DOUBLE) / len({_TOKS}))
-                 + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)),
-               6) AS w
+                 + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+               ) * 1000000) / 1000000 AS w
         FROM documents
     ),
     keyed AS (
