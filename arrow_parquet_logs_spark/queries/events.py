@@ -844,3 +844,64 @@ def events_error_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "events_argmax_conditional_aggs",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, event_id, value, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events)
+    SELECT r.event_type,
+           r.event_id AS top_event_id,
+           r.value AS top_value,
+           r.user_id AS top_user_id,
+           a.n_high,
+           a.n_users_high,
+           a.all_positive,
+           a.any_over_90
+    FROM ranked r
+    JOIN (
+        SELECT event_type,
+               CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+               CAST(count(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT) AS n_users_high,
+               CAST(bool_and(value > 0) AS INT) AS all_positive,
+               CAST(bool_or(value > 90) AS INT) AS any_over_90
+        FROM events GROUP BY event_type) a
+    ON r.event_type = a.event_type
+    WHERE r.rn = 1
+    ORDER BY r.event_type
+    """,
+    tags=("agg", "argmax", "conditional"),
+)
+def events_argmax_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group with a DETERMINISTIC tie-break (row_number on
+    (value desc, event_id) — never max_by, whose tie winner is
+    partition-order-dependent) joined with the conditional-aggregate family:
+    filtered counts, filtered distinct counts, bool_and/bool_or. Both
+    branches reduce on event_type before the join, so the join sees one row
+    per key."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    top = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("top_event_id"),
+            F.col("value").alias("top_value"),
+            F.col("user_id").alias("top_user_id"),
+        )
+    )
+    high = F.col("value") > 50
+    aggs = ev.groupBy("event_type").agg(
+        F.count(F.when(high, 1)).alias("n_high"),
+        F.countDistinct(F.when(high, F.col("user_id"))).alias("n_users_high"),
+        F.bool_and(F.col("value") > 0).cast("int").alias("all_positive"),
+        F.bool_or(F.col("value") > 90).cast("int").alias("any_over_90"),
+    )
+    return top.join(aggs, "event_type").orderBy("event_type")

@@ -647,3 +647,32 @@ def window_value_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_from_first"
         ),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "region_nation_listagg",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           array_to_string(list_sort(list(n.n_name)), ',') AS nations_csv
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    tags=("agg", "listagg", "string"),
+)
+def region_nation_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG / string_agg): nation names per region as
+    a sorted CSV — collect_list is partition-order-dependent, so the sort
+    inside the expression is what makes the output deterministic at any
+    parallelism. Broadcast dimension join, one agg shuffle."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+        )
+        .orderBy("region")
+    )
