@@ -419,7 +419,24 @@ class LogStore:
         return out
 
     # ---- compaction (reference §2.9 T5, done exactly-once) ----------------
-    def compact(self, container: str, session: str, target_files: int = 1) -> dict:
+    def expire(self, container: str, session: str, before_ts: Any) -> dict:
+        """Retention: drop all rows with timestamp < ``before_ts`` (the
+        retention policy every production log store runs; the reference has
+        none — data only grows). Implemented as a filtered compaction: a new
+        immutable archive version containing only surviving rows commits
+        atomically, so readers never see a half-expired state and older
+        versions remain time-travelable until removed out-of-band (the
+        Delta/Iceberg expire-then-vacuum split)."""
+        cutoff = _parse_ts(before_ts, 0)
+        return self.compact(container, session, retain_from=cutoff)
+
+    def compact(
+        self,
+        container: str,
+        session: str,
+        target_files: int = 1,
+        retain_from: Any = None,
+    ) -> dict:
         """Merge archive + landing into a new archive version, atomically.
 
         Crash-safe: all work happens in a fresh ``v<N+1>`` directory; the
@@ -447,18 +464,27 @@ class LogStore:
                 f"remove stale {lock} if the previous compactor crashed"
             ) from None
         try:
-            return self._compact_locked(container, session, target_files, adir)
+            return self._compact_locked(container, session, target_files, adir, retain_from)
         finally:
             try:
                 os.remove(lock)
             except OSError:
                 pass
 
-    def _compact_locked(self, container: str, session: str, target_files: int, adir: str) -> dict:
+    def _compact_locked(
+        self,
+        container: str,
+        session: str,
+        target_files: int,
+        adir: str,
+        retain_from: Any = None,
+    ) -> dict:
         man = self._current_manifest(container, session)
         archive, landing = self._tier_files(container, session)
         inputs = archive + landing
-        if not landing and len(archive) <= target_files:
+        if retain_from is None and not landing and len(archive) <= target_files:
+            return {"version": man["version"], "compacted": False}
+        if not inputs:
             return {"version": man["version"], "compacted": False}
         new_version = man["version"] + 1
         vdir = os.path.join(adir, f"v{new_version}")
@@ -466,6 +492,10 @@ class LogStore:
         # only in the partition path — re-fill before the rewrite or the
         # archive would bake NULL keys in permanently
         df = self._read_session_files(container, session, inputs)
+        if retain_from is not None:
+            # inclusive survival bound: rows at exactly the cutoff survive
+            # (consistent with the store's inclusive range-read semantics)
+            df = df.where(F.col("timestamp") >= F.lit(retain_from).cast("timestamp"))
         # sort within files by timestamp → parquet min/max stats give
         # row-group skipping for time-range scans on the compacted tier
         (df.repartition(target_files).sortWithinPartitions("timestamp").write.mode("overwrite").parquet(vdir))

@@ -215,3 +215,28 @@ def test_catalog_endpoints_and_name_validation(store):
             store.write_logs(bad_c, bad_s, [{"timestamp": "2024-01-01T00:00:00Z", "level": "INFO", "message": "m"}])
         with _pytest.raises(ValueError, match="invalid"):
             store.read_df(bad_c, bad_s).count()
+
+
+def test_expire_retention(store):
+    """expire() drops rows older than the cutoff (inclusive survival at the
+    boundary), commits atomically as a new version, leaves older versions
+    time-travelable, and is a no-op when nothing else expires."""
+    for i, ts in enumerate(["2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z"]):
+        _w(store, msg=f"m{i}", ts=ts)
+    store.compact("a", "s1")
+    assert store.count(container="a", session="s1") == 3
+
+    r = store.expire("a", "s1", "2024-01-02T00:00:00Z")
+    assert r["compacted"] is True
+    msgs = sorted(x.message for x in store.read_df("a", "s1").collect())
+    assert msgs == ["m1", "m2"]  # boundary row survives (inclusive)
+
+    # old version still holds the expired row (time travel before vacuum)
+    v_old = store.archive_versions("a", "s1")[-2]
+    old_msgs = sorted(x.message for x in store.read_archive_version("a", "s1", v_old).collect())
+    assert old_msgs == ["m0", "m1", "m2"]
+
+    # landing rows written after compaction also respect a later expiry
+    _w(store, msg="m3", ts="2024-01-01T12:00:00Z")  # pre-cutoff landing row
+    store.expire("a", "s1", "2024-01-02T00:00:00Z")
+    assert sorted(x.message for x in store.read_df("a", "s1").collect()) == ["m1", "m2"]
