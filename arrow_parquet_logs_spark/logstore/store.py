@@ -104,11 +104,12 @@ class LogStore:
         return os.path.join(self.root, "archive")
 
     def _part_dir(self, tier_root: str, container: str, session: str) -> str:
-        # every filesystem path derives from here — validating at this choke
-        # point means a hostile name ('../../etc', 'x=y') can never escape
-        # the layout through ANY read/write/compact entry point
-        self._check_name("container", container)
-        self._check_name("session", session)
+        # every filesystem path derives from here — the safety floor means a
+        # hostile name ('../../etc') can never escape the layout through ANY
+        # entry point, while names the streaming sink URL-escaped onto disk
+        # (which the strict user-input charset would refuse) stay readable
+        self._check_path_component("container", container)
+        self._check_path_component("session", session)
         return os.path.join(tier_root, f"container={container}", f"session={session}")
 
     def _sessions(self) -> list[tuple[str, str]]:
@@ -123,17 +124,45 @@ class LogStore:
         return sorted(seen)
 
     # ---- catalog (reference main.py:97-219 container/session endpoints) ---
-    _NAME_OK = re.compile(r"^[A-Za-z0-9_.-]+$")
+    _NAME_OK = re.compile(r"[A-Za-z0-9_.-]+")
 
     def _check_name(self, kind: str, name: str) -> str:
-        """Names become Hive partition directory components — reject anything
+        """Strict charset for USER-SUPPLIED names at the public entry points
+        (create_session / write_logs / read_df / import_arrow_buffers):
+        names become Hive partition directory components, so reject anything
         that could escape the layout or collide with the `key=value` syntax
-        (the reference accepts raw path params, main.py:150, and would happily
-        write through a `../`)."""
-        if not isinstance(name, str) or not self._NAME_OK.match(name) or set(name) == {"."}:
+        (the reference accepts raw path params, main.py:150, and would
+        happily write through a `../`). fullmatch, not match — `$` would
+        accept a trailing newline."""
+        if (
+            not isinstance(name, str)
+            or not self._NAME_OK.fullmatch(name)
+            or set(name) == {"."}
+        ):
             raise ValueError(
                 f"invalid {kind} name {name!r}: must match [A-Za-z0-9_.-]+"
             )
+        return name
+
+    @staticmethod
+    def _check_path_component(kind: str, name: str) -> str:
+        """Safety floor for DISK-ENUMERATED names at the path choke point.
+
+        The streaming sink (partitionBy) URL-escapes characters the strict
+        charset forbids (':' → '%3A'), so names read back from _sessions()
+        can legally contain '%'; rejecting them would brick every
+        catalog-wide read over a store that ingested one such row. Here we
+        only refuse what can actually escape the layout: separators, NUL,
+        and dot-only components."""
+        if (
+            not isinstance(name, str)
+            or not name
+            or "/" in name
+            or "\\" in name
+            or "\x00" in name
+            or set(name) == {"."}
+        ):
+            raise ValueError(f"invalid {kind} path component {name!r}")
         return name
 
     def create_session(self, container: str, session: str) -> dict:
@@ -244,6 +273,8 @@ class LogStore:
         reference's thin-API thesis (README.md:3-7); Spark enters on the
         read/compaction side, where distribution actually matters.
         """
+        self._check_name("container", container)
+        self._check_name("session", session)
         import pyarrow as pa
 
         if not rows:
@@ -269,6 +300,8 @@ class LogStore:
         constant container/session columns if absent (the reference
         denormalizes them at ingest, writer.py:72-74); timestamps are cast
         to µs UTC."""
+        self._check_name("container", container)
+        self._check_name("session", session)
         import pyarrow as pa
         import pyarrow.ipc as ipc
 
@@ -471,6 +504,33 @@ class LogStore:
             except OSError:
                 pass
 
+    @staticmethod
+    def _min_ts(files: Sequence[str]):
+        """Smallest `timestamp` across the files' parquet footer statistics
+        (no data scan); None when any footer lacks usable stats."""
+        from datetime import timezone as _tz
+
+        import pyarrow.parquet as pq
+
+        lo = None
+        try:
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if "timestamp" not in idx:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx["timestamp"]).statistics
+                    if st is None or st.min is None:
+                        return None
+                    m = st.min
+                    if m.tzinfo is None:
+                        m = m.replace(tzinfo=_tz.utc)
+                    lo = m if lo is None else min(lo, m)
+        except Exception:
+            return None
+        return lo
+
     def _compact_locked(
         self,
         container: str,
@@ -486,6 +546,15 @@ class LogStore:
             return {"version": man["version"], "compacted": False}
         if not inputs:
             return {"version": man["version"], "compacted": False}
+        if retain_from is not None and self._min_ts(inputs) is not None and (
+            self._min_ts(inputs) >= retain_from
+        ):
+            # nothing is older than the cutoff — a periodic retention job
+            # must not rewrite the whole archive into an identical new
+            # version every tick. Footer stats answer this without a scan.
+            if not landing and len(archive) <= target_files:
+                return {"version": man["version"], "compacted": False}
+            retain_from = None  # plain compaction; the filter would be a no-op
         new_version = man["version"] + 1
         vdir = os.path.join(adir, f"v{new_version}")
         # _read_session_files: streamed landing files carry container/session

@@ -23,6 +23,17 @@ def spread_for_python(df: DataFrame, min_partitions: int | None = None) -> DataF
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # df.rdd.getNumPartitions() would be exact, but under AQE merely
+    # accessing .rdd materializes every upstream query stage at
+    # CONSTRUCTION time (getFinalPhysicalPlan runs jobs) — building a plan
+    # must not execute it. inputFiles() walks the plan for file sources
+    # without running anything; scan-rooted frames (every caller here) get
+    # the right answer, and shuffle-rooted frames conservatively take one
+    # extra cheap round-robin exchange.
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs < target:
         return df.repartition(target)
     return df

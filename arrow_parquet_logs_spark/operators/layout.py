@@ -71,6 +71,10 @@ def zorder_by(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
+    if any(stats[f"lo_{c}"] is None for c in cols):
+        # empty input (or an all-NULL column): nothing to cluster — return
+        # as-is instead of crashing on float(None) in the scale expressions
+        return df
     scaled = [
         scale_to_bits(F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"], bits) for c in cols
     ]

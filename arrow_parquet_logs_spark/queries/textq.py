@@ -750,10 +750,11 @@ def _bm25_tf_sql(term: str) -> str:
 
 
 def _bm25_w_sql(term: str) -> str:
+    k1, b = _BM25_K1, _BM25_B
     return (
         f"ln(1 + (n_docs - df_{term} + 0.5) / (df_{term} + 0.5))"
-        f" * (tf_{term} * 2.2)"
-        f" / (tf_{term} + 1.2 * (0.25 + (0.75 * dl) / avgdl))"
+        f" * (tf_{term} * {k1 + 1})"
+        f" / (tf_{term} + {k1} * ({1 - b} + ({b} * dl) / avgdl))"
     )
 
 
@@ -810,10 +811,11 @@ def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     def w(term: str) -> F.Column:
         tf, df = F.col(f"tf_{term}"), F.col(f"df_{term}")
         idf = F.log(F.lit(1) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        k1, b = _BM25_K1, _BM25_B
         return (
             idf
-            * (tf * F.lit(2.2))
-            / (tf + F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / F.col("avgdl")))
+            * (tf * F.lit(k1 + 1))
+            / (tf + F.lit(k1) * (F.lit(1 - b) + (F.lit(b) * F.col("dl")) / F.col("avgdl")))
         )
 
     score = w(_BM25_TERMS[0])

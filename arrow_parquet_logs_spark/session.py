@@ -35,6 +35,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # parquet scan parallelism: default 128 MB splits are right at scale; keep.
     "spark.sql.parquet.filterPushdown": "true",
+    # write µs timestamps (reference writer.py:318 parity) instead of the
+    # INT96 legacy default — INT96 columns carry NO min/max statistics, which
+    # silently voids row-group skipping on time-range scans AND the footer
+    # checks retention/expiry relies on.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -240,3 +240,16 @@ def test_expire_retention(store):
     _w(store, msg="m3", ts="2024-01-01T12:00:00Z")  # pre-cutoff landing row
     store.expire("a", "s1", "2024-01-02T00:00:00Z")
     assert sorted(x.message for x in store.read_df("a", "s1").collect()) == ["m1", "m2"]
+
+
+def test_expire_is_noop_when_nothing_expires(store):
+    """A periodic retention job on a quiet session must not rewrite the
+    archive into an identical new version every tick — footer min-timestamp
+    stats detect the no-expiry case without a scan."""
+    _w(store, msg="m0", ts="2024-06-01T00:00:00Z")
+    store.compact("a", "s1")
+    v = store.archive_versions("a", "s1")[-1]
+    r = store.expire("a", "s1", "2024-01-01T00:00:00Z")  # cutoff before all data
+    assert r["compacted"] is False
+    assert store.archive_versions("a", "s1")[-1] == v  # no new version
+    assert store.count(container="a", session="s1") == 1

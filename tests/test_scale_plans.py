@@ -117,7 +117,11 @@ def test_new_query_plans_have_no_accidental_nested_loops(spark, sf_dir):
         "lineitem_price_quantity_corr",
     ):
         plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
-        if name not in one_row_cross:
+        if name in one_row_cross:
+            # 1-row-aggregate combines plan as Broadcast NL — fine; a raw
+            # CartesianProduct (non-broadcast) would still be a regression
+            assert "CartesianProduct" not in plan, (name, plan)
+        else:
             assert "NestedLoop" not in plan and "CartesianProduct" not in plan, (name, plan)
 
 
