@@ -463,6 +463,26 @@ class LogStore:
         cutoff = _parse_ts(before_ts, 0)
         return self.compact(container, session, retain_from=cutoff)
 
+    def vacuum(self, container: str, session: str, keep_versions: int = 2) -> dict:
+        """Delete archive versions older than the newest ``keep_versions``
+        (the vacuum half of the expire/vacuum split): expired rows stop
+        being recoverable and the version directories stop accumulating.
+        CURRENT and anything a time-travel reader could still resolve within
+        the kept window survive; requesting fewer than 1 kept version is an
+        error rather than a foot-gun."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        self._check_name("container", container)
+        self._check_name("session", session)
+        versions = self.archive_versions(container, session)
+        doomed = versions[:-keep_versions] if len(versions) > keep_versions else []
+        adir = self._part_dir(self._archive_root(), container, session)
+        import shutil as _shutil
+
+        for v in doomed:
+            _shutil.rmtree(os.path.join(adir, f"v{v}"), ignore_errors=True)
+        return {"removed_versions": doomed, "kept": versions[len(doomed):]}
+
     def compact(
         self,
         container: str,

@@ -253,3 +253,21 @@ def test_expire_is_noop_when_nothing_expires(store):
     assert r["compacted"] is False
     assert store.archive_versions("a", "s1")[-1] == v  # no new version
     assert store.count(container="a", session="s1") == 1
+
+
+def test_vacuum_removes_old_versions(store):
+    """vacuum() deletes version directories beyond the kept window; CURRENT
+    data is untouched and vacuumed versions stop being time-travelable."""
+    import pytest as _pytest
+
+    for i in range(3):
+        _w(store, msg=f"m{i}", ts=f"2024-01-0{i+1}T00:00:00Z")
+        store.compact("a", "s1")
+    assert store.archive_versions("a", "s1") == [1, 2, 3]
+    r = store.vacuum("a", "s1", keep_versions=1)
+    assert r["removed_versions"] == [1, 2] and store.archive_versions("a", "s1") == [3]
+    assert store.count(container="a", session="s1") == 3  # live data intact
+    with _pytest.raises(ValueError, match="available"):
+        store.read_archive_version("a", "s1", 1)
+    with _pytest.raises(ValueError, match="keep_versions"):
+        store.vacuum("a", "s1", keep_versions=0)
