@@ -39,6 +39,7 @@ import json
 import os
 import re
 import uuid
+from contextlib import contextmanager
 from datetime import datetime, timezone
 from functools import reduce
 from typing import Any, Iterable, Iterator, Sequence
@@ -464,24 +465,39 @@ class LogStore:
         return self.compact(container, session, retain_from=cutoff)
 
     def vacuum(self, container: str, session: str, keep_versions: int = 2) -> dict:
-        """Delete archive versions older than the newest ``keep_versions``
-        (the vacuum half of the expire/vacuum split): expired rows stop
-        being recoverable and the version directories stop accumulating.
-        CURRENT and anything a time-travel reader could still resolve within
-        the kept window survive; requesting fewer than 1 kept version is an
-        error rather than a foot-gun."""
+        """Delete archive versions older than the ``keep_versions`` window
+        **anchored at CURRENT** (the vacuum half of the expire/vacuum split):
+        expired rows stop being recoverable and the version directories stop
+        accumulating. Anchoring at CURRENT (not the directory listing) means
+        the version CURRENT names is never deleted even if a crashed
+        compaction left an uncommitted ``v<N+1>`` on disk — a listing-based
+        window would slide past CURRENT and leave it dangling. Runs under the
+        per-session compaction lock so it can't race a live compaction's
+        version swap. Requesting fewer than 1 kept version is an error
+        rather than a foot-gun."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         self._check_name("container", container)
         self._check_name("session", session)
-        versions = self.archive_versions(container, session)
-        doomed = versions[:-keep_versions] if len(versions) > keep_versions else []
         adir = self._part_dir(self._archive_root(), container, session)
-        import shutil as _shutil
+        if not os.path.isdir(adir):
+            return {"removed_versions": [], "kept": []}
+        with self._session_lock(adir, container, session):
+            current = self._current_manifest(container, session)["version"]
+            versions = self.archive_versions(container, session)
+            doomed = [v for v in versions if v <= current - keep_versions]
+            import shutil as _shutil
 
-        for v in doomed:
-            _shutil.rmtree(os.path.join(adir, f"v{v}"), ignore_errors=True)
-        return {"removed_versions": doomed, "kept": versions[len(doomed):]}
+            removed = []
+            for v in doomed:
+                vdir = os.path.join(adir, f"v{v}")
+                _shutil.rmtree(vdir, ignore_errors=True)
+                if not os.path.exists(vdir):
+                    removed.append(v)
+            return {
+                "removed_versions": removed,
+                "kept": [v for v in versions if v not in removed],
+            }
 
     def compact(
         self,
@@ -501,11 +517,18 @@ class LogStore:
         """
         adir = self._part_dir(self._archive_root(), container, session)
         os.makedirs(adir, exist_ok=True)
-        # single-compactor-per-session guard: two concurrent compactions
-        # would race to write the same v<N+1> directory; O_EXCL makes the
-        # second one fail loudly instead of corrupting it. Stale locks from
-        # a crashed compactor are safe to delete (nothing is committed until
-        # the CURRENT swap).
+        with self._session_lock(adir, container, session):
+            return self._compact_locked(container, session, target_files, adir, retain_from)
+
+    @contextmanager
+    def _session_lock(self, adir: str, container: str, session: str):
+        """Single-mutator-per-session guard (compaction and vacuum): two
+        concurrent compactions would race to write the same v<N+1>
+        directory, and a vacuum racing a compaction could delete the version
+        the in-flight CURRENT swap is about to name. O_EXCL makes the second
+        mutator fail loudly instead of corrupting state. Stale locks from a
+        crashed process are safe to delete (nothing is committed until the
+        CURRENT swap)."""
         lock = os.path.join(adir, ".compact.lock")
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -513,11 +536,11 @@ class LogStore:
             os.close(fd)
         except FileExistsError:
             raise RuntimeError(
-                f"compaction already in progress for ({container}, {session}) — "
-                f"remove stale {lock} if the previous compactor crashed"
+                f"compaction/vacuum already in progress for ({container}, {session}) — "
+                f"remove stale {lock} if the previous process crashed"
             ) from None
         try:
-            return self._compact_locked(container, session, target_files, adir, retain_from)
+            yield
         finally:
             try:
                 os.remove(lock)
@@ -566,9 +589,8 @@ class LogStore:
             return {"version": man["version"], "compacted": False}
         if not inputs:
             return {"version": man["version"], "compacted": False}
-        if retain_from is not None and self._min_ts(inputs) is not None and (
-            self._min_ts(inputs) >= retain_from
-        ):
+        lo = self._min_ts(inputs) if retain_from is not None else None
+        if retain_from is not None and lo is not None and lo >= retain_from:
             # nothing is older than the cutoff — a periodic retention job
             # must not rewrite the whole archive into an identical new
             # version every tick. Footer stats answer this without a scan.

@@ -37,6 +37,23 @@ def _raw_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).json(src_dir)
 
 
+def _name_ok(col: str):
+    """Streaming twin of LogStore._check_name's strict charset: names become
+    Hive partition directory components via partitionBy, which URL-escapes
+    anything outside the charset (':' → '%3A') — the escaped form then
+    surfaces in the catalog and restored columns, and the original name can
+    never be queried because the batch entry points reject it. Reject at the
+    stream boundary instead so disk names always round-trip. NULL-safe:
+    a missing name is invalid, not three-valued-unknown (a bare rlike(NULL)
+    would evaluate NULL and the row would vanish from BOTH the ingest and
+    the quarantine stream)."""
+    return (
+        F.col(col).isNotNull()
+        & F.col(col).rlike("^[A-Za-z0-9_.-]+$")
+        & ~F.col(col).rlike("^\\.+$")
+    )
+
+
 def read_log_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream of JSON-lines ingest records:
     ``{"timestamp": ISO-8601, "level": ..., "message": ..., "container":
@@ -46,18 +63,24 @@ def read_log_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     Timestamps parse with ``try_to_timestamp`` and unparseable rows are
     FILTERED OUT here, not thrown on: under ANSI mode a strict cast would
     poison the micro-batch — the bad file is retried forever and the whole
-    ingest pipeline wedges on one malformed row. The batch path
+    ingest pipeline wedges on one malformed row. Container/session names
+    outside the store's strict charset are filtered the same way (they would
+    land URL-escaped on disk and never round-trip). The batch path
     (LogStore.write_logs) keeps per-row strict rejection at the request
     boundary (reference writer.py:81-93 parity); the streaming path
     quarantines instead — see :func:`start_quarantine`."""
     raw = _raw_stream(spark, src_dir)
-    return raw.select(
-        F.try_to_timestamp("timestamp").alias("timestamp"),
-        "level",
-        "message",
-        "container",
-        "session",
-    ).where(F.col("timestamp").isNotNull())
+    return (
+        raw.select(
+            F.try_to_timestamp("timestamp").alias("timestamp"),
+            "level",
+            "message",
+            "container",
+            "session",
+        )
+        .where(F.col("timestamp").isNotNull())
+        .where(_name_ok("container") & _name_ok("session"))
+    )
 
 
 def start_quarantine(spark: SparkSession, src_dir: str, quarantine_dir: str, checkpoint: str):
@@ -65,8 +88,10 @@ def start_quarantine(spark: SparkSession, src_dir: str, quarantine_dir: str, che
     missing timestamp), with the raw timestamp string preserved for triage.
     Own checkpoint → independent, exactly-once via the file-sink commit log."""
     raw = _raw_stream(spark, src_dir)
-    bad = raw.where(F.try_to_timestamp("timestamp").isNull()).withColumn(
-        "reject_reason", F.lit("bad_timestamp")
+    bad_ts = F.try_to_timestamp("timestamp").isNull()
+    bad_name = ~(_name_ok("container") & _name_ok("session"))
+    bad = raw.where(bad_ts | bad_name).withColumn(
+        "reject_reason", F.when(bad_ts, F.lit("bad_timestamp")).otherwise(F.lit("bad_name"))
     )
     return (
         bad.writeStream.format("parquet")

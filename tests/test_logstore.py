@@ -271,3 +271,40 @@ def test_vacuum_removes_old_versions(store):
         store.read_archive_version("a", "s1", 1)
     with _pytest.raises(ValueError, match="keep_versions"):
         store.vacuum("a", "s1", keep_versions=0)
+
+
+def test_vacuum_anchors_at_current_not_listing(store):
+    """A compaction that crashed between the MANIFEST write and the CURRENT
+    swap leaves an uncommitted v<N+1> on disk. vacuum must anchor its kept
+    window at the version CURRENT names — a listing-anchored window would
+    count the orphan and delete CURRENT's version, dangling the pointer."""
+    for i in range(2):
+        _w(store, msg=f"m{i}", ts=f"2024-01-0{i+1}T00:00:00Z")
+        store.compact("a", "s1")
+    adir = store._part_dir(store._archive_root(), "a", "s1")
+    # simulate the crash window: v3 has a manifest, CURRENT still names v2
+    os.makedirs(os.path.join(adir, "v3"))
+    with open(os.path.join(adir, "v3", "MANIFEST.json"), "w") as fh:
+        json.dump({"version": 3, "files": [], "consumed_landing": []}, fh)
+    assert store.archive_versions("a", "s1") == [1, 2, 3]
+    r = store.vacuum("a", "s1", keep_versions=1)
+    # v2 (CURRENT) survives; only v1 is old enough relative to CURRENT
+    assert r["removed_versions"] == [1]
+    assert store.count(container="a", session="s1") == 2  # reads still work
+    # a later compaction overwrites the orphan v3 and commits it
+    _w(store, msg="m2", ts="2024-01-03T00:00:00Z")
+    store.compact("a", "s1")
+    assert store.count(container="a", session="s1") == 3
+
+
+def test_vacuum_blocked_by_compaction_lock(store):
+    _w(store)
+    store.compact("a", "s1")
+    adir = store._part_dir(store._archive_root(), "a", "s1")
+    lock = os.path.join(adir, ".compact.lock")
+    with open(lock, "w") as fh:
+        fh.write("held")
+    with pytest.raises(RuntimeError, match="in progress"):
+        store.vacuum("a", "s1", keep_versions=1)
+    os.remove(lock)
+    assert store.vacuum("a", "s1", keep_versions=1)["removed_versions"] == []

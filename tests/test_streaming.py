@@ -199,3 +199,32 @@ def test_stream_stream_error_context_join(spark, tmp_path, src):
     assert ("s1", "m2", "w1") in got  # in-window context joined
     assert all(m != "old" for _, _, m in got)  # outside lookback excluded
     assert all(not (s == "s1" and m == "w2") for s, _, m in got)  # session isolation
+
+
+def test_bad_names_quarantined_not_escaped(spark, tmp_path):
+    """Container/session values outside the store's strict charset must not
+    reach partitionBy (which URL-escapes them onto disk as 'a%3Ab' — a name
+    that never round-trips through the catalog). They are filtered from the
+    landing stream and quarantined with reject_reason=bad_name."""
+    d = tmp_path / "incoming"
+    d.mkdir()
+    _write_batch(
+        d,
+        "b1.json",
+        [
+            {"timestamp": "2024-01-01T00:00:00Z", "level": "INFO", "message": "ok", "container": "a", "session": "s1"},
+            {"timestamp": "2024-01-01T00:01:00Z", "level": "INFO", "message": "colon", "container": "a:b", "session": "s1"},
+            {"timestamp": "2024-01-01T00:02:00Z", "level": "INFO", "message": "dots", "container": "a", "session": ".."},
+            {"timestamp": "2024-01-01T00:03:00Z", "level": "INFO", "message": "noname", "container": None, "session": "s1"},
+        ],
+    )
+    store_root = str(tmp_path / "store")
+    q = start_ingest(spark, str(d), store_root, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    store = LogStore(spark, store_root)
+    assert [r["message"] for r in store.read_logs()] == ["ok"]
+    assert store.list_containers() == ["a"]
+    qq = start_quarantine(spark, str(d), str(tmp_path / "quar"), str(tmp_path / "ckq"))
+    qq.awaitTermination()
+    quar = {r.message: r.reject_reason for r in spark.read.parquet(str(tmp_path / "quar")).collect()}
+    assert quar == {"colon": "bad_name", "dots": "bad_name", "noname": "bad_name"}
