@@ -403,24 +403,90 @@ def embedding_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cell_col: str = "label",
+    cell_col: str | None = None,
     threshold: float = 0.4,
+    k_cells: int = 16,
+    kmeans_iters: int = 5,
 ) -> DataFrame:
-    """Near-dup vector pairs by cosine, restricted to a coarse cell.
+    """Near-dup vector pairs (rounded cosine ≥ ``threshold``) via learned
+    IVF cells — candidate generation bounded by cells, result **exact**.
 
-    ``cell_col`` is the IVF idea: pairwise comparison only within a
-    quantization cell (here the provided label; at scale, a k-means
-    assignment produced upstream), turning O(N²) into Σ O(|cell|²)."""
-    a = emb.select(
-        F.col(cell_col).alias("cell"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v")
-    )
-    b = emb.select(
-        F.col(cell_col).alias("cell"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v")
-    )
+    Default (``cell_col=None``): fit deterministic k-means on the
+    unit-normalized vectors (``operators.ivf.fit_kmeans``), assign every
+    vector a primary cell plus an **ε-complete expanded set** — all cells
+    within ``nearest + 2ε`` where ``ε = √(2−2t)`` is the unit-sphere chord
+    length of the cosine threshold. Candidates are (expanded ⋈ primary) on
+    the cell id. Completeness is a theorem, not a tuning: for any pair with
+    cosine ≥ t, ‖â−b̂‖ ≤ ε, so b's primary cell lies in a's expanded set
+    (triangle inequality twice: d(â,cb) ≤ ε + d(b̂,cb) ≤ 2ε + d(â,ca)).
+    The exact cosine filter after the join removes false candidates, so the
+    output equals the all-pairs answer at every threshold — which is what
+    lets a SQL oracle check this operator without replaying the k-means.
+
+    Cost adapts to the threshold: near-dup thresholds (t→1) shrink ε so the
+    expanded set collapses to the primary cell and work is Σ|cell|²; loose
+    thresholds widen the expansion toward brute force — as they must, since
+    exactness at low t *is* near-quadratic. At 100 TB run with t ≥ 0.85 and
+    ``k_cells ∝ √N`` (standard IVF sizing).
+
+    ``cell_col`` given: legacy pre-assigned-cell mode — pairwise only within
+    the provided cell (approximate: cross-cell pairs are not compared)."""
     cos = F.round(cosine_sim(F.col("a_v"), F.col("b_v")), 6)
+    if cell_col is not None:
+        a = emb.select(
+            F.col(cell_col).alias("cell"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v")
+        )
+        b = emb.select(
+            F.col(cell_col).alias("cell"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v")
+        )
+        return (
+            a.join(b, "cell")
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("cell", "a_id", "b_id", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+        )
+
+    import math
+
+    from arrow_parquet_logs_spark.functions.vector import as_double_array, l2_norm
+    from arrow_parquet_logs_spark.operators import ivf
+
+    # unit-normalize once: k-means in cosine geometry, and the ε-bound only
+    # holds on the sphere. Zero vectors keep a null unit vector and fall out
+    # of the candidate join (their cosine is undefined anyway).
+    v = as_double_array(vec_col)
+    base = (
+        emb.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("v"), l2_norm(v).alias("_n"))
+        .withColumn(
+            "uv",
+            F.when(
+                F.col("_n") > 0,
+                F.transform(as_double_array("v"), lambda x: x / F.col("_n")),
+            ),
+        )
+        .drop("_n")
+    )
+    cents = ivf.fit_kmeans(base.where(F.col("uv").isNotNull()), k=k_cells,
+                           iters=kmeans_iters, id_col="sid", vec_col="uv")
+    # tiny margin: a true cosine of t−1e-6 can round UP to t; widen ε to
+    # cover everything the rounded filter can admit
+    eps = math.sqrt(max(2.0 - 2.0 * (threshold - 1e-6), 0.0))
+    assigned = ivf.expanded_cells(
+        ivf.assign_cells(base, cents, vec_col="uv", out_col="cell"),
+        cents, vec_col="uv", out_col="cells", slack=2.0 * eps,
+    ).persist()
+    a = assigned.select(
+        F.col("sid").alias("a_id"), F.col("v").alias("a_v"), F.explode("cells").alias("cell")
+    )
+    b = assigned.select(F.col("sid").alias("b_id"), F.col("v").alias("b_v"), "cell")
     return (
         a.join(b, "cell")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("cell", "a_id", "b_id", cos.alias("cosine"))
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            cos.alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
+        .distinct()
     )

@@ -85,6 +85,29 @@ def assign_cells(
     return emb.withColumn(out_col, best["i"])
 
 
+def expanded_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cells",
+    slack: float = 0.0,
+) -> DataFrame:
+    """Multi-probe assignment: every cell whose centroid is within
+    ``nearest_distance + slack`` (L2). ``slack=0`` degenerates to the
+    primary cell; ``slack=2·ε`` makes a candidate join *ε-complete* (see
+    ``operators.dedup.embedding_dup_pairs``): for any pair with
+    ``‖a−b‖ ≤ ε``, b's primary cell is provably in a's expanded set
+    (two triangle-inequality hops: d(a,cb) ≤ ε + d(b,cb) ≤ 2ε + d(a,ca)).
+    Entirely codegen — transform/filter over a literal centroid array,
+    no shuffle, no Python."""
+    v = as_double_array(vec_col)
+    dists = F.array(*[F.sqrt(_sq_dist(v, c)) for c in centroids])
+    dmin = F.array_min(dists)
+    structs = F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    kept = F.filter(structs, lambda s: s["d"] <= dmin + F.lit(float(slack)))
+    return emb.withColumn(out_col, F.transform(kept, lambda s: s["i"]))
+
+
 def ivf_search(
     emb: DataFrame,
     queries: DataFrame,

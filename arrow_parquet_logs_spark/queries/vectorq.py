@@ -179,18 +179,21 @@ def embeddings_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    SELECT cell, a_id, b_id, cosine FROM (
-        SELECT a.label AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
+    SELECT a_id, b_id, cosine FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                {_COS.format(a='a.embedding', b='b.embedding')} AS cosine
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     ) WHERE cosine >= 0.4
     """,
-    tags=("dedup", "similarity"),
+    tags=("dedup", "similarity", "ivf", "kmeans"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.4) within coarse cells — the
-    IVF-bucketed formulation of embedding dedup."""
+    """Embedding near-dup pairs (cosine ≥ 0.4) through learned k-means IVF
+    cells with ε-complete multi-probe assignment (operators.dedup.
+    embedding_dup_pairs). The cell machinery bounds candidates, but the
+    triangle-inequality expansion makes the result provably equal to the
+    all-pairs answer — which is why a brute-force SQL oracle can hash-check
+    an IVF plan whose centroids it cannot replay."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(emb, threshold=0.4)
 

@@ -69,3 +69,51 @@ def test_ivf_index_persistence_and_materialized_search(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan, plan
     expected = ivf.ivf_search(emb, queries, cents, k=3, nprobe=2)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expected.collect()]
+
+
+def test_embedding_dup_pairs_exact_via_learned_cells(spark, sf_dir):
+    """The ε-complete expanded assignment makes learned-IVF dedup EXACT:
+    output must equal the brute-force all-pairs answer, including pairs
+    whose members carry different labels (the old label-cell stand-in
+    silently missed those)."""
+    from arrow_parquet_logs_spark.functions.vector import cosine_sim
+    from arrow_parquet_logs_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = embedding_dup_pairs(emb, threshold=0.4, k_cells=8, kmeans_iters=3)
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"),
+                   F.col("label").alias("a_label"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"),
+                   F.col("label").alias("b_label"))
+    brute = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_label", "b_label",
+                F.round(cosine_sim(F.col("av"), F.col("bv")), 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
+    want = {(r.a_id, r.b_id, r.cosine) for r in brute.collect()}
+    have = {(r.a_id, r.b_id, r.cosine) for r in got.collect()}
+    assert have == want, (len(have), len(want))
+    # at least one recovered pair crosses labels — the learned-cell path
+    # finds what partitioning by the metadata column cannot
+    cross = [r for r in brute.collect() if r.a_label != r.b_label]
+    assert cross, "test data lost its cross-label near-dup pairs"
+
+
+def test_embedding_dup_high_threshold_collapses_to_cells(spark):
+    """As t→1 the ε-expansion shrinks: planted exact-duplicate vectors are
+    found, and vectors in far cells never pair. Uses a synthetic corpus with
+    two identical vectors under DIFFERENT labels."""
+    import random
+
+    from arrow_parquet_logs_spark.operators.dedup import embedding_dup_pairs
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rnd.gauss(0, 1) for _ in range(8)], f"l{i % 4}"))
+    dup = list(rows[3][1])
+    rows.append((100, dup, "l_other"))  # exact dup of vec 3, different label
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = embedding_dup_pairs(df, threshold=0.99, k_cells=4, kmeans_iters=3).collect()
+    assert {(r.a_id, r.b_id) for r in got} == {(3, 100)}, got
