@@ -73,13 +73,24 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     pandas_shingles: bool = False,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact near-dup pairs via inverted-index self-join on shingles.
 
     Candidate generation joins on the shingle value, so only docs sharing at
-    least one shingle ever meet. Exact but worst-case quadratic on hot
-    shingles — at 100 TB prefer ``minhash_lsh_pairs`` (same output above the
-    threshold, probabilistic recall) or cap shingle document-frequency.
+    least one shingle ever meet. A single boilerplate shingle shared by 1M
+    docs would make that join group 10¹²-row, so shingles with document
+    frequency above ``max_shingle_df`` are dropped from the index before
+    the self-join (the standard df-cap / stop-shingle defense). The result
+    stays EXACT whenever no shingle exceeds the cap (the oracle's regime);
+    on pathological corpora hot shingles stop contributing to |A∩B| — the
+    Jaccard estimate only ever *under*-counts, so precision holds and only
+    boilerplate-mediated recall is traded for survival. Set ``None`` to
+    disable. At 100 TB ``minhash_lsh_pairs`` remains the sanctioned path.
+
+    The df filter is a count window over the same hash-partitioning the
+    self-join needs, so the cap costs no extra shuffle (the exchange is
+    reused by both join sides).
 
     ``pandas_shingles=True`` swaps the interpreted-HOF Catalyst shingle
     stage for the bit-identical mapInPandas one (production path)."""
@@ -87,6 +98,12 @@ def ngram_jaccard_pairs(
     # persisted: feeds the inverted index and the per-doc sizes
     sets = shingler(df, id_col, text_col, n).persist()
     inv = sets.select("sid", F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("g")))
+            .where(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     sizes = sets.select("sid", F.size("sh").alias("n_sh"))
     a = inv.select(F.col("sid").alias("a_id"), "g")
     b = inv.select(F.col("sid").alias("b_id"), "g")

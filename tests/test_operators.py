@@ -250,3 +250,43 @@ def test_srp_external_and_null_queries(spark):
     out = srp_lsh_topk(corpus, ext, k=2).collect()
     assert out and out[0]["q_id"] == 99 and out[0]["vec_id"] in (1, 2)
     assert abs(out[0]["cosine"] - 1.0) < 1e-9  # same direction, unit cosine
+
+
+def test_ngram_df_cap_defuses_hot_shingle(spark):
+    """Adversarial corpus: one boilerplate shingle shared by every doc. The
+    df-cap must bound the inverted-index join (candidates from the hot
+    shingle drop out) while pairs sharing non-hot shingles survive; jaccard
+    never over-counts."""
+    from arrow_parquet_logs_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "click here to subscribe"
+    docs = [(i, f"{boiler} unique{i} token{i} filler{i}") for i in range(200)]
+    # one true near-dup pair sharing real content
+    docs.append((500, "the quick brown fox jumps over the lazy dog tail"))
+    docs.append((501, "the quick brown fox jumps over the lazy dog paw"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_df=50)
+    rows = capped.collect()
+    assert {(r.a_id, r.b_id) for r in rows} == {(500, 501)}, rows
+    # uncapped: the boilerplate shingle makes every doc pair a candidate
+    # (they stay below threshold, but the join blow-up is the point)
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_df=None)
+    assert {(r.a_id, r.b_id) for r in uncapped.collect()} >= {(500, 501)}
+    # exactness in the capped-but-not-binding regime: same output
+    loose = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_df=10_000)
+    assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_ngram_df_cap_reuses_join_exchange(spark):
+    """The df-cap window and the self-join hash-partition on the same key;
+    the plan must not add a THIRD exchange of the inverted index for the
+    cap (ReusedExchange or shared child covers both join sides)."""
+    from arrow_parquet_logs_spark.operators.dedup import ngram_jaccard_pairs
+    from arrow_parquet_logs_spark.plans.inspect import explain_str
+
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
+    plan = explain_str(ngram_jaccard_pairs(df, n=3, threshold=0.1))
+    n_g_exchanges = plan.count("hashpartitioning(g")
+    reused = "ReusedExchange" in plan
+    assert reused or n_g_exchanges <= 2, plan
