@@ -472,12 +472,16 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the batch form (events_hourly_rollup). That shared oracle
     pins the streaming≡batch equivalence of event-time windowing.
 
-    Sink choice: complete-mode memory sink. Append mode only emits windows
-    the watermark has passed, so the final <2h of windows would never close
-    on a finite input (observed: 528/531 windows) — complete mode emits all
-    state at each micro-batch. Fine here (one window row per hour); a
-    continuous production job would run append mode to a parquet sink,
-    where the tail windows close as new data advances the watermark.
+    Sink choice: complete-mode memory sink — deliberately the ORACLE TWIN,
+    not the production path. Append mode only emits windows the watermark
+    has passed, so the final <2h of windows would never close on a finite
+    input (observed: 528/531 windows) and the oracle (which aggregates
+    everything) could never hash-match; complete mode emits all state at
+    each micro-batch, fine at one row per hour. The production form —
+    append mode + watermark into dt-partitioned parquet with the file
+    sink's exactly-once commit log — is ``streaming.rollup.
+    start_hourly_rollup``, pinned streaming≡batch by
+    tests/test_streaming.py::test_production_rollup_sink_append_equals_batch.
 
     The result is materialized (≤ one row per hour) and the memory-sink
     table dropped immediately, so repeated invocations don't accumulate

@@ -1,0 +1,76 @@
+"""Production streaming rollup sink — append mode, watermark-closed windows,
+partitioned parquet.
+
+The registry query `events_stream_hourly_rollup` (queries/events.py) proves
+streaming≡batch window semantics against the DuckDB oracle with a
+complete-mode memory sink — the right *oracle shape* but a driver-side
+bottleneck as a production path: complete mode re-emits every window each
+micro-batch and the memory sink materializes all state on the driver.
+
+This module is the production form of the same aggregation:
+
+- **append** output mode: a window row is emitted exactly once, when the
+  watermark passes its end — per-batch output is proportional to newly
+  closed windows, not total history;
+- **parquet file sink** with its own commit log (exactly-once across
+  restarts via checkpointLocation), partitioned by ``dt`` so downstream
+  time-range readers prune at directory level;
+- state is bounded by the watermark horizon: the store holds only windows
+  the watermark hasn't passed.
+
+On a finite input the final ``watermark`` worth of windows stays open by
+design (nothing can prove them complete); a continuous job closes them as
+new data advances the watermark. The streaming≡batch equality test pins
+emitted windows against the batch twin restricted to the watermark horizon
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hourly_rollup_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling event-time count — the shared shape of the
+    memory-sink oracle twin and the production sink below."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def start_hourly_rollup(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Append-mode hourly rollup into ``dt=``-partitioned parquet.
+
+    Each emitted row lands once (file-sink commit log + append mode), under
+    its window's calendar date — a 100× time-range scan over the rollup
+    prunes whole directories. Drop ``available_now`` for a continuous
+    daemon."""
+    agg = hourly_rollup_agg(stream, ts_col, window, watermark).withColumn(
+        "dt", F.to_date("window_start")
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("dt")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -228,3 +228,54 @@ def test_bad_names_quarantined_not_escaped(spark, tmp_path):
     qq.awaitTermination()
     quar = {r.message: r.reject_reason for r in spark.read.parquet(str(tmp_path / "quar")).collect()}
     assert quar == {"colon": "bad_name", "dots": "bad_name", "noname": "bad_name"}
+
+
+def test_production_rollup_sink_append_equals_batch(spark, tmp_path, sf_dir):
+    """The production rollup path (append mode + watermark → dt-partitioned
+    parquet) must emit exactly the batch answer for every window the
+    watermark closed, and emit each window once. Windows inside the final
+    watermark horizon legitimately stay open on a finite input."""
+    from pyspark.sql import functions as F, types as T
+
+    from arrow_parquet_logs_spark.sources.tables import load_table
+    from arrow_parquet_logs_spark.streaming import start_hourly_rollup
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = str(tmp_path / "rollup")
+    q = start_hourly_rollup(stream, out, str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    got = {
+        (r.window_start, r.n_events, r.dt)
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("dt", F.to_date("window_start"))
+    )
+    want_all = {(r.window_start, r.n_events, r.dt) for r in batch.collect()}
+    # emitted rows are a subset of the batch answer, bitwise
+    assert got <= want_all, got - want_all
+    # every window the watermark provably closed was emitted
+    from datetime import timedelta
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - timedelta(hours=2)
+    closed = {t for t in want_all if t[0] + timedelta(hours=1) < wm}
+    assert closed <= got, sorted(closed - got)[:5]
+    # no duplicate emission (exactly-once via the file-sink commit log)
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == len(got)
+    # dt partition directories exist (file-level pruning for readers)
+    import os
+
+    assert any(d.startswith("dt=") for d in os.listdir(out)), os.listdir(out)
