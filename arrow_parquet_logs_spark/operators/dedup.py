@@ -127,6 +127,37 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------------- MinHash-LSH ----
+def _exact_collapse(df: DataFrame, id_col: str, text_col: str):
+    """Collapse exact-duplicate content to one representative before LSH.
+
+    The classic band-flood adversary is 10⁴+ byte-identical documents: they
+    share every band key, so the band join alone would materialize 10⁸
+    candidate pairs — quadratic output no salting can fix, because the
+    *answer* is quadratic under pair semantics. Collapsing first changes the
+    answer shape to the scale-sane one: each identical-content group emits
+    star edges (canonical → member, jaccard = 1.0 exactly) and contributes
+    ONE representative to the MinHash pipeline. `connected_components` over
+    star ∪ LSH edges yields identical clusters to the all-pairs form.
+
+    One shuffle (window over the content md5 — the text is shuffled once,
+    keyed by its hash). Returns (representative docs, star edges)."""
+    ids = df.select(
+        F.col(id_col).alias("sid"),
+        F.col(text_col).alias("_txt"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    with_rep = ids.withColumn("_rep", F.min("sid").over(W.partitionBy("_h")))
+    stars = with_rep.where(F.col("sid") != F.col("_rep")).select(
+        F.col("_rep").alias("a_id"),
+        F.col("sid").alias("b_id"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    rep_docs = with_rep.where(F.col("sid") == F.col("_rep")).select(
+        F.col("sid").alias(id_col), F.col("_txt").alias(text_col)
+    )
+    return rep_docs, stars
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -135,16 +166,23 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
     The only join is on band keys — candidates are pairs agreeing on all
     ``k/bands`` minhashes in some band (P(candidate) ≈ 1-(1-j^r)^b), so work
     scales with true-duplicate density, not corpus². This is the 100 TB
-    dedup path; AQE's skew handling covers degenerate hot bands (e.g. the
-    empty-document band)."""
+    dedup path. ``collapse_exact`` (default) first collapses byte-identical
+    documents to one representative and emits star edges for them (see
+    `_exact_collapse`) — the defense against degenerate hot bands from
+    duplicate floods; AQE's skew handling covers what remains (near- but
+    not byte-identical boilerplate, whose pair output is genuinely dense)."""
     from arrow_parquet_logs_spark.functions.hashing import MINHASH_P, minhash_coeffs
 
+    stars = None
+    if collapse_exact:
+        df, stars = _exact_collapse(df, id_col, text_col)
     rows = k // bands
     ca, cb = minhash_coeffs(k)
     # persist the shingle sets: they feed hashing once and the Jaccard
@@ -179,7 +217,8 @@ def minhash_lsh_pairs(
     a = bk.select(F.col("sid").alias("a_id"), "band_key")
     b = bk.select(F.col("sid").alias("b_id"), "band_key")
     cand = a.join(b, "band_key").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
-    return _verify_jaccard(cand, sets, threshold)
+    verified = _verify_jaccard(cand, sets, threshold)
+    return verified.unionByName(stars) if stars is not None else verified
 
 
 import re as _re
@@ -281,12 +320,16 @@ def minhash_lsh_pairs_pandas(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """`minhash_lsh_pairs` with the signature stage in vectorized pandas.
 
     Same output bit-for-bit (same DuckDB oracle applies); the banding join
     and Jaccard verification stay Catalyst. This is the bench/production
     path — the expression form remains as the oracle-shaped reference."""
+    stars = None
+    if collapse_exact:
+        df, stars = _exact_collapse(df, id_col, text_col)
     rows = k // bands
     sets = _minhash_sets_pandas(df, id_col, text_col, n, k).persist()
     band_exprs = [
@@ -305,7 +348,8 @@ def minhash_lsh_pairs_pandas(
     a = bk.select(F.col("sid").alias("a_id"), "band_key")
     b = bk.select(F.col("sid").alias("b_id"), "band_key")
     cand = a.join(b, "band_key").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
-    return _verify_jaccard(cand, sets.select("sid", "sh"), threshold)
+    verified = _verify_jaccard(cand, sets.select("sid", "sh"), threshold)
+    return verified.unionByName(stars) if stars is not None else verified
 
 
 # ------------------------------------------------------------ SimHash ----

@@ -272,8 +272,21 @@ def _minhash_sig_sql() -> str:
     sigs AS (SELECT doc_id, {sig_list} AS sig FROM sigagg)"""
 
 
+# exact-collapse twin of operators.dedup._exact_collapse: byte-identical
+# documents emit star edges (canonical -> member, jaccard exactly 1.0) and
+# only the canonical representative enters the MinHash pipeline
 _MINHASH_ORACLE = f"""
-    WITH {_SHINGLE_CTE},
+    WITH grp AS (SELECT doc_id, md5(text) AS h FROM documents),
+    reps AS (SELECT h, min(doc_id) AS rep FROM grp GROUP BY h),
+    star AS (
+        SELECT r.rep AS a_id, g.doc_id AS b_id, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM grp g JOIN reps r USING (h) WHERE g.doc_id != r.rep
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT tk.doc_id, {_SH3} AS s
+        FROM toks tk JOIN reps r ON tk.doc_id = r.rep
+    ),
     {_minhash_sig_sql()},
     bands AS (
         SELECT doc_id,
@@ -285,7 +298,9 @@ _MINHASH_ORACLE = f"""
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
-    {_VERIFY_SQL}
+    SELECT * FROM ({_VERIFY_SQL})
+    UNION ALL
+    SELECT * FROM star
     """
 
 
@@ -908,7 +923,9 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
     kept1 = docs.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
-    pairs = D.minhash_lsh_pairs_pandas(kept1, threshold=0.6)
+    # kept1 is already exact-deduped by the window above — skip the
+    # operator's own exact-collapse (it would be a no-op plus one shuffle)
+    pairs = D.minhash_lsh_pairs_pandas(kept1, threshold=0.6, collapse_exact=False)
     dropped = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     kept2 = kept1.join(dropped, "doc_id", "left_anti")
     feats = X.quality_features(kept2).select("doc_id", "n_tokens", "quality_score")

@@ -290,3 +290,37 @@ def test_ngram_df_cap_reuses_join_exchange(spark):
     n_g_exchanges = plan.count("hashpartitioning(g")
     reused = "ReusedExchange" in plan
     assert reused or n_g_exchanges <= 2, plan
+
+
+def test_lsh_band_flood_collapses_exact_dups(spark):
+    """Adversarial corpus: 10,000 byte-identical short docs — every one
+    shares every band key, so pair semantics would materialize ~5*10^7
+    candidates. Exact-collapse must reduce them to one representative +
+    star edges, complete quickly, and connected_components must still
+    report the full duplicate cluster."""
+    import time
+
+    from arrow_parquet_logs_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs_pandas,
+    )
+
+    flood = [(i, "click here to win a prize now") for i in range(10_000)]
+    flood.append((20_000, "the quick brown fox jumps over the lazy dog tail"))
+    flood.append((20_001, "the quick brown fox jumps over the lazy dog paw"))
+    df = spark.createDataFrame(flood, "doc_id long, text string")
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs_pandas(df, threshold=0.6)
+    rows = pairs.collect()
+    elapsed = time.time() - t0
+    # star edges: canonical 0 -> each of 9,999 members at jaccard exactly 1.0
+    stars = [(r.a_id, r.b_id) for r in rows if r.jaccard == 1.0 and r.a_id == 0]
+    assert len(stars) == 9_999
+    assert elapsed < 120, f"band flood took {elapsed:.0f}s — quadratic blow-up"
+    clusters = connected_components(pairs)
+    sizes = {r.cluster_id: 0 for r in clusters.collect()}
+    for r in clusters.collect():
+        sizes[r.cluster_id] += 1
+    assert sizes[0] == 10_000  # the flood is ONE cluster, canonical id 0
+    assert sizes.get(20_000) == 2  # the genuine near-dup pair survives as its own cluster
