@@ -321,11 +321,40 @@ class LogStore:
         return n
 
     # ---- read path (reference §3.2) ---------------------------------------
-    def _tier_files(self, container: str, session: str) -> tuple[list[str], list[str]]:
-        """(archive files, live landing files) honoring the CURRENT manifest."""
+    _DT_RE = re.compile(r"(?:^|/)dt=(\d{4}-\d{2}-\d{2})/")
+
+    @classmethod
+    def _file_dt(cls, relpath: str) -> str | None:
+        """Calendar date of a ``dt=``-subpartitioned archive file, None for
+        flat (pre-subpartition) layouts."""
+        m = cls._DT_RE.search(relpath.replace(os.sep, "/"))
+        return m.group(1) if m else None
+
+    def _tier_files(
+        self,
+        container: str,
+        session: str,
+        start_date: str | None = None,
+        end_date: str | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """(archive files, live landing files) honoring the CURRENT manifest.
+
+        ``start_date``/``end_date`` (inclusive ISO dates) prune ``dt=``
+        subpartitioned archive files at the FILE-LIST level — the explicit-
+        file-list store's form of partition pruning: a time-range scan never
+        opens (or even footers) files for other dates. Files without a
+        ``dt=`` component (old layout, landing tier) are always kept."""
         man = self._current_manifest(container, session)
         adir = self._part_dir(self._archive_root(), container, session)
-        archive = [os.path.join(adir, f"v{man['version']}", f) for f in man["files"]]
+        names = man["files"]
+        if start_date is not None or end_date is not None:
+            names = [
+                f
+                for f in names
+                if (d := self._file_dt(f)) is None
+                or ((start_date is None or d >= start_date) and (end_date is None or d <= end_date))
+            ]
+        archive = [os.path.join(adir, f"v{man['version']}", f) for f in names]
         ldir = self._part_dir(self._landing_root(), container, session)
         consumed = set(man["consumed_landing"])
         landing = []
@@ -370,9 +399,14 @@ class LogStore:
             if session is not None and s != session:
                 continue
             groups.append((c, s))
+        # dt-subpartition pruning: resolve the inclusive timestamp bounds to
+        # calendar dates once, so compacted archives shed whole files before
+        # any footer is opened (inclusive bounds → inclusive dates)
+        lo_d = _parse_ts(start_ts, 0).date().isoformat() if start_ts is not None else None
+        hi_d = _parse_ts(end_ts, 0).date().isoformat() if end_ts is not None else None
         dfs = []
         for c, s in groups:
-            a, l = self._tier_files(c, s)
+            a, l = self._tier_files(c, s, start_date=lo_d, end_date=hi_d)
             if a or l:
                 dfs.append(self._read_session_files(c, s, a + l))
         if not dfs:
@@ -585,7 +619,12 @@ class LogStore:
         man = self._current_manifest(container, session)
         archive, landing = self._tier_files(container, session)
         inputs = archive + landing
-        if retain_from is None and not landing and len(archive) <= target_files:
+        # dt-subpartitioned archives legitimately hold ~one file per date:
+        # the "already compact" bound is target_files per task plus one file
+        # per date directory a task boundary straddles
+        n_dt = len({d for f in man["files"] if (d := self._file_dt(f)) is not None})
+        compact_bound = max(target_files, n_dt + target_files - 1)
+        if retain_from is None and not landing and len(archive) <= compact_bound:
             return {"version": man["version"], "compacted": False}
         if not inputs:
             return {"version": man["version"], "compacted": False}
@@ -594,7 +633,7 @@ class LogStore:
             # nothing is older than the cutoff — a periodic retention job
             # must not rewrite the whole archive into an identical new
             # version every tick. Footer stats answer this without a scan.
-            if not landing and len(archive) <= target_files:
+            if not landing and len(archive) <= compact_bound:
                 return {"version": man["version"], "compacted": False}
             retain_from = None  # plain compaction; the filter would be a no-op
         new_version = man["version"] + 1
@@ -607,10 +646,28 @@ class LogStore:
             # inclusive survival bound: rows at exactly the cutoff survive
             # (consistent with the store's inclusive range-read semantics)
             df = df.where(F.col("timestamp") >= F.lit(retain_from).cast("timestamp"))
-        # sort within files by timestamp → parquet min/max stats give
-        # row-group skipping for time-range scans on the compacted tier
-        (df.repartition(target_files).sortWithinPartitions("timestamp").write.mode("overwrite").parquet(vdir))
-        files = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
+        # layout: dt= calendar subpartitions (time-range reads drop whole
+        # files at the list level — see _tier_files) + Z-order on
+        # (timestamp, level) within each date so parquet min/max stats stay
+        # tight on BOTH dimensions: intra-day time scans AND level filters
+        # skip row groups. partition_cols aligns tasks with dt boundaries.
+        from arrow_parquet_logs_spark.operators.layout import zorder_by
+
+        out = (
+            df.withColumn("dt", F.to_date("timestamp"))
+            .withColumn("__lvl", F.crc32("level"))
+        )
+        out = zorder_by(
+            out, ["timestamp", "__lvl"], bits=16,
+            target_files=target_files, partition_cols=["dt"],
+        ).drop("__lvl")
+        out.write.mode("overwrite").partitionBy("dt").parquet(vdir)
+        files = sorted(
+            os.path.relpath(os.path.join(root, f), vdir).replace(os.sep, "/")
+            for root, _, fs in os.walk(vdir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
         # Grace-period retirement: delete only files consumed by the
         # PREVIOUS version (they've been manifest-excluded for a full cycle,
         # so a reader that resolved its file list against manifest N just

@@ -57,6 +57,7 @@ def zorder_by(
     cols: list[str],
     bits: int = 16,
     target_files: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Rewrite ``df`` in Z-order along ``cols`` (numeric columns).
 
@@ -66,6 +67,12 @@ def zorder_by(
     ``target_files`` sizes the output (defaults to the session's shuffle
     partitioning); at scale run per archive partition as the compaction
     step, like LogStore.compact does for time.
+
+    ``partition_cols`` lead the range partitioning and the in-partition
+    sort: when the caller will ``write.partitionBy`` those columns, this
+    aligns tasks with partition-directory boundaries so each task writes
+    into ~one directory (without it, every task can straddle every
+    directory and file counts multiply by the partition count).
     """
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
@@ -80,8 +87,9 @@ def zorder_by(
     ]
     code = morton_code(scaled, bits)
     out = df.withColumn("__z", code)
+    pcols = list(partition_cols or [])
     if target_files:
-        out = out.repartitionByRange(target_files, "__z")
+        out = out.repartitionByRange(target_files, *pcols, "__z")
     else:
-        out = out.repartitionByRange("__z")
-    return out.sortWithinPartitions("__z").drop("__z")
+        out = out.repartitionByRange(*pcols, "__z")
+    return out.sortWithinPartitions(*pcols, "__z").drop("__z")

