@@ -110,35 +110,73 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_lineitem",
-    oracle=None,  # sampling is engine-specific by construction; rows-only
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE CAST(concat('0x', substr(md5(
+            concat('samp:', CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))
+          ), 1, 15)) AS BIGINT) % 10000 < 100
+    """,
     tags=("sample",),
 )
 def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE-style Bernoulli sampling with a fixed seed — reproducible
-    within Spark (same seed + same partitioning), but sampling sequences are
-    engine-specific so there is no cross-engine oracle. At 100 TB this is
-    the first stage of any profiling/eyeball query."""
+    """1% content-stable hash sample: a row is in the sample iff the
+    portable md5-derived hash of its primary key lands in the first 100 of
+    10,000 buckets. Strictly better than seeded Bernoulli at scale — the
+    sample is a pure function of row identity, so it is partition-,
+    re-ingestion- and engine-invariant (Bernoulli's RNG stream is none of
+    those, which is why the former form could only be rows-only checked).
+    Same mechanism as docs_split_assignment's hash buckets."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.01, seed=42).select(
+    key = F.concat(
+        F.lit("samp:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"),
+    )
+    return li.where(hash64(key) % 10000 < 100).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
 
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; driver runs rows-only
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS parts_in_bounds,
+           true AS orders_in_bounds
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB cardinality path —
-    one pass, fixed memory, mergeable across partitions. No SQL oracle: the
-    sketch estimate is engine-specific by construction."""
+    one pass, fixed memory, mergeable across partitions. The sketch bits
+    are engine-specific, so the estimate itself can't be hash-compared —
+    instead the query emits the exact cardinalities (hash-checked) plus
+    booleans asserting the HLL estimate lies within 3·rsd of exact
+    (rsd = 0.05 default → ±15%). A sketch regression flips a boolean and
+    fails the driver's hash gate — the bounds check IS driver-visible."""
     li = load_table(spark, sf_dir, "lineitem")
+    bound = 3 * 0.05
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey").alias("_ap"),
+            F.approx_count_distinct("l_orderkey").alias("_ao"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            (F.abs(F.col("_ap") - F.col("exact_parts"))
+             <= F.lit(bound) * F.col("exact_parts")).alias("parts_in_bounds"),
+            (F.abs(F.col("_ao") - F.col("exact_orders"))
+             <= F.lit(bound) * F.col("exact_orders")).alias("orders_in_bounds"),
         )
         .orderBy("l_returnflag")
     )
@@ -278,46 +316,113 @@ def lineitem_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_value_percentiles_approx",
-    oracle=None,  # t-digest style sketch estimates are engine-specific
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           true AS p50_in_bounds, true AS p90_in_bounds, true AS p99_in_bounds
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     tags=("agg", "approx", "percentile"),
 )
 def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the 100 TB quantile path — one pass, bounded
-    memory, partition-mergeable, unlike the exact `percentile` used by the
-    oracle-checked twin (events_value_percentiles). accuracy=10000 keeps the
-    estimate within 1/10000 rank error. Rows-only: the sketch is
-    engine-specific by construction; the exact twin carries the hash gate."""
+    memory, partition-mergeable, unlike the exact `percentile` of the
+    hash-checked twin (events_value_percentiles). accuracy=10000 bounds the
+    rank error at n/10000. The sketch value is engine-specific, so the
+    query emits the exact group counts plus booleans asserting each
+    estimate lies between the exact quantiles at q ± 0.001 (10× the
+    guaranteed rank error) — a sketch regression flips a boolean and fails
+    the driver's hash gate."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.9, 10000).alias("p90"),
-            F.percentile_approx("value", 0.99, 10000).alias("p99"),
-            F.count(F.lit(1)).alias("n_events"),
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    # pass 1: the sketch values (one row per group — broadcastable)
+    ap = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[F.percentile_approx("value", q, 10000).alias(f"_ap_{k}") for k, q in qs.items()],
+    )
+    # pass 2: RANK-based validity — the returned value's rank interval
+    # [#(<ap)+1, #(<=ap)] must intersect [q·n − m, q·n + m] with
+    # m = n·0.001 + 1 (10× the accuracy guarantee, +1 for discreteness).
+    # Rank checks are interpolation-free: Spark's exact `percentile`
+    # interpolates between data values, so a value-based bound is narrower
+    # than data spacing on small groups and flags correct sketches.
+    j = ev.join(F.broadcast(ap), "event_type")
+    aggs = [F.first("n_events").alias("n_events")]
+    flags = []
+    for k, q in qs.items():
+        aggs += [
+            F.sum((F.col("value") < F.col(f"_ap_{k}")).cast("long")).alias(f"_lt_{k}"),
+            F.sum((F.col("value") <= F.col(f"_ap_{k}")).cast("long")).alias(f"_le_{k}"),
+        ]
+        m = F.col("n_events") * 0.001 + 1
+        flags.append(
+            (
+                (F.col(f"_lt_{k}") + 1 <= q * F.col("n_events") + m)
+                & (F.col(f"_le_{k}") >= q * F.col("n_events") - m)
+            ).alias(f"{k}_in_bounds")
         )
+    return (
+        j.groupBy("event_type")
+        .agg(*aggs)
+        .select("event_type", "n_events", *flags)
         .orderBy("event_type")
     )
 
 
 @register(
     "docs_top_terms_approx",
-    oracle=None,  # count-sketch heavy-hitters are engine-specific
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    c AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS vocab_size,
+           true AS topk_valid
+    """,
     tags=("text", "approx", "topk"),
 )
 def docs_top_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_top_k heavy hitters over the token stream: the sketch
     (bounded memory, mergeable) replaces the full token→count shuffle that
     the exact top-k (docs_token_freq) pays — at 100 TB the only way to rank
-    a vocabulary that doesn't fit anywhere. Rows-only like the other
-    sketches; the exact twin is hash-checked."""
+    a vocabulary that doesn't fit anywhere.
+
+    Sketch items are engine-specific, so the driver-visible check is
+    set-validity against the exact counts, tie-agnostic: with kth = the
+    10th-highest exact count, the sketch's 10 items must (a) all have exact
+    count ≥ kth and (b) include every token whose count strictly exceeds
+    kth — i.e. be SOME valid resolution of the exact top-10 under ties.
+    The emitted row carries the exact vocabulary size (hash-checked) plus
+    that validity boolean; a sketch regression flips it and fails the
+    driver's hash gate."""
     from arrow_parquet_logs_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens("text")).alias("tok"))
-    return toks.select(
-        F.explode(F.expr("approx_top_k(tok, 10)")).alias("e")
-    ).select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
+    kth = exact.orderBy(F.desc("n"), "token").limit(10).agg(F.min("n").alias("kth"))
+    sketch = toks.select(F.explode(F.expr("approx_top_k(token, 10)")).alias("e")).select(
+        F.col("e.item").alias("token")
+    )
+    # (a) nothing below the kth count sneaks in
+    f1 = (
+        sketch.join(exact, "token", "left")
+        .crossJoin(F.broadcast(kth))
+        .agg(F.min(F.coalesce(F.col("n") >= F.col("kth"), F.lit(False))).alias("f1"))
+    )
+    # (b) every strictly-above-kth token is present
+    must = exact.crossJoin(F.broadcast(kth)).where(F.col("n") > F.col("kth"))
+    f2 = (
+        must.join(sketch.withColumn("_in", F.lit(1)), "token", "left")
+        .agg(F.coalesce(F.min(F.col("_in").isNotNull()), F.lit(True)).alias("f2"))
+    )
+    vocab = exact.agg(F.count(F.lit(1)).alias("vocab_size"))
+    return (
+        vocab.crossJoin(F.broadcast(f1))
+        .crossJoin(F.broadcast(f2))
+        .select("vocab_size", (F.col("f1") & F.col("f2")).alias("topk_valid"))
+    )
 
 
 @register(
