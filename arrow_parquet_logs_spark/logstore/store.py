@@ -582,14 +582,16 @@ class LogStore:
                 pass
 
     @staticmethod
-    def _min_ts(files: Sequence[str]):
-        """Smallest `timestamp` across the files' parquet footer statistics
-        (no data scan); None when any footer lacks usable stats."""
+    def _ts_bounds(files: Sequence[str]):
+        """(min, max) `timestamp` across the files' parquet footer statistics
+        (no data scan, no Spark job); None when any footer lacks usable
+        stats. Feeds both the retention no-op check and the Z-order scale
+        bounds, so compaction never pays a stats job."""
         from datetime import timezone as _tz
 
         import pyarrow.parquet as pq
 
-        lo = None
+        lo = hi = None
         try:
             for f in files:
                 md = pq.ParquetFile(f).metadata
@@ -598,15 +600,18 @@ class LogStore:
                     return None
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx["timestamp"]).statistics
-                    if st is None or st.min is None:
+                    if st is None or st.min is None or st.max is None:
                         return None
-                    m = st.min
+                    m, x = st.min, st.max
                     if m.tzinfo is None:
                         m = m.replace(tzinfo=_tz.utc)
+                    if x.tzinfo is None:
+                        x = x.replace(tzinfo=_tz.utc)
                     lo = m if lo is None else min(lo, m)
+                    hi = x if hi is None else max(hi, x)
         except Exception:
             return None
-        return lo
+        return lo, hi
 
     def _compact_locked(
         self,
@@ -628,7 +633,8 @@ class LogStore:
             return {"version": man["version"], "compacted": False}
         if not inputs:
             return {"version": man["version"], "compacted": False}
-        lo = self._min_ts(inputs) if retain_from is not None else None
+        bounds = self._ts_bounds(inputs)
+        lo = bounds[0] if bounds is not None else None
         if retain_from is not None and lo is not None and lo >= retain_from:
             # nothing is older than the cutoff — a periodic retention job
             # must not rewrite the whole archive into an identical new
@@ -650,17 +656,39 @@ class LogStore:
         # files at the list level — see _tier_files) + Z-order on
         # (timestamp, level) within each date so parquet min/max stats stay
         # tight on BOTH dimensions: intra-day time scans AND level filters
-        # skip row groups. partition_cols aligns tasks with dt boundaries.
-        from arrow_parquet_logs_spark.operators.layout import zorder_by
+        # skip row groups. Unlike the generic operators.layout.zorder_by,
+        # the scale bounds come from parquet FOOTERS (timestamp, already in
+        # hand from the retention check) and the full 32-bit range
+        # (crc32(level) — clustering only needs distinct codes to separate,
+        # not tight bounds), so compaction pays no stats job; and the
+        # default single-file target skips range-partition sampling too.
+        from arrow_parquet_logs_spark.operators.layout import morton_code, scale_to_bits
 
         out = (
             df.withColumn("dt", F.to_date("timestamp"))
             .withColumn("__lvl", F.crc32("level"))
         )
-        out = zorder_by(
-            out, ["timestamp", "__lvl"], bits=16,
-            target_files=target_files, partition_cols=["dt"],
-        ).drop("__lvl")
+        if bounds is not None:
+            ts_lo, ts_hi = bounds[0].timestamp(), bounds[1].timestamp()
+        else:  # footer stats unavailable — one tiny agg job as fallback
+            row = out.agg(
+                F.min(F.col("timestamp").cast("double")),
+                F.max(F.col("timestamp").cast("double")),
+            ).collect()[0]
+            ts_lo, ts_hi = row[0] or 0.0, row[1] or 1.0
+        code = morton_code(
+            [
+                scale_to_bits(F.col("timestamp"), ts_lo, ts_hi, 16),
+                scale_to_bits(F.col("__lvl"), 0.0, float(2**32 - 1), 16),
+            ],
+            16,
+        )
+        out = out.withColumn("__z", code)
+        if target_files == 1:
+            out = out.repartition(1)  # no range-sampling job for one task
+        else:
+            out = out.repartitionByRange(target_files, "dt", "__z")
+        out = out.sortWithinPartitions("dt", "__z").drop("__lvl", "__z")
         out.write.mode("overwrite").partitionBy("dt").parquet(vdir)
         files = sorted(
             os.path.relpath(os.path.join(root, f), vdir).replace(os.sep, "/")
