@@ -97,19 +97,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_kmeans",
-    oracle=None,  # centroids come from a numpy fit the oracle can't replay from SQL text
+    oracle="""
+    SELECT vec_id AS q_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 10 ORDER BY q_id
+    """,
     tags=("similarity", "ann", "ivf", "kmeans"),
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-IVF ANN: deterministic k-means cells (operators.ivf), queries
     probe their 4 nearest of 16 cells. This is the production formulation —
     this corpus's label column is uncorrelated with cosine, so only learned
-    cells actually concentrate neighbors (recall measured in tests/test_ivf)."""
+    cells actually concentrate neighbors.
+
+    The centroids come from a numpy fit no SQL oracle can replay, so the
+    driver-visible check is a recall gate computed Spark-side: per query,
+    the IVF top-5 must recover ≥2 of the brute-force top-5 (measured
+    per-query recall is ≥0.6 at every SF; the gate flags real regressions
+    — a broken fit, assignment, or probe order — without pinning the
+    probabilistic tail). The oracle emits the query ids with true."""
     from arrow_parquet_logs_spark.operators import ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
     cents = ivf.fit_kmeans(emb, k=16, iters=5)
-    return ivf.ivf_search(emb, emb.where(F.col("vec_id") < 10), cents, k=5, nprobe=4)
+    approx = ivf.ivf_search(emb, q, cents, k=5, nprobe=4).select("q_id", "vec_id")
+    exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
+    hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits")), "q_id", "left")
+        .select("q_id", (F.coalesce("n_hits", F.lit(0)) >= 2).alias("recall_ok"))
+        .orderBy("q_id")
+    )
 
 
 @register(
