@@ -1014,3 +1014,102 @@ def docs_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "docs_benchmark_contamination",
+    oracle=f"""
+    WITH bt AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 97 = 0),
+    bsh AS (SELECT DISTINCT g FROM (SELECT unnest({_SH3}) AS g FROM bt)),
+    tt AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 97 != 0),
+    tsh AS (SELECT doc_id, unnest({_SH3}) AS g FROM tt),
+    hits AS (
+        SELECT tsh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM tsh JOIN bsh USING (g) GROUP BY tsh.doc_id
+    )
+    SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3 ORDER BY doc_id
+    """,
+    tags=("text", "contamination", "dedup"),
+)
+def docs_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan — the pretraining hygiene pass: flag
+    training documents sharing ≥3 distinct word 3-gram shingles with any
+    document in a held-out benchmark set (here: every 97th doc stands in
+    for the benchmark). Scale shape: the benchmark's distinct shingle set
+    is small by definition → broadcast semi-structure, so the corpus-side
+    scan is shuffle-free until the per-doc count; candidates ∝ true
+    overlap. The shingle normalization is the dedup family's (mirrors
+    operators.text.distinct_shingles), so one vocabulary serves both."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    bsh = (
+        docs.where(is_bench)
+        .select(F.explode(X.distinct_shingles("text", 3)).alias("g"))
+        .distinct()
+    )
+    tsh = docs.where(~is_bench).select(
+        "doc_id", F.explode(X.distinct_shingles("text", 3)).alias("g")
+    )
+    return (
+        tsh.join(F.broadcast(bsh), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST({_H64.format(x="concat('pack:', CAST(doc_id AS VARCHAR))")} % 16 AS INT) AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, shard,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(cum // 2048 AS BIGINT) AS pack_id,
+           CAST(cum % 2048 AS BIGINT) AS pack_offset
+    FROM c ORDER BY doc_id
+    """,
+    tags=("text", "packing", "window"),
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: concatenate-and-chunk
+    assignment of every document to a fixed 2048-token pack, sharded.
+
+    Each doc lands in a content-stable shard (portable hash, 16 shards);
+    within a shard, a running token sum (exclusive cumsum window) places
+    the doc at its starting offset and pack_id = offset ÷ budget — the
+    standard GPT-style packing, computed declaratively. Scale shape:
+    packing is embarrassingly parallel across shards (global concatenation
+    order is irrelevant to training), so the only shuffle is the shard
+    window — no single-task global ordering, ever; at 100 TB shards ≈
+    writer-task count."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(X.tokens("text")).cast("bigint").alias("n_tokens"),
+        (hash64(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) % 16)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    c = t.withColumn("cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        "CAST(cum DIV 2048 AS BIGINT) AS pack_id",
+        "CAST(cum % 2048 AS BIGINT) AS pack_offset",
+    ).orderBy("doc_id")
