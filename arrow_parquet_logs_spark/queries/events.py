@@ -513,14 +513,24 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
     name = f"stream_rollup_{next(_STREAM_SEQ)}"
-    (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # state-store sizing: shuffle.partitions is frozen into the stream's
+    # STATE partitioning at start — 720 hourly windows of 8-byte counts
+    # need 8 stores, not 32 (each store pays per-batch open/commit fixed
+    # cost: 2.2s→1.6s warm, 8s→1.6s cold here). At scale size this to key
+    # cardinality × state bytes, not to the batch-side CPU count.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     rows = spark.table(name).orderBy("window_start").collect()
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, "window_start timestamp, n_events bigint").orderBy(
