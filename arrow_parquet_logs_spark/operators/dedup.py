@@ -139,21 +139,29 @@ def _exact_collapse(df: DataFrame, id_col: str, text_col: str):
     ONE representative to the MinHash pipeline. `connected_components` over
     star ∪ LSH edges yields identical clusters to the all-pairs form.
 
-    One shuffle (window over the content md5 — the text is shuffled once,
-    keyed by its hash). Returns (representative docs, star edges)."""
+    The document text never shuffles: only (id, md5) pairs move — a
+    map-side-combined aggregation picks each content's min id, star edges
+    come from re-joining the id/hash pairs, and the representative docs are
+    a semi-join of the original frame against the rep-id set (AQE sees the
+    aggregate's true size at runtime and broadcasts it when the deduped
+    corpus is small; at 100 TB it degrades to a sort-merge join on the id —
+    still never the text on the hash). Returns (representative docs,
+    star edges)."""
     ids = df.select(
-        F.col(id_col).alias("sid"),
-        F.col(text_col).alias("_txt"),
-        F.md5(F.col(text_col)).alias("_h"),
+        F.col(id_col).alias("sid"), F.md5(F.col(text_col)).alias("_h")
     )
-    with_rep = ids.withColumn("_rep", F.min("sid").over(W.partitionBy("_h")))
-    stars = with_rep.where(F.col("sid") != F.col("_rep")).select(
-        F.col("_rep").alias("a_id"),
-        F.col("sid").alias("b_id"),
-        F.lit(1.0).alias("jaccard"),
+    reps = ids.groupBy("_h").agg(F.min("sid").alias("_rep"))
+    stars = (
+        ids.join(reps, "_h")
+        .where(F.col("sid") != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("a_id"),
+            F.col("sid").alias("b_id"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
-    rep_docs = with_rep.where(F.col("sid") == F.col("_rep")).select(
-        F.col("sid").alias(id_col), F.col("_txt").alias(text_col)
+    rep_docs = df.join(
+        reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
     return rep_docs, stars
 
