@@ -676,3 +676,182 @@ def region_nation_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS retail_value,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE)
+             - CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.8
+             AS profit
+    FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               l_extendedprice, l_discount, p_retailprice, l_quantity
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted): product-line profit by supplier nation and year.
+
+    The driver tables have no partsupp, so ps_supplycost is approximated as
+    80% of p_retailprice — same plan shape as the genuine Q9: a lineitem
+    fact joined to orders on the order key (the one shuffle) with part /
+    supplier / nation broadcast, a LIKE filter pushed into the part scan,
+    and a two-key rollup. Money sums are DECIMAL-exact; the 0.8 factor is
+    applied once to the aggregated double (fixed op order on both engines)."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part")
+    retail = dec("p_retailprice", 12, 2) * dec("l_quantity", 12, 2)
+    out = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["part"].where(F.col("p_name").like("%widget%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            _disc_price().alias("vol"),
+            retail.alias("retail"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("vol").cast("double").alias("revenue"),
+            F.sum("retail").cast("double").alias("retail_value"),
+        )
+    )
+    return out.select(
+        "nation", "o_year", "revenue", "retail_value",
+        (F.col("revenue") - F.col("retail_value") * F.lit(0.8)).alias("profit"),
+    ).orderBy("nation", F.col("o_year").desc())
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in one
+    quarter. The quarter predicate pushes into the orders scan, the
+    returnflag predicate into lineitem; customer/nation broadcast; one
+    shuffle on the order key, then TakeOrdered for the top 20 (total order:
+    revenue desc, custkey)."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", F.col("c_acctbal").cast("double").alias("acctbal"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q21_sole_late_supplier",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM l
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    multi AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2
+    ),
+    sole AS (
+        SELECT lt.l_orderkey, lt.l_suppkey
+        FROM late lt JOIN multi USING (l_orderkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM late lt2
+            WHERE lt2.l_orderkey = lt.l_orderkey AND lt2.l_suppkey != lt.l_suppkey
+        )
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM sole JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    tags=("join", "semi", "anti", "tpch"),
+)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted): suppliers who were the SOLE late shipper on
+    multi-supplier orders. The driver tables lack commit/receipt dates, so
+    "late" is shipdate > orderdate + 60 days — the plan shape is the
+    genuine Q21's: a fact-fact join to establish lateness, then a
+    semi-join (some other supplier exists on the order) and an anti-join
+    (no other LATE supplier on the order) against the same derived
+    relation, all co-keyed on the order key so the three hash joins share
+    one shuffle partitioning; supplier broadcast at the end."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_ns"))
+        .where(F.col("_ns") >= 2)
+        .select("l_orderkey")
+    )
+    a = late.alias("a")
+    b = late.select(
+        F.col("l_orderkey").alias("b_ok"), F.col("l_suppkey").alias("b_sk")
+    ).alias("b")
+    sole = (
+        a.join(multi, "l_orderkey", "left_semi")
+        .join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b_ok")) & (F.col("a.l_suppkey") != F.col("b_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
