@@ -919,3 +919,39 @@ def events_argmax_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFram
         F.bool_or(F.col("value") > 90).cast("int").alias("any_over_90"),
     )
     return top.join(aggs, "event_type").orderBy("event_type")
+
+
+@register(
+    "events_salted_type_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "skew", "salted"),
+)
+def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type counts + DECIMAL-exact value sums through the explicit
+    two-phase SALTED aggregation (operators.relational.salted_agg): phase 1
+    groups on (event_type, salt∈[0,8)) so each hot key spreads over 8
+    reducers, phase 2 merges partials on the true key. event_type has ~5
+    values over the whole corpus — exactly the shape where a single-phase
+    reduce keys the entire table through 5 tasks at 100 TB. The oracle is
+    the plain GROUP BY: salting must be invisible in the result (count→sum
+    and sum→sum merge exactly; DECIMAL makes the sums order-invariant)."""
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.operators import relational as R
+
+    ev = load_table(spark, sf_dir, "events")
+    out = R.salted_agg(
+        ev,
+        ["event_type"],
+        [F.count(F.lit(1)).alias("_n"), F.sum(dec("value", 12, 2)).alias("_s")],
+        [
+            F.sum("_n").alias("n_events"),
+            F.sum("_s").cast("double").alias("total_value"),
+        ],
+        salt=8,
+    )
+    return out.orderBy("event_type")
