@@ -150,3 +150,34 @@ def test_full_outer_preserves_both_sides(spark, sf_dir):
     assert len(rows) == n_seg + n_ord - n_match
     assert any(r.in_segment == 0 and r.n_orders > 0 for r in rows), "right-only rows lost"
     assert sum(1 for r in rows if r.in_segment == 1 and r.n_orders == 0) == n_seg - n_match
+
+
+def test_contamination_broadcasts_benchmark_shingles(spark, sf_dir):
+    """The benchmark shingle set must reach the corpus side as a broadcast:
+    the training-corpus scan stays shuffle-free until the per-doc count."""
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["docs_benchmark_contamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q10_q21_join_shapes(spark, sf_dir):
+    """Q10: customer/nation dimensions broadcast (the fact never shuffles
+    for a dimension join). Q21: no cartesian/broadcast-nested-loop — the
+    lateness semi/anti self-joins stay keyed on the order key."""
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    p10 = explain_str(REGISTRY["tpch_q10_returned_items"].fn(spark, sf_dir))
+    assert p10.count("BroadcastHashJoin") >= 2, p10
+    p21 = explain_str(REGISTRY["tpch_q21_sole_late_supplier"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p21 and "BroadcastNestedLoopJoin" not in p21, p21
+
+
+def test_embedding_dedup_no_cartesian(spark, sf_dir):
+    """The epsilon-complete candidate join must plan as an equi-join on the
+    cell id — never a cartesian — even though the operator is exact."""
+    from arrow_parquet_logs_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = explain_str(embedding_dup_pairs(emb, threshold=0.9, k_cells=8, kmeans_iters=2))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
