@@ -189,6 +189,25 @@ def materialize_cells(
     ).partitionBy("cell").parquet(path)
 
 
+def append_to_cells(
+    emb_new: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a materialized cell-partitioned corpus:
+    assign against the EXISTING centroids and append into the matching
+    ``cell=`` directories. This is the index-maintenance path — the fit is
+    amortized over many ingest batches, and a periodic re-fit + full
+    ``materialize_cells`` rewrite (the OPTIMIZE analog) handles centroid
+    drift. Readers see the same partition-pruned layout; dynamic partition
+    append touches only the cells the batch lands in."""
+    assign_cells(emb_new.select(id_col, vec_col), centroids, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+
+
 def search_materialized(
     spark,
     path: str,

@@ -117,3 +117,22 @@ def test_embedding_dup_high_threshold_collapses_to_cells(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
     got = embedding_dup_pairs(df, threshold=0.99, k_cells=4, kmeans_iters=3).collect()
     assert {(r.a_id, r.b_id) for r in got} == {(3, 100)}, got
+
+
+def test_append_to_cells_incremental_index(spark, sf_dir, tmp_path):
+    """Index maintenance: vectors appended after materialization are
+    assigned with the existing centroids, land in the pruned layout, and
+    are found by subsequent searches identically to a full rebuild."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") >= 10)
+    new = emb.where(F.col("vec_id") < 10)
+    cents = ivf.fit_kmeans(emb, k=8, iters=3)
+    mat = str(tmp_path / "cells")
+    ivf.materialize_cells(old, cents, mat)
+    ivf.append_to_cells(new, cents, mat)
+    queries = emb.where(F.col("vec_id") >= 490)
+    got = ivf.search_materialized(spark, mat, queries, cents, k=3, nprobe=8)
+    full = str(tmp_path / "cells_full")
+    ivf.materialize_cells(emb, cents, full)
+    want = ivf.search_materialized(spark, full, queries, cents, k=3, nprobe=8)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
