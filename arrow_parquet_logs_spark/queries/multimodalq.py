@@ -63,3 +63,51 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("int").alias("byte_len"),
         F.sha2(payload, 256).alias("payload_sha256"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_plan",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(sha256(text), 7, 4)) AS INTEGER) % 5000 + 500 AS duration_ms
+        FROM documents WHERE doc_id < 100
+    ),
+    f AS (
+        SELECT doc_id, CAST(duration_ms AS BIGINT) AS duration_ms,
+               CAST(floor(duration_ms / 1000.0) AS INT) AS n
+        FROM m
+    )
+    SELECT doc_id, duration_ms, CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms
+    FROM f, unnest(range(0, n)) AS u(i)
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "video", "explode"),
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan under the hash gate: payloads wrap into the
+    media struct, a probe stage fills duration_ms (stubbed here as a
+    sha256-derived value the oracle recomputes — real codecs are env-gated),
+    and frame_sample_plan explodes one row per planned 1 Hz frame. Media
+    shorter than one interval contributes zero rows, not a spurious frame 0.
+    Row-local expansion — no payload bytes move until a decode consumes the
+    plan, and no shuffle at all until the final presentation sort."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = attach_media(
+        docs.select("doc_id", F.col("text").cast("binary").alias("raw")), "raw", "video", "mp4"
+    )
+    dur = (
+        F.conv(F.substring(F.sha2(F.col("media.payload"), 256), 7, 4), 16, 10).cast("int") % 5000
+        + 500
+    ).cast("long")
+    probed = media.withColumn("media", F.col("media").withField("duration_ms", dur))
+    plan = frame_sample_plan(probed, every_ms=1000)
+    return plan.select(
+        "doc_id",
+        F.col("media.duration_ms").alias("duration_ms"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx").cast("bigint") * 1000).alias("frame_ts_ms"),
+    ).orderBy("doc_id", "frame_idx")
