@@ -26,6 +26,14 @@ SUBSET = [
     "pipeline_training_set",
     "lineitem_price_quantity_corr",
     "full_outer_segment_order_balance",
+    # round 2: exact-by-theorem IVF dedup, salted agg (salt values are
+    # partition-dependent, the merged result must not be), sharded cumsum
+    # packing, sketch bounds gates, TPC-H semi/anti self-join
+    "dedup_embedding_cosine",
+    "events_salted_type_counts",
+    "docs_sequence_packing",
+    "events_value_percentiles_approx",
+    "tpch_q21_sole_late_supplier",
 ]
 
 
