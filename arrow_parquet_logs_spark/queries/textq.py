@@ -1113,3 +1113,120 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(cum DIV 2048 AS BIGINT) AS pack_id",
         "CAST(cum % 2048 AS BIGINT) AS pack_offset",
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_table_profile",
+    oracle="""
+    SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    ORDER BY column_name
+    """,
+    tags=("profile", "quality", "agg"),
+)
+def docs_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE / data-quality pass every ingestion run
+    needs): per-column row count, non-null count, exact distinct count, and
+    string-cast min/max — computed in ONE aggregation pass over the table,
+    then unpivoted locally (no per-column scans). At 100 TB swap the exact
+    distincts for approx_count_distinct (the sketch twin the registry
+    already gates) — the plan shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    row = docs.agg(*aggs)
+    stacked = row.selectExpr(
+        "stack({n}, {args}) AS (column_name, n_nonnull, n_distinct, min_val, max_val)".format(
+            n=len(cols),
+            args=", ".join(f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols),
+        ),
+        "n_rows",
+    )
+    return stacked.select(
+        "column_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val"
+    ).orderBy("column_name")
+
+
+@register(
+    "docs_mixture_plan",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               CASE WHEN source IN ('src0','src1','src2') THEN 3.0 ELSE 1.0 END AS weight
+        FROM stats
+    ),
+    tot AS (SELECT SUM(weight) AS wsum FROM w)
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(100000.0 * weight / wsum) AS BIGINT) AS token_budget,
+           floor(least(floor(100000.0 * weight / wsum) / n_tokens, 1.0) * 1000000) / 1000000
+               AS sampling_rate,
+           CAST(floor(least(floor(100000.0 * weight / wsum) / n_tokens, 1.0) * 1000000) / 1000000
+                >= 1.0 AS BOOLEAN) AS needs_upsampling
+    FROM w, tot ORDER BY source
+    """,
+    tags=("mixture", "sampling", "pipeline"),
+)
+def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture planning: given per-source upweights (3× for the
+    curated src0-2 here) and a 100k-token budget, compute each source's
+    token allocation and the Bernoulli sampling rate that realizes it —
+    the step that turns 'weights in a config' into scan-side sample()
+    predicates. One aggregation (token totals per source) plus a 1-row
+    broadcast of the weight normalizer; rate quantized to 1e-6 exactly
+    like the hash-sampler buckets, so the plan is engine-invariant.
+    Sources whose rate saturates at 1.0 are flagged for upsampling
+    (repeat-epoch) handling."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(X.tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = stats.withColumn(
+        "weight",
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(3.0)).otherwise(F.lit(1.0)),
+    )
+    tot = w.agg(F.sum("weight").alias("wsum"))
+    budget = F.floor(F.lit(100000.0) * F.col("weight") / F.col("wsum")).cast("bigint")
+    joined = w.crossJoin(F.broadcast(tot)).withColumn("token_budget", budget)
+    rate = (
+        F.floor(
+            F.least(F.col("token_budget") / F.col("n_tokens"), F.lit(1.0)) * 1000000
+        )
+        / 1000000
+    )
+    return (
+        joined.withColumn("sampling_rate", rate)
+        .withColumn("needs_upsampling", (F.col("sampling_rate") >= 1.0).cast("boolean"))
+        .select(
+            "source", "n_docs", "n_tokens", "token_budget", "sampling_rate", "needs_upsampling"
+        )
+        .orderBy("source")
+    )
