@@ -324,3 +324,41 @@ def test_lsh_band_flood_collapses_exact_dups(spark):
         sizes[r.cluster_id] += 1
     assert sizes[0] == 10_000  # the flood is ONE cluster, canonical id 0
     assert sizes.get(20_000) == 2  # the genuine near-dup pair survives as its own cluster
+
+
+def test_round2_operators_empty_and_degenerate_inputs(spark):
+    """Empty/degenerate inputs must return empty frames (or no-op), never
+    throw: epsilon-complete embedding dedup needs >=k vectors to fit, so it
+    must raise the loud fit error, not a cryptic one; collapse/df-cap paths
+    handle empty corpora; frame planning handles NULL durations."""
+    import pytest as _pytest
+
+    from arrow_parquet_logs_spark.operators.dedup import (
+        embedding_dup_pairs,
+        minhash_lsh_pairs_pandas,
+        ngram_jaccard_pairs,
+    )
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, frame_sample_plan
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_pairs_pandas(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs, max_shingle_df=10).count() == 0
+
+    few = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="need"):
+        embedding_dup_pairs(few, k_cells=16).count()
+
+    # zero vector: null unit vector falls out of the candidate join
+    zeros = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(10)] + [(99, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_dup_pairs(zeros, threshold=0.99, k_cells=2, kmeans_iters=2).collect()
+    assert all(r.a_id != 99 and r.b_id != 99 for r in pairs), pairs
+
+    media = attach_media(
+        spark.createDataFrame([(1, b"x")], "id long, raw binary"), "raw", "video", "mp4"
+    )
+    assert frame_sample_plan(media).count() == 0  # NULL duration -> no frames
