@@ -544,18 +544,25 @@ def embedding_dup_pairs(
         ivf.assign_cells(base, cents, vec_col="uv", out_col="cell"),
         cents, vec_col="uv", out_col="cells", slack=2.0 * eps,
     ).persist()
-    a = assigned.select(
-        F.col("sid").alias("a_id"), F.col("v").alias("a_v"), F.explode("cells").alias("cell")
-    )
-    b = assigned.select(F.col("sid").alias("b_id"), F.col("v").alias("b_v"), "cell")
-    return (
+    # candidate IDS first, distinct BEFORE scoring: each unordered pair can
+    # arrive through both directions of the expanded⋈primary join, and the
+    # exact-cosine fold is the expensive stage — score each pair once
+    a = assigned.select(F.col("sid").alias("a_id"), F.explode("cells").alias("cell"))
+    b = assigned.select(F.col("sid").alias("b_id"), "cell")
+    cand = (
         a.join(b, "cell")
         .where(F.col("a_id") != F.col("b_id"))
         .select(
             F.least("a_id", "b_id").alias("a_id"),
             F.greatest("a_id", "b_id").alias("b_id"),
-            cos.alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
         .distinct()
+    )
+    va = assigned.select(F.col("sid").alias("a_id"), F.col("v").alias("a_v"))
+    vb = assigned.select(F.col("sid").alias("b_id"), F.col("v").alias("b_v"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
