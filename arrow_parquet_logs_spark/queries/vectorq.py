@@ -318,3 +318,85 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "embeddings_int8_quantization",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, qv,
+               greatest(list_max(list_transform(qv, v -> abs(v))), 1) AS scale_q
+        FROM q
+    ),
+    c AS (
+        SELECT vec_id, scale_q,
+               -- explicit floor division: DuckDB's integer // truncates
+               -- toward zero, Spark's floor(a/b) floors toward -inf
+               list_transform(qv, v -> CAST(floor(CAST(v * 127 AS DOUBLE) / scale_q) AS BIGINT)) AS codes,
+               qv
+        FROM m
+    )
+    SELECT vec_id,
+           CAST(scale_q AS BIGINT) AS scale_q,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(list_aggregate(
+                 list_transform(list_zip(qv, codes),
+                                p -> abs(p[1] * 127 - p[2] * scale_q)),
+                 'sum') AS BIGINT) AS abs_err_127scale
+    FROM c ORDER BY vec_id
+    """,
+    tags=("vector", "quantization"),
+)
+def embeddings_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization — the storage-compression op every
+    vector pipeline runs before shipping embeddings to an index (4x
+    smaller, SIMD-friendly dot products). Per vector: symmetric scale =
+    max|x|, codes = floor(127·x/scale) ∈ [-127, 127].
+
+    Exactness strategy: components quantize to integer micro-units FIRST
+    (floor(x·1e6), the repo's standard grid), so the scale, the codes
+    (integer floor-division), and the reconstruction error — accumulated as
+    |127·q − code·scale|, an exact integer in the 127×-scaled space — are
+    all integer arithmetic with no float summation anywhere. Engine- and
+    partition-invariant by construction; floor-division semantics pinned to
+    DuckDB's // on non-negative scale. Row-local (no shuffle, no explode —
+    transform/aggregate stay in the scan stage)."""
+    from arrow_parquet_logs_spark.functions.vector import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        as_double_array("embedding"),
+        lambda x: F.floor(x * F.lit(1000000.0)).cast("bigint"),
+    )
+    base = emb.select("vec_id", qv.alias("qv"))
+    scale = F.greatest(
+        F.array_max(F.transform("qv", lambda v: F.abs(v))), F.lit(1).cast("bigint")
+    )
+    m = base.withColumn("scale_q", scale)
+    # floor division toward -inf for negative numerators (Spark's DIV and
+    # pyspark's / differ from DuckDB's // on negatives: q*127 can be
+    # negative, scale_q > 0) -> emulate // with floor(a/b) on exact doubles
+    codes = F.transform(
+        "qv",
+        lambda v: F.floor(v * F.lit(127) / F.col("scale_q")).cast("bigint"),
+    )
+    c = m.withColumn("codes", codes)
+    err = F.aggregate(
+        F.zip_with("qv", "codes", lambda q, cd: F.abs(q * F.lit(127) - cd * F.col("scale_q"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e,
+    )
+    return c.select(
+        "vec_id",
+        F.col("scale_q").cast("bigint").alias("scale_q"),
+        F.array_min("codes").cast("bigint").alias("code_min"),
+        F.array_max("codes").cast("bigint").alias("code_max"),
+        err.alias("abs_err_127scale"),
+    ).orderBy("vec_id")
