@@ -279,3 +279,54 @@ def test_production_rollup_sink_append_equals_batch(spark, tmp_path, sf_dir):
     import os
 
     assert any(d.startswith("dt=") for d in os.listdir(out)), os.listdir(out)
+
+
+def test_streaming_heavy_hitters_misra_gries(spark, tmp_path):
+    """Bounded-state streaming top-k: the Misra-Gries summary must (a) hold
+    at most k counters per key, (b) bracket every reported token's true
+    count, and (c) contain EVERY token whose true frequency exceeds
+    N/(k+1) — checked against exact batch counts over the same files."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.streaming.stateful import track_heavy_hitters
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    words = (["the"] * 40 + ["quick"] * 25 + ["fox"] * 12 + ["lazy"] * 6
+             + [f"rare{i}" for i in range(30)])
+    rows = [
+        {"timestamp": f"2024-01-01T00:{i//60:02d}:{i%60:02d}Z", "level": "INFO",
+         "message": w, "container": "a", "session": "s1"}
+        for i, w in enumerate(words)
+    ]
+    _write_batch(d, "b1.json", rows[: len(rows) // 2])
+    _write_batch(d, "b2.json", rows[len(rows) // 2 :])
+    stream = read_log_stream(spark, str(d)).select(
+        "container", F.explode(F.split("message", " ")).alias("token")
+    )
+    k = 8
+    q = (
+        track_heavy_hitters(stream, k=k)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_hh")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emission per token wins (update mode re-emits refined brackets)
+    got = {}
+    for r in spark.table("t_hh").collect():
+        got[r.token] = (r.min_count, r.max_count)
+    spark.catalog.dropTempView("t_hh")
+    assert len(got) <= k
+    true = collections.Counter(words)
+    n = len(words)
+    for tok, (lo, hi) in got.items():
+        assert lo <= true[tok] <= hi, (tok, lo, true[tok], hi)
+    for tok, cnt in true.items():
+        if cnt > n / (k + 1):
+            assert tok in got, (tok, cnt, got)
