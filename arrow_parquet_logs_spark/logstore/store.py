@@ -533,6 +533,33 @@ class LogStore:
                 "kept": [v for v in versions if v not in removed],
             }
 
+    def maintain(
+        self,
+        keep_versions: int = 2,
+        target_files: int = 1,
+        retain_before: Any = None,
+    ) -> dict:
+        """One maintenance sweep over every (container, session): optional
+        retention expiry + compaction, then vacuum of out-of-window version
+        dirs — the periodic OPTIMIZE job a production store schedules. Each
+        session is an independent unit of work (its own lock, its own
+        atomic commit), so a cluster deployment fans sessions out as tasks;
+        a failure in one session doesn't block the rest (collected in
+        ``errors``). Returns per-session outcomes."""
+        out: dict[str, Any] = {"sessions": {}, "errors": {}}
+        for c, s in self._sessions():
+            key = f"{c}/{s}"
+            try:
+                if retain_before is not None:
+                    r = self.expire(c, s, retain_before)
+                else:
+                    r = self.compact(c, s, target_files=target_files)
+                v = self.vacuum(c, s, keep_versions=keep_versions)
+                out["sessions"][key] = {"compact": r, "vacuum": v}
+            except Exception as e:  # keep sweeping; report at the end
+                out["errors"][key] = str(e)
+        return out
+
     def compact(
         self,
         container: str,

@@ -360,3 +360,30 @@ def test_compact_dt_subpartitions_prune_time_scans(store):
     assert {g["message"][:2] for g in got} == {"d2", "d3"}
     # recompact with nothing new: the dt-aware bound makes it a no-op
     assert store.compact("a", "s1")["compacted"] is False
+
+
+def test_maintain_sweeps_all_sessions(store):
+    """maintain() compacts + vacuums every session independently; one
+    locked session reports an error without blocking the rest."""
+    for c, s in (("a", "s1"), ("a", "s2"), ("b", "s1")):
+        store.write_logs(c, s, [{"timestamp": "2024-01-01T00:00:00Z", "level": "INFO", "message": f"{c}{s}"}])
+    r1 = store.maintain()
+    assert set(r1["sessions"]) == {"a/s1", "a/s2", "b/s1"} and not r1["errors"]
+    assert all(v["compact"]["compacted"] for v in r1["sessions"].values())
+    # second sweep: all no-ops
+    r2 = store.maintain()
+    assert all(not v["compact"]["compacted"] for v in r2["sessions"].values())
+    # hold one session's lock: it errors, others still sweep
+    store.write_logs("a", "s1", [{"timestamp": "2024-01-02T00:00:00Z", "level": "INFO", "message": "x"}])
+    store.write_logs("a", "s2", [{"timestamp": "2024-01-02T00:00:00Z", "level": "INFO", "message": "y"}])
+    lock = os.path.join(store._part_dir(store._archive_root(), "a", "s1"), ".compact.lock")
+    with open(lock, "w") as fh:
+        fh.write("held")
+    r3 = store.maintain()
+    assert "a/s1" in r3["errors"] and "in progress" in r3["errors"]["a/s1"]
+    assert r3["sessions"]["a/s2"]["compact"]["compacted"]
+    os.remove(lock)
+    # retention sweep drops old rows everywhere
+    r4 = store.maintain(retain_before="2024-01-02T00:00:00Z", keep_versions=1)
+    assert not r4["errors"]
+    assert store.count() == 2  # only the 2024-01-02 rows survive
