@@ -400,3 +400,49 @@ def embeddings_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("codes").cast("bigint").alias("code_max"),
         err.alias("abs_err_127scale"),
     ).orderBy("vec_id")
+
+
+@register(
+    "docs_embedding_fusion",
+    oracle="""
+    WITH f AS (
+        SELECT d.lang,
+               len(string_split_regex(lower(trim(d.text)), '\\s+')) AS n_tokens,
+               sqrt(list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x), 'sum')) AS l2
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           floor(SUM(floor(l2 * 1000000)) / count(*)) / 1000000 AS avg_l2_norm
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+    tags=("join", "vector", "text"),
+)
+def docs_embedding_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text↔vector feature fusion: documents joined to their embedding rows
+    (doc_id = vec_id) and profiled per language — the join every curation
+    pipeline runs to put surface features and vector-space features in one
+    frame. Scale shape: a co-keyed equi-join of two fact tables (bucket
+    both on the id at 100 TB for the zero-exchange plan the repo pins in
+    tests/test_scale_plans.py); norms quantize to the integer grid before
+    the mean so the aggregate is order-invariant."""
+    from arrow_parquet_logs_spark.functions.vector import as_double_array, l2_norm
+    from arrow_parquet_logs_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "lang",
+        F.size(X.tokens("text")).alias("n_tokens"),
+        F.floor(l2_norm(as_double_array("embedding")) * 1000000).alias("l2_q"),
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.floor(F.sum("l2_q") / F.count(F.lit(1))) / 1000000).alias("avg_l2_norm"),
+        )
+        .orderBy("lang")
+    )
