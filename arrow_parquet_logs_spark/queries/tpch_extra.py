@@ -855,3 +855,58 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "sql_correlated_subqueries",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+            SELECT (2.0 * CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) / (1000.0 * count(*))
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+          )
+      AND EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o3
+            WHERE o3.o_custkey = c.c_custkey AND o3.o_orderstatus = 'P'
+          )
+    ORDER BY c_custkey
+    """,
+    tags=("sql", "subquery", "semi", "anti"),
+)
+def sql_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery surface through the SQL API, in all three forms
+    at once: a correlated SCALAR subquery (per-customer order-value
+    threshold — DECIMAL-exact sum then a fixed-order double division, so
+    the threshold is partition-order-invariant), a correlated EXISTS, and a correlated NOT EXISTS. Catalyst
+    decorrelates each into joins — the scalar into an aggregate + left
+    join, EXISTS/NOT EXISTS into left-semi/left-anti — all co-keyed on
+    c_custkey, so the three 'per-row subqueries' cost three hash joins on
+    one key, not N query executions. The same SQL text runs verbatim as
+    the DuckDB oracle."""
+    from arrow_parquet_logs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+                SELECT (2.0 * CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) / (1000.0 * count(*))
+                FROM orders o WHERE o.o_custkey = c.c_custkey
+              )
+          AND EXISTS (
+                SELECT 1 FROM orders o2
+                WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o3
+                WHERE o3.o_custkey = c.c_custkey AND o3.o_orderstatus = 'P'
+              )
+        ORDER BY c_custkey
+        """
+    )
