@@ -104,7 +104,12 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-    timings["logstore_cycle"] = round(_logstore_cycle(spark, sf_dir), 3)
+    # same best-of-2 policy as the queries: the cycle's write/compact plans
+    # compile on first use (janino, one-time on a long-lived cluster), and a
+    # fresh store per iteration keeps the measured work identical
+    timings["logstore_cycle"] = round(
+        min(_logstore_cycle(spark, sf_dir) for _ in range(2)), 3
+    )
 
     out = {
         "metric": "bench_total_sec",
