@@ -1,0 +1,240 @@
+"""Versioned parquet table with MERGE (upsert) and DELETE — the LogStore's
+manifest/CURRENT commit protocol generalized into a small copy-on-write
+table format, the way a training-data platform maintains *curated* datasets
+(label fixes, takedown deletes, CDC upserts) rather than append-only logs.
+
+Protocol (same crash-safety argument as ``store.py``):
+
+- every commit writes a fresh ``v<N>/`` directory plus a MANIFEST naming the
+  version's files; the table's state changes only at the ``os.replace`` of
+  CURRENT;
+- a manifest may reference files from PRIOR version directories (relative
+  paths from the table root, like a table-format transaction log), so an
+  upsert rewrites only the partitions its updates touch and *carries* every
+  other file by reference — copy-on-write at partition granularity, which is
+  what bounds a 100 TB upsert to the data it actually changes;
+- ``vacuum`` deletes version directories outside the kept window only after
+  removing every file in them that a SURVIVING manifest still references —
+  files, not directories, are the unit of liveness.
+
+MERGE semantics (`upsert`): matched keys are replaced by the update row,
+unmatched update keys are inserted, everything else is untouched — i.e.
+``MERGE INTO t USING u ON t.k = u.k WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *``. Keys must be unique within ``updates``.
+
+Reference: this whole module is extension surface — the reference system
+(SURVEY.md §2) has no update path at all; its archives only grow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import shutil
+import uuid
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.session import ensure_runtime_confs
+
+
+class VersionedTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: Sequence[str],
+        partition_col: str | None = None,
+    ):
+        self.spark = ensure_runtime_confs(spark)
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.partition_col = partition_col
+        os.makedirs(path, exist_ok=True)
+
+    # ---- commit protocol --------------------------------------------------
+    def _current(self) -> dict:
+        cur = os.path.join(self.path, "CURRENT")
+        if not os.path.exists(cur):
+            return {"version": 0, "files": []}
+        with open(cur) as fh:
+            vname = fh.read().strip()
+        with open(os.path.join(self.path, vname, "MANIFEST.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict) -> None:
+        vdir = os.path.join(self.path, f"v{manifest['version']}")
+        os.makedirs(vdir, exist_ok=True)
+        mtmp = os.path.join(vdir, f".MANIFEST.{uuid.uuid4().hex}")
+        with open(mtmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mtmp, os.path.join(vdir, "MANIFEST.json"))
+        tmp = os.path.join(self.path, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{manifest['version']}")
+        os.replace(tmp, os.path.join(self.path, "CURRENT"))
+
+    def _write_version_files(self, df: DataFrame, version: int, subdir: str = "") -> list[str]:
+        """Write ``df`` under v<version>/[subdir] and return table-relative
+        file paths. Partition directories come from a DUPLICATED ``__pt``
+        column, so partitionBy strips the duplicate and the real partition
+        column stays in the data files — manifest reads never need Hive
+        partition discovery or value restoration (one job, no per-partition
+        loop, no string-typed round-trip)."""
+        vdir = os.path.join(self.path, f"v{version}", subdir) if subdir else os.path.join(
+            self.path, f"v{version}"
+        )
+        if self.partition_col:
+            df = df.withColumn("__pt", F.col(self.partition_col))
+            df.write.mode("overwrite").partitionBy("__pt").parquet(vdir)
+        else:
+            df.write.mode("overwrite").parquet(vdir)
+        out = []
+        for root, _, fs in os.walk(vdir):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, f), self.path)
+                    out.append(rel.replace(os.sep, "/"))
+        return sorted(out)
+
+    @staticmethod
+    def _file_partition(relpath: str) -> str | None:
+        for part in posixpath.dirname(relpath).split("/"):
+            if part.startswith("__pt="):
+                return part.split("=", 1)[1]
+        return None
+
+    # ---- public API -------------------------------------------------------
+    def write(self, df: DataFrame) -> dict:
+        """Full snapshot commit (version N+1 replaces the table)."""
+        man = self._current()
+        new_v = man["version"] + 1
+        files = self._write_version_files(df, new_v)
+        self._commit({"version": new_v, "files": files})
+        return {"version": new_v, "files": len(files)}
+
+    def read(self, version: int | None = None) -> DataFrame:
+        if version is None:
+            man = self._current()
+        else:
+            mpath = os.path.join(self.path, f"v{version}", "MANIFEST.json")
+            if not os.path.exists(mpath):
+                raise ValueError(f"no version {version} at {self.path}")
+            with open(mpath) as fh:
+                man = json.load(fh)
+        files = [os.path.join(self.path, f) for f in man["files"]]
+        if not files:
+            raise ValueError(f"empty table at {self.path} (no committed version)")
+        return self.spark.read.parquet(*files)
+
+    def upsert(self, updates: DataFrame) -> dict:
+        """MERGE: replace matched keys, insert unmatched — rewriting only
+        the partitions the updates touch; all other files carry over by
+        reference."""
+        man = self._current()
+        if man["version"] == 0:
+            return self.write(updates)
+        target = self.read()
+        new_v = man["version"] + 1
+        if self.partition_col:
+            affected = [
+                r[0]
+                for r in updates.select(self.partition_col).distinct().collect()
+            ]
+            keep_files = [
+                f
+                for f in man["files"]
+                if self._file_partition(f) not in [str(a) for a in affected]
+            ]
+            tgt_part = target.where(F.col(self.partition_col).isin(affected))
+            merged = tgt_part.join(
+                updates.select(*self.key_cols), self.key_cols, "left_anti"
+            ).unionByName(updates)
+            new_files = self._write_version_files(merged, new_v, subdir="delta")
+        else:
+            keep_files = []
+            merged = target.join(
+                updates.select(*self.key_cols), self.key_cols, "left_anti"
+            ).unionByName(updates)
+            new_files = self._write_version_files(merged, new_v)
+        self._commit({"version": new_v, "files": sorted(keep_files) + new_files})
+        return {
+            "version": new_v,
+            "rewritten_files": len(new_files),
+            "carried_files": len(keep_files),
+        }
+
+    def delete_where(self, condition: Any) -> dict:
+        """Anti-filter commit: rows matching ``condition`` (a Column or SQL
+        string) disappear from the new version — the takedown/GDPR path.
+        Full rewrite of matching partitions (or the table without a
+        partition column); old versions remain time-travelable until
+        vacuum."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        man = self._current()
+        if man["version"] == 0:
+            raise ValueError("empty table")
+        target = self.read()
+        new_v = man["version"] + 1
+        if self.partition_col:
+            affected = [
+                r[0]
+                for r in target.where(cond).select(self.partition_col).distinct().collect()
+            ]
+            keep_files = [
+                f
+                for f in man["files"]
+                if self._file_partition(f) not in [str(a) for a in affected]
+            ]
+            kept_rows = target.where(F.col(self.partition_col).isin(affected)).where(~cond)
+            new_files = self._write_version_files(kept_rows, new_v, subdir="delta")
+        else:
+            keep_files = []
+            new_files = self._write_version_files(target.where(~cond), new_v)
+        self._commit({"version": new_v, "files": sorted(keep_files) + new_files})
+        return {
+            "version": new_v,
+            "rewritten_files": len(new_files),
+            "carried_files": len(keep_files),
+        }
+
+    def versions(self) -> list[int]:
+        out = []
+        for d in os.listdir(self.path):
+            if d.startswith("v") and os.path.exists(os.path.join(self.path, d, "MANIFEST.json")):
+                out.append(int(d[1:]))
+        return sorted(out)
+
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Remove version directories outside the CURRENT-anchored kept
+        window — but a file referenced by any SURVIVING manifest is live
+        regardless of which directory it sits in (carried references), so
+        liveness is per file; a directory goes only when nothing in it is
+        referenced anymore."""
+        current = self._current()["version"]
+        doomed = [v for v in self.versions() if v <= current - keep_versions]
+        survivors = [v for v in self.versions() if v not in doomed]
+        live: set[str] = set()
+        for v in survivors:
+            with open(os.path.join(self.path, f"v{v}", "MANIFEST.json")) as fh:
+                live.update(json.load(fh)["files"])
+        removed = []
+        for v in doomed:
+            vdir = os.path.join(self.path, f"v{v}")
+            prefix = f"v{v}/"
+            if any(f.startswith(prefix) for f in live):
+                # some files still carried by newer manifests: drop only the
+                # manifest (version stops being time-travelable) and dead files
+                for root, _, fs in os.walk(vdir):
+                    for f in fs:
+                        rel = os.path.relpath(os.path.join(root, f), self.path).replace(os.sep, "/")
+                        if rel not in live and f != "MANIFEST.json":
+                            os.remove(os.path.join(root, f))
+                os.remove(os.path.join(vdir, "MANIFEST.json"))
+            else:
+                shutil.rmtree(vdir, ignore_errors=True)
+            if not os.path.exists(os.path.join(vdir, "MANIFEST.json")):
+                removed.append(v)
+        return {"removed_versions": removed, "kept": survivors}

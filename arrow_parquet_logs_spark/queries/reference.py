@@ -234,3 +234,85 @@ def logs_filter_compiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return ev.where(pred).select("event_id", "ts", "event_type", "value").orderBy("event_id")
+
+
+@register(
+    "table_merge_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    ins AS (
+        SELECT c_custkey + 1000000 AS c_custkey,
+               concat('new_', CAST(c_custkey AS VARCHAR)) AS c_name,
+               c_nationkey, 42.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    merged AS (
+        SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 != 0
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM merged WHERE NOT (c_acctbal < 100.0)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("merge", "upsert", "versioned-table"),
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE + DELETE through the VersionedTable commit protocol, end to
+    end under the hash gate: snapshot customer into a segment-partitioned
+    versioned table, MERGE an update set (matched keys replaced, new keys
+    inserted — only touched partitions rewritten, the rest carried by file
+    reference), DELETE low-balance rows (the takedown path), then read
+    CURRENT and aggregate. The oracle replays the same merge semantics as
+    pure SQL over the base table — the physical protocol (manifests,
+    CURRENT swap, carried files) must be invisible in the result."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
+    )
+    root = tempfile.mkdtemp(prefix="merge_upsert_")
+    try:
+        t = VersionedTable(
+            spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        t.write(cust)
+        updates = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+        )
+        inserts = cust.where(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias("c_name"),
+            "c_nationkey",
+            F.lit(42.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        t.upsert(updates.unionByName(inserts))
+        t.delete_where(F.col("c_acctbal") < 100.0)
+        rows = (
+            t.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_balance"),
+            )
+            .orderBy("c_mktsegment")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_customers bigint, total_balance double"
+    ).orderBy("c_mktsegment")

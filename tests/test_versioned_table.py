@@ -1,0 +1,91 @@
+"""VersionedTable: MERGE/DELETE semantics, partition-granular copy-on-write,
+cross-version file references, and file-liveness vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"), key_cols=["k"], partition_col="seg")
+    rows = [(k, f"seg{k % 3}", k * 10) for k in range(30)]
+    t.write(spark.createDataFrame(rows, "k long, seg string, val long"))
+    return t
+
+
+def _as_dict(df):
+    return {r.k: (r.seg, r.val) for r in df.collect()}
+
+
+def test_upsert_merge_semantics_and_partition_carry(table, spark):
+    updates = spark.createDataFrame(
+        [(3, "seg0", 999), (100, "seg0", 111)], "k long, seg string, val long"
+    )
+    r = table.upsert(updates)
+    assert r["version"] == 2
+    # seg1/seg2 files carried by reference, only seg0 rewritten
+    assert r["carried_files"] > 0
+    man = table._current()
+    assert any(f.startswith("v1/") for f in man["files"]), man["files"]
+    assert any(f.startswith("v2/") for f in man["files"]), man["files"]
+    got = _as_dict(table.read())
+    assert got[3] == ("seg0", 999)      # matched -> updated
+    assert got[100] == ("seg0", 111)    # unmatched -> inserted
+    assert got[4] == ("seg1", 40)       # untouched partition intact
+    assert got[6] == ("seg0", 60)       # same partition, different key intact
+    assert len(got) == 31
+    # time travel: v1 still has the original row
+    assert _as_dict(table.read(version=1))[3] == ("seg0", 30)
+
+
+def test_delete_where_and_unpartitioned_merge(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "u"), key_cols=["k"])
+    t.write(spark.createDataFrame([(k, k * 10) for k in range(10)], "k long, val long"))
+    t.upsert(spark.createDataFrame([(1, -1), (50, -5)], "k long, val long"))
+    t.delete_where("val < 0")
+    got = {r.k: r.val for r in t.read().collect()}
+    assert 1 not in got and 50 not in got and got[2] == 20 and len(got) == 9
+
+
+def test_delete_where_partitioned(table):
+    r = table.delete_where(F.col("k") % 3 == 0)  # hits every seg0 row... k%3==0 -> seg0
+    assert r["version"] == 2
+    got = _as_dict(table.read())
+    assert all(k % 3 != 0 for k in got) and len(got) == 20
+
+
+def test_vacuum_respects_carried_file_liveness(table, spark):
+    """After an upsert carries v1 files forward, vacuuming v1 must keep
+    every carried file on disk (only the manifest and dead files go)."""
+    table.upsert(
+        spark.createDataFrame([(0, "seg0", 1)], "k long, seg string, val long")
+    )
+    man = table._current()
+    carried = [f for f in man["files"] if f.startswith("v1/")]
+    assert carried
+    r = table.vacuum(keep_versions=1)
+    assert r["removed_versions"] == [1]
+    for f in carried:  # carried files survive their home version's vacuum
+        assert os.path.exists(os.path.join(table.path, f)), f
+    # v1 no longer time-travelable, CURRENT still reads fully
+    with pytest.raises(ValueError, match="no version 1"):
+        table.read(version=1)
+    assert table.read().count() == 30
+    # dead seg0 file from v1 was removed
+    dead = [
+        f for f in os.listdir(os.path.join(table.path, "v1", "__pt=seg0"))
+    ] if os.path.isdir(os.path.join(table.path, "v1", "__pt=seg0")) else []
+    assert not [f for f in dead if f.endswith(".parquet")]
+
+
+def test_upsert_into_empty_writes_snapshot(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "e"), key_cols=["k"])
+    r = t.upsert(spark.createDataFrame([(1, 10)], "k long, val long"))
+    assert r["version"] == 1
+    assert t.read().count() == 1
