@@ -955,3 +955,38 @@ def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=8,
     )
     return out.orderBy("event_type")
+
+
+@register(
+    "events_salted_user_join",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, d.user_events AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN d ON e.user_id = d.user_id
+    GROUP BY e.event_type, d.user_events
+    ORDER BY e.event_type, user_bucket
+    """,
+    tags=("join", "skew", "salted"),
+)
+def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-join through the explicit salting operator
+    (operators.relational.salted_join): the fact side (events) salts
+    randomly, the per-user dimension replicates across all 8 salt values,
+    so one hot user's rows land in 8 tasks instead of one straggler — the
+    defense for skewed keys too big for AQE's split and dims too big to
+    broadcast. The oracle is the plain join: salting must be invisible in
+    the result."""
+    from arrow_parquet_logs_spark.operators import relational as R
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    joined = R.salted_join(ev.select("user_id", "event_type"), dim, "user_id", salt=8)
+    return (
+        joined.groupBy("event_type", F.col("user_events").alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "user_bucket")
+    )
