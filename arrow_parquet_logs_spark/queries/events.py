@@ -990,3 +990,52 @@ def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "user_bucket")
     )
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER w AS prev_type,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type AS status, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type != prev_type
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+    tags=("window", "scd2", "history"),
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change stream:
+    collapse consecutive rows with the same status into one validity
+    interval [valid_from, valid_to), open-ended for the current state —
+    the changes→dimension-history derivation every warehouse runs.
+    Both windows share one shuffle on user_id (same partitioning); the
+    (ts, event_id) ordering makes interval boundaries deterministic at
+    any parallelism."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", F.col("event_type").alias("status"), F.col("ts").alias("valid_from"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    return (
+        changes.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from")
+    )
