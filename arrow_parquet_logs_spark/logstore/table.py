@@ -200,6 +200,27 @@ class VersionedTable:
             "carried_files": len(keep_files),
         }
 
+    def start_stream_upsert(self, updates_stream: DataFrame, checkpoint: str,
+                            available_now: bool = True):
+        """CDC ingestion: apply each micro-batch of ``updates_stream`` as a
+        MERGE commit (foreachBatch — the standard Structured Streaming →
+        table-format upsert wiring). Batches commit in order, each a full
+        versioned MERGE, so the table is always in a consistent merged
+        state and restarts resume from the checkpoint. Duplicate keys
+        WITHIN a batch are collapsed keep-latest by the caller's upstream
+        dedup (or use `dedup_log_stream`-style dropDuplicates first)."""
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.upsert(batch_df)
+
+        writer = updates_stream.writeStream.foreachBatch(_apply).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def versions(self) -> list[int]:
         out = []
         for d in os.listdir(self.path):

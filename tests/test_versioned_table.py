@@ -89,3 +89,40 @@ def test_upsert_into_empty_writes_snapshot(spark, tmp_path):
     r = t.upsert(spark.createDataFrame([(1, 10)], "k long, val long"))
     assert r["version"] == 1
     assert t.read().count() == 1
+
+
+def test_snapshot_isolation_across_upsert(table, spark):
+    """A reader that resolved CURRENT keeps its snapshot even if a new
+    version commits before it executes — old version files are immutable
+    until vacuum (the manifest protocol's read-side guarantee)."""
+    snapshot = table.read()  # resolves v1's file list lazily
+    table.upsert(
+        spark.createDataFrame([(3, "seg0", 999)], "k long, seg string, val long")
+    )
+    got = _as_dict(snapshot)  # executes AFTER the v2 commit
+    assert got[3] == ("seg0", 30)  # still the v1 value
+    assert _as_dict(table.read())[3] == ("seg0", 999)
+
+
+def test_streaming_cdc_upserts(table, spark, tmp_path):
+    """foreachBatch CDC: each micro-batch lands as one MERGE commit; the
+    final state equals applying the batches sequentially."""
+    import json as _json
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({"k": 1, "seg": "seg1", "val": -1}) + "\n")
+        fh.write(_json.dumps({"k": 200, "seg": "seg2", "val": 7}) + "\n")
+    stream = spark.readStream.schema("k long, seg string, val long").json(str(src))
+    q = table.start_stream_upsert(stream, str(tmp_path / "cdc_ck"))
+    q.awaitTermination()
+    got = _as_dict(table.read())
+    assert got[1] == ("seg1", -1) and got[200] == ("seg2", 7) and len(got) == 31
+    # second file, restart from checkpoint: only the new batch applies
+    with open(src / "b2.json", "w") as fh:
+        fh.write(_json.dumps({"k": 200, "seg": "seg2", "val": 8}) + "\n")
+    q = table.start_stream_upsert(stream, str(tmp_path / "cdc_ck"))
+    q.awaitTermination()
+    got = _as_dict(table.read())
+    assert got[200] == ("seg2", 8) and len(got) == 31
