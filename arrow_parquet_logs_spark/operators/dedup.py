@@ -10,12 +10,15 @@ the quadratic blow-up *before* any pairwise work, which is the whole game at
   keys (candidates ∝ true near-dups), exact Jaccard verification after,
 - SimHash: 63-bit signatures + 4-chunk pigeonhole banding — *guarantees*
   recall for hamming ≤ 3 while joining on 16-bit chunk keys,
-- embedding cosine: pairwise only within a coarse cell (here the ``label``
-  column stands in for an IVF/k-means cell id).
+- embedding cosine: learned k-means cells with an ε-complete multi-probe
+  expansion — candidates bounded by cells, result provably equal to the
+  all-pairs answer at any threshold (triangle inequality).
 
 All hashing uses functions.hashing.hash64 (md5-derived) so every stage is
-reproducible in the DuckDB oracle bit-for-bit. No Python UDFs anywhere —
-signatures are nested Catalyst ``transform``/``array_min`` expressions.
+reproducible in the DuckDB oracle bit-for-bit. No Python UDFs anywhere in
+the expression forms — signatures are Catalyst expressions; the ``_fast``
+variants move only the embarrassingly-parallel signature stage to
+Arrow-batched pandas, bit-identically.
 """
 
 from __future__ import annotations

@@ -4,9 +4,11 @@
   query side is broadcast, candidates stream through one scan, ranking is a
   window on rounded cosine with an id tie-break (deterministic under any
   partitioning).
-- ``ivf_topk``: the scale path — candidates restricted to the query's coarse
-  cell (label stands in for a k-means/IVF assignment), cutting the scanned
-  fraction to |cell|/N per query. Same output contract.
+- ``ivf_topk``: candidates restricted to the query's pre-assigned coarse
+  cell, cutting the scanned fraction to |cell|/N per query (the metadata-
+  cell form; ``operators.ivf`` supplies the LEARNED k-means cells, nprobe
+  search, and the materialized cell-partitioned layout — the real scale
+  path). Same output contract.
 - ``knn_label_vote``: majority-label classification on top of either.
 
 Cosine runs as Catalyst ``zip_with``/``aggregate`` in double precision
