@@ -139,10 +139,14 @@ class VersionedTable:
         target = self.read()
         new_v = man["version"] + 1
         if self.partition_col:
-            affected = [
-                r[0]
-                for r in updates.select(self.partition_col).distinct().collect()
-            ]
+            # affected partitions = where updates land ∪ where their keys
+            # CURRENTLY live — an update may move a key across partitions,
+            # and the old copy must be rewritten away, not carried
+            new_parts = updates.select(self.partition_col).distinct()
+            old_parts = target.join(
+                updates.select(*self.key_cols), self.key_cols, "left_semi"
+            ).select(self.partition_col).distinct()
+            affected = [r[0] for r in new_parts.unionByName(old_parts).distinct().collect()]
             keep_files = [
                 f
                 for f in man["files"]

@@ -126,3 +126,21 @@ def test_streaming_cdc_upserts(table, spark, tmp_path):
     q.awaitTermination()
     got = _as_dict(table.read())
     assert got[200] == ("seg2", 8) and len(got) == 31
+
+
+def test_upsert_moves_key_across_partitions(table, spark):
+    """An update that changes a key's partition value must rewrite BOTH the
+    old and the new partition — the old copy disappears, exactly one row
+    per key survives."""
+    r = table.upsert(
+        spark.createDataFrame([(3, "seg2", 777)], "k long, seg string, val long")
+    )
+    got = _as_dict(table.read())
+    assert got[3] == ("seg2", 777)
+    assert len([k for k in got if k == 3]) == 1 and len(got) == 30
+    # seg1 untouched -> carried; seg0 (old home) and seg2 (new home) rewritten
+    man = table._current()
+    carried_parts = {
+        table._file_partition(f) for f in man["files"] if f.startswith("v1/")
+    }
+    assert "seg1" in carried_parts and "seg0" not in carried_parts and "seg2" not in carried_parts
