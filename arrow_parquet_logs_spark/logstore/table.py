@@ -33,6 +33,7 @@ import os
 import posixpath
 import shutil
 import uuid
+from contextlib import contextmanager
 from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -55,6 +56,31 @@ class VersionedTable:
         os.makedirs(path, exist_ok=True)
 
     # ---- commit protocol --------------------------------------------------
+    @contextmanager
+    def _mutate_lock(self):
+        """Single-writer guard: two concurrent mutations would both read
+        version N and race to commit N+1 — the loser's changes silently
+        vanish (lost update). O_EXCL makes the second mutator fail loudly;
+        stale locks from a crashed writer are safe to delete (nothing
+        commits before the CURRENT swap)."""
+        lock = os.path.join(self.path, ".write.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            raise RuntimeError(
+                f"another writer holds {lock} — concurrent table mutations "
+                "would lose updates; remove the lock if that writer crashed"
+            ) from None
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     def _current(self) -> dict:
         cur = os.path.join(self.path, "CURRENT")
         if not os.path.exists(cur):
@@ -109,6 +135,10 @@ class VersionedTable:
     # ---- public API -------------------------------------------------------
     def write(self, df: DataFrame) -> dict:
         """Full snapshot commit (version N+1 replaces the table)."""
+        with self._mutate_lock():
+            return self._write_locked(df)
+
+    def _write_locked(self, df: DataFrame) -> dict:
         man = self._current()
         new_v = man["version"] + 1
         files = self._write_version_files(df, new_v)
@@ -133,9 +163,13 @@ class VersionedTable:
         """MERGE: replace matched keys, insert unmatched — rewriting only
         the partitions the updates touch; all other files carry over by
         reference."""
+        with self._mutate_lock():
+            return self._upsert_locked(updates)
+
+    def _upsert_locked(self, updates: DataFrame) -> dict:
         man = self._current()
         if man["version"] == 0:
-            return self.write(updates)
+            return self._write_locked(updates)
         target = self.read()
         new_v = man["version"] + 1
         if self.partition_col:
@@ -176,6 +210,10 @@ class VersionedTable:
         Full rewrite of matching partitions (or the table without a
         partition column); old versions remain time-travelable until
         vacuum."""
+        with self._mutate_lock():
+            return self._delete_locked(condition)
+
+    def _delete_locked(self, condition: Any) -> dict:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         man = self._current()
         if man["version"] == 0:
@@ -238,6 +276,10 @@ class VersionedTable:
         regardless of which directory it sits in (carried references), so
         liveness is per file; a directory goes only when nothing in it is
         referenced anymore."""
+        with self._mutate_lock():
+            return self._vacuum_locked(keep_versions)
+
+    def _vacuum_locked(self, keep_versions: int) -> dict:
         current = self._current()["version"]
         doomed = [v for v in self.versions() if v <= current - keep_versions]
         survivors = [v for v in self.versions() if v not in doomed]

@@ -144,3 +144,15 @@ def test_upsert_moves_key_across_partitions(table, spark):
         table._file_partition(f) for f in man["files"] if f.startswith("v1/")
     }
     assert "seg1" in carried_parts and "seg0" not in carried_parts and "seg2" not in carried_parts
+
+
+def test_writer_lock_blocks_concurrent_mutation(table, spark):
+    lock = os.path.join(table.path, ".write.lock")
+    with open(lock, "w") as fh:
+        fh.write("held")
+    with pytest.raises(RuntimeError, match="another writer"):
+        table.upsert(spark.createDataFrame([(1, "seg1", 0)], "k long, seg string, val long"))
+    os.remove(lock)
+    assert table.upsert(
+        spark.createDataFrame([(1, "seg1", 0)], "k long, seg string, val long")
+    )["version"] == 2
