@@ -304,4 +304,32 @@ class VersionedTable:
                 shutil.rmtree(vdir, ignore_errors=True)
             if not os.path.exists(os.path.join(vdir, "MANIFEST.json")):
                 removed.append(v)
-        return {"removed_versions": removed, "kept": survivors}
+        # orphan sweep: a directory whose manifest was vacuumed earlier is
+        # no longer a "version", but its files may have stayed alive via
+        # carried references — once those references drop, nothing would
+        # ever revisit the directory and the files would leak forever.
+        # Any file in a manifest-less v* dir that no surviving manifest
+        # references is dead by definition.
+        orphan_files_removed = 0
+        for d in os.listdir(self.path):
+            vdir = os.path.join(self.path, d)
+            if not (d.startswith("v") and d[1:].isdigit() and os.path.isdir(vdir)):
+                continue
+            if os.path.exists(os.path.join(vdir, "MANIFEST.json")):
+                continue
+            alive_here = False
+            for root, _, fs in os.walk(vdir):
+                for f in fs:
+                    rel = os.path.relpath(os.path.join(root, f), self.path).replace(os.sep, "/")
+                    if rel in live:
+                        alive_here = True
+                    elif f.endswith(".parquet"):
+                        os.remove(os.path.join(root, f))
+                        orphan_files_removed += 1
+            if not alive_here:
+                shutil.rmtree(vdir, ignore_errors=True)
+        return {
+            "removed_versions": removed,
+            "kept": survivors,
+            "orphan_files_removed": orphan_files_removed,
+        }

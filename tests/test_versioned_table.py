@@ -156,3 +156,17 @@ def test_writer_lock_blocks_concurrent_mutation(table, spark):
     assert table.upsert(
         spark.createDataFrame([(1, "seg1", 0)], "k long, seg string, val long")
     )["version"] == 2
+
+
+def test_vacuum_orphan_sweep_reclaims_dropped_carries(table, spark):
+    """Files in a manifest-less directory (their version was vacuumed while
+    carried) must be reclaimed once no surviving manifest references them —
+    otherwise they leak forever."""
+    table.upsert(spark.createDataFrame([(0, "seg0", 1)], "k long, seg string, val long"))
+    table.vacuum(keep_versions=1)          # v1 manifest gone, seg1/seg2 files carried
+    assert os.path.isdir(os.path.join(table.path, "v1"))
+    table.write(table.read())              # v3: full snapshot, no carries
+    r = table.vacuum(keep_versions=1)      # v2 doomed; v1 orphans now dead
+    assert r["orphan_files_removed"] > 0, r
+    assert not os.path.isdir(os.path.join(table.path, "v1"))
+    assert table.read().count() == 30      # CURRENT unaffected
