@@ -7,7 +7,7 @@ fragments below), so even the probabilistic operators are hash-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from arrow_parquet_logs_spark.functions.hashing import hash64
 from arrow_parquet_logs_spark.functions.numeric import qfloor
@@ -1229,4 +1229,228 @@ def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "n_tokens", "token_budget", "sampling_rate", "needs_upsampling"
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "docs_unigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    freq AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(count(DISTINCT token) AS BIGINT) AS v FROM toks),
+    lp AS (
+        SELECT token,
+               CAST(floor(ln((CAST(c AS DOUBLE) + 1.0) / CAST(t + v AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS lnp_micro
+        FROM freq CROSS JOIN tot
+    )
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(-sum(lnp_micro) AS BIGINT) AS nll_micro,
+           round(exp(CAST(-sum(lnp_micro) AS DOUBLE) / 1000000.0 / count(*)), 6) AS ppl
+    FROM toks d JOIN lp USING (token)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def docs_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring: fit an add-one-smoothed
+    unigram LM on the corpus itself, then score every document by its
+    per-token negative log-likelihood and perplexity. The classic
+    perplexity filter (low ppl ⇒ ordinary prose, high ppl ⇒ gibberish /
+    boilerplate soup), here with the LM and the scoring in one plan.
+
+    Scale shape: the LM is the vocabulary table — token counts from one
+    map-side-combined aggregation, broadcast back onto the token stream,
+    so scoring is a shuffle per (doc, token) group and nothing more. At
+    100 TB the vocabulary (even web-scale ~10⁸ types) still broadcasts or
+    bucket-joins; no stage is corpus-quadratic. Determinism: per-token
+    ln p is floor-quantized to integer micro-nats (order-independent
+    BIGINT sums); only the final exp/round touches ULP territory, and
+    round(,6) after exp is tie-free (irrational)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("t"), F.countDistinct("token").alias("v")
+    )
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(
+            F.log(
+                (F.col("c").cast("double") + F.lit(1.0))
+                / (F.col("t") + F.col("v")).cast("double")
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("lnp_micro"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("lnp_micro")).cast("bigint").alias("nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_micro",
+            F.round(
+                F.exp(
+                    F.col("nll_micro").cast("double")
+                    / F.lit(1000000.0)
+                    / F.col("n_tokens")
+                ),
+                6,
+            ).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_importance_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents),
+    freq_r AS (SELECT token, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY token),
+    freq_t AS (SELECT token, CAST(count(*) AS BIGINT) AS ct FROM toks WHERE lang = 'en' GROUP BY token),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS tr,
+               CAST(count(DISTINCT token) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        FROM toks
+    ),
+    lw AS (
+        SELECT r.token,
+               CAST(floor(ln((CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0) / CAST(tot.tt + tot.v AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln((CAST(r.cr AS DOUBLE) + 1.0) / CAST(tot.tr + tot.v AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS lw_micro
+        FROM freq_r r LEFT JOIN freq_t t USING (token) CROSS JOIN tot
+    )
+    SELECT d.doc_id, any_value(d.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lw_micro) AS BIGINT) AS weight_micro
+    FROM toks d JOIN lw USING (token)
+    GROUP BY d.doc_id
+    ORDER BY weight_micro DESC, d.doc_id LIMIT 100
+    """,
+    tags=("text", "sampling", "lm"),
+)
+def docs_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public): score every
+    document by the log-likelihood ratio between a *target* unigram
+    distribution (here: the English subset stands in for "high-quality
+    target domain") and the *raw* corpus distribution, both add-one
+    smoothed over the shared vocabulary. Documents whose token mix looks
+    more like the target than the background rank first — the standard
+    recipe for importance-resampling a web crawl toward a curated domain.
+
+    Scale shape: both LMs come from the same one-pass token aggregation
+    (conditional count for the target side), the per-token log-ratio table
+    is vocabulary-sized → broadcast, and each doc's weight is an
+    order-independent integer sum of micro-nat ratios. Top-100 is
+    TakeOrdered with a doc_id tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(X.tokens("text")).alias("token"))
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("ct"),
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.countDistinct("token").alias("v"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("tt"),
+    )
+
+    def _lnp_micro(count_col: Column, denom_col: Column) -> Column:
+        return F.floor(
+            F.log((count_col.cast("double") + F.lit(1.0)) / denom_col.cast("double"))
+            * F.lit(1000000.0)
+        ).cast("bigint")
+
+    lw = freq.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            _lnp_micro(F.col("ct"), F.col("tt") + F.col("v"))
+            - _lnp_micro(F.col("cr"), F.col("tr") + F.col("v"))
+        ).alias("lw_micro"),
+    )
+    return (
+        toks.join(F.broadcast(lw), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lw_micro").cast("bigint").alias("weight_micro"),
+        )
+        .orderBy(F.col("weight_micro").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "docs_substring_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    wins AS (
+        SELECT doc_id,
+               {_H64.format(x="array_to_string(list_slice(t, i+1, i+8), ' ')")} AS h
+        FROM (
+            SELECT doc_id, t,
+                   unnest(CASE WHEN len(t) >= 8 THEN range(0, len(t)-7, 4) ELSE [0] END) AS i
+            FROM toks
+        )
+    ),
+    shared AS (
+        SELECT h, 1 AS dup FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(COALESCE(s.dup, 0)) AS BIGINT) AS n_dup_windows,
+           CAST(sum(COALESCE(s.dup, 0)) > 0 AS BOOLEAN) AS has_shared_span
+    FROM wins w LEFT JOIN shared s USING (h)
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+    tags=("text", "dedup", "substring"),
+)
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (the Lee et al. "Deduplicating
+    Training Data" op, public): hash overlapping 8-token windows (stride
+    4; short docs fall back to one whole-doc window) and flag every window
+    whose hash recurs in ≥2 distinct documents. Per doc: window count,
+    duplicated-window count, and a boolean "contains a shared span" — the
+    signal substring-level dedup uses to cut boilerplate that document-
+    level near-dup misses.
+
+    Scale shape: windows ∝ tokens/stride (linear, no explode blow-up); the
+    shared-hash set is duplicate-density-bounded, so the flag join's build
+    side shrinks to true boilerplate at scale; both aggregations are
+    map-side combined. The 60-bit portable hash keeps collision rate
+    ~n²/2⁶⁰ (negligible at 100 TB window counts) and lets the oracle
+    reproduce every hash bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens("text").alias("t"))
+    starts = F.when(
+        F.size("t") >= 8, F.sequence(F.lit(0), F.size("t") - 8, F.lit(4))
+    ).otherwise(F.array(F.lit(0)))
+    wins = (
+        toks.select("doc_id", "t", F.explode(starts).alias("i"))
+        .select("doc_id", hash64(F.concat_ws(" ", F.expr("slice(t, i+1, 8)"))).alias("h"))
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    return (
+        wins.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("bigint").alias("n_dup_windows"),
+        )
+        .withColumn("has_shared_span", (F.col("n_dup_windows") > 0).cast("boolean"))
+        .orderBy("doc_id")
     )
