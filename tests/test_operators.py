@@ -154,16 +154,26 @@ def test_ts_range_scan_pushes_filters(spark, sf_dir):
 
 
 def test_events_range_pushes_raw_ns_filters(spark, sf_dir):
-    """The events time range must push to the parquet scan on the RAW ns
-    column (a filter on the derived µs timestamp pushes nothing)."""
+    """The events time range must push to the parquet scan on the column's
+    NATIVE type (a filter through the normalizing cast pushes nothing).
+    Spark ≤4.0 reads the NANOS column as a raw ns long (nanosAsLong); 4.1+
+    reads it natively as TIMESTAMP_NTZ — assert the matching pushed shape."""
     from arrow_parquet_logs_spark.sources.tables import load_events_range
 
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = load_events_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-12 00:00:00")
-    assert_pushed_filters(
-        df,
-        "GreaterThanOrEqual(ts,1704412800000000000)",
-        "LessThanOrEqual(ts,1705017600000000999)",
-    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        assert_pushed_filters(
+            df,
+            "GreaterThanOrEqual(ts,1704412800000000000)",
+            "LessThanOrEqual(ts,1705017600000000999)",
+        )
+    else:
+        assert_pushed_filters(
+            df,
+            "GreaterThanOrEqual(ts,2024-01-05T00:00)",
+            "LessThanOrEqual(ts,2024-01-12T00:00)",
+        )
 
 
 def test_dim_join_broadcasts(spark, sf_dir):
