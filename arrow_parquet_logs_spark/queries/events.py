@@ -486,26 +486,12 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result is materialized (≤ one row per hour) and the memory-sink
     table dropped immediately, so repeated invocations don't accumulate
     driver-held sink tables."""
-    from pyspark.sql import types as T
+    from arrow_parquet_logs_spark.sources.tables import read_events_stream
 
-    from arrow_parquet_logs_spark.session import ensure_runtime_confs
-
-    # the ONLY query not routed through load_table — repair the session
-    # confs (nanosAsLong + UTC) itself or a vanilla driver session dies on
-    # the TIMESTAMP(NANOS) schema read and shifts windows off-UTC
-    ensure_runtime_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file-source streams take a directory; glob-filter down to the table
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) parquet arrives as long ns (same handling as the
-        # batch loader): integer `div` — a double `/` would round-trip the
-        # ~1.7e18 ns value through float53 and can flip a microsecond
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # the ONLY query not routed through load_table — read_events_stream
+    # repairs the session confs (nanosAsLong + UTC) itself and normalizes
+    # ts (long-ns / NTZ / LTZ) to TimestampType before the watermark
+    stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour"))

@@ -5,12 +5,18 @@ tables store timestamps without UTC adjustment (``isAdjustedToUTC=false``;
 ``events.ts`` is parquet ``TIMESTAMP(NANOS)``), so how they surface depends
 on the Spark build:
 
-- Spark ≤ 4.0 rejects NANOS outright (``PARQUET_TYPE_ILLEGAL``) unless
-  ``spark.sql.legacy.parquet.nanosAsLong=true``, under which ``ts`` arrives
-  as a long of nanoseconds — converted here by integer division, the exact
-  truncation DuckDB applies for TIMESTAMP_NS→TIMESTAMP.
-- Spark 4.1+ reads NANOS natively (truncated to µs) and unadjusted µs
-  columns as ``TIMESTAMP_NTZ``.
+- TIMESTAMP(NANOS) storage: every Spark through 4.1.2 rejects it outright
+  (``PARQUET_TYPE_ILLEGAL``) unless ``spark.sql.legacy.parquet.nanosAsLong=
+  true`` — which session.ensure_runtime_confs pins — so NANOS always takes
+  the bigint path here, converted by integer division, the exact truncation
+  DuckDB applies for TIMESTAMP_NS→TIMESTAMP.
+- TIMESTAMP(MICROS/MILLIS) unadjusted storage (the shipped sf* data is µs)
+  arrives as ``TIMESTAMP_NTZ``; adjusted storage as ``TIMESTAMP`` (LTZ).
+  The "native" branch below covers exactly these µs NTZ/LTZ reads. Caveat
+  recorded for a future Spark that reads NANOS natively: an inclusive end
+  bound pushed as a µs literal against raw-ns row-group stats could prune
+  sub-µs boundary rows that the legacy +999ns path includes — the bigint
+  path must stay preferred for NANOS storage.
 
 Every loader normalizes to a µs ``TimestampType`` (LTZ): the session
 timezone is pinned UTC (session.ensure_runtime_confs), so the NTZ→LTZ cast
@@ -49,6 +55,52 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
+
+
+def normalize_ts_for_streaming(stream: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a raw event-time column to µs ``TimestampType`` (LTZ) so
+    ``withWatermark`` accepts it regardless of how the parquet stored it.
+
+    One place for all three storage drifts the driver data has shipped:
+
+    - ``LongType`` (TIMESTAMP(NANOS) under ``nanosAsLong=true``): integer
+      ``div`` to µs — a float ``/`` would round-trip ~1.7e18 ns through
+      float53 and can flip a microsecond;
+    - ``TimestampNTZType`` (unadjusted µs storage): ``cast("timestamp")`` —
+      value-exact under the pinned UTC session tz, and the cast Spark
+      requires before event-time watermarking (EVENT_TIME_IS_NOT_ON_
+      TIMESTAMP_TYPE otherwise);
+    - ``TimestampType``: already correct, no-op.
+
+    Used by the registry streaming query (queries/events.py), the production
+    rollup aggregation (streaming/rollup.py), and the streaming tests — one
+    helper, not three copies of the type ladder (the r2 regression was
+    exactly one fixed copy and two missed ones). Batch loaders use
+    ``_normalize_timestamps`` below; this variant avoids ``df.dtypes``
+    because streaming DataFrames expose schema the same way, and targets the
+    single declared event-time column."""
+    from pyspark.sql import types as T
+
+    dt = stream.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        stream = stream.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        stream = stream.withColumn(col, F.col(col).cast("timestamp"))
+    return stream
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver events table with ``ts``
+    normalized for watermarking. File-source streams take a directory;
+    glob-filter down to the one table file."""
+    ensure_runtime_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_ts_for_streaming(stream)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -37,7 +37,15 @@ def hourly_rollup_agg(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Watermarked tumbling event-time count — the shared shape of the
-    memory-sink oracle twin and the production sink below."""
+    memory-sink oracle twin and the production sink below.
+
+    The event-time column is normalized (long-ns / NTZ → TimestampType)
+    before the watermark, so a stream built straight off driver parquet —
+    whatever timestamp physical type it ships — is accepted; already-normal
+    streams pass through unchanged."""
+    from arrow_parquet_logs_spark.sources.tables import normalize_ts_for_streaming
+
+    stream = normalize_ts_for_streaming(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window))

@@ -235,19 +235,12 @@ def test_production_rollup_sink_append_equals_batch(spark, tmp_path, sf_dir):
     parquet) must emit exactly the batch answer for every window the
     watermark closed, and emit each window once. Windows inside the final
     watermark horizon legitimately stay open on a finite input."""
-    from pyspark.sql import functions as F, types as T
+    from pyspark.sql import functions as F
 
-    from arrow_parquet_logs_spark.sources.tables import load_table
+    from arrow_parquet_logs_spark.sources.tables import load_table, read_events_stream
     from arrow_parquet_logs_spark.streaming import start_hourly_rollup
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_stream(spark, sf_dir)
     out = str(tmp_path / "rollup")
     q = start_hourly_rollup(stream, out, str(tmp_path / "ck"))
     q.awaitTermination()
@@ -330,3 +323,59 @@ def test_streaming_heavy_hitters_misra_gries(spark, tmp_path):
     for tok, cnt in true.items():
         if cnt > n / (k + 1):
             assert tok in got, (tok, cnt, got)
+
+
+def test_ts_normalizer_covers_every_storage_drift(spark, tmp_path, sf_dir):
+    """The r2 regression was a timestamp *storage* drift in driver parquet
+    (µs NTZ where r1 shipped ns longs) hitting a streaming path that
+    duplicated the normalization ladder. Pin the whole family in one place:
+
+    1. every driver table with an event-time-able column streams through
+       ``normalize_ts_for_streaming`` and analyzes under ``withWatermark``;
+    2. synthetic parquet in each physical shape Spark can surface — long
+       ns, TIMESTAMP_NTZ µs, TIMESTAMP (LTZ) µs — drains through the
+       production rollup agg to the same counts.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.sources.tables import normalize_ts_for_streaming
+
+    # --- 1. driver tables: analysis must succeed on every timestamp column
+    for name, col in [("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")]:
+        raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
+        norm = normalize_ts_for_streaming(stream, col)
+        assert norm.schema[col].dataType.typeName() == "timestamp", (name, col)
+        # withWatermark is analysis-time: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # surfaces here if the normalizer missed a shape
+        norm.withWatermark(col, "1 hour").groupBy(F.window(col, "1 hour")).count()
+
+    # --- 2. synthetic drift corpus: same instants in three physical shapes
+    micros = [1704067200_000_000 + i * 600_000_000 for i in range(18)]  # 3h of 10-min ticks
+    shapes = {
+        "ns_long": pa.table({"ts": pa.array([m * 1000 for m in micros], pa.int64())}),
+        "ntz_us": pa.table({"ts": pa.array(micros, pa.timestamp("us"))}),
+        "ltz_us": pa.table({"ts": pa.array(micros, pa.timestamp("us", tz="UTC"))}),
+    }
+    counts = {}
+    for shape, tbl in shapes.items():
+        d = tmp_path / shape
+        d.mkdir()
+        pq.write_table(tbl, d / "part.parquet")
+        raw_schema = spark.read.parquet(str(d)).schema
+        stream = spark.readStream.schema(raw_schema).parquet(str(d))
+        from arrow_parquet_logs_spark.streaming import start_hourly_rollup
+
+        out = str(tmp_path / f"out_{shape}")
+        q = start_hourly_rollup(stream, out, str(tmp_path / f"ck_{shape}"), watermark="0 seconds")
+        q.awaitTermination()
+        counts[shape] = sorted(
+            (r.window_start, r.n_events) for r in spark.read.parquet(out).collect()
+        )
+    assert counts["ns_long"] == counts["ntz_us"] == counts["ltz_us"], counts
