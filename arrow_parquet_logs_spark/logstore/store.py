@@ -39,7 +39,6 @@ import json
 import os
 import re
 import uuid
-from contextlib import contextmanager
 from datetime import datetime, timezone
 from functools import reduce
 from typing import Any, Iterable, Iterator, Sequence
@@ -47,6 +46,7 @@ from typing import Any, Iterable, Iterator, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from arrow_parquet_logs_spark.logstore.filters import compile_filters
+from arrow_parquet_logs_spark.logstore.locks import file_lock
 from arrow_parquet_logs_spark.schema import LOG_SCHEMA
 from arrow_parquet_logs_spark.session import ensure_runtime_confs
 
@@ -581,32 +581,21 @@ class LogStore:
         with self._session_lock(adir, container, session):
             return self._compact_locked(container, session, target_files, adir, retain_from)
 
-    @contextmanager
     def _session_lock(self, adir: str, container: str, session: str):
         """Single-mutator-per-session guard (compaction and vacuum): two
         concurrent compactions would race to write the same v<N+1>
         directory, and a vacuum racing a compaction could delete the version
         the in-flight CURRENT swap is about to name. O_EXCL makes the second
-        mutator fail loudly instead of corrupting state. Stale locks from a
-        crashed process are safe to delete (nothing is committed until the
-        CURRENT swap)."""
+        mutator fail loudly instead of corrupting state. A lock left by a
+        CRASHED process expires after ``locks.DEFAULT_STALE_AFTER`` instead
+        of wedging the session forever — safe because nothing is committed
+        until the CURRENT swap."""
         lock = os.path.join(adir, ".compact.lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-        except FileExistsError:
-            raise RuntimeError(
-                f"compaction/vacuum already in progress for ({container}, {session}) — "
-                f"remove stale {lock} if the previous process crashed"
-            ) from None
-        try:
-            yield
-        finally:
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
+        return file_lock(
+            lock,
+            f"compaction/vacuum already in progress for ({container}, {session}) — "
+            f"remove stale {lock} if the previous process crashed",
+        )
 
     @staticmethod
     def _ts_bounds(files: Sequence[str]):

@@ -33,11 +33,11 @@ import os
 import posixpath
 import shutil
 import uuid
-from contextlib import contextmanager
 from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from arrow_parquet_logs_spark.logstore.locks import DEFAULT_STALE_AFTER, file_lock
 from arrow_parquet_logs_spark.session import ensure_runtime_confs
 
 
@@ -48,38 +48,33 @@ class VersionedTable:
         path: str,
         key_cols: Sequence[str],
         partition_col: str | None = None,
+        lock_stale_after: float = DEFAULT_STALE_AFTER,
     ):
         self.spark = ensure_runtime_confs(spark)
         self.path = path
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
+        self.lock_stale_after = lock_stale_after
         os.makedirs(path, exist_ok=True)
 
     # ---- commit protocol --------------------------------------------------
-    @contextmanager
     def _mutate_lock(self):
         """Single-writer guard: two concurrent mutations would both read
         version N and race to commit N+1 — the loser's changes silently
-        vanish (lost update). O_EXCL makes the second mutator fail loudly;
-        stale locks from a crashed writer are safe to delete (nothing
-        commits before the CURRENT swap)."""
+        vanish (lost update). O_EXCL makes the second mutator fail loudly.
+        A lock left by a CRASHED writer expires after ``stale_after``
+        (locks.file_lock) rather than wedging the table forever — safe
+        because nothing commits before the CURRENT swap, so a takeover
+        writer sees the last committed state and the crashed attempt's
+        partial files are clobbered by the next overwrite into the same
+        version dir (or swept by vacuum's orphan pass)."""
         lock = os.path.join(self.path, ".write.lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-        except FileExistsError:
-            raise RuntimeError(
-                f"another writer holds {lock} — concurrent table mutations "
-                "would lose updates; remove the lock if that writer crashed"
-            ) from None
-        try:
-            yield
-        finally:
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
+        return file_lock(
+            lock,
+            f"another writer holds {lock} — concurrent table mutations "
+            "would lose updates; remove the lock if that writer crashed",
+            stale_after=self.lock_stale_after,
+        )
 
     def _current(self) -> dict:
         cur = os.path.join(self.path, "CURRENT")

@@ -91,9 +91,15 @@ def ngram_jaccard_pairs(
     boilerplate-mediated recall is traded for survival. Set ``None`` to
     disable. At 100 TB ``minhash_lsh_pairs`` remains the sanctioned path.
 
-    The df filter is a count window over the same hash-partitioning the
-    self-join needs, so the cap costs no extra shuffle (the exchange is
-    reused by both join sides).
+    The df filter is a map-side-combined ``groupBy(g).count()`` kept to the
+    over-cap shingles — by construction a tiny set (pathological corpora
+    only; empty on clean ones) — broadcast into a ``left_anti`` join against
+    the index. An earlier form used ``count().over(partitionBy(g))``, which
+    reuses the self-join's exchange but forces a full SORT of the exploded
+    index inside every partition before any join work — ~3 s at sf0.1 for a
+    cap that removed nothing. The aggregate form touches the index twice
+    (both reads served by the persisted ``sets``) but sorts nothing, and
+    the anti-join is a broadcast: no extra exchange on the index itself.
 
     ``pandas_shingles=True`` swaps the interpreted-HOF Catalyst shingle
     stage for the bit-identical mapInPandas one (production path)."""
@@ -102,11 +108,13 @@ def ngram_jaccard_pairs(
     sets = shingler(df, id_col, text_col, n).persist()
     inv = sets.select("sid", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
-        inv = (
-            inv.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("g")))
-            .where(F.col("_df") <= max_shingle_df)
-            .drop("_df")
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("g")
         )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
     sizes = sets.select("sid", F.size("sh").alias("n_sh"))
     a = inv.select(F.col("sid").alias("a_id"), "g")
     b = inv.select(F.col("sid").alias("b_id"), "g")
@@ -143,29 +151,44 @@ def _exact_collapse(df: DataFrame, id_col: str, text_col: str):
     star ∪ LSH edges yields identical clusters to the all-pairs form.
 
     The document text never shuffles: only (id, md5) pairs move — a
-    map-side-combined aggregation picks each content's min id, star edges
-    come from re-joining the id/hash pairs, and the representative docs are
-    a semi-join of the original frame against the rep-id set (AQE sees the
-    aggregate's true size at runtime and broadcasts it when the deduped
-    corpus is small; at 100 TB it degrades to a sort-merge join on the id —
-    still never the text on the hash). Returns (representative docs,
-    star edges)."""
+    map-side-combined aggregation picks each content's min id and group
+    size per distinct content. Everything downstream keys off the groups
+    with size > 1 (``dup_groups``) — by definition the only places edges or
+    eliminations can come from:
+
+    - **clean-corpus short-circuit**: one cheap eager probe — ``any(_n >
+      1)`` over the PERSISTED group aggregate — decides whether any content
+      repeats; if not, nothing else is built and the original frame passes
+      through untouched. The insurance costs one (id, md5) scan + combine.
+    - **dup path**: ``losers`` (non-representative members of dup groups,
+      ∝ duplicate count, not corpus size) come from re-joining the id/hash
+      pairs against ``dup_groups`` (AQE broadcasts it — it is small unless
+      the corpus is mostly duplicates, where a shuffle join on the hash is
+      the right plan anyway); star edges are a projection of ``losers``,
+      and the representative docs are a ``left_anti`` of the original frame
+      against the loser ids — anti-joining the SMALL set rather than
+      semi-joining the near-corpus-sized rep set.
+
+    Returns (representative docs, star edges | None)."""
     ids = df.select(
         F.col(id_col).alias("sid"), F.md5(F.col(text_col)).alias("_h")
     )
-    reps = ids.groupBy("_h").agg(F.min("sid").alias("_rep"))
-    stars = (
-        ids.join(reps, "_h")
-        .where(F.col("sid") != F.col("_rep"))
-        .select(
-            F.col("_rep").alias("a_id"),
-            F.col("sid").alias("b_id"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    reps = (
+        ids.groupBy("_h")
+        .agg(F.min("sid").alias("_rep"), F.count(F.lit(1)).alias("_n"))
+        .persist()
     )
-    rep_docs = df.join(
-        reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    if reps.where(F.col("_n") > 1).limit(1).count() == 0:
+        reps.unpersist()
+        return df, None
+    dup_groups = reps.where(F.col("_n") > 1).select("_h", "_rep")
+    losers = ids.join(dup_groups, "_h").where(F.col("sid") != F.col("_rep")).persist()
+    stars = losers.select(
+        F.col("_rep").alias("a_id"),
+        F.col("sid").alias("b_id"),
+        F.lit(1.0).alias("jaccard"),
     )
+    rep_docs = df.join(losers.select(F.col("sid").alias(id_col)), id_col, "left_anti")
     return rep_docs, stars
 
 
@@ -568,4 +591,125 @@ def embedding_dup_pairs(
         .join(vb, "b_id")
         .select("a_id", "b_id", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs_fast(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    k_cells: int = 16,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """`embedding_dup_pairs` with the per-vector math in Arrow-batched BLAS.
+
+    Same candidate structure and the same all-pairs-equal answer (the
+    ε-complete theorem is about WHICH cells are probed, not how distances
+    are computed), but the two stages the expression form runs as
+    interpreted higher-order folds become numpy matrix ops:
+
+    - **assignment + ε-expansion**: one ``mapInPandas`` pass emitting
+      (sid, cell, is_primary) rows straight off a (batch × k) distance
+      matmul — the stage that runs over the whole corpus, which is exactly
+      where the interpreted ``F.aggregate`` fold was ~3 ms/row (measured:
+      6.3 s for 2 000 rows; fatal at any real scale);
+    - **exact-cosine verification**: per-cell block matmul via
+      ``applyInPandas`` — each cell's (expanded × primary) similarity block
+      is one BLAS call, and only pairs ≥ threshold ever leave Python, so
+      the expensive candidate set is never *materialized* as rows at all
+      (the expression form shuffles every candidate pair through a distinct
+      + two vector joins — ~2 GB of Arrow traffic here; this form shuffles
+      one (sid, cell, vector) row per probe, ~16 MB). A pair probing k
+      shared cells is scored k times and collapsed by ``distinct()`` —
+      identical doubles, because every block applies the exact formula of
+      ``similarity.brute_force_topk_pandas`` (raw-vector dot over norm
+      product, ``np.round(·, 6)``), which the DuckDB oracle already
+      hash-validates.
+
+    Skew note (the 100 TB question): ``applyInPandas`` groups can't be
+    split by AQE, so one pathological mega-cell becomes one long task —
+    size ``k_cells ∝ √N`` (standard IVF sizing) and re-fit when a cell
+    exceeds memory; the ε-expansion itself is unaffected by how the blocks
+    are scored.
+
+    The oracle of the expression form applies unchanged: same pairs, same
+    rounded cosines. No corpus-side collect — the driver only ever holds
+    the k-means sample (bounded) and the k×d centroid matrix."""
+    import math
+
+    import numpy as np
+
+    from arrow_parquet_logs_spark.operators import ivf
+
+    cents = ivf.fit_kmeans_unit(
+        emb, k=k_cells, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    eps = math.sqrt(max(2.0 - 2.0 * (threshold - 1e-6), 0.0))
+    slack = 2.0 * eps
+    id_type = dict(emb.dtypes)[id_col]
+    C = np.array(cents, dtype=np.float64)  # (k, d)
+    c_sq = (C * C).sum(axis=1)  # (k,)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sids, cells, prim, vecs = [], [], [], []
+            keep = [(s, x) for s, x in zip(pdf[id_col], pdf[vec_col]) if x is not None]
+            if keep:
+                X = np.array([np.asarray(x, dtype=np.float64) for _, x in keep])
+                nrm = np.sqrt((X * X).sum(axis=1))
+                live = nrm > 0  # zero vectors have no direction: out, as in
+                # the expression form where their null unit vector falls
+                # out of the candidate join
+                sid_arr = [s for (s, _), ok in zip(keep, live) if ok]
+                Xl = X[live]
+                U = Xl / nrm[live, None]
+                d2 = (U * U).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (U @ C.T)
+                d = np.sqrt(np.maximum(d2, 0.0))  # (B, k)
+                nearest = d.argmin(axis=1)
+                mask = d <= (d.min(axis=1) + slack)[:, None]
+                ri, ci = np.nonzero(mask)
+                sids = [sid_arr[i] for i in ri]
+                cells = ci.tolist()
+                prim = (nearest[ri] == ci).tolist()
+                vecs = [Xl[i].tolist() for i in ri]
+            yield pd.DataFrame(
+                {"sid": sids, "cell": cells, "is_primary": prim, "v": vecs}
+            )
+
+    assigned = spread_for_python(emb.select(id_col, vec_col)).mapInPandas(
+        assign, f"sid {id_type}, cell int, is_primary boolean, v array<double>"
+    )
+
+    def block_score(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        pm = pdf["is_primary"].to_numpy(dtype=bool)
+        if not pm.any():
+            return empty
+        V = np.array(list(pdf["v"]), dtype=np.float64)  # (m, d) expanded
+        n = np.sqrt((V * V).sum(axis=1))
+        ids = pdf["sid"].to_numpy()
+        P, pid, pn = V[pm], ids[pm], n[pm]
+        sims = np.round((V @ P.T) / np.outer(n, pn), 6)  # (m, p)
+        ai, bi = np.nonzero(sims >= threshold)
+        keep = ids[ai] != pid[bi]
+        ai, bi = ai[keep], bi[keep]
+        if len(ai) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(ids[ai], pid[bi]),
+                "b_id": np.maximum(ids[ai], pid[bi]),
+                "cosine": sims[ai, bi],
+            }
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(block_score, f"a_id {id_type}, b_id {id_type}, cosine double")
+        .distinct()
     )

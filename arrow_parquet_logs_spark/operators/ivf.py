@@ -44,6 +44,11 @@ def fit_kmeans(
 
     rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
     x = np.array([r[1] for r in rows], dtype=np.float64)
+    return _lloyd(x, k, iters)
+
+
+def _lloyd(x, k: int, iters: int) -> list[list[float]]:
+    """Deterministic Lloyd's iterations on an (n, d) float64 matrix."""
     if len(x) < k:
         raise ValueError(f"need ≥{k} vectors to fit {k} cells, got {len(x)}")
     cent = x[:k].copy()  # id-ordered prefix init — deterministic
@@ -55,6 +60,30 @@ def fit_kmeans(
             if len(members):
                 cent[c] = members.mean(axis=0)
     return [[float(v) for v in row] for row in cent]
+
+
+def fit_kmeans_unit(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+) -> list[list[float]]:
+    """``fit_kmeans`` over unit-normalized vectors, normalizing in numpy on
+    the collected sample instead of through a per-element Catalyst
+    ``transform`` over the whole frame — one cheap scan of raw vectors,
+    zero interpreted higher-order evaluation. Zero vectors are dropped from
+    the fit (they have no direction to cluster)."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if x.ndim != 2:
+        raise ValueError(f"ragged or empty {vec_col} sample")
+    n = np.sqrt((x * x).sum(axis=1))
+    x = x[n > 0] / n[n > 0, None]
+    return _lloyd(x, k, iters)
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:

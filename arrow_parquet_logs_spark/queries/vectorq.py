@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from arrow_parquet_logs_spark.operators import similarity as S
-from arrow_parquet_logs_spark.operators.dedup import embedding_dup_pairs
+from arrow_parquet_logs_spark.operators.dedup import (
+    embedding_dup_pairs,
+    embedding_dup_pairs_fast,
+)
 from arrow_parquet_logs_spark.queries.catalog import register
 from arrow_parquet_logs_spark.sources.tables import load_table
 
@@ -216,6 +219,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     an IVF plan whose centroids it cannot replay."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "dedup_embedding_cosine_fast",
+    oracle=f"""
+    SELECT a_id, b_id, cosine FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {_COS.format(a='a.embedding', b='b.embedding')} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+    tags=("dedup", "similarity", "ivf", "kmeans", "pandas"),
+    bench=True,
+)
+def dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS formulation of `dedup_embedding_cosine` (operators.dedup.
+    embedding_dup_pairs_fast): identical ε-complete candidate structure and
+    the identical all-pairs answer, with assignment/expansion and pair
+    scoring as Arrow-batched numpy instead of interpreted Catalyst folds.
+    This is the bench/production form; the expression form stays as the
+    oracle-shaped reference — both hash against the same brute-force SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs_fast(emb, threshold=0.4)
 
 
 @register(

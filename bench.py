@@ -104,6 +104,14 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # query isolation: the dedup operators persist() intermediates that
+        # the cache manager keeps alive across queries (their returned DFs
+        # are lazy), so a later query would otherwise be measured under the
+        # previous query's storage-memory footprint — that skew, not a plan
+        # change, was a 2.9× swing on docs_quality_score in one round.
+        # Dropped AFTER both iterations so best-of-2 still measures the
+        # within-query cache reuse a real pipeline gets.
+        spark.catalog.clearCache()
     # same best-of-2 policy as the queries: the cycle's write/compact plans
     # compile on first use (janino, one-time on a long-lived cluster), and a
     # fresh store per iteration keeps the measured work identical

@@ -169,10 +169,14 @@ def test_events_range_pushes_raw_ns_filters(spark, sf_dir):
             "LessThanOrEqual(ts,1705017600000000999)",
         )
     else:
+        # match filter name + column + date prefix only: the rendered
+        # LocalDateTime literal elides zero seconds in some Spark releases
+        # ("2024-01-05T00:00" vs "...T00:00:00"), so pinning the full text
+        # would break on a version bump without any behavior change
         assert_pushed_filters(
             df,
-            "GreaterThanOrEqual(ts,2024-01-05T00:00)",
-            "LessThanOrEqual(ts,2024-01-12T00:00)",
+            "GreaterThanOrEqual(ts,2024-01-05",
+            "LessThanOrEqual(ts,2024-01-12",
         )
 
 

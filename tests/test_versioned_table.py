@@ -170,3 +170,68 @@ def test_vacuum_orphan_sweep_reclaims_dropped_carries(table, spark):
     assert r["orphan_files_removed"] > 0, r
     assert not os.path.isdir(os.path.join(table.path, "v1"))
     assert table.read().count() == 30      # CURRENT unaffected
+
+
+def test_stale_writer_lock_expires_without_lost_commit(table, spark, tmp_path):
+    """A writer that CRASHED mid-commit (lock on disk, partial version
+    files, CURRENT never swapped) must not wedge the table: a fresh lock
+    blocks, a stale one (older than lock_stale_after) is taken over, the
+    takeover commit succeeds, and the pre-crash committed state was never
+    lost or mixed with the crashed attempt's partial files."""
+    import time
+
+    lock = os.path.join(table.path, ".write.lock")
+    # simulate the crash: held lock + a partial, uncommitted v2 write
+    with open(lock, "w") as fh:
+        fh.write("{\"pid\": 999999}")
+    partial = os.path.join(table.path, "v2", "delta")
+    os.makedirs(partial, exist_ok=True)
+    with open(os.path.join(partial, "part-crashed.parquet"), "w") as fh:
+        fh.write("not parquet")
+    up = spark.createDataFrame([(3, "seg0", 777)], "k long, seg string, val long")
+
+    # fresh lock -> loud failure, nothing mutated
+    with pytest.raises(RuntimeError, match="another writer"):
+        table.upsert(up)
+    assert table._current()["version"] == 1
+
+    # age the lock past the staleness horizon -> takeover succeeds
+    old = time.time() - table.lock_stale_after - 1
+    os.utime(lock, (old, old))
+    r = table.upsert(up)
+    assert r["version"] == 2
+    got = _as_dict(table.read())
+    assert got[3] == ("seg0", 777)  # the takeover commit applied
+    assert got[4] == ("seg1", 40)   # pre-crash state intact (no lost commit)
+    # the crashed attempt's partial file is not referenced by any manifest
+    assert not any("part-crashed" in f for f in table._current()["files"])
+    # takeover released the lock; the next mutation proceeds normally
+    assert not os.path.exists(lock)
+    assert table.upsert(
+        spark.createDataFrame([(5, "seg2", 1)], "k long, seg string, val long")
+    )["version"] == 3
+
+
+def test_stale_compaction_lock_expires(spark, tmp_path):
+    """Same crash-recovery contract for the LogStore per-session lock."""
+    import time
+
+    from arrow_parquet_logs_spark.logstore import LogStore
+    from arrow_parquet_logs_spark.logstore import locks as L
+
+    store = LogStore(spark, str(tmp_path / "store"))
+    store.write_logs("a", "s1", [
+        {"timestamp": "2024-01-01T00:00:00Z", "level": "INFO", "message": "m1"}
+    ])
+    adir = store._part_dir(store._archive_root(), "a", "s1")
+    os.makedirs(adir, exist_ok=True)
+    lock = os.path.join(adir, ".compact.lock")
+    with open(lock, "w") as fh:
+        fh.write("held")
+    with pytest.raises(RuntimeError, match="already in progress"):
+        store.compact("a", "s1")
+    old = time.time() - L.DEFAULT_STALE_AFTER - 1
+    os.utime(lock, (old, old))
+    assert store.compact("a", "s1")["compacted"]
+    assert store.count(container="a", session="s1") == 1
+    assert not os.path.exists(lock)
