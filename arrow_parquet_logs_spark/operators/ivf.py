@@ -96,10 +96,13 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
 def assign_cells(
     emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding", out_col: str = "cell"
 ) -> DataFrame:
-    """Nearest-centroid assignment, entirely in codegen: distances to all k
-    centroids as literal-array folds, argmin via least-chain with index
-    tie-break. Cost O(k·d) per row, no shuffle — this is the stage that runs
-    over all 100 TB, which is why it must not touch Python."""
+    """Nearest-centroid assignment as pure Catalyst expressions: distances
+    to all k centroids as literal-array folds, argmin via a (dist, idx)
+    fold with index tie-break. No shuffle, no Python — but NOT codegen:
+    Spark evaluates higher-order ``aggregate``/``zip_with`` lambdas
+    interpreted per element (measured ~3 ms/row at k=16, d=64), so this
+    form is the oracle-shaped reference; the corpus-scale path is
+    ``assign_cells_pandas`` (one BLAS matmul per Arrow batch)."""
     v = as_double_array(vec_col)
     dists = [_sq_dist(v, c) for c in centroids]
     # argmin with lowest-index tie-break: fold over (dist, idx) structs
@@ -112,6 +115,59 @@ def assign_cells(
         lambda acc, p: F.when((p["d"] < acc["d"]), p).otherwise(acc),
     )
     return emb.withColumn(out_col, best["i"])
+
+
+def assign_cells_pandas(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding", out_col: str = "cell"
+) -> DataFrame:
+    """`assign_cells` with the distance math in Arrow-batched numpy.
+
+    The expression form's docstring promised codegen, but Catalyst evaluates
+    higher-order ``aggregate``/``zip_with`` lambdas *interpreted, per
+    element* — measured ~3 ms/row at k=16, d=64, which is fatal for the one
+    stage that must scan the whole corpus. Here each Arrow batch is one
+    (B × k) distance matmul: ``argmin(|x|² − 2x·cᵀ + |c|²)``. All other
+    columns pass through untouched; null vectors get a null cell (as in the
+    expression form, where a null array folds to a null distance).
+
+    Assignment ties: numpy ``argmin`` takes the first (lowest-index)
+    minimum — the same tie-break the expression form's ``<`` fold encodes —
+    but the two forms sum distances in different float orders, so a pair of
+    *exactly* equidistant centroids could in principle split them. Cell
+    membership is a performance partition, not a semantic answer (search
+    correctness comes from scoring, dedup completeness from ε-expansion),
+    so either assignment is valid; tests pin them equal on the shipped
+    corpora."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.array(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    # fresh StructType — StructType.add would MUTATE the input frame's
+    # cached schema object in place, desyncing it from the JVM plan
+    out_schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            live_idx = [i for i, x in enumerate(pdf[vec_col]) if x is not None]
+            cells = pd.array([None] * len(pdf), dtype="Int32")
+            if live_idx:
+                X = np.array(
+                    [np.asarray(pdf[vec_col].iloc[i], dtype=np.float64) for i in live_idx]
+                )
+                d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
+                near = d2.argmin(axis=1)
+                for j, i in enumerate(live_idx):
+                    cells[i] = int(near[j])
+            out = pdf.copy()
+            out[out_col] = cells
+            yield out
+
+    return emb.mapInPandas(gen, out_schema)
 
 
 def expanded_cells(
@@ -127,8 +183,10 @@ def expanded_cells(
     ``operators.dedup.embedding_dup_pairs``): for any pair with
     ``‖a−b‖ ≤ ε``, b's primary cell is provably in a's expanded set
     (two triangle-inequality hops: d(a,cb) ≤ ε + d(b,cb) ≤ 2ε + d(a,ca)).
-    Entirely codegen — transform/filter over a literal centroid array,
-    no shuffle, no Python."""
+    Expression-only — transform/filter over a literal centroid array, no
+    shuffle, no Python — but interpreted per element like ``assign_cells``
+    (HOF lambdas are not codegen); ``dedup.embedding_dup_pairs_fast``
+    carries the vectorized equivalent for corpus-scale runs."""
     v = as_double_array(vec_col)
     dists = F.array(*[F.sqrt(_sq_dist(v, c)) for c in centroids])
     dmin = F.array_min(dists)
@@ -145,12 +203,18 @@ def ivf_search(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pandas_assign: bool = True,
 ) -> DataFrame:
     """IVF top-k: candidates restricted to each query's ``nprobe`` nearest
-    cells. Scan fraction ≈ nprobe/n_cells of the corpus per query batch."""
+    cells. Scan fraction ≈ nprobe/n_cells of the corpus per query batch.
+    Corpus-side assignment runs vectorized (``assign_cells_pandas``) by
+    default — it is the full-scan stage; ``pandas_assign=False`` keeps the
+    expression form. Query-side probe selection stays Catalyst either way
+    (the query batch is small by definition)."""
     from arrow_parquet_logs_spark.operators.similarity import _cos, _with_vec_and_norm
 
-    cells = assign_cells(emb, centroids, vec_col)
+    assigner = assign_cells_pandas if pandas_assign else assign_cells
+    cells = assigner(emb, centroids, vec_col)
     c = _with_vec_and_norm(cells, id_col, vec_col, "c", "cell")
 
     q_assigned = queries
@@ -208,12 +272,16 @@ def materialize_cells(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pandas_assign: bool = True,
 ) -> None:
     """Write the corpus **partitioned by cell** (Hive layout): the IVF
     inverted lists as directories. At 100 TB this is what makes nprobe
     real — a search reads only the probed cells' files via partition
-    pruning; every other cell is never opened."""
-    assign_cells(emb.select(id_col, vec_col), centroids, vec_col).write.mode(
+    pruning; every other cell is never opened. Assignment is the full-
+    corpus stage, so it runs vectorized by default (see
+    ``assign_cells_pandas``)."""
+    assigner = assign_cells_pandas if pandas_assign else assign_cells
+    assigner(emb.select(id_col, vec_col), centroids, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
 
@@ -224,6 +292,7 @@ def append_to_cells(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pandas_assign: bool = True,
 ) -> None:
     """Incrementally add vectors to a materialized cell-partitioned corpus:
     assign against the EXISTING centroids and append into the matching
@@ -232,7 +301,8 @@ def append_to_cells(
     ``materialize_cells`` rewrite (the OPTIMIZE analog) handles centroid
     drift. Readers see the same partition-pruned layout; dynamic partition
     append touches only the cells the batch lands in."""
-    assign_cells(emb_new.select(id_col, vec_col), centroids, vec_col).write.mode(
+    assigner = assign_cells_pandas if pandas_assign else assign_cells
+    assigner(emb_new.select(id_col, vec_col), centroids, vec_col).write.mode(
         "append"
     ).partitionBy("cell").parquet(path)
 

@@ -245,6 +245,66 @@ def dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_keep",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a_id, b_id FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   {_COS.format(a='a.embedding', b='b.embedding')} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.4
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cc AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT e.vec_id,
+           COALESCE(cc.cluster_id, e.vec_id) AS cluster_id,
+           COALESCE(cc.cluster_id, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN cc ON cc.id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+    tags=("dedup", "similarity", "clusters", "iterative"),
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings whose pairwise cosine chains above the threshold and
+    keep ONE canonical vector per semantic cluster — the keep-list a
+    training pipeline joins against its corpus to prune semantically
+    redundant examples.
+
+    Composition of two already-verified operators: ε-complete IVF near-dup
+    pairs (`embedding_dup_pairs_fast`) feed iterative min-label propagation
+    (`connected_components`); singletons (no pair) keep themselves. The
+    oracle replays it as brute-force cosine pairs + a recursive-CTE
+    transitive closure — the same closure shape that checks
+    `dedup_clusters`, so the Spark side's iterative algorithm is fully
+    hash-gated despite having no single-query SQL equivalent."""
+    from arrow_parquet_logs_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs_fast(emb, threshold=0.4)
+    cc = connected_components(pairs).withColumnRenamed("doc_id", "id")
+    return (
+        emb.select("vec_id")
+        .join(cc, emb["vec_id"] == cc["id"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "ann_srp_lsh_topk",
     oracle=f"""
     WITH planes AS (

@@ -136,3 +136,28 @@ def test_append_to_cells_incremental_index(spark, sf_dir, tmp_path):
     ivf.materialize_cells(emb, cents, full)
     want = ivf.search_materialized(spark, full, queries, cents, k=3, nprobe=8)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_assign_cells_pandas_matches_expression(spark, sf_dir):
+    """The vectorized (BLAS) assignment must agree with the expression form
+    on the shipped corpus — same nearest centroid for every vector (both
+    use first-minimum tie-break; a disagreement would mean a genuine
+    distance-computation bug, not a tie). Null vectors get a null cell in
+    both forms."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.fit_kmeans(emb, k=8, iters=3)
+    expr = {
+        r.vec_id: r.cell
+        for r in ivf.assign_cells(emb, cents).select("vec_id", "cell").collect()
+    }
+    fast = {
+        r.vec_id: r.cell
+        for r in ivf.assign_cells_pandas(emb, cents).select("vec_id", "cell").collect()
+    }
+    assert expr == fast
+    # null vector → null cell, other columns untouched
+    null_row = spark.createDataFrame(
+        [(9999, None, 0)], "vec_id long, embedding array<double>, label int"
+    )
+    out = ivf.assign_cells_pandas(null_row, cents).collect()[0]
+    assert out.cell is None and out.vec_id == 9999 and out.label == 0

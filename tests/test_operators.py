@@ -292,18 +292,21 @@ def test_ngram_df_cap_defuses_hot_shingle(spark):
     assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, uncapped.collect()))
 
 
-def test_ngram_df_cap_reuses_join_exchange(spark):
-    """The df-cap window and the self-join hash-partition on the same key;
-    the plan must not add a THIRD exchange of the inverted index for the
-    cap (ReusedExchange or shared child covers both join sides)."""
+def test_ngram_df_cap_is_sortless_broadcast_anti(spark):
+    """The df-cap must not sort the exploded inverted index: an earlier
+    window-function form (`count().over(partitionBy(g))`) reused the join's
+    exchange but forced a full per-partition SORT of the index — ~3 s at
+    sf0.1 for a cap that removed nothing. The aggregate form's plan must
+    show (a) a broadcast LEFT ANTI join applying the cap (never a shuffled
+    anti-join of the index) and (b) no Window operator at all."""
     from arrow_parquet_logs_spark.operators.dedup import ngram_jaccard_pairs
     from arrow_parquet_logs_spark.plans.inspect import explain_str
 
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
     plan = explain_str(ngram_jaccard_pairs(df, n=3, threshold=0.1))
-    n_g_exchanges = plan.count("hashpartitioning(g")
-    reused = "ReusedExchange" in plan
-    assert reused or n_g_exchanges <= 2, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin LeftAnti" not in plan and "ShuffledHashJoin LeftAnti" not in plan, plan
 
 
 def test_lsh_band_flood_collapses_exact_dups(spark):
