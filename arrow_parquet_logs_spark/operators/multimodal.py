@@ -6,12 +6,18 @@ a typed struct (schema.MEDIA_STRUCT). Catalyst prunes/pushes down on the
 crosses into Python — Arrow-batched, via ``mapInPandas`` — in the explicitly
 media-processing operators.
 
-The decode step itself is STUBBED: image/audio codecs aren't in this
-environment. ``decode_media`` raises ``NotImplementedError`` unless
-``allow_fake=True``, in which case it derives small deterministic
-pseudo-features from the payload's sha256 — making every piece of the Spark
-plumbing (struct schema, Arrow batch shapes, UDF signatures, partition
-behavior) real and testable while the codec is a drop-in later.
+Decoding is three-tiered by format:
+
+- **PPM (P6) and BMP (24-bit uncompressed)** decode for REAL, in pure
+  numpy — both are plain byte-layout formats (header + raster), no codec
+  library involved. Decode and nearest-neighbor resize are exact pixel
+  math, pinned by byte-level tests.
+- other formats (JPEG/PNG/audio/video) need real codecs, absent in this
+  environment: ``NotImplementedError`` unless ``allow_fake=True``, which
+  derives deterministic pseudo-features from the payload's sha256 — the
+  Spark plumbing (struct schema, Arrow batch shapes, UDF signatures,
+  partition behavior) stays real and testable while the codec is a
+  drop-in later.
 
 At 100 TB: payloads dominate bytes; store them in their own parquet column
 (or external object store with a URI column) so metadata-only queries never
@@ -64,39 +70,127 @@ _DECODE_SCHEMA = (
     "n_frames int, mean_luma double"
 )
 
+#: formats decodable with no codec library — plain byte layouts.
+RAW_DECODABLE = ("ppm", "bmp")
+
+
+def _decode_ppm(buf: bytes):
+    """Binary PPM (P6) → (width, height, HxWx3 uint8 array). Header is
+    ASCII tokens (magic, width, height, maxval) with ``#`` comments,
+    followed by one whitespace byte and the raster."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    toks, i, n = [], 2, len(buf)
+    while len(toks) < 3:
+        while i < n and buf[i : i + 1].isspace():
+            i += 1
+        if i < n and buf[i : i + 1] == b"#":  # comment to end of line
+            while i < n and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not buf[j : j + 1].isspace():
+            j += 1
+        toks.append(int(buf[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raster = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, raster.reshape(h, w, 3)
+
+
+def _decode_bmp(buf: bytes):
+    """24-bit uncompressed BMP → (width, height, HxWx3 uint8 RGB array).
+    BITMAPINFOHEADER layout: pixel-data offset at byte 10, width/height
+    (int32, height<0 = top-down) at 18/22, bpp at 28, compression at 30.
+    Rows are 4-byte aligned, stored bottom-up, channels BGR."""
+    import struct as _struct
+
+    import numpy as np
+
+    if not buf.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    off = _struct.unpack_from("<I", buf, 10)[0]
+    w, h = _struct.unpack_from("<ii", buf, 18)
+    bpp = _struct.unpack_from("<H", buf, 28)[0]
+    comp = _struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return w, h, (px if top_down else px[::-1])
+
+
+def _decode_raw(fmt: str, buf: bytes):
+    return _decode_ppm(buf) if fmt == "ppm" else _decode_bmp(buf)
+
+
+def _mean_luma(px) -> float:
+    """Rec.601 luma mean in [0, 1], computed in integer space (1000×
+    scaled weights) so the result is an exact rational — deterministic
+    under any batch split or row order."""
+    import numpy as np
+
+    r, g, b = (px[:, :, c].astype(np.int64) for c in range(3))
+    total = int((299 * r + 587 * g + 114 * b).sum())
+    return total / (1000 * 255 * px.shape[0] * px.shape[1])
+
 
 def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) -> DataFrame:
     """Decode/feature-extract payloads via Arrow-batched ``mapInPandas``.
 
-    Real codecs are unavailable here → ``NotImplementedError`` unless
-    ``allow_fake=True`` (deterministic sha-derived pseudo-decode). The Spark
-    side — batch iteration, schema contract, payload pruning — is the real
-    production shape either way.
+    PPM/BMP payloads (``media.format`` ∈ RAW_DECODABLE) decode for REAL in
+    pure numpy — true width/height and exact Rec.601 mean luma. Other
+    formats need codec libraries, unavailable here → ``NotImplementedError``
+    unless ``allow_fake=True`` (deterministic sha-derived pseudo-decode).
+    The Spark side — batch iteration, schema contract, payload pruning — is
+    the production shape for every tier.
     """
     if not _CODECS_AVAILABLE and not allow_fake:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) not available in this environment; "
-            "pass allow_fake=True for the deterministic stub decode"
-        )
+        # probe (one cheap metadata-only job, never touches payload bytes)
+        # only on the gated path: raw-decodable-only frames sail through
+        if df.where(~F.col("media.format").isin(*RAW_DECODABLE)).limit(1).count() > 0:
+            raise NotImplementedError(
+                "media codecs (PIL/ffmpeg) not available in this environment "
+                "and the frame contains formats beyond the raw-decodable set "
+                f"{RAW_DECODABLE}; pass allow_fake=True for the deterministic "
+                "stub decode of those rows"
+            )
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            payloads = pdf["payload"]
-            # NULL payloads (schema allows them) hash as empty rather than
-            # exploding the whole Arrow batch with bytes(None)
-            digests = [hashlib.sha256(bytes(b) if b is not None else b"").digest() for b in payloads]
+            width, height, luma = [], [], []
+            for b, fmt in zip(pdf["payload"], pdf["format"]):
+                raw = bytes(b) if b is not None else b""
+                if fmt in RAW_DECODABLE:
+                    w, h, px = _decode_raw(fmt, raw)
+                    width.append(w)
+                    height.append(h)
+                    luma.append(_mean_luma(px))
+                else:
+                    # NULL payloads (schema allows them) hash as empty rather
+                    # than exploding the whole Arrow batch with bytes(None)
+                    d = hashlib.sha256(raw).digest()
+                    width.append(16 + d[0] % 64)
+                    height.append(16 + d[1] % 64)
+                    luma.append(d[2] / 255.0)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["byte_len"],
-                    # deterministic pseudo-decode from digest bytes
-                    "width": [16 + d[0] % 64 for d in digests],
-                    "height": [16 + d[1] % 64 for d in digests],
-                    "n_frames": [1 for _ in digests],
-                    "mean_luma": [d[2] / 255.0 for d in digests],
+                    "width": width,
+                    "height": height,
+                    "n_frames": [1] * len(pdf),
+                    "mean_luma": luma,
                 }
             )
 
@@ -104,6 +198,7 @@ def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) ->
         F.col(id_col).alias(id_col),
         F.col("media.payload").alias("payload"),
         F.col("media.media_type").alias("media_type"),
+        F.col("media.format").alias("format"),
         F.col("media.byte_len").alias("byte_len"),
     )
     return spread_for_python(flat).mapInPandas(decode, schema=_DECODE_SCHEMA)
@@ -129,20 +224,25 @@ def resize_media(
     ``mapInPandas`` — the thumbnail/normalization stage of an image
     training pipeline.
 
-    Codecs are unavailable here, so the pixel work is STUBBED behind
-    ``allow_fake=True``: the fake 'resized' payload is the first
-    ``target_w·target_h//64`` bytes of sha256(payload) cycled — deterministic
-    in content only (re-ingestion/partitioning invariant), with the output
-    contract (binary column + its digest, bounded byte size) identical to a
-    real resize. ``NotImplementedError`` otherwise, same gate as
-    ``decode_media``. The Spark shape is production-real: payload bytes
-    cross to Python once, Arrow-batched, and the output payload is a fresh
-    bounded-size binary column (never wider than the input batch)."""
+    PPM/BMP payloads resize for REAL: pure-numpy nearest-neighbor
+    (``src_idx = floor(dst_idx · src/dst)``, the deterministic standard),
+    re-encoded as binary PPM so the output is itself decodable. Other
+    formats are codec-gated exactly like ``decode_media``: with
+    ``allow_fake=True`` the 'resized' payload is the first
+    ``target_w·target_h//64`` bytes of sha256(payload) cycled —
+    deterministic in content only, with the output contract (binary column
+    + digest, bounded byte size) identical to a real resize. The Spark
+    shape is production-real in every tier: payload bytes cross to Python
+    once, Arrow-batched, and the output payload is a fresh bounded-size
+    binary column."""
     if not _CODECS_AVAILABLE and not allow_fake:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) not available in this environment; "
-            "pass allow_fake=True for the deterministic stub resize"
-        )
+        if df.where(~F.col("media.format").isin(*RAW_DECODABLE)).limit(1).count() > 0:
+            raise NotImplementedError(
+                "media codecs (PIL/ffmpeg) not available in this environment "
+                "and the frame contains formats beyond the raw-decodable set "
+                f"{RAW_DECODABLE}; pass allow_fake=True for the deterministic "
+                "stub resize of those rows"
+            )
     n_bytes = max(1, (target_w * target_h) // 64)
     # honor the caller's id column name AND type in the output contract
     id_type = dict(df.dtypes)[id_col]
@@ -152,22 +252,37 @@ def resize_media(
     )
 
     def resize(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            fakes = []
-            for b in pdf["payload"]:
-                d = hashlib.sha256(bytes(b) if b is not None else b"").digest()
-                fakes.append((d * (n_bytes // len(d) + 1))[:n_bytes])
+            outs = []
+            for b, fmt in zip(pdf["payload"], pdf["format"]):
+                raw = bytes(b) if b is not None else b""
+                if fmt in RAW_DECODABLE:
+                    w, h, px = _decode_raw(fmt, raw)
+                    yi = (np.arange(target_h) * h) // target_h
+                    xi = (np.arange(target_w) * w) // target_w
+                    small = px[yi][:, xi]
+                    outs.append(
+                        b"P6\n%d %d\n255\n" % (target_w, target_h) + small.tobytes()
+                    )
+                else:
+                    d = hashlib.sha256(raw).digest()
+                    outs.append((d * (n_bytes // len(d) + 1))[:n_bytes])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "width": [target_w] * len(pdf),
                     "height": [target_h] * len(pdf),
-                    "resized_payload": fakes,
-                    "resized_sha256": [hashlib.sha256(f).hexdigest() for f in fakes],
+                    "resized_payload": outs,
+                    "resized_sha256": [hashlib.sha256(f).hexdigest() for f in outs],
                 }
             )
 
-    flat = df.select(F.col(id_col).alias(id_col), F.col("media.payload").alias("payload"))
+    flat = df.select(
+        F.col(id_col).alias(id_col),
+        F.col("media.payload").alias("payload"),
+        F.col("media.format").alias("format"),
+    )
     return spread_for_python(flat).mapInPandas(resize, schema=out_schema)

@@ -111,3 +111,91 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         (F.col("frame_idx").cast("bigint") * 1000).alias("frame_ts_ms"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_real_ppm_decode",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 7) % 256 AS r0, (doc_id * 11) % 256 AS g0, (doc_id * 13) % 256 AS b0,
+               (doc_id * 17) % 256 AS r1, (doc_id * 19) % 256 AS g1, (doc_id * 23) % 256 AS b1,
+               (doc_id * 29) % 256 AS r2, (doc_id * 31) % 256 AS g2, (doc_id * 37) % 256 AS b2,
+               (doc_id * 41) % 256 AS r3, (doc_id * 43) % 256 AS g3, (doc_id * 47) % 256 AS b3
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(23 AS BIGINT) AS byte_len,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           (  299*(r0+r1+r2+r3) + 587*(g0+g1+g2+g3) + 114*(b0+b1+b2+b3)
+           ) / (1000.0 * 255 * 4) AS mean_luma
+    FROM px ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode"),
+)
+def multimodal_real_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding under the driver's hash gate — no stub, no codec
+    library. The query synthesizes a valid 2×2 binary PPM (P6) per document
+    with pixel channels derived arithmetically from doc_id (bytes built
+    JVM-side via unhex), runs it through the pure-numpy decoder
+    (operators.multimodal.decode_media, RAW_DECODABLE path — note: NOT
+    allow_fake), and the oracle recomputes the expected dimensions and the
+    exact integer-rational Rec.601 mean luma from the same doc_id
+    arithmetic. A byte-level decoder bug — header parsing, raster offset,
+    channel order — lands as a hash mismatch."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def byte(mult: int):
+        return F.unhex(F.lpad(F.hex((F.col("doc_id") * mult) % 256), 2, "0"))
+
+    header = F.lit(b"P6\n2 2\n255\n")
+    raster = F.concat(*[byte(m) for m in (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47)])
+    payload = F.concat(header, raster)
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "ppm")
+    return decode_media(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_ppm_resize",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               lpad(hex((doc_id * 7) % 256), 2, '0')  AS r0,
+               lpad(hex((doc_id * 11) % 256), 2, '0') AS g0,
+               lpad(hex((doc_id * 13) % 256), 2, '0') AS b0
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(1 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+           hex(encode('P6' || chr(10) || '1 1' || chr(10) || '255' || chr(10))
+               || unhex(r0 || g0 || b0)) AS resized_hex
+    FROM px ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "resize"),
+)
+def multimodal_real_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resizing under the hash gate: the same synthesized 2×2
+    PPMs as `multimodal_real_ppm_decode`, downsampled to 1×1 by the
+    pure-numpy nearest-neighbor resize (src = floor(dst·src/dst) picks
+    pixel (0,0)) and re-encoded as PPM — the oracle rebuilds the expected
+    output file byte-for-byte (header + the (0,0) channels from the same
+    doc_id arithmetic) and compares hex. Pins raster indexing, channel
+    order, and the re-encode header in one driver-checkable row per doc."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def byte(mult: int):
+        return F.unhex(F.lpad(F.hex((F.col("doc_id") * mult) % 256), 2, "0"))
+
+    header = F.lit(b"P6\n2 2\n255\n")
+    raster = F.concat(*[byte(m) for m in (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47)])
+    media = attach_media(
+        docs.select("doc_id", F.concat(header, raster).alias("raw")), "raw", "image", "ppm"
+    )
+    out = resize_media(media, 1, 1, id_col="doc_id")
+    return out.select(
+        "doc_id", "width", "height", F.hex("resized_payload").alias("resized_hex")
+    ).orderBy("doc_id")
