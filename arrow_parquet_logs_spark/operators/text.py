@@ -120,3 +120,33 @@ def lang_id(df: DataFrame, spark, id_col: str = "doc_id", text_col: str = "text"
         F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
         F.coalesce(F.col("score"), F.lit(0)).cast("int").alias("marker_hits"),
     )
+
+
+#: PII patterns in the Java-regex ∩ RE2 common dialect (no lookaround, no
+#: backrefs) so the DuckDB oracle applies the literally identical patterns.
+#: Ordered: replacement is sequential and order-sensitive in principle
+#: (these three are mutually non-overlapping in practice).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the scrubbing pass every shared training
+    corpus runs before anything else sees the text.
+
+    Pure Catalyst ``regexp_extract_all``/``regexp_replace`` (codegen'd Java
+    regex over each row once, no shuffle, no Python): per-document match
+    counts for each pattern class plus the sequentially-redacted text.
+    Returns (id, n_<class>... , clean_text). At 100 TB this is a linear
+    scan stage that fuses into whatever projection follows it."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))

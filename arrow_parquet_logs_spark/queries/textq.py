@@ -1454,3 +1454,59 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("has_shared_span", (F.col("n_dup_windows") > 0).cast("boolean"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_pii_scrub",
+    oracle=r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or '
+                    || '555-123-4567 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INTEGER) AS n_ipv4,
+           sha256(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+               '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g')
+           ) AS clean_sha256
+    FROM seeded ORDER BY doc_id
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators.text.pii_scrub) under the hash gate: every
+    document is seeded with synthetic PII built from doc_id arithmetic
+    (identically in both engines — the shipped corpus has none of its own),
+    then match counts per class AND the sha256 of the fully-redacted text
+    must agree. The patterns live in the Java∩RE2 regex dialect so the SQL
+    oracle runs the byte-identical patterns; hashing the redacted text pins
+    replacement semantics (all-occurrences, sequential order), not just
+    detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    out = X.pii_scrub(seeded)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int"),
+        F.col("n_phone").cast("int"),
+        F.col("n_ipv4").cast("int"),
+        F.sha2("clean_text", 256).alias("clean_sha256"),
+    ).orderBy("doc_id")

@@ -501,3 +501,21 @@ def test_raw_decoders_reject_malformed():
         _decode_ppm(_ppm(1, 1, [[(1, 2, 3)]]).replace(b"255", b"65535"))
     with _pytest.raises(ValueError):
         _decode_bmp(b"XX" + b"\x00" * 60)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.org, call 555-123-4567 from 10.0.0.1"),
+            (2, "clean text, no pii, version 1.2.3 stays"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in X.pii_scrub(df).collect()}
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (2, 1, 1)
+    assert rows[1].clean_text == "mail [EMAIL] and [EMAIL], call [PHONE] from [IP]"
+    # a bare version string must NOT be redacted as an IP (needs 4 octets)
+    assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (0, 0, 0)
+    assert rows[2].clean_text == "clean text, no pii, version 1.2.3 stays"
+    assert rows[3].clean_text == ""
