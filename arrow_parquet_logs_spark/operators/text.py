@@ -122,6 +122,108 @@ def lang_id(df: DataFrame, spark, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def sentence_chunks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 10
+) -> DataFrame:
+    """(id, pos, chunk): consecutive ``n``-token blocks — the "sentence" unit
+    for span-level dedup. The shipped corpus has no sentence punctuation, so
+    fixed token blocks stand in; a real pipeline would split on sentence
+    boundaries and the downstream operators are unchanged. Row-local array
+    expressions, no shuffle; output rows ∝ tokens/n."""
+    tok = tokens(text_col)
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(tok) - 1) / n).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(tok, i * n + F.lit(1), n)),
+    )
+    return df.select(F.col(id_col), F.posexplode(blocks).alias("pos", "chunk"))
+
+
+def span_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 10
+) -> DataFrame:
+    """C4-style duplicate-span removal (Raffel et al. 2020 public recipe:
+    "we removed any duplicate three-sentence spans", here at one-block
+    granularity): every n-token block keeps only its globally-first
+    occurrence (min (doc_id, pos)); later occurrences anywhere in the corpus
+    are cut, and each document's text is reassembled from its surviving
+    blocks in order.
+
+    Scale shape: ONE shuffle on the block text for the first-occurrence
+    window (block groups are tiny — dup cardinality — so the in-partition
+    sort is cheap; an agg+join-back alternative would shuffle twice), then
+    one shuffle on id to reassemble. Linear in corpus size, no quadratic
+    stage, text never shuffled twice."""
+    from pyspark.sql.window import Window as W
+
+    ch = sentence_chunks(df, id_col, text_col, n)
+    w = W.partitionBy("chunk").orderBy(F.col(id_col), F.col("pos"))
+    flagged = ch.withColumn("is_dup", F.row_number().over(w) > 1)
+    kept_struct = F.when(~F.col("is_dup"), F.struct("pos", "chunk"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("int")).cast("int").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_docs: int = 50,
+) -> DataFrame:
+    """RefinedWeb-style boilerplate removal: n-token blocks that appear in
+    ≥ ``min_docs`` distinct documents (nav bars, license footers, cookie
+    banners) are cut from EVERY document — unlike :func:`span_dedup`, no
+    first occurrence survives.
+
+    Scale shape: document frequency per block via map-side-combinable
+    aggregate; the resulting hot set is small by construction (a block must
+    recur across ≥ min_docs docs to qualify), so it broadcasts and the
+    removal is a broadcast join — the same aggregate→broadcast shape the
+    n-gram df-cap uses. One shuffle for the DF agg, one to reassemble."""
+    ch = sentence_chunks(df, id_col, text_col, n)
+    hot = (
+        ch.groupBy("chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("chunk", F.lit(True).alias("is_hot"))
+    )
+    flagged = ch.join(F.broadcast(hot), "chunk", "left")
+    kept_struct = F.when(F.col("is_hot").isNull(), F.struct("pos", "chunk"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(F.col("is_hot").isNotNull().cast("int")).cast("int").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+#: URL pattern in the Java-regex ∩ RE2 common dialect (non-capturing group
+#: only, so "group 0 = whole match" in both engines).
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_%-]*)?"
+
+
+def url_extract(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, url, domain) — one row per URL occurrence. Pure codegen regexp
+    scan + explode; rows ∝ URL density. The domain column feeds the
+    source-mix / domain-blocklist stages of a crawl pipeline."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)).alias("url"),
+    ).withColumn("domain", F.regexp_extract("url", r"^https?://([^/]+)", 1))
+
+
 #: PII patterns in the Java-regex ∩ RE2 common dialect (no lookaround, no
 #: backrefs) so the DuckDB oracle applies the literally identical patterns.
 #: Ordered: replacement is sequential and order-sensitive in principle

@@ -1510,3 +1510,162 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ipv4").cast("int"),
         F.sha2("clean_text", 256).alias("clean_sha256"),
     ).orderBy("doc_id")
+
+
+# shared seeding for the span-level dedup queries: two 10-token blocks are
+# prepended to every document — a global boilerplate sentence (present in all
+# docs) and a group-shared sentence (present in each run of 10 doc_ids) — so
+# block-aligned duplication exists deterministically in both engines.
+_SPAN_SEED_PREFIX = (
+    "legal boilerplate footer all rights reserved contact support team today "
+    "shared group sentence number alpha beta gamma delta epsilon "
+)
+
+_SPAN_SEED_SQL = f"""
+    seeded AS (
+        SELECT doc_id,
+               '{_SPAN_SEED_PREFIX}' || CAST(doc_id // 10 AS VARCHAR) || ' ' || text AS text
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM seeded),
+    starts AS (SELECT doc_id, t, range(0, CAST((len(t) - 1) // 10 AS BIGINT) + 1) AS ss FROM toks),
+    ch AS (
+        SELECT doc_id,
+               unnest(ss) AS pos,
+               unnest(list_transform(ss, i -> array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' '))) AS chunk
+        FROM starts
+    )
+"""
+
+
+def _span_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_SPAN_SEED_PREFIX),
+            F.expr("CAST(doc_id DIV 10 AS STRING)"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def _span_result(out: DataFrame) -> DataFrame:
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_dropped",
+        F.sha2("clean_text", 256).alias("clean_sha256"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_span_dedup",
+    oracle=f"""
+    WITH {_SPAN_SEED_SQL},
+    flagged AS (
+        SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) > 1 AS is_dup
+        FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_chunks,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped,
+           sha256(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE NOT is_dup), '')) AS clean_sha256
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "c4"),
+)
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal (operators.text.span_dedup) under the
+    hash gate: every 10-token block keeps only its globally-first occurrence
+    (min (doc_id, pos)); the reassembled per-doc text is sha256-compared, so
+    keep-first ordering, cross-doc removal, AND reassembly order are all
+    pinned. The corpus is seeded with a global boilerplate block (survives
+    only in doc 0) and a per-10-doc group block (survives in the first doc
+    of each group). One shuffle on block text + one on doc_id — linear,
+    the 100 TB plan is identical."""
+    return _span_result(X.span_dedup(_span_seeded(spark, sf_dir)))
+
+
+@register(
+    "docs_boilerplate_scrub",
+    oracle=f"""
+    WITH {_SPAN_SEED_SQL},
+    hot AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 50),
+    flagged AS (
+        SELECT c.doc_id, c.pos, c.chunk, (h.chunk IS NOT NULL) AS is_hot
+        FROM ch c LEFT JOIN hot h ON h.chunk = c.chunk
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_chunks,
+           CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped,
+           sha256(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE NOT is_hot), '')) AS clean_sha256
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "boilerplate", "quality"),
+)
+def docs_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate removal (operators.text.boilerplate_scrub):
+    10-token blocks appearing in ≥50 distinct docs are cut from every doc —
+    the seeded global footer (df=500) is scrubbed everywhere while the
+    per-10-doc group block (df=10) survives, so the df-threshold itself is
+    hash-gated. Plan: map-side-combinable DF aggregate → tiny hot set →
+    broadcast left join (the same aggregate→broadcast shape as the n-gram
+    df-cap); no sort of the full block index."""
+    return _span_result(
+        X.boilerplate_scrub(_span_seeded(spark, sf_dir), min_docs=50)
+    )
+
+
+@register(
+    "docs_url_domains",
+    oracle=r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                    || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                    || ' and http://cdn.example.org/static/app.js' AS t
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_%-]*)?')) AS url
+        FROM seeded
+    )
+    SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+           CAST(count(*) AS INTEGER) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs
+    FROM u GROUP BY 1 ORDER BY n_urls DESC, domain
+    """,
+    tags=("text", "url", "extraction"),
+)
+def docs_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain rollup (operators.text.url_extract) — the
+    crawl-pipeline stage behind domain blocklists and source mixing. Docs are
+    seeded with one per-doc-group URL and one global CDN URL (the corpus has
+    none of its own); URL pattern lives in the Java∩RE2 dialect so both
+    engines extract byte-identical matches. Plan: codegen regexp scan →
+    explode → low-cardinality domain agg (map-side combine), no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn.example.org/static/app.js"),
+        ).alias("text"),
+    )
+    return (
+        X.url_extract(seeded)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_urls"),
+            F.count_distinct("doc_id").cast("int").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_urls"), "domain")
+    )

@@ -519,3 +519,46 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (0, 0, 0)
     assert rows[2].clean_text == "clean text, no pii, version 1.2.3 stays"
     assert rows[3].clean_text == ""
+
+
+def test_span_dedup_keep_first_and_reassembly(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p q r s t"),
+            (2, "a b c d e f g h i j z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+            (3, "k l m n o p q r s t a b c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in X.span_dedup(df).collect()}
+    # doc 1 owns both blocks (lowest doc_id)
+    assert (rows[1].n_dropped, rows[1].clean_text.split()[0]) == (0, "a")
+    # doc 2 loses its first block, keeps its unique tail
+    assert rows[2].n_dropped == 1 and rows[2].clean_text.startswith("z1")
+    # doc 3 duplicates both of doc 1's blocks in swapped order -> empty
+    assert rows[3].n_dropped == 2 and rows[3].clean_text == ""
+
+
+def test_boilerplate_scrub_df_threshold(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows_in = [(i, f"{shared} unique{i} " + " ".join(f"t{i}x{j}" for j in range(9)))
+               for i in range(5)]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    # threshold 5: the shared block appears in all 5 docs -> scrubbed everywhere
+    out = {r.doc_id: r for r in X.boilerplate_scrub(df, min_docs=5).collect()}
+    assert all(out[i].n_dropped == 1 and not out[i].clean_text.startswith("w1") for i in range(5))
+    # threshold 6: nothing qualifies
+    out6 = {r.doc_id: r for r in X.boilerplate_scrub(df, min_docs=6).collect()}
+    assert all(out6[i].n_dropped == 0 for i in range(5))
+
+
+def test_url_extract_domains(spark):
+    df = spark.createDataFrame(
+        [(1, "go to https://a.example.com/x/y and http://b.org plain text 1.2.3")],
+        "doc_id long, text string",
+    )
+    got = sorted((r.url, r.domain) for r in X.url_extract(df).collect())
+    assert got == [
+        ("http://b.org", "b.org"),
+        ("https://a.example.com/x/y", "a.example.com"),
+    ]
