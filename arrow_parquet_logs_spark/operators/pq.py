@@ -1,0 +1,234 @@
+"""Product quantization (PQ) for vector compression + ADC search.
+
+Public recipe (Jégou, Douze & Schmid 2011, "Product Quantization for
+Nearest Neighbor Search", IEEE TPAMI): split the d dimensions into ``m``
+subspaces, learn a ``ks``-entry codebook per subspace, and store each
+vector as m small codes — here m=8, ks=16 over d=64 floats ≈ 8 bytes per
+vector, a 32× compression. Queries are answered by **asymmetric distance
+computation (ADC)**: per query, precompute the m×ks table of subspace dot
+products against every codebook entry; the approximate score of any stored
+vector is then m table lookups, never touching the original floats.
+
+Spark-first shape (the same explode→broadcast-join→partial-agg skeleton as
+``similarity.srp_signatures`` — every stage is whole-stage-codegen JVM
+arithmetic; the higher-order ``aggregate``/``zip_with`` lambda form was
+rejected because Spark interprets those per element, measured ~3 ms/row in
+``ivf.assign_cells``):
+
+- components explode to (id, dim, q) with integer micro-unit quantization
+  (floor(x·10⁶) — exact int64 arithmetic, no float-summation-order hazard),
+- the codebook broadcasts as a tiny (dim, code, value) frame (m·ks·d/m
+  rows — 1,024 at the default geometry),
+- encode: one broadcast join + two map-side-combinable aggregations
+  (distance per (id, subspace, code), then lexicographic (dist, code) min),
+- ADC: the query-side LUT is the same join shaped into (q_id, subspace,
+  code, partial-dot); scoring joins stored codes against the broadcast LUT
+  and sums — never touching raw vectors.
+
+At 100 TB the stored codes are ~1/32 the corpus bytes, the per-row cost is
+m lookups, and every shuffle key is (id, subspace) — linear, skew-free.
+
+Two codebook sources:
+
+- :func:`fit_pq` — per-subspace deterministic Lloyd's on an id-ordered
+  driver sample (same contract as ``ivf.fit_kmeans``). Production path;
+  centroids depend on numpy reduction order, so queries built on it use a
+  recall gate, not a SQL oracle (the ``ann_ivf_kmeans`` precedent).
+- :func:`rademacher_codebooks` — data-independent ±1 entries derived from
+  the portable md5 hash64 of "pq:subspace:code:component". Any engine
+  regenerates them from SQL text alone, making the entire encode+ADC
+  machinery hash-gateable bit-for-bit (the ``srp_signatures`` precedent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.operators.ivf import _lloyd
+
+#: integer micro-unit scale shared with the SRP/centroid operators.
+SCALE = 1_000_000
+
+
+def _hash64_py(s: str) -> int:
+    """Python twin of functions.hashing.hash64 (15 md5 hex digits)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def rademacher_codebooks(m: int = 8, ks: int = 16, sub: int = 8) -> list[list[list[int]]]:
+    """Data-independent ±SCALE codebooks from md5("pq:j:c:t") — the
+    SQL-regenerable codebook for oracle-gated parity of the machinery."""
+    return [
+        [
+            [SCALE if _hash64_py(f"pq:{j}:{c}:{t}") % 2 == 0 else -SCALE for t in range(sub)]
+            for c in range(ks)
+        ]
+        for j in range(m)
+    ]
+
+
+def fit_pq(
+    emb: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+) -> list[list[list[int]]]:
+    """Per-subspace deterministic k-means codebooks, quantized to integer
+    micro-units (floor(c·10⁶)) so every downstream distance/dot is exact
+    int64 arithmetic. Returns m codebooks of ks entries of d/m ints."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or x.shape[1] % m:
+        raise ValueError(f"need (n, d) sample with d % {m} == 0, got {x.shape}")
+    sub = x.shape[1] // m
+    return [
+        [
+            [int(np.floor(v * SCALE)) for v in entry]
+            for entry in _lloyd(x[:, j * sub : (j + 1) * sub], ks, iters)
+        ]
+        for j in range(m)
+    ]
+
+
+def codebook_frame(spark: SparkSession, codebooks: list[list[list[int]]]) -> DataFrame:
+    """(d, c, s) broadcast frame: global component index, code id, integer
+    micro-unit codebook value. m·ks·sub rows — trivially broadcastable."""
+    sub = len(codebooks[0][0])
+    rows = [
+        (j * sub + t, c, int(s))
+        for j, book in enumerate(codebooks)
+        for c, entry in enumerate(book)
+        for t, s in enumerate(entry)
+    ]
+    return spark.createDataFrame(rows, "d int, c int, s long")
+
+
+def _components(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(id, d, q): exploded integer micro-unit components."""
+    return df.select(
+        F.col(id_col).alias(out_id), F.posexplode(F.col(vec_col)).alias("d", "x")
+    ).select(
+        out_id,
+        "d",
+        F.floor(F.col("x").cast("double") * F.lit(float(SCALE))).cast("bigint").alias("q"),
+    )
+
+
+def encode_pq(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector → (id, j, code) long-format codes.
+
+    Broadcast join on component index fans each (id, d, q) row out to the
+    ks codebook entries of its subspace; squared-distance contributions
+    aggregate per (id, subspace, code) with map-side combine, and the code
+    is the lexicographic (dist, code) minimum — first-minimum tie-break,
+    identical in any engine. All int64; (q−s)² ≤ 9·10¹² and sub ≤ 64 keep
+    sums far from overflow."""
+    sub = len(codebooks[0][0])
+    cb = codebook_frame(emb.sparkSession, codebooks)
+    comps = _components(emb, id_col, vec_col, "pid")
+    dist = (
+        comps.join(F.broadcast(cb), "d")
+        .groupBy("pid", (F.col("d") / sub).cast("int").alias("j"), "c")
+        .agg(F.sum((F.col("q") - F.col("s")) * (F.col("q") - F.col("s"))).alias("dist"))
+    )
+    return (
+        dist.groupBy("pid", "j")
+        .agg(F.min(F.struct("dist", "c")).alias("best"))
+        .select(F.col("pid").alias(id_col), "j", F.col("best.c").alias("code"))
+    )
+
+
+def adc_lut(
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, j, c, part): per-query ADC lookup table — the dot product of
+    each query subvector with every codebook entry. Query-side only: m·ks
+    rows per query, built by the same broadcast join + partial agg."""
+    sub = len(codebooks[0][0])
+    cb = codebook_frame(queries.sparkSession, codebooks)
+    comps = _components(queries, id_col, vec_col, "q_id")
+    return (
+        comps.join(F.broadcast(cb), "d")
+        .groupBy("q_id", (F.col("d") / sub).cast("int").alias("j"), "c")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("part"))
+    )
+
+
+def adc_scores(codes: DataFrame, lut: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(q_id, id, score): approximate dot via m LUT lookups per stored
+    vector — join stored codes to the broadcast LUT on (subspace, code),
+    sum partials. The raw corpus floats are never read: this is the
+    compressed-domain scan that makes PQ the 100 TB path."""
+    return (
+        codes.join(F.broadcast(lut), (codes["j"] == lut["j"]) & (codes["code"] == lut["c"]))
+        .groupBy("q_id", id_col)
+        .agg(F.sum("part").alias("score"))
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end compressed-domain top-k: encode corpus, build query LUTs,
+    ADC-score, rank by (score desc, id) — deterministic integer ranking,
+    self-matches excluded."""
+    from pyspark.sql.window import Window as W
+
+    codes = encode_pq(emb, codebooks, id_col, vec_col)
+    lut = adc_lut(queries, codebooks, id_col, vec_col)
+    scored = adc_scores(codes, lut, id_col).where(F.col("q_id") != F.col(id_col))
+    w = W.partitionBy("q_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select("q_id", id_col, "score", "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-then-rerank: ADC ranks the whole corpus in the compressed domain,
+    the top ``rerank`` candidates per query are re-scored with exact cosine
+    (operators.similarity ranking contract), and the true top-k of that
+    pool is returned. This is the production ANN shape: the expensive exact
+    math touches rerank·|queries| rows, not the corpus."""
+    from arrow_parquet_logs_spark.operators.similarity import _cos, _ranked, _with_vec_and_norm
+
+    cand = pq_adc_topk(emb, queries, codebooks, k=rerank, id_col=id_col, vec_col=vec_col)
+    c = _with_vec_and_norm(emb, id_col, vec_col, "c")
+    q = _with_vec_and_norm(queries, id_col, vec_col, "q")
+    pairs = (
+        cand.select("q_id", F.col(id_col).alias("c_id"))
+        .join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
+    )
+    return _ranked(pairs, k)

@@ -532,3 +532,100 @@ def docs_embedding_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "embeddings_pq_adc",
+    oracle="""
+    WITH cb AS (
+        SELECT j*8 + t AS d, c,
+               CASE WHEN CAST(concat('0x', substr(md5('pq:' || CAST(j AS VARCHAR) || ':' || CAST(c AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN 1000000 ELSE -1000000 END AS s
+        FROM range(0,8) rj(j) CROSS JOIN range(0,16) rc(c) CROSS JOIN range(0,8) rt(t)
+    ),
+    comps AS (
+        SELECT vec_id, d, CAST(floor(CAST(embedding[CAST(d AS INT)+1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM embeddings CROSS JOIN range(0,64) t(d)
+    ),
+    dist AS (
+        SELECT comps.vec_id, CAST(d // 8 AS INT) AS j, c, sum((q - s)*(q - s)) AS dist
+        FROM comps JOIN cb USING (d)
+        GROUP BY comps.vec_id, d // 8, c
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code
+        FROM (SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM dist)
+        WHERE rn = 1
+    ),
+    lut AS (
+        SELECT comps.vec_id AS q_id, CAST(d // 8 AS INT) AS j, c, sum(q * s) AS part
+        FROM comps JOIN cb USING (d)
+        WHERE comps.vec_id < 10
+        GROUP BY comps.vec_id, d // 8, c
+    ),
+    scored AS (
+        SELECT l.q_id, codes.vec_id, CAST(sum(l.part) AS BIGINT) AS score
+        FROM codes JOIN lut l ON l.j = codes.j AND l.c = codes.code
+        WHERE codes.vec_id != l.q_id
+        GROUP BY l.q_id, codes.vec_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, score,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rn
+        FROM scored
+    )
+    SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """,
+    tags=("vector", "ann", "pq", "compression"),
+    bench=True,
+)
+def embeddings_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators.pq) under the full hash
+    gate: codebooks are md5-derived Rademacher entries any engine
+    regenerates from SQL text (the srp precedent), components integer-
+    quantize to micro-units, so encode (argmin with (dist, code)
+    tie-break), the per-query lookup tables, AND the compressed-domain
+    top-5 ranking are all exact int64 arithmetic — bit-identical in both
+    engines. This pins the whole PQ machinery; learned codebooks swap in
+    via ann_pq_rerank."""
+    from arrow_parquet_logs_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return PQ.pq_adc_topk(emb, q, PQ.rademacher_codebooks(), k=5)
+
+
+@register(
+    "ann_pq_rerank",
+    oracle="""
+    SELECT vec_id AS q_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 10 ORDER BY q_id
+    """,
+    tags=("vector", "ann", "pq", "kmeans"),
+)
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-PQ ANN with exact rerank — the production formulation
+    (Jégou et al. 2011): per-subspace k-means codebooks (8 subspaces × 16
+    entries ≈ 32× compression), ADC scan in the compressed domain, top-100
+    candidates re-scored with exact cosine, final top-5. Codebooks come
+    from a numpy fit no SQL oracle can replay (the ann_ivf_kmeans
+    precedent), so the driver-visible check is a recall gate computed
+    Spark-side: per query the reranked top-5 must recover ≥2 of the
+    brute-force top-5 (measured min is 4/5 at the sf0.01 gate scale,
+    ≥2/5 at every shipped SF)."""
+    from arrow_parquet_logs_spark.operators import pq as PQ
+    from arrow_parquet_logs_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    cbs = PQ.fit_pq(emb)
+    approx = PQ.pq_rerank_topk(emb, q, cbs, k=5, rerank=100).select("q_id", "vec_id")
+    exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
+    hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits")), "q_id", "left")
+        .select("q_id", (F.coalesce("n_hits", F.lit(0)) >= 2).alias("recall_ok"))
+        .orderBy("q_id")
+    )

@@ -1,0 +1,72 @@
+"""Product-quantization guarantees: encode matches a numpy reference,
+codes are total and partition-invariant, and learned-PQ rerank recalls
+the exact top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from arrow_parquet_logs_spark.operators import pq as PQ, similarity as S
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+
+def _numpy_encode(vecs, codebooks):
+    """Independent reference: quantize to micro-units, argmin per subspace
+    (first minimum on ties — numpy argmin semantics match the (dist, code)
+    lexicographic min)."""
+    out = {}
+    sub = len(codebooks[0][0])
+    for vid, v in vecs:
+        q = np.floor(np.asarray(v, dtype=np.float64) * PQ.SCALE).astype(np.int64)
+        for j, book in enumerate(codebooks):
+            d = [int(((q[j * sub : (j + 1) * sub] - np.asarray(c)) ** 2).sum()) for c in book]
+            out[(vid, j)] = int(np.argmin(d))
+    return out
+
+
+def test_encode_matches_numpy_reference(spark):
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 64)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cbs = PQ.rademacher_codebooks()
+    got = {(r.vec_id, r.j): r.code for r in PQ.encode_pq(df, cbs).collect()}
+    # the reference must see the same float32-rounded values Spark reads
+    stored = [(r.vec_id, r.embedding) for r in df.collect()]
+    assert got == _numpy_encode(stored, cbs)
+
+
+def test_encode_total_and_partition_invariant(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = PQ.rademacher_codebooks()
+    a = sorted(map(tuple, PQ.encode_pq(emb, cbs).collect()))
+    b = sorted(map(tuple, PQ.encode_pq(emb.repartition(16), cbs).collect()))
+    assert a == b  # partitioning-invariant
+    n = emb.count()
+    assert len(a) == n * 8  # one code per (vector, subspace)
+    assert all(0 <= code < 16 for _, _, code in a)
+
+
+def test_learned_pq_rerank_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    cbs = PQ.fit_pq(emb)
+    approx = PQ.pq_rerank_topk(emb, q, cbs, k=5, rerank=100)
+    exact = S.brute_force_topk(emb, q, k=5)
+    a = {(r.q_id, r.vec_id) for r in approx.collect()}
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.6
+    # reranked cosines are exact: every hit's cosine equals the brute-force one
+    ac = {(r.q_id, r.vec_id): r.cosine for r in approx.collect()}
+    ec = {(r.q_id, r.vec_id): r.cosine for r in exact.collect()}
+    assert all(ac[p] == ec[p] for p in (a & e))
+
+
+def test_fit_pq_rejects_indivisible_dims(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 30) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        PQ.fit_pq(df, m=8)

@@ -181,3 +181,40 @@ def test_embedding_dedup_no_cartesian(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = explain_str(embedding_dup_pairs(emb, threshold=0.9, k_cells=8, kmeans_iters=2))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pq_adc_is_all_broadcast_joins(spark, sf_dir):
+    """The PQ compressed-domain search must never shuffle-join or cartesian:
+    codebook and query-LUT sides are broadcast, distances aggregate with
+    map-side combine. A SortMergeJoin here would mean the tiny codebook got
+    shuffled with the corpus at 100 TB."""
+    from arrow_parquet_logs_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    plan = explain_str(PQ.pq_adc_topk(emb, q, PQ.rademacher_codebooks(), k=5))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_boilerplate_hot_set_broadcasts(spark, sf_dir):
+    """boilerplate_scrub's df-threshold set must reach the removal join as a
+    broadcast (the aggregate→broadcast shape, not a shuffled self-join of
+    the full block index)."""
+    from arrow_parquet_logs_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain_str(X.boilerplate_scrub(docs, min_docs=50))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_span_dedup_partition_invariant(spark, sf_dir):
+    """Keep-first semantics depend only on (doc_id, pos) order — never on
+    physical partitioning."""
+    from arrow_parquet_logs_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = sorted(map(tuple, X.span_dedup(docs).collect()))
+    b = sorted(map(tuple, X.span_dedup(docs.repartition(16)).collect()))
+    assert a == b
