@@ -1025,3 +1025,137 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "events_stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 21600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "sessionize", "eventtime"),
+)
+def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a Structured Streaming job: the stateful
+    merging-session-window operator (gap 6h, keyed by user) over a
+    file-source stream, availableNow drain — hash-matched against the SAME
+    islands oracle as the batch form (events_session_window), pinning
+    streaming≡batch for the hardest stateful window (sessions MERGE as late
+    events arrive, unlike fixed tumbling windows).
+
+    Complete-mode memory sink for the oracle twin, same reasoning as
+    events_stream_hourly_rollup: append mode would hold back every session
+    the watermark hasn't closed on a finite input. State sizing: ~150 users
+    × open sessions is KBs — 8 state stores, not 32."""
+    from arrow_parquet_logs_spark.sources.tables import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"stream_sessions_{next(_STREAM_SEQ)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = spark.table(name).orderBy("user_id", "session_start").collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        rows, "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "events_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "eventtime"),
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the hash gate: the events stream unioned
+    with ITSELF (every record arrives twice) must collapse back to exactly
+    the batch table through ``dropDuplicatesWithinWatermark`` on event_id —
+    the at-least-once→effectively-once repair every streaming ingest needs.
+    The oracle aggregates the original (unduplicated) table, so a single
+    leaked duplicate or dropped record breaks the hash.
+
+    Dedup state is watermark-bounded (2h of event_ids, not the full
+    history) — the property that makes this run forever at 100 TB/day.
+    Append-mode memory sink: dedup emits rows immediately (nothing is held
+    back for window close); the per-type rollup happens batch-side on the
+    sink table."""
+    from arrow_parquet_logs_spark.sources.tables import read_events_stream
+
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events bigint, n_users bigint"
+    ).orderBy("event_type")
