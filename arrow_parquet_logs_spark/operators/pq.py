@@ -232,3 +232,200 @@ def pq_rerank_topk(
         .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
     return _ranked(pairs, k)
+
+
+# ---- IVF-PQ: coarse cells × residual product codes -------------------------
+
+
+def fit_ivfpq(
+    emb: DataFrame,
+    k: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+) -> tuple[list[list[float]], list[list[list[int]]]]:
+    """Fit the full IVF-PQ index (FAISS IVFPQ shape, Jégou et al. 2011 §V):
+    coarse k-means cells on the raw vectors, then per-subspace codebooks on
+    the RESIDUALS (v − centroid[cell]) — residual energy is far smaller than
+    vector energy, so the same code budget quantizes much finer. Both fits
+    run on one id-ordered driver sample with the deterministic Lloyd's
+    kernel. Returns (centroids float, residual codebooks int micro-units)."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or x.shape[1] % m:
+        raise ValueError(f"need (n, d) sample with d % {m} == 0, got {x.shape}")
+    cents = np.array(_lloyd(x, k, iters))
+    assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    res = x - cents[assign]
+    sub = x.shape[1] // m
+    books = [
+        [
+            [int(np.floor(v * SCALE)) for v in entry]
+            for entry in _lloyd(res[:, j * sub : (j + 1) * sub], ks, iters)
+        ]
+        for j in range(m)
+    ]
+    return [[float(v) for v in c] for c in cents], books
+
+
+def encode_ivfpq(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, j, code): coarse cell + residual PQ codes, long format —
+    the join-ready inverted-list rows. Cell assignment runs vectorized
+    (BLAS); residual encode is the same broadcast-join aggregation as
+    :func:`encode_pq`, with the centroid's micro-unit components subtracted
+    component-wise before the codebook distance."""
+    from arrow_parquet_logs_spark.operators.ivf import assign_cells_pandas
+
+    spark = emb.sparkSession
+    sub = len(codebooks[0][0])
+    assigned = assign_cells_pandas(emb.select(id_col, vec_col), centroids, vec_col)
+    cent_rows = [
+        (cell, d, int(__import__("math").floor(v * SCALE)))
+        for cell, cen in enumerate(centroids)
+        for d, v in enumerate(cen)
+    ]
+    cents = spark.createDataFrame(cent_rows, "cell int, d int, cq long")
+    cb = codebook_frame(spark, codebooks)
+    comps = (
+        assigned.select(F.col(id_col).alias("pid"), "cell", F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .select(
+            "pid",
+            "cell",
+            "d",
+            F.floor(F.col("x").cast("double") * F.lit(float(SCALE))).cast("bigint").alias("q"),
+        )
+        .join(F.broadcast(cents), ["cell", "d"])
+        .select("pid", "cell", "d", (F.col("q") - F.col("cq")).alias("r"))
+    )
+    dist = (
+        comps.join(F.broadcast(cb), "d")
+        .groupBy("pid", "cell", (F.col("d") / sub).cast("int").alias("j"), "c")
+        .agg(F.sum((F.col("r") - F.col("s")) * (F.col("r") - F.col("s"))).alias("dist"))
+    )
+    return (
+        dist.groupBy("pid", "cell", "j")
+        .agg(F.min(F.struct("dist", "c")).alias("best"))
+        .select(F.col("pid").alias(id_col), "cell", "j", F.col("best.c").alias("code"))
+    )
+
+
+def materialize_ivfpq(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the IVF-PQ index as a ``cell=``-partitioned parquet of code
+    rows. At 100 TB this is the whole point of the composition: a search
+    opens only the probed cells' directories (partition pruning), and what
+    it reads there is ~1/32 the corpus bytes (codes, not floats)."""
+    encode_ivfpq(emb, centroids, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def append_to_ivfpq(
+    emb_new: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a materialized IVF-PQ index: encode
+    against the EXISTING centroids/codebooks and append into the matching
+    ``cell=`` directories (dynamic partition append touches only the cells
+    the batch lands in). The fit amortizes over many ingest batches; a
+    periodic re-fit + full rewrite handles centroid/codebook drift — the
+    same maintenance contract as ``ivf.append_to_cells``."""
+    encode_ivfpq(emb_new, centroids, codebooks, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+
+
+def search_ivfpq(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against the materialized index: probe the ``nprobe``
+    nearest cells per query (resolved driver-side — the query batch is small
+    by definition), scan ONLY those cells' code rows under an explicit
+    ``cell IN (...)`` partition filter, rank candidates by the residual-ADC
+    L2 estimate (per-(query, cell) lookup tables, exact int64), then
+    re-score the top ``rerank`` with exact cosine against the raw corpus and
+    return the true top-k of that pool.
+
+    Everything query-sized (LUTs: |Q|·nprobe·m·ks rows) broadcasts;
+    everything corpus-sized arrives pre-pruned and pre-compressed."""
+    import numpy as np
+
+    from arrow_parquet_logs_spark.operators.similarity import _cos, _ranked, _with_vec_and_norm
+
+    m, ks = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    cents = np.array(centroids)
+    cents_i = np.floor(cents * SCALE).astype(np.int64)
+    books_i = np.array(codebooks, dtype=np.int64)  # (m, ks, sub)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    lut_rows = []
+    probed: set[int] = set()
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        order = ((qv[None, :] - cents) ** 2).sum(axis=1).argsort(kind="stable")[:nprobe]
+        qi = np.floor(qv * SCALE).astype(np.int64)
+        for cell in order:
+            probed.add(int(cell))
+            res = qi - cents_i[cell]  # integer residual, same grid as encode
+            for j in range(m):
+                rj = res[j * sub : (j + 1) * sub]
+                d2 = ((rj[None, :] - books_i[j]) ** 2).sum(axis=1)  # (ks,)
+                lut_rows.extend(
+                    (int(r[0]), int(cell), j, c, int(d2[c])) for c in range(ks)
+                )
+    lut = spark.createDataFrame(lut_rows, "q_id long, cell int, j int, c int, part long")
+
+    codes = spark.read.parquet(path).where(F.col("cell").isin(sorted(probed)))
+    approx = (
+        codes.join(F.broadcast(lut), ["cell", "j"])
+        .where(F.col("code") == F.col("c"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum("part").alias("adist"))
+        .where(F.col("q_id") != F.col(id_col))
+    )
+    from pyspark.sql.window import Window as W
+
+    wnd = W.partitionBy("q_id").orderBy(F.col("adist"), F.col(id_col))
+    cand = approx.withColumn("arn", F.row_number().over(wnd)).where(F.col("arn") <= rerank)
+
+    c = _with_vec_and_norm(emb, id_col, vec_col, "c")
+    q = _with_vec_and_norm(queries, id_col, vec_col, "q")
+    pairs = (
+        cand.select("q_id", F.col(id_col).alias("c_id"))
+        .join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
+    )
+    return _ranked(pairs, k)

@@ -70,3 +70,79 @@ def test_fit_pq_rejects_indivisible_dims(spark):
 
     with pytest.raises(ValueError):
         PQ.fit_pq(df, m=8)
+
+
+def test_ivfpq_materialized_search_recall_and_pruning(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.plans.inspect import explain_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    cents, books = PQ.fit_ivfpq(emb)
+    path = str(tmp_path / "ivfpq")
+    PQ.materialize_ivfpq(emb, cents, books, path)
+    out = PQ.search_ivfpq(spark, path, emb, q, cents, books, k=5, nprobe=4, rerank=50)
+    a = {(r.q_id, r.vec_id) for r in out.select("q_id", "vec_id").collect()}
+    e = {
+        (r.q_id, r.vec_id)
+        for r in S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id").collect()
+    }
+    assert len(a & e) / len(e) >= 0.5  # nprobe=4 of 16 cells
+    # the code scan must carry an explicit cell partition filter
+    codes = spark.read.parquet(path).where(F.col("cell").isin([0, 1]))
+    pf = [ln for ln in explain_str(codes).splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], explain_str(codes)
+    # codes are ~m small ints per vector: the compression contract
+    n = emb.count()
+    assert spark.read.parquet(path).count() == n * 8
+
+
+def test_ivfpq_encode_residual_beats_raw_pq(spark, sf_dir):
+    """Residual coding must reduce quantization error vs raw-vector PQ at
+    the same code budget (the reason IVF-PQ exists)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(300).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    cents, books = PQ.fit_ivfpq(emb)
+    raw_books = PQ.fit_pq(emb)
+    cents_a = np.array(cents)
+    assign = ((x[:, None, :] - cents_a[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+    def mse(vecs, codebooks):
+        err = 0.0
+        qv = np.floor(vecs * PQ.SCALE)
+        for j, book in enumerate(codebooks):
+            b = np.array(book, dtype=np.float64)
+            subv = qv[:, j * 8 : (j + 1) * 8]
+            d = ((subv[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err
+
+    res = np.floor(x * PQ.SCALE) - np.floor(cents_a * PQ.SCALE)[assign]
+    err_res = 0.0
+    for j, book in enumerate(books):
+        b = np.array(book, dtype=np.float64)
+        subv = res[:, j * 8 : (j + 1) * 8]
+        err_res += ((subv[:, None, :] - b[None, :, :]) ** 2).sum(axis=2).min(axis=1).sum()
+    assert err_res < mse(x, raw_books)
+
+
+def test_ivfpq_append_equals_rebuild(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = PQ.fit_ivfpq(emb)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    PQ.materialize_ivfpq(old, cents, books, inc)
+    PQ.append_to_ivfpq(new, cents, books, inc)
+    PQ.materialize_ivfpq(emb, cents, books, full)
+    a = sorted(map(tuple, spark.read.parquet(inc).collect()))
+    b = sorted(map(tuple, spark.read.parquet(full).collect()))
+    assert a == b
