@@ -150,6 +150,74 @@ def encode_pq(
     )
 
 
+def encode_pq_pandas(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """:func:`encode_pq` / :func:`encode_ivfpq` with the distance math as
+    one numpy reduction per Arrow batch — the corpus-scale form (the
+    ``assign_cells_pandas`` lesson): the expression encode fans every
+    vector into d·ks joined rows through a shuffle, ~1000 rows per vector
+    at the default geometry, which is the dominant cost at billions of
+    vectors; here those rows never exist.
+
+    With ``centroids`` given, the input must carry ``cell_col`` (from
+    ``assign_cells_pandas``) and the RESIDUAL v − centroid[cell] is coded
+    (the IVF-PQ form). All arithmetic is the identical int64 micro-unit
+    grid, and numpy ``argmin`` takes the first minimum — the same
+    (dist, code) tie-break — so the output is bit-equal to the expression
+    forms (test-pinned), not merely statistically equivalent."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books = np.array(codebooks, dtype=np.int64)  # (m, ks, sub)
+    m, _, sub = books.shape
+    cents_i = (
+        np.floor(np.array(centroids, dtype=np.float64) * SCALE).astype(np.int64)
+        if centroids is not None
+        else None
+    )
+    fields = [T.StructField(id_col, emb.schema[id_col].dataType)]
+    if cents_i is not None:
+        fields.append(T.StructField(cell_col, T.IntegerType()))
+    out_schema = T.StructType(fields + [T.StructField("j", T.IntegerType()), T.StructField("code", T.IntegerType())])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            live = [i for i, x in enumerate(pdf[vec_col]) if x is not None]
+            if not live:
+                continue
+            X = np.array([np.asarray(pdf[vec_col].iloc[i], dtype=np.float64) for i in live])
+            Q = np.floor(X * SCALE).astype(np.int64)  # (n, d)
+            if cents_i is not None:
+                cells = pdf[cell_col].to_numpy()[live].astype(np.int64)
+                Q = Q - cents_i[cells]
+            n = len(live)
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                d2 = ((Q[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            ids = pdf[id_col].to_numpy()[live]
+            cols = {
+                id_col: np.repeat(ids, m),
+                "j": np.tile(np.arange(m, dtype=np.int32), n),
+                "code": codes.reshape(-1).astype(np.int32),
+            }
+            if cents_i is not None:
+                cols[cell_col] = np.repeat(cells, m).astype(np.int32)
+            yield pd.DataFrame(cols)[[f.name for f in out_schema.fields]]
+
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
+    return spread_for_python(emb).mapInPandas(gen, out_schema)
+
+
 def adc_lut(
     queries: DataFrame,
     codebooks: list[list[list[int]]],
@@ -320,6 +388,22 @@ def encode_ivfpq(
     )
 
 
+def _ivfpq_codes(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    id_col: str,
+    vec_col: str,
+    pandas_encode: bool,
+) -> DataFrame:
+    if not pandas_encode:
+        return encode_ivfpq(emb, centroids, codebooks, id_col, vec_col)
+    from arrow_parquet_logs_spark.operators.ivf import assign_cells_pandas
+
+    assigned = assign_cells_pandas(emb.select(id_col, vec_col), centroids, vec_col)
+    return encode_pq_pandas(assigned, codebooks, id_col, vec_col, centroids=centroids)
+
+
 def materialize_ivfpq(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -327,14 +411,18 @@ def materialize_ivfpq(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pandas_encode: bool = True,
 ) -> None:
     """Write the IVF-PQ index as a ``cell=``-partitioned parquet of code
     rows. At 100 TB this is the whole point of the composition: a search
     opens only the probed cells' directories (partition pruning), and what
-    it reads there is ~1/32 the corpus bytes (codes, not floats)."""
-    encode_ivfpq(emb, centroids, codebooks, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
+    it reads there is ~1/32 the corpus bytes (codes, not floats).
+
+    Encoding runs vectorized by default (``pandas_encode`` — one numpy
+    reduction per Arrow batch, bit-equal to the expression form) because
+    this is the stage that scans the whole corpus."""
+    enc = _ivfpq_codes(emb, centroids, codebooks, id_col, vec_col, pandas_encode)
+    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def append_to_ivfpq(
@@ -344,6 +432,7 @@ def append_to_ivfpq(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pandas_encode: bool = True,
 ) -> None:
     """Incrementally add vectors to a materialized IVF-PQ index: encode
     against the EXISTING centroids/codebooks and append into the matching
@@ -351,9 +440,8 @@ def append_to_ivfpq(
     the batch lands in). The fit amortizes over many ingest batches; a
     periodic re-fit + full rewrite handles centroid/codebook drift — the
     same maintenance contract as ``ivf.append_to_cells``."""
-    encode_ivfpq(emb_new, centroids, codebooks, id_col, vec_col).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(path)
+    enc = _ivfpq_codes(emb_new, centroids, codebooks, id_col, vec_col, pandas_encode)
+    enc.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def search_ivfpq(

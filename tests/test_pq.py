@@ -146,3 +146,25 @@ def test_ivfpq_append_equals_rebuild(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(inc).collect()))
     b = sorted(map(tuple, spark.read.parquet(full).collect()))
     assert a == b
+
+
+def test_encode_pq_pandas_bit_equal_to_expression(spark, sf_dir):
+    from arrow_parquet_logs_spark.operators.ivf import assign_cells_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = PQ.rademacher_codebooks()
+    a = sorted(map(tuple, PQ.encode_pq(emb, cbs).collect()))
+    b = sorted(map(tuple, PQ.encode_pq_pandas(emb, cbs).collect()))
+    assert a == b
+    # residual (IVF-PQ) form, against the expression encode_ivfpq
+    cents, books = PQ.fit_ivfpq(emb)
+    expr = sorted(
+        (r.vec_id, r.cell, r.j, r.code)
+        for r in PQ.encode_ivfpq(emb, cents, books).collect()
+    )
+    assigned = assign_cells_pandas(emb.select("vec_id", "embedding"), cents)
+    fast = sorted(
+        (r.vec_id, r.cell, r.j, r.code)
+        for r in PQ.encode_pq_pandas(assigned, books, centroids=cents).collect()
+    )
+    assert expr == fast
