@@ -562,3 +562,17 @@ def test_url_extract_domains(spark):
         ("http://b.org", "b.org"),
         ("https://a.example.com/x/y", "a.example.com"),
     ]
+
+
+def test_span_ops_empty_and_single_doc(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert X.span_dedup(empty).count() == 0
+    assert X.boilerplate_scrub(empty).count() == 0
+    assert X.url_extract(empty).count() == 0
+    one = spark.createDataFrame([(7, "just one tiny doc")], "doc_id long, text string")
+    r = X.span_dedup(one).collect()[0]
+    assert (r.n_chunks, r.n_dropped, r.clean_text) == (1, 0, "just one tiny doc")
+    # a doc whose text is empty still yields its (empty) chunk row
+    blank = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    rb = X.span_dedup(blank).collect()[0]
+    assert rb.n_chunks == 1 and rb.clean_text == ""

@@ -168,3 +168,16 @@ def test_encode_pq_pandas_bit_equal_to_expression(spark, sf_dir):
         for r in PQ.encode_pq_pandas(assigned, books, centroids=cents).collect()
     )
     assert expr == fast
+
+
+def test_pq_empty_and_null_vectors(spark):
+    cbs = PQ.rademacher_codebooks()
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert PQ.encode_pq(empty, cbs).count() == 0
+    assert PQ.encode_pq_pandas(empty, cbs).count() == 0
+    # null vectors carry no components -> no codes, never a crash
+    withnull = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None)], "vec_id long, embedding array<float>"
+    )
+    assert {r.vec_id for r in PQ.encode_pq(withnull, cbs).collect()} == {1}
+    assert {r.vec_id for r in PQ.encode_pq_pandas(withnull, cbs).collect()} == {1}
