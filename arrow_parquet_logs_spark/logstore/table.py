@@ -137,7 +137,7 @@ class VersionedTable:
         man = self._current()
         new_v = man["version"] + 1
         files = self._write_version_files(df, new_v)
-        self._commit({"version": new_v, "files": files})
+        self._commit({"version": new_v, "files": files, "schema": df.schema.jsonValue()})
         return {"version": new_v, "files": len(files)}
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -152,6 +152,16 @@ class VersionedTable:
         files = [os.path.join(self.path, f) for f in man["files"]]
         if not files:
             raise ValueError(f"empty table at {self.path} (no committed version)")
+        if man.get("schema"):
+            # the manifest carries the table schema (recorded at commit, the
+            # table-format design): schema evolution needs no mergeSchema
+            # footer sweep — carried files missing newer columns read as
+            # nulls under the explicit schema, and one manifest read prices
+            # the whole scan regardless of file count
+            from pyspark.sql import types as T
+
+            st = T.StructType.fromJson(man["schema"])
+            return self.spark.read.schema(st).parquet(*files)
         return self.spark.read.parquet(*files)
 
     def upsert(self, updates: DataFrame) -> dict:
@@ -182,17 +192,26 @@ class VersionedTable:
                 if self._file_partition(f) not in [str(a) for a in affected]
             ]
             tgt_part = target.where(F.col(self.partition_col).isin(affected))
+            # allowMissingColumns = schema evolution: updates may ADD columns
+            # (old rows read as null via the manifest schema) or omit target
+            # columns (replaced rows get null — full-row MERGE semantics)
             merged = tgt_part.join(
                 updates.select(*self.key_cols), self.key_cols, "left_anti"
-            ).unionByName(updates)
+            ).unionByName(updates, allowMissingColumns=True)
             new_files = self._write_version_files(merged, new_v, subdir="delta")
         else:
             keep_files = []
             merged = target.join(
                 updates.select(*self.key_cols), self.key_cols, "left_anti"
-            ).unionByName(updates)
+            ).unionByName(updates, allowMissingColumns=True)
             new_files = self._write_version_files(merged, new_v)
-        self._commit({"version": new_v, "files": sorted(keep_files) + new_files})
+        self._commit(
+            {
+                "version": new_v,
+                "files": sorted(keep_files) + new_files,
+                "schema": merged.schema.jsonValue(),
+            }
+        )
         return {
             "version": new_v,
             "rewritten_files": len(new_files),
@@ -230,7 +249,13 @@ class VersionedTable:
         else:
             keep_files = []
             new_files = self._write_version_files(target.where(~cond), new_v)
-        self._commit({"version": new_v, "files": sorted(keep_files) + new_files})
+        self._commit(
+            {
+                "version": new_v,
+                "files": sorted(keep_files) + new_files,
+                "schema": target.schema.jsonValue(),
+            }
+        )
         return {
             "version": new_v,
             "rewritten_files": len(new_files),

@@ -286,3 +286,91 @@ def resize_media(
         F.col("media.format").alias("format"),
     )
     return spread_for_python(flat).mapInPandas(resize, schema=out_schema)
+
+
+# ---- audio: real PCM WAV decode (pure byte layout, no codec libs) ----------
+
+AUDIO_RAW_DECODABLE = ("wav",)
+
+_AUDIO_SCHEMA = (
+    "id long, sample_rate int, n_samples int, duration_us long, "
+    "sum_sq long, zero_crossings int"
+)
+
+
+def _decode_wav(buf: bytes):
+    """RIFF/WAVE PCM16 mono → (sample_rate, int16 numpy samples). Pure
+    byte-layout parsing (chunk walk, little-endian fields) — real audio
+    decode with no codec library, the PPM/BMP story for the audio tier."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(buf):
+        cid = buf[i : i + 4]
+        sz = _struct.unpack_from("<I", buf, i + 4)[0]
+        body = buf[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sr, _, _, bits = _struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise ValueError(
+            f"only PCM16 mono supported (format={audio_format}, bits={bits}, ch={channels})"
+        )
+    return int(sr), np.frombuffer(data, dtype="<i2")
+
+
+def audio_features(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Audio feature extraction via Arrow-batched ``mapInPandas``: REAL WAV
+    decode (``media.format`` ∈ AUDIO_RAW_DECODABLE), then exact-integer
+    features — sample count, µs duration (n·10⁶ // rate), int64 energy
+    (Σs²), and zero-crossing count (sign(s)=s≥0) — all rationals of int16
+    samples, so the result is bit-deterministic under any batch split and
+    recomputable by a SQL oracle from the same sample arithmetic. Formats
+    beyond WAV would need codec libraries → loud ``NotImplementedError``
+    (same honesty gate as the image tier)."""
+    if df.where(~F.col("media.format").isin(*AUDIO_RAW_DECODABLE)).limit(1).count() > 0:
+        raise NotImplementedError(
+            "audio codecs not available in this environment; only raw "
+            f"{AUDIO_RAW_DECODABLE} payloads decode here"
+        )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            sr_l, n_l, dur, ss, zc = [], [], [], [], []
+            for b in pdf["payload"]:
+                sr, s = _decode_wav(bytes(b) if b is not None else b"")
+                sr_l.append(sr)
+                n_l.append(len(s))
+                dur.append(len(s) * 1_000_000 // sr)
+                x = s.astype("int64")
+                ss.append(int((x * x).sum()))
+                signs = x >= 0
+                zc.append(int((signs[1:] != signs[:-1]).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "sample_rate": sr_l,
+                    "n_samples": n_l,
+                    "duration_us": dur,
+                    "sum_sq": ss,
+                    "zero_crossings": zc,
+                }
+            )
+
+    flat = df.select(
+        F.col(id_col).alias(id_col),
+        F.col("media.payload").alias("payload"),
+        F.col("media.format").alias("format"),
+    )
+    return spread_for_python(flat).mapInPandas(extract, schema=_AUDIO_SCHEMA)

@@ -199,3 +199,65 @@ def multimodal_real_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "width", "height", F.hex("resized_payload").alias("resized_hex")
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_real_wav_features",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               [(doc_id*7)%65536, (doc_id*11)%65536, (doc_id*13)%65536, (doc_id*17)%65536,
+                (doc_id*19)%65536, (doc_id*23)%65536, (doc_id*29)%65536, (doc_id*31)%65536] AS us
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id,
+               list_transform(us, x -> CASE WHEN x < 32768 THEN x ELSE x - 65536 END) AS ss
+        FROM u
+    )
+    SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(8 AS INTEGER) AS n_samples,
+           CAST(1000 AS BIGINT) AS duration_us,
+           CAST(list_aggregate(list_transform(ss, x -> x*x), 'sum') AS BIGINT) AS sum_sq,
+           CAST(len(list_filter(range(1, 8), i -> (ss[i+1] >= 0) != (ss[i] >= 0))) AS INTEGER) AS zero_crossings
+    FROM s ORDER BY id
+    """,
+    tags=("multimodal", "audio", "pandas-udf", "decode"),
+)
+def multimodal_real_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding under the driver's hash gate — the WAV twin of
+    multimodal_real_ppm_decode. The query synthesizes a valid RIFF/WAVE
+    PCM16 mono payload per document (8 samples at 8 kHz, sample words from
+    doc_id arithmetic, little-endian bytes built JVM-side via unhex), runs
+    it through the pure-numpy chunk-walking decoder
+    (operators.multimodal._decode_wav), and the oracle recomputes the exact
+    integer features — energy Σs² and zero crossings over the SIGNED int16
+    interpretation — from the same arithmetic. A byte-level bug (chunk
+    offsets, endianness, two's-complement handling) lands as a hash
+    mismatch."""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, audio_features
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    n, sr = 8, 8000
+    header = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + 2 * n)
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data"
+        + _struct.pack("<I", 2 * n)
+    )
+
+    def sample_le(mult: int):
+        u = (F.col("doc_id") * mult) % 65536
+        lo = F.unhex(F.lpad(F.hex(u % 256), 2, "0"))
+        hi = F.unhex(F.lpad(F.hex((u / 256).cast("int")), 2, "0"))
+        return F.concat(lo, hi)
+
+    payload = F.concat(F.lit(header), *[sample_le(m) for m in (7, 11, 13, 17, 19, 23, 29, 31)])
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "wav")
+    return audio_features(media, id_col="doc_id").orderBy("id")

@@ -576,3 +576,56 @@ def test_span_ops_empty_and_single_doc(spark):
     blank = spark.createDataFrame([(1, "")], "doc_id long, text string")
     rb = X.span_dedup(blank).collect()[0]
     assert rb.n_chunks == 1 and rb.clean_text == ""
+
+
+def test_wav_decoder_roundtrip_and_rejection():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from arrow_parquet_logs_spark.operators.multimodal import _decode_wav
+
+    def wav(samples, sr=44100, fmt=1, bits=16, ch=1):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    sr, s = _decode_wav(wav([0, 100, -100, 32767, -32768]))
+    assert sr == 44100 and list(s) == [0, 100, -100, 32767, -32768]
+    with _pytest.raises(ValueError):
+        _decode_wav(b"OGGS" + b"\x00" * 40)          # wrong container
+    with _pytest.raises(ValueError):
+        _decode_wav(wav([1, 2], fmt=3))               # float PCM
+    with _pytest.raises(ValueError):
+        _decode_wav(wav([1, 2], ch=2))                # stereo unsupported
+    with _pytest.raises(ValueError):
+        _decode_wav(wav([1, 2])[:20])                 # truncated: no data chunk
+
+
+def test_audio_features_gate_and_values(spark):
+    import struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, audio_features
+
+    data = b"".join(struct.pack("<h", s) for s in (3, -4, 0, 5))
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 1000, 2000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([(1, payload)], "id long, raw binary")
+    media = attach_media(df, "raw", "audio", "wav")
+    r = audio_features(media).collect()[0]
+    # sum_sq = 9+16+0+25; zero crossings at 3→-4 and -4→0 (sign(0)=+)
+    assert (r.sample_rate, r.n_samples, r.duration_us, r.sum_sq, r.zero_crossings) == (
+        1000, 4, 4000, 50, 2,
+    )
+    mp3 = attach_media(df, "raw", "audio", "mp3")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        audio_features(mp3).collect()

@@ -235,3 +235,40 @@ def test_stale_compaction_lock_expires(spark, tmp_path):
     assert store.compact("a", "s1")["compacted"]
     assert store.count(container="a", session="s1") == 1
     assert not os.path.exists(lock)
+
+
+def test_schema_evolution_upsert_adds_column(table, spark):
+    """An upsert may ADD columns: carried files lack them and must read as
+    null under the manifest schema (no mergeSchema footer sweep); rewritten
+    partitions carry the new values; time travel shows each version with
+    ITS OWN schema."""
+    up = spark.createDataFrame(
+        [(1, "seg1", 111, "gold"), (99, "seg0", 990, "silver")],
+        "k long, seg string, val long, label string",
+    )
+    table.upsert(up)
+    cur = table.read()
+    assert "label" in cur.columns
+    got = {r.k: (r.val, r.label) for r in cur.collect()}
+    assert got[1] == (111, "gold") and got[99] == (990, "silver")
+    # rows in untouched (carried) partitions read label as null
+    untouched = [k for k in range(30) if k % 3 == 2]
+    assert all(got[k] == (k * 10, None) for k in untouched)
+    # and rewritten-partition rows that weren't updated are null too
+    assert got[4] == (40, None)
+    # time travel: version 1 still has the original schema
+    assert "label" not in table.read(version=1).columns
+    # a later delete preserves the evolved schema
+    table.delete_where(F.col("k") == 99)
+    after = table.read()
+    assert "label" in after.columns and 99 not in {r.k for r in after.collect()}
+
+
+def test_schema_evolution_upsert_missing_column(table, spark):
+    """Updates may OMIT columns (full-row MERGE replace): replaced rows get
+    null for the omitted column, untouched rows keep their values."""
+    up = spark.createDataFrame([(2, "seg2")], "k long, seg string")
+    table.upsert(up)
+    got = _as_dict(table.read())
+    assert got[2] == ("seg2", None)  # replaced row: omitted val -> null
+    assert got[5] == ("seg2", 50)  # untouched row keeps its value
