@@ -115,6 +115,11 @@ def test_new_query_plans_have_no_accidental_nested_loops(spark, sf_dir):
         "full_outer_segment_order_balance",
         "docs_repetition_signals",
         "lineitem_price_quantity_corr",
+        "docs_pii_scrub",
+        "docs_span_dedup",
+        "docs_boilerplate_scrub",
+        "docs_url_domains",
+        "embeddings_pq_adc",
     ):
         plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
         if name in one_row_cross:
