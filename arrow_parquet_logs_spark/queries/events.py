@@ -1159,3 +1159,86 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, n_events bigint, n_users bigint"
     ).orderBy("event_type")
+
+
+@register(
+    "events_stream_error_context",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS context_id,
+           e.user_id AS user_id, e.ts AS error_ts, c.ts AS context_ts,
+           c.event_type AS context_type
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
+    WHERE e.event_type = 'error' AND c.event_type != 'error'
+    ORDER BY error_id, context_id
+    """,
+    tags=("streaming", "join", "interval", "eventtime"),
+)
+def events_stream_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the hash gate: each streamed error
+    event pairs with the same user's non-error events in the 30 minutes
+    leading up to it — two watermarked file-source streams, an event-time-
+    bounded join condition (so buffered state expires at watermark +
+    lookback instead of growing with the stream), availableNow drain. The
+    result must hash-match the identical batch join in DuckDB: a dropped
+    pair (state expired too early) or duplicate (join state replayed)
+    breaks the gate. Both sides shuffle on user_id — co-partitioned, no
+    stream is broadcast."""
+    from arrow_parquet_logs_spark.sources.tables import read_events_stream
+
+    err = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "2 hours")
+    )
+    ctx = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") != "error")
+        .select(
+            F.col("event_id").alias("context_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("context_ts"),
+            F.col("event_type").alias("context_type"),
+        )
+        .withWatermark("context_ts", "2 hours")
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("context_ts") >= F.col("error_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("context_ts") <= F.col("error_ts"))
+    )
+    joined = err.join(ctx, cond, "inner").select(
+        "error_id",
+        "context_id",
+        F.col("e_user").alias("user_id"),
+        "error_ts",
+        "context_ts",
+        "context_type",
+    )
+    name = f"stream_errctx_{next(_STREAM_SEQ)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = spark.table(name).orderBy("error_id", "context_id").collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        rows,
+        "error_id bigint, context_id bigint, user_id bigint, "
+        "error_ts timestamp, context_ts timestamp, context_type string",
+    ).orderBy("error_id", "context_id")
