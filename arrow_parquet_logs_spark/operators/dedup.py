@@ -708,8 +708,15 @@ def embedding_dup_pairs_fast(
             }
         )
 
+    # collapse multi-cell emissions on the PAIR KEY alone (min over the
+    # score): BLAS summation order can differ between blocks, so two
+    # emissions of the same pair aren't guaranteed bit-identical doubles —
+    # a distinct() over (a_id, b_id, cosine) would leave both rows when a
+    # value sits on a 1e-6 rounding boundary. min() is deterministic and,
+    # off boundaries, equals the unique rounded cosine the oracle computes.
     return (
         assigned.groupBy("cell")
         .applyInPandas(block_score, f"a_id {id_type}, b_id {id_type}, cosine double")
-        .distinct()
+        .groupBy("a_id", "b_id")
+        .agg(F.min("cosine").alias("cosine"))
     )

@@ -8,12 +8,13 @@ media-processing operators.
 
 Decoding is three-tiered by format:
 
-- **PPM (P6) and BMP (24-bit uncompressed)** decode for REAL, in pure
-  numpy — both are plain byte-layout formats (header + raster), no codec
-  library involved. Decode and nearest-neighbor resize are exact pixel
-  math, pinned by byte-level tests.
-- other formats (JPEG/PNG/audio/video) need real codecs, absent in this
-  environment: ``NotImplementedError`` unless ``allow_fake=True``, which
+- **PPM (P6), BMP (24-bit uncompressed) and PNG (8-bit gray/RGB/RGBA,
+  non-interlaced)** decode for REAL — PPM/BMP are plain byte layouts in
+  pure numpy; PNG needs only stdlib ``zlib`` for the IDAT inflate plus the
+  five PNG scanline filters re-implemented in numpy. Decode and
+  nearest-neighbor resize are exact pixel math, pinned by byte-level tests.
+- genuinely library-bound formats (JPEG/MP3/video codecs) are absent in
+  this environment: ``NotImplementedError`` unless ``allow_fake=True``, which
   derives deterministic pseudo-features from the payload's sha256 — the
   Spark plumbing (struct schema, Arrow batch shapes, UDF signatures,
   partition behavior) stays real and testable while the codec is a
@@ -70,8 +71,9 @@ _DECODE_SCHEMA = (
     "n_frames int, mean_luma double"
 )
 
-#: formats decodable with no codec library — plain byte layouts.
-RAW_DECODABLE = ("ppm", "bmp")
+#: formats decodable with no codec library — plain byte layouts, plus PNG
+#: (stdlib zlib inflate + numpy unfilter; no codec library involved).
+RAW_DECODABLE = ("ppm", "bmp", "png")
 
 
 def _decode_ppm(buf: bytes):
@@ -127,8 +129,122 @@ def _decode_bmp(buf: bytes):
     return w, h, (px if top_down else px[::-1])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_unfilter(raw, h: int, w: int, ch: int):
+    """Reverse the five PNG scanline filters (spec §9: None/Sub/Up/
+    Average/Paeth) over the inflated raster → (h, w·ch) uint8 matrix.
+    Sub is a per-lane cumulative sum (vectorized); Average/Paeth carry a
+    left-pixel dependency and run as a per-pixel loop vectorized across
+    channels — decode cost is per-payload and raster-bound either way."""
+    import numpy as np
+
+    stride = 1 + w * ch
+    if len(raw) < stride * h:
+        raise ValueError("PNG raster truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(h, stride)
+    out = np.zeros((h, w * ch), dtype=np.int64)
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ft == 0:  # None
+            rec = line
+        elif ft == 1:  # Sub: rec[x] = line[x] + rec[x-bpp] → lane cumsum
+            rec = (line.reshape(w, ch).cumsum(axis=0) % 256).reshape(-1)
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft == 3:  # Average: left-dependent, sequential in x
+            rec = np.zeros(w * ch, dtype=np.int64)
+            lf = line.reshape(w, ch)
+            pr = prev.reshape(w, ch)
+            left = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                left = (lf[x] + (left + pr[x]) // 2) % 256
+                rec[x * ch : (x + 1) * ch] = left
+        elif ft == 4:  # Paeth predictor, sequential in x
+            rec = np.zeros(w * ch, dtype=np.int64)
+            lf = line.reshape(w, ch)
+            pr = prev.reshape(w, ch)
+            left = np.zeros(ch, dtype=np.int64)
+            ul = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                up = pr[x]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (lf[x] + pred) % 256
+                rec[x * ch : (x + 1) * ch] = left
+                ul = up
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def _decode_png(buf: bytes):
+    """PNG (8-bit depth, gray/RGB/RGBA, non-interlaced) → (width, height,
+    HxWx3 uint8 RGB array) with stdlib ``zlib`` + numpy only: chunk walk
+    with CRC verification, concatenated-IDAT inflate, scanline unfilter
+    (PNG spec, RFC 2083). Gray expands to 3 equal channels; RGBA drops
+    alpha — the decode contract (dimensions + RGB raster) matches the
+    PPM/BMP tiers. Interlaced (Adam7) and 16-bit/palette images raise."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    i, n = len(_PNG_SIG), len(buf)
+    ihdr, idat = None, []
+    while i + 8 <= n:
+        (clen,) = _struct.unpack_from(">I", buf, i)
+        ctype = buf[i + 4 : i + 8]
+        data = buf[i + 8 : i + 8 + clen]
+        (crc,) = _struct.unpack_from(">I", buf, i + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = _struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError(
+            f"only 8-bit gray/RGB/RGBA supported (depth={depth}, color={color})"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    ch = _PNG_CHANNELS[color]
+    raster = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, ch)
+    px = raster.reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        px = px[:, :, :3]
+    return w, h, px
+
+
 def _decode_raw(fmt: str, buf: bytes):
-    return _decode_ppm(buf) if fmt == "ppm" else _decode_bmp(buf)
+    if fmt == "ppm":
+        return _decode_ppm(buf)
+    if fmt == "bmp":
+        return _decode_bmp(buf)
+    if fmt == "png":
+        return _decode_png(buf)
+    raise ValueError(f"format {fmt!r} is not raw-decodable")
 
 
 def _mean_luma(px) -> float:
@@ -154,8 +270,12 @@ def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) ->
     """
     if not _CODECS_AVAILABLE and not allow_fake:
         # probe (one cheap metadata-only job, never touches payload bytes)
-        # only on the gated path: raw-decodable-only frames sail through
-        if df.where(~F.col("media.format").isin(*RAW_DECODABLE)).limit(1).count() > 0:
+        # only on the gated path: raw-decodable-only frames sail through.
+        # NULL format is non-decodable — coalesce keeps it in the probe
+        # (bare ~isin() is NULL for NULL and would silently skip the row).
+        if df.where(~F.coalesce(
+            F.col("media.format").isin(*RAW_DECODABLE), F.lit(False)
+        )).limit(1).count() > 0:
             raise NotImplementedError(
                 "media codecs (PIL/ffmpeg) not available in this environment "
                 "and the frame contains formats beyond the raw-decodable set "
@@ -236,7 +356,10 @@ def resize_media(
     once, Arrow-batched, and the output payload is a fresh bounded-size
     binary column."""
     if not _CODECS_AVAILABLE and not allow_fake:
-        if df.where(~F.col("media.format").isin(*RAW_DECODABLE)).limit(1).count() > 0:
+        # NULL format counts as non-decodable (see decode_media probe)
+        if df.where(~F.coalesce(
+            F.col("media.format").isin(*RAW_DECODABLE), F.lit(False)
+        )).limit(1).count() > 0:
             raise NotImplementedError(
                 "media codecs (PIL/ffmpeg) not available in this environment "
                 "and the frame contains formats beyond the raw-decodable set "
@@ -337,7 +460,12 @@ def audio_features(df: DataFrame, id_col: str = "id") -> DataFrame:
     recomputable by a SQL oracle from the same sample arithmetic. Formats
     beyond WAV would need codec libraries → loud ``NotImplementedError``
     (same honesty gate as the image tier)."""
-    if df.where(~F.col("media.format").isin(*AUDIO_RAW_DECODABLE)).limit(1).count() > 0:
+    # NULL format counts as non-decodable: without the coalesce the probe's
+    # NULL predicate would drop the row and _decode_wav would later die with
+    # an opaque executor-side ValueError instead of this loud gate.
+    if df.where(~F.coalesce(
+        F.col("media.format").isin(*AUDIO_RAW_DECODABLE), F.lit(False)
+    )).limit(1).count() > 0:
         raise NotImplementedError(
             "audio codecs not available in this environment; only raw "
             f"{AUDIO_RAW_DECODABLE} payloads decode here"

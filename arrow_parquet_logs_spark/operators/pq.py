@@ -491,9 +491,14 @@ def search_ivfpq(
                 rj = res[j * sub : (j + 1) * sub]
                 d2 = ((rj[None, :] - books_i[j]) ** 2).sum(axis=1)  # (ks,)
                 lut_rows.extend(
-                    (int(r[0]), int(cell), j, c, int(d2[c])) for c in range(ks)
+                    (r[0], int(cell), j, c, int(d2[c])) for c in range(ks)
                 )
-    lut = spark.createDataFrame(lut_rows, "q_id long, cell int, j int, c int, part long")
+    # q_id keeps the caller's id type (string keys etc.), like the sibling
+    # encode_pq/pq_adc_topk operators — no int64 assumption baked in
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    lut = spark.createDataFrame(
+        lut_rows, f"q_id {q_id_type}, cell int, j int, c int, part long"
+    )
 
     codes = spark.read.parquet(path).where(F.col("cell").isin(sorted(probed)))
     approx = (

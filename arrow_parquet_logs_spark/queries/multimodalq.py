@@ -38,7 +38,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media(
-        docs.select("doc_id", F.col("text").cast("binary").alias("raw")), "raw", "image", "png"
+        docs.select("doc_id", F.col("text").cast("binary").alias("raw")), "raw", "image", "jpeg"
     )
     return decode_media(media, id_col="doc_id", allow_fake=True).orderBy("id")
 
@@ -199,6 +199,98 @@ def multimodal_real_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "width", "height", F.hex("resized_payload").alias("resized_hex")
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_real_png_decode",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 53) % 256 AS r0, (doc_id * 59) % 256 AS g0, (doc_id * 61) % 256 AS b0,
+               (doc_id * 67) % 256 AS r1, (doc_id * 71) % 256 AS g1, (doc_id * 73) % 256 AS b1,
+               (doc_id * 79) % 256 AS r2, (doc_id * 83) % 256 AS g2, (doc_id * 89) % 256 AS b2,
+               (doc_id * 97) % 256 AS r3, (doc_id * 101) % 256 AS g3, (doc_id * 103) % 256 AS b3
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(82 AS BIGINT) AS byte_len,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           (  299*(r0+r1+r2+r3) + 587*(g0+g1+g2+g3) + 114*(b0+b1+b2+b3)
+           ) / (1000.0 * 255 * 4) AS mean_luma
+    FROM px ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "png"),
+)
+def multimodal_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decoding under the driver's hash gate — stdlib zlib + numpy,
+    no codec library (operators.multimodal._decode_png). The query
+    synthesizes a fully valid 2×2 RGB PNG per document ENTIRELY in Catalyst
+    expressions: signature + constant IHDR/IEND chunks, an IDAT whose zlib
+    stream uses a stored (uncompressed) deflate block so the scanline bytes
+    are expressible JVM-side, Adler-32 folded symbolically over the known
+    byte values, and the chunk CRC via the built-in ``F.crc32``. Row 1 is
+    filter-0 (None); row 2 is filter-2 (Up), so the decoder's scanline
+    UNFILTERING — not just raster slicing — sits under the driver gate: the
+    oracle recomputes the expected Rec.601 mean luma from the *unfiltered*
+    pixel arithmetic, and any chunk-walk/inflate/unfilter bug lands as a
+    hash mismatch. (Sub/Average/Paeth filters + gray/RGBA color types are
+    pinned byte-level in tests/test_operators.py.)"""
+    import struct as _struct
+    import zlib as _zlib
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    # pixel channel values from doc_id arithmetic (ints in [0, 256))
+    def ch(mult: int):
+        return (F.col("doc_id") * mult) % 256
+
+    row1 = [ch(m) for m in (53, 59, 61, 67, 71, 73)]      # pixels (0,0),(0,1)
+    row2 = [ch(m) for m in (79, 83, 89, 97, 101, 103)]    # pixels (1,0),(1,1)
+    # row 2 stored Up-filtered: delta vs the pixel directly above
+    deltas = [F.pmod(b - a, F.lit(256)) for a, b in zip(row1, row2)]
+    # the 14 raw raster bytes (values): filter 0 + row1, filter 2 + deltas
+    vals = [F.lit(0), *row1, F.lit(2), *deltas]
+
+    # Adler-32 over the raw scanlines, folded symbolically:
+    # A = 1 + Σb_i ; B = n + Σ (n-i+1)·b_i  (both < 65521 here, mod is a no-op)
+    n = len(vals)
+    a_sum = F.lit(1)
+    b_sum = F.lit(n)
+    for i, v in enumerate(vals, start=1):
+        a_sum = a_sum + v
+        b_sum = b_sum + v * (n - i + 1)
+    adler = F.unhex(
+        F.concat(
+            F.lpad(F.hex(b_sum % 65521), 4, "0"), F.lpad(F.hex(a_sum % 65521), 4, "0")
+        )
+    )
+
+    def byte(v):
+        return F.unhex(F.lpad(F.hex(v), 2, "0"))
+
+    # zlib stream: header 78 01, stored-block header (BFINAL=1, BTYPE=00,
+    # LEN=14 LE, NLEN=~LEN), raw scanlines, Adler-32 (BE)
+    zstream = F.concat(
+        F.lit(b"\x78\x01\x01\x0e\x00\xf1\xff"), *[byte(v) for v in vals], adler
+    )
+    idat_td = F.concat(F.lit(b"IDAT"), zstream)
+    idat_crc = F.unhex(F.lpad(F.hex(F.crc32(idat_td)), 8, "0"))
+
+    ihdr_data = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    head = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", 13) + b"IHDR" + ihdr_data
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF)
+        + _struct.pack(">I", 25)  # IDAT length: 2+5+14+4
+    )
+    iend = _struct.pack(">I", 0) + b"IEND" + _struct.pack(">I", _zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    payload = F.concat(F.lit(head), idat_td, idat_crc, F.lit(iend))
+
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "png")
+    return decode_media(media, id_col="doc_id").orderBy("id")
 
 
 @register(

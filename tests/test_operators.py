@@ -106,7 +106,7 @@ def test_lang_id_fallback_und(spark):
 # ---- multimodal plumbing ---------------------------------------------------
 def test_attach_media_schema_and_digest(spark):
     df = spark.createDataFrame([(1, bytearray(b"payload-bytes"))], "id long, raw binary")
-    m = M.attach_media(df, "raw", "image", "png")
+    m = M.attach_media(df, "raw", "image", "jpeg")
     row = m.head()
     assert row.media.byte_len == 13
     assert len(row.media.sha256) == 64
@@ -115,7 +115,7 @@ def test_attach_media_schema_and_digest(spark):
 
 def test_decode_media_raises_without_codecs(spark):
     df = M.attach_media(
-        spark.createDataFrame([(1, bytearray(b"x"))], "id long, raw binary"), "raw", "image", "png"
+        spark.createDataFrame([(1, bytearray(b"x"))], "id long, raw binary"), "raw", "image", "jpeg"
     )
     with pytest.raises(NotImplementedError):
         M.decode_media(df)
@@ -128,7 +128,7 @@ def test_decode_media_stub_deterministic(spark):
         ),
         "raw",
         "image",
-        "png",
+        "jpeg",
     )
     out1 = sorted(map(tuple, M.decode_media(df, allow_fake=True).collect()))
     out2 = sorted(map(tuple, M.decode_media(df.repartition(4), allow_fake=True).collect()))
@@ -212,7 +212,7 @@ def test_resize_media_stub_contract(spark):
         ),
         "raw",
         "image",
-        "png",
+        "jpeg",
     )
     with pytest.raises(NotImplementedError):
         M.resize_media(df, 32, 32)
@@ -243,7 +243,7 @@ def test_new_pandas_operators_empty_inputs(spark):
     one = spark.createDataFrame([(1, [0.1] * 8)], "vec_id long, embedding array<float>")
     assert srp_lsh_topk(one, one.where("vec_id < 0")).count() == 0
     empty_media = M.attach_media(
-        spark.createDataFrame([], "id long, raw binary"), "raw", "image", "png"
+        spark.createDataFrame([], "id long, raw binary"), "raw", "image", "jpeg"
     )
     assert M.resize_media(empty_media, 32, 32, allow_fake=True).count() == 0
 
@@ -629,3 +629,127 @@ def test_audio_features_gate_and_values(spark):
 
     with _pytest.raises(NotImplementedError):
         audio_features(mp3).collect()
+
+
+# ---- real PNG decode (stdlib zlib + numpy unfilter) ------------------------
+def _encode_png_py(px, color_type, filters):
+    """Reference PNG encoder for tests: applies the requested scanline
+    filter per row (forward direction, per PNG spec §9) and deflates with
+    stdlib zlib — independent of the decoder under test."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape if px.ndim == 3 else (*px.shape, 1)
+    px = px.reshape(h, w, ch).astype(np.int64)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        row = px[y]
+        filt = np.zeros((w, ch), dtype=np.int64)
+        left = np.zeros(ch, dtype=np.int64)
+        ul = np.zeros(ch, dtype=np.int64)
+        for x in range(w):
+            orig = row[x]
+            if ft == 0:
+                v = orig
+            elif ft == 1:
+                v = (orig - left) % 256
+            elif ft == 2:
+                v = (orig - prev[x]) % 256
+            elif ft == 3:
+                v = (orig - (left + prev[x]) // 2) % 256
+            else:  # Paeth
+                up = prev[x]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+                v = (orig - pred) % 256
+                ul = up
+            filt[x] = v
+            left = orig
+        raw += bytes([ft]) + filt.astype("uint8").tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_and_colortypes():
+    """_decode_png must invert every scanline filter (None/Sub/Up/Average/
+    Paeth, including mixed per-row) for gray, RGB and RGBA at 8-bit depth."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for ct, ch in [(0, 1), (2, 3), (6, 4)]:
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            px = rng.integers(0, 256, size=(9, 7, ch), dtype=np.int64)
+            w, h, out = M._decode_png(_encode_png_py(px, ct, filters))
+            assert (w, h) == (7, 9)
+            if ch == 1:
+                exp = np.repeat(px, 3, axis=2)
+            elif ch == 4:
+                exp = px[:, :, :3]
+            else:
+                exp = px
+            assert (out.astype(np.int64) == exp).all(), (ct, filters)
+
+
+def test_png_decode_error_paths():
+    import numpy as np
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        M._decode_png(b"nope")
+    good = _encode_png_py(np.arange(12).reshape(2, 2, 3), 2, [0])
+    corrupt = good[:20] + bytes([good[20] ^ 0xFF]) + good[21:]
+    with pytest.raises(ValueError, match="CRC"):
+        M._decode_png(corrupt)
+    # truncated: signature + IHDR only, no IDAT
+    with pytest.raises(ValueError, match="IHDR/IDAT"):
+        M._decode_png(good[:33])
+
+
+def test_png_decode_through_spark_pipeline(spark):
+    """decode_media + resize_media over real PNG payloads (format='png' is
+    raw-decodable: NO allow_fake) — resize re-encodes as PPM whose bytes we
+    can pin exactly: 4x4 constant-color image downsampled to 2x2."""
+    import numpy as np
+
+    px = np.full((4, 4, 3), 77, dtype=np.int64)
+    buf = _encode_png_py(px, 2, [0, 1, 2, 4])
+    df = M.attach_media(
+        spark.createDataFrame([(1, bytearray(buf))], "id long, raw binary"),
+        "raw", "image", "png",
+    )
+    got = M.decode_media(df).head()
+    assert (got.width, got.height) == (4, 4)
+    assert abs(got.mean_luma - 77 / 255) < 1e-12
+    rz = M.resize_media(df, 2, 2).head()
+    assert bytes(rz.resized_payload) == b"P6\n2 2\n255\n" + bytes([77] * 12)
+
+
+def test_decode_media_null_format_is_gated(spark):
+    """ADVICE r3: NULL media.format must count as non-decodable in the
+    codec probe (bare ~isin() is NULL for NULL and silently skipped the
+    row into the stub path)."""
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, raw binary")
+    media = M.attach_media(df, "raw", "image", "ppm").withColumn(
+        "media", F.col("media").withField("format", F.lit(None).cast("string"))
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_media(media)
+    with pytest.raises(NotImplementedError):
+        M.resize_media(media, 2, 2)
+    with pytest.raises(NotImplementedError):
+        M.audio_features(media)

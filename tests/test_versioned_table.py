@@ -272,3 +272,83 @@ def test_schema_evolution_upsert_missing_column(table, spark):
     got = _as_dict(table.read())
     assert got[2] == ("seg2", None)  # replaced row: omitted val -> null
     assert got[5] == ("seg2", 50)  # untouched row keeps its value
+
+
+def test_overrun_writer_does_not_remove_successor_lock(tmp_path):
+    """A writer that overran stale_after (its lock stolen + replaced by a
+    waiter) must NOT delete the successor's lock on exit — release is
+    token-checked."""
+    import json
+
+    from arrow_parquet_logs_spark.logstore.locks import file_lock
+
+    lock = str(tmp_path / "l.lock")
+    with file_lock(lock, "busy"):
+        # simulate the takeover: successor removed our stale lock and
+        # re-acquired with its own token while we were still running
+        os.remove(lock)
+        with open(lock, "w") as fh:
+            json.dump({"token": "successor"}, fh)
+    with open(lock) as fh:
+        assert json.load(fh)["token"] == "successor"  # left untouched
+    os.remove(lock)
+    # and a clean acquire/release still removes its own lock
+    with file_lock(lock, "busy"):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+
+
+def test_stale_takeover_restores_displaced_fresh_lock(tmp_path, monkeypatch):
+    """TOCTOU guard: if a concurrent waiter completes its takeover between
+    our stat and our rename, we displaced a FRESH lock — it must be
+    restored and the takeover reported as failed."""
+    import json
+    import time
+
+    from arrow_parquet_logs_spark.logstore import locks as L
+
+    lock = str(tmp_path / "l.lock")
+    with open(lock, "w") as fh:
+        fh.write("{}")
+    old = time.time() - L.DEFAULT_STALE_AFTER - 10
+    os.utime(lock, (old, old))
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # interleave: the concurrent winner sweeps the stale lock and
+        # O_EXCL-creates its fresh one just before our rename lands
+        # (create while the old file still exists so the inode differs,
+        # as a real O_EXCL re-acquire would)
+        fresh = src + ".fresh"
+        with open(fresh, "w") as fh:
+            json.dump({"token": "winner"}, fh)
+        os.replace(fresh, src)
+        real_rename(src, dst)
+
+    monkeypatch.setattr(L.os, "rename", racing_rename)
+    assert L._takeover_if_stale(lock, L.DEFAULT_STALE_AFTER) is False
+    monkeypatch.undo()
+    # the displaced fresh lock is back in place, content intact
+    with open(lock) as fh:
+        assert json.load(fh)["token"] == "winner"
+    # no stray claim temp files left behind
+    assert [p for p in os.listdir(tmp_path) if ".stale-" in p] == []
+
+
+def test_stale_takeover_identity_match_removes_and_reacquires(tmp_path):
+    """The normal stale path: same inode as observed -> expired, removed,
+    and file_lock acquires on retry."""
+    import time
+
+    from arrow_parquet_logs_spark.logstore import locks as L
+
+    lock = str(tmp_path / "l.lock")
+    with open(lock, "w") as fh:
+        fh.write("{}")
+    old = time.time() - L.DEFAULT_STALE_AFTER - 10
+    os.utime(lock, (old, old))
+    with L.file_lock(lock, "busy"):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+    assert [p for p in os.listdir(tmp_path) if ".stale-" in p] == []
