@@ -262,19 +262,112 @@ class VersionedTable:
             "carried_files": len(keep_files),
         }
 
+    def optimize(
+        self, target_file_bytes: int = 128 << 20, min_files: int = 2
+    ) -> dict:
+        """OPTIMIZE: bin-packing small-file rewrite as a new version — no
+        data change, same single-writer lock + MANIFEST/CURRENT protocol as
+        upsert. Long CDC runs (``start_stream_upsert``) accumulate one file
+        per partition per commit; this rewrites every partition holding at
+        least ``min_files`` files into ``max(1, ceil(bytes/target))`` files
+        and carries the rest by reference. Prior versions stay
+        time-travelable (their manifests still reference the small files
+        until vacuum), and a reader mid-scan of the old CURRENT is
+        unaffected — the rewrite lands in a fresh ``v<N>/`` directory.
+
+        At 100 TB this is the table-maintenance job every format ships
+        (Delta OPTIMIZE / Iceberg rewrite_data_files): read cost scales
+        with file count via footer+task overhead, so compaction is what
+        keeps a frequently-upserted table scannable."""
+        with self._mutate_lock():
+            return self._optimize_locked(target_file_bytes, min_files)
+
+    def _optimize_locked(self, target_file_bytes: int, min_files: int) -> dict:
+        import math
+        from collections import defaultdict
+
+        man = self._current()
+        if man["version"] == 0:
+            return {"version": 0, "rewritten_partitions": 0, "noop": True}
+        by_part: dict[str | None, list[str]] = defaultdict(list)
+        for f in man["files"]:
+            by_part[self._file_partition(f)].append(f)
+        doomed = {p for p, fs in by_part.items() if len(fs) >= min_files}
+        if not doomed:
+            return {
+                "version": man["version"],
+                "rewritten_partitions": 0,
+                "carried_files": len(man["files"]),
+                "noop": True,
+            }
+        bins = {
+            p: max(
+                1,
+                math.ceil(
+                    sum(os.path.getsize(os.path.join(self.path, f)) for f in by_part[p])
+                    / target_file_bytes
+                ),
+            )
+            for p in doomed
+        }
+        target = self.read()
+        new_v = man["version"] + 1
+        if self.partition_col:
+            rows = target.where(
+                F.col(self.partition_col).cast("string").isin([str(p) for p in doomed])
+            )
+            keep_files = [f for f in man["files"] if self._file_partition(f) not in doomed]
+            # per-partition output file count = bins[p]: hash the key into
+            # bins[p] buckets and repartition on (partition, bucket) — each
+            # task then writes at most one file per partition directory
+            bmap = F.create_map(
+                *[x for p, b in bins.items() for x in (F.lit(str(p)), F.lit(b))]
+            )
+            bucket = F.pmod(
+                F.abs(F.hash(*self.key_cols)),
+                F.element_at(bmap, F.col(self.partition_col).cast("string")),
+            )
+            packed = rows.repartition(
+                sum(bins.values()), F.col(self.partition_col), bucket
+            )
+            new_files = self._write_version_files(packed, new_v, subdir="compact")
+        else:
+            keep_files = []
+            packed = target.repartition(bins[None])
+            new_files = self._write_version_files(packed, new_v)
+        self._commit(
+            {
+                "version": new_v,
+                "files": sorted(keep_files) + new_files,
+                "schema": man.get("schema") or target.schema.jsonValue(),
+            }
+        )
+        return {
+            "version": new_v,
+            "rewritten_partitions": len(doomed),
+            "rewritten_files": len(new_files),
+            "carried_files": len(keep_files),
+        }
+
     def start_stream_upsert(self, updates_stream: DataFrame, checkpoint: str,
-                            available_now: bool = True):
+                            available_now: bool = True,
+                            optimize_every: int | None = None):
         """CDC ingestion: apply each micro-batch of ``updates_stream`` as a
         MERGE commit (foreachBatch — the standard Structured Streaming →
         table-format upsert wiring). Batches commit in order, each a full
         versioned MERGE, so the table is always in a consistent merged
         state and restarts resume from the checkpoint. Duplicate keys
         WITHIN a batch are collapsed keep-latest by the caller's upstream
-        dedup (or use `dedup_log_stream`-style dropDuplicates first)."""
+        dedup (or use `dedup_log_stream`-style dropDuplicates first).
+        ``optimize_every=K`` runs the bin-packing ``optimize()`` after every
+        K-th commit so a long CDC run doesn't degrade into one file per
+        partition per commit — the standard auto-compaction knob."""
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            self.upsert(batch_df)
+            r = self.upsert(batch_df)
+            if optimize_every and r["version"] % optimize_every == 0:
+                self.optimize()
 
         writer = updates_stream.writeStream.foreachBatch(_apply).option(
             "checkpointLocation", checkpoint

@@ -316,3 +316,87 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "c_mktsegment string, n_customers bigint, total_balance double"
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "table_optimize_compaction",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 500.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    merged AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 != 0
+        UNION ALL SELECT * FROM upd
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance,
+           CAST(1 AS INTEGER) AS files_after_optimize
+    FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("versioned-table", "optimize", "compaction"),
+)
+def table_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (bin-packing small-file compaction) under the hash gate:
+    snapshot customer into a segment-partitioned VersionedTable, MERGE an
+    update set (the rewrite leaves each touched partition holding one file
+    per write task), then run ``optimize()`` — a DATA-IDENTICAL new version
+    that packs every multi-file partition into ceil(bytes/target)=1 file at
+    this scale. The result carries BOTH contracts into the oracle: the
+    per-segment aggregate must equal the pure-SQL merge replay (compaction
+    changed no data), and ``files_after_optimize`` pins the physical file
+    count per partition directory to 1 (compaction actually happened).
+    Extension surface — the reference's archives (reference reader.py) are
+    append-only with no maintenance path."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
+    )
+    root = tempfile.mkdtemp(prefix="table_optimize_")
+    try:
+        t = VersionedTable(
+            spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        t.write(cust)
+        t.upsert(
+            cust.where(F.col("c_custkey") % 7 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + F.lit(500.0)
+            )
+        )
+        t.optimize()
+        man = t._current()
+        per_part: dict[str, int] = {}
+        for f in man["files"]:
+            p = t._file_partition(f)
+            per_part[p] = per_part.get(p, 0) + 1
+        rows = (
+            t.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_balance"),
+            )
+            .orderBy("c_mktsegment")
+            .collect()
+        )
+        out = [
+            (r.c_mktsegment, r.n_customers, r.total_balance, per_part[r.c_mktsegment])
+            for r in rows
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "c_mktsegment string, n_customers bigint, total_balance double, "
+        "files_after_optimize int",
+    ).orderBy("c_mktsegment")

@@ -352,3 +352,80 @@ def test_stale_takeover_identity_match_removes_and_reacquires(tmp_path):
         assert os.path.exists(lock)
     assert not os.path.exists(lock)
     assert [p for p in os.listdir(tmp_path) if ".stale-" in p] == []
+
+
+def test_optimize_bin_packs_small_files(table, spark):
+    """N micro-upserts accumulate one file per partition per commit;
+    optimize() rewrites each multi-file partition into a bounded file
+    count as a DATA-IDENTICAL new version, keeps time travel to every
+    pre-optimize version, and carries single-file partitions by
+    reference."""
+    for i in range(5):
+        table.upsert(
+            spark.createDataFrame([(i, "seg0", 1000 + i)], "k long, seg string, val long")
+        )
+    man = table._current()
+    seg0_files = [f for f in man["files"] if table._file_partition(f) == "seg0"]
+    assert len(seg0_files) > 1, "upserts should have accumulated seg0 files"
+    before = _as_dict(table.read())
+    v_before = man["version"]
+
+    r = table.optimize()
+    assert r["version"] == v_before + 1
+    assert r["rewritten_partitions"] >= 1
+    # data identical
+    assert _as_dict(table.read()) == before
+    # hot partition packed to ceil(bytes/target)=1 file
+    man2 = table._current()
+    seg0_after = [f for f in man2["files"] if table._file_partition(f) == "seg0"]
+    assert len(seg0_after) == 1, seg0_after
+    # time travel to the pre-optimize version intact
+    assert _as_dict(table.read(version=v_before)) == before
+    # a second optimize on an already-packed table is a no-op commit-wise
+    r2 = table.optimize()
+    assert r2.get("noop") and r2["version"] == r["version"]
+    # vacuum later reclaims the small files without touching CURRENT
+    table.vacuum(keep_versions=1)
+    assert _as_dict(table.read()) == before
+
+
+def test_optimize_unpartitioned_and_snapshot_isolation(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "u"), key_cols=["k"])
+    for i in range(4):
+        t.upsert(spark.createDataFrame([(i, i * 10)], "k long, val long"))
+    before = {r.k: r.val for r in t.read().collect()}
+    v_before = t._current()["version"]
+    # snapshot isolation: a reader's plan captured before optimize still
+    # resolves (old files remain until vacuum)
+    old_reader = t.read(version=v_before)
+    r = t.optimize()
+    assert r["version"] == v_before + 1
+    assert {x.k: x.val for x in t.read().collect()} == before
+    assert len(t._current()["files"]) == 1
+    assert {x.k: x.val for x in old_reader.collect()} == before
+
+
+def test_stream_upsert_auto_optimize(spark, tmp_path):
+    """CDC stream with optimize_every: file count stays bounded across
+    many micro-batch commits."""
+    import glob as _glob
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = VersionedTable(spark, str(tmp_path / "t2"), key_cols=["k"], partition_col="seg")
+    t.write(spark.createDataFrame([(0, "seg0", 0), (1, "seg1", 1)], "k long, seg string, val long"))
+    for i in range(4):
+        spark.createDataFrame(
+            [(100 + i, "seg0", i)], "k long, seg string, val long"
+        ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k long, seg string, val long").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = t.start_stream_upsert(stream, str(tmp_path / "ckpt"), optimize_every=2)
+    q.awaitTermination(120)
+    got = {r.k for r in t.read().collect()}
+    assert {0, 1, 100, 101, 102, 103} <= got
+    man = t._current()
+    seg0_files = [f for f in man["files"] if t._file_partition(f) == "seg0"]
+    # without auto-optimize this would be ~5 files; bounded by compaction
+    assert len(seg0_files) <= 2, seg0_files
