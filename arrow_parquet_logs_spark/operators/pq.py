@@ -444,6 +444,45 @@ def append_to_ivfpq(
     enc.write.mode("append").partitionBy("cell").parquet(path)
 
 
+def start_stream_ivfpq_ingest(
+    emb_stream: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    pandas_encode: bool = True,
+):
+    """Self-maintaining ANN index: apply each micro-batch of an embedding
+    stream as an ``append_to_ivfpq`` (foreachBatch — the same Structured
+    Streaming → storage wiring as ``VersionedTable.start_stream_upsert``).
+    Because the encode is deterministic against FIXED centroids/codebooks,
+    a stream-built index is bit-identical to a batch rebuild over the same
+    rows (pinned in tests/test_pq.py), and restarts resume from the
+    checkpoint without re-encoding consumed batches. Centroid/codebook
+    drift is handled exactly as in the batch path: periodic re-fit + full
+    ``materialize_ivfpq`` rewrite, amortized over many ingest batches —
+    the index stays searchable throughout since readers only ever see
+    whole parquet files in ``cell=`` directories."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_ivfpq(
+            batch_df, centroids, codebooks, path,
+            id_col=id_col, vec_col=vec_col, pandas_encode=pandas_encode,
+        )
+
+    writer = emb_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def search_ivfpq(
     spark: SparkSession,
     path: str,

@@ -671,3 +671,71 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", (F.coalesce("n_hits", F.lit(0)) >= 2).alias("recall_ok"))
         .orderBy("q_id")
     )
+
+
+@register(
+    "ann_ivfpq_stream_ingest",
+    oracle="""
+    SELECT CAST(count(*) * 8 AS BIGINT) AS n_code_rows,
+           CAST(0 AS BIGINT) AS n_mismatches,
+           true AS search_match
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+    tags=("vector", "ann", "pq", "ivf", "streaming", "index"),
+)
+def ann_ivfpq_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-maintaining ANN index under the hash gate: 1/5 of the corpus
+    arrives as a 3-file parquet STREAM and is folded into a materialized
+    IVF-PQ index micro-batch by micro-batch
+    (operators.pq.start_stream_ivfpq_ingest — foreachBatch append into the
+    cell=-partitioned code layout). Because encoding is deterministic
+    against fixed centroids/codebooks, the stream-built index must equal a
+    batch rebuild over the full corpus BIT-FOR-BIT: the query full-outer
+    joins the two indexes' code rows (n_mismatches pins 0), counts the code
+    rows (m=8 per live vector), and replays an IVF-PQ search against both
+    indexes (search_match pins identical top-k). The oracle states the
+    invariants in closed form — count(*)·8, zero mismatches, search parity."""
+    import tempfile
+
+    from arrow_parquet_logs_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = PQ.fit_ivfpq(emb)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    arriving = emb.where(F.col("vec_id") % 5 == 0)
+
+    root = tempfile.mkdtemp(prefix="ivfpq_stream_")
+    src, inc, full = f"{root}/src", f"{root}/inc", f"{root}/full"
+    for i in range(3):
+        arriving.where(F.col("vec_id") % 3 == i).write.mode("append").parquet(src)
+
+    PQ.materialize_ivfpq(base, cents, books, inc)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    PQ.start_stream_ivfpq_ingest(
+        stream, cents, books, inc, f"{root}/ckpt"
+    ).awaitTermination(300)
+    PQ.materialize_ivfpq(emb, cents, books, full)
+
+    a = spark.read.parquet(inc)
+    b = spark.read.parquet(full)
+    cols = sorted(a.columns)
+    mism = (
+        a.select(*cols).exceptAll(b.select(*cols))
+        .unionAll(b.select(*cols).exceptAll(a.select(*cols)))
+        .count()
+    )
+    q = emb.where(F.col("vec_id") < 5)
+    sa = sorted(
+        map(tuple, PQ.search_ivfpq(spark, inc, emb, q, cents, books, k=5).collect())
+    )
+    sb = sorted(
+        map(tuple, PQ.search_ivfpq(spark, full, emb, q, cents, books, k=5).collect())
+    )
+    return spark.createDataFrame(
+        [(a.count(), mism, bool(sa == sb and sa))],
+        "n_code_rows bigint, n_mismatches bigint, search_match boolean",
+    )

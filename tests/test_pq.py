@@ -181,3 +181,56 @@ def test_pq_empty_and_null_vectors(spark):
     )
     assert {r.vec_id for r in PQ.encode_pq(withnull, cbs).collect()} == {1}
     assert {r.vec_id for r in PQ.encode_pq_pandas(withnull, cbs).collect()} == {1}
+
+
+def test_stream_ivfpq_ingest_equals_batch_rebuild(spark, sf_dir, tmp_path):
+    """A stream-built IVF-PQ index (foreachBatch append per micro-batch)
+    must be bit-identical to a batch materialize over the same rows, and
+    search results over the two indexes must match exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = PQ.fit_ivfpq(emb)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    arriving = emb.where(F.col("vec_id") % 5 == 0)
+
+    # the arriving vectors land as 3 source files -> 3 micro-batches
+    src = str(tmp_path / "src")
+    for i in range(3):
+        arriving.where(F.col("vec_id") % 3 == i).write.mode("append").parquet(src)
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    PQ.materialize_ivfpq(base, cents, books, inc)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = PQ.start_stream_ivfpq_ingest(
+        stream, cents, books, inc, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    PQ.materialize_ivfpq(emb, cents, books, full)
+    a = sorted(map(tuple, spark.read.parquet(inc).collect()))
+    b = sorted(map(tuple, spark.read.parquet(full).collect()))
+    assert a == b
+
+    # restart from the checkpoint: consumed batches are NOT re-appended
+    q = PQ.start_stream_ivfpq_ingest(
+        stream, cents, books, inc, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    assert sorted(map(tuple, spark.read.parquet(inc).collect())) == b
+
+    # the stream-built index answers searches identically to the rebuild
+    queries = emb.where(F.col("vec_id") < 3)
+    ra = sorted(
+        map(tuple, PQ.search_ivfpq(spark, inc, emb, queries, cents, books, k=3).collect())
+    )
+    rb = sorted(
+        map(tuple, PQ.search_ivfpq(spark, full, emb, queries, cents, books, k=3).collect())
+    )
+    assert ra == rb and ra
