@@ -272,6 +272,7 @@ def dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY e.vec_id
     """,
     tags=("dedup", "similarity", "clusters", "iterative"),
+    bench=True,
 )
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
@@ -638,6 +639,7 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings WHERE vec_id < 10 ORDER BY q_id
     """,
     tags=("vector", "ann", "pq", "ivf", "index"),
+    bench=True,
 )
 def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full IVF-PQ index (FAISS IVFPQ shape): coarse k-means cells ×

