@@ -262,6 +262,59 @@ class VersionedTable:
             "carried_files": len(keep_files),
         }
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed: row-level diff between two committed versions,
+        in the Delta-CDF shape — every output row is a row of the table
+        (latest schema) plus ``_change_type`` ∈ ``insert`` /
+        ``update_preimage`` / ``update_postimage`` / ``delete``. Computed
+        as one key-equi full-outer join between the two snapshots with a
+        null-safe struct comparison — no change log is stored, so this
+        works between ANY two versions that are still time-travelable
+        (after vacuum the versions are gone and so is their diff; a 100 TB
+        deployment sizes ``keep_versions`` to its CDC consumers' lag).
+        Columns added between the versions read as null on the old side
+        (the manifest-schema evolution contract), so a value appearing in
+        a new column surfaces as an update."""
+        new = self.read(version=to_version) if to_version is not None else self.read()
+        old = self.read(version=from_version)
+        cols = new.columns
+        for c in cols:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+        old = old.select(*cols)
+        keys = self.key_cols
+        vals = [c for c in cols if c not in keys]
+        o = old.select(*keys, F.struct(*vals).alias("_o")) if vals else old.select(
+            *keys, F.lit(1).alias("_o")
+        )
+        n = new.select(*keys, F.struct(*vals).alias("_n")) if vals else new.select(
+            *keys, F.lit(1).alias("_n")
+        )
+        j = o.join(n, keys, "full_outer")
+        ins = j.where(F.col("_o").isNull() & F.col("_n").isNotNull()).select(
+            *keys, "_n"
+        ).withColumn("_change_type", F.lit("insert"))
+        del_ = j.where(F.col("_n").isNull() & F.col("_o").isNotNull()).select(
+            *keys, F.col("_o").alias("_n")
+        ).withColumn("_change_type", F.lit("delete"))
+        upd = j.where(
+            F.col("_o").isNotNull()
+            & F.col("_n").isNotNull()
+            & ~F.col("_o").eqNullSafe(F.col("_n"))
+        )
+        pre = upd.select(*keys, F.col("_o").alias("_n")).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = upd.select(*keys, "_n").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        out = ins.unionByName(del_).unionByName(pre).unionByName(post)
+        if vals:
+            return out.select(
+                *keys, *[F.col("_n")[c].alias(c) for c in vals], "_change_type"
+            )
+        return out.select(*keys, "_change_type")
+
     def optimize(
         self, target_file_bytes: int = 128 << 20, min_files: int = 2
     ) -> dict:

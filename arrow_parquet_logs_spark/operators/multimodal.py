@@ -130,8 +130,9 @@ def _decode_bmp(buf: bytes):
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: color type → samples per pixel (8-bit depth only)
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+#: color type → samples per pixel in the filtered raster (8-bit depth only);
+#: palette (3) rasters carry one index byte per pixel, resolved via PLTE
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
 def _png_unfilter(raw, h: int, w: int, ch: int):
@@ -189,12 +190,13 @@ def _png_unfilter(raw, h: int, w: int, ch: int):
 
 
 def _decode_png(buf: bytes):
-    """PNG (8-bit depth, gray/RGB/RGBA, non-interlaced) → (width, height,
-    HxWx3 uint8 RGB array) with stdlib ``zlib`` + numpy only: chunk walk
-    with CRC verification, concatenated-IDAT inflate, scanline unfilter
-    (PNG spec, RFC 2083). Gray expands to 3 equal channels; RGBA drops
-    alpha — the decode contract (dimensions + RGB raster) matches the
-    PPM/BMP tiers. Interlaced (Adam7) and 16-bit/palette images raise."""
+    """PNG (8-bit depth, gray/palette/RGB/RGBA, non-interlaced) → (width,
+    height, HxWx3 uint8 RGB array) with stdlib ``zlib`` + numpy only:
+    chunk walk with CRC verification, concatenated-IDAT inflate, scanline
+    unfilter (PNG spec, RFC 2083). Gray expands to 3 equal channels;
+    palette indexes resolve through PLTE; RGBA drops alpha — the decode
+    contract (dimensions + RGB raster) matches the PPM/BMP tiers.
+    Interlaced (Adam7) and 16-bit images raise."""
     import struct as _struct
     import zlib
 
@@ -203,7 +205,7 @@ def _decode_png(buf: bytes):
     if not buf.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     i, n = len(_PNG_SIG), len(buf)
-    ihdr, idat = None, []
+    ihdr, idat, plte = None, [], None
     while i + 8 <= n:
         (clen,) = _struct.unpack_from(">I", buf, i)
         ctype = buf[i + 4 : i + 8]
@@ -215,6 +217,8 @@ def _decode_png(buf: bytes):
             ihdr = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IEND":
             break
         i += 12 + clen
@@ -223,14 +227,22 @@ def _decode_png(buf: bytes):
     w, h, depth, color, comp, filt, interlace = _struct.unpack(">IIBBBBB", ihdr)
     if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
         raise ValueError(
-            f"only 8-bit gray/RGB/RGBA supported (depth={depth}, color={color})"
+            f"only 8-bit gray/palette/RGB/RGBA supported (depth={depth}, color={color})"
         )
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
     ch = _PNG_CHANNELS[color]
     raster = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, ch)
     px = raster.reshape(h, w, ch)
-    if ch == 1:
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(h, w)
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        px = pal[idx]
+    elif ch == 1:
         px = np.repeat(px, 3, axis=2)
     elif ch == 4:
         px = px[:, :, :3]

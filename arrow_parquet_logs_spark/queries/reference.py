@@ -400,3 +400,81 @@ def table_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment string, n_customers bigint, total_balance double, "
         "files_after_optimize int",
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "table_changes_cdf",
+    oracle="""
+    WITH ins AS (
+        SELECT c_custkey + 1000000 AS c_custkey, 'insert' AS _change_type,
+               CAST(42.0 AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    upd_pre AS (
+        SELECT c_custkey, 'update_preimage' AS _change_type,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    upd_post AS (
+        SELECT c_custkey, 'update_postimage' AS _change_type,
+               CAST(c_acctbal + 1000.0 AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    dels AS (
+        SELECT c_custkey, 'delete' AS _change_type,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 != 0 AND c_acctbal < 0.0
+    )
+    SELECT * FROM ins UNION ALL SELECT * FROM upd_pre
+    UNION ALL SELECT * FROM upd_post UNION ALL SELECT * FROM dels
+    ORDER BY c_custkey, _change_type
+    """,
+    tags=("versioned-table", "cdc", "change-data-feed"),
+)
+def table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed under the hash gate: snapshot customer (v1), MERGE
+    an update+insert set (v2), DELETE negative balances (v3), then ask the
+    table for ``changes(1, 3)`` — the row-level diff any CDC consumer
+    would tail. The feed is computed as one key-equi full-outer join
+    between the two time-travelable snapshots with a null-safe struct
+    comparison (no stored change log), and the oracle replays the exact
+    same edit script in pure SQL: inserts, pre/post update images, and
+    deletes with their last-seen values. A wrong pre-image, a missed
+    delete, or a phantom change breaks the hash."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="table_cdf_")
+    try:
+        t = VersionedTable(
+            spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        t.write(cust)
+        updates = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+        )
+        inserts = cust.where(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit(42.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        t.upsert(updates.unionByName(inserts))
+        # updated rows all moved to >= 1000.0, so this deletes only
+        # untouched originals — keeps the expected edit script SQL-closed
+        t.delete_where(F.col("c_acctbal") < 0.0)
+        rows = (
+            t.changes(1, 3)
+            .select("c_custkey", "_change_type", "c_acctbal")
+            .orderBy("c_custkey", "_change_type")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_custkey bigint, _change_type string, c_acctbal double"
+    ).orderBy("c_custkey", "_change_type")

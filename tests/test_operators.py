@@ -753,3 +753,52 @@ def test_decode_media_null_format_is_gated(spark):
         M.resize_media(media, 2, 2)
     with pytest.raises(NotImplementedError):
         M.audio_features(media)
+
+
+def test_png_decode_palette_colortype():
+    """Color type 3: indexed pixels resolve through the PLTE chunk."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [3, 0, 1]], dtype=np.uint8)  # 3x2
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, px = M._decode_png(buf)
+    assert (w, h) == (3, 2)
+    assert (px == pal[idx]).all()
+    # missing PLTE is loud
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        M._decode_png(no_plte)
+    # out-of-range index is loud
+    bad_idx = np.array([[9]], dtype=np.uint8)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bad_idx.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        M._decode_png(bad)

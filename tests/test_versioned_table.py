@@ -429,3 +429,31 @@ def test_stream_upsert_auto_optimize(spark, tmp_path):
     seg0_files = [f for f in man["files"] if t._file_partition(f) == "seg0"]
     # without auto-optimize this would be ~5 files; bounded by compaction
     assert len(seg0_files) <= 2, seg0_files
+
+
+def test_changes_cdf_between_versions(table, spark):
+    """changes(v_from, v_to): inserts, deletes, and pre/post update images
+    between any two time-travelable versions; a no-change pair is empty;
+    schema evolution surfaces as updates with the new column."""
+    table.upsert(
+        spark.createDataFrame(
+            [(3, "seg0", 999), (100, "seg0", 111)], "k long, seg string, val long"
+        )
+    )  # v2: update k=3, insert k=100
+    table.delete_where(F.col("k") == 7)  # v3: delete k=7
+    ch = table.changes(1, 3)
+    got = {(r.k, r._change_type): (r.seg, r.val) for r in ch.collect()}
+    assert got[(100, "insert")] == ("seg0", 111)
+    assert got[(7, "delete")] == ("seg1", 70)
+    assert got[(3, "update_preimage")] == ("seg0", 30)
+    assert got[(3, "update_postimage")] == ("seg0", 999)
+    assert len(got) == 4
+    # identical versions -> empty feed
+    assert table.changes(3, 3).count() == 0
+    # evolution: adding a column surfaces as an update with the new value
+    table.upsert(
+        spark.createDataFrame([(4, "seg1", 40, "gold")], "k long, seg string, val long, label string")
+    )  # v4
+    ch2 = {(r.k, r._change_type): r.label for r in table.changes(3, 4).collect()}
+    assert ch2[(4, "update_postimage")] == "gold"
+    assert ch2[(4, "update_preimage")] is None
