@@ -164,6 +164,25 @@ class VersionedTable:
             return self.spark.read.schema(st).parquet(*files)
         return self.spark.read.parquet(*files)
 
+    def _read_manifest_files(self, man: dict, files_rel: list[str]) -> DataFrame:
+        """Read a SUBSET of a manifest's files under the manifest schema —
+        the partition-pruned scan for rewrite stages: the manifest maps
+        partitions to files, so an upsert/delete/optimize that rewrites K
+        partitions opens exactly K partitions' files instead of scanning
+        the whole table and filtering (at 100 TB the difference is the
+        whole job)."""
+        from pyspark.sql import types as T
+
+        st = T.StructType.fromJson(man["schema"]) if man.get("schema") else None
+        if not files_rel:
+            return self.spark.createDataFrame([], st) if st else self.spark.createDataFrame(
+                [], "dummy string"
+            )
+        files = [os.path.join(self.path, f) for f in files_rel]
+        if st is not None:
+            return self.spark.read.schema(st).parquet(*files)
+        return self.spark.read.parquet(*files)
+
     def upsert(self, updates: DataFrame) -> dict:
         """MERGE: replace matched keys, insert unmatched — rewriting only
         the partitions the updates touch; all other files carry over by
@@ -186,12 +205,16 @@ class VersionedTable:
                 updates.select(*self.key_cols), self.key_cols, "left_semi"
             ).select(self.partition_col).distinct()
             affected = [r[0] for r in new_parts.unionByName(old_parts).distinct().collect()]
+            affected_strs = {str(a) for a in affected}
             keep_files = [
-                f
-                for f in man["files"]
-                if self._file_partition(f) not in [str(a) for a in affected]
+                f for f in man["files"] if self._file_partition(f) not in affected_strs
             ]
-            tgt_part = target.where(F.col(self.partition_col).isin(affected))
+            # rewrite scan opens ONLY the affected partitions' files — the
+            # manifest is the partition index, no full-table filter scan
+            tgt_part = self._read_manifest_files(
+                man,
+                [f for f in man["files"] if self._file_partition(f) in affected_strs],
+            )
             # allowMissingColumns = schema evolution: updates may ADD columns
             # (old rows read as null via the manifest schema) or omit target
             # columns (replaced rows get null — full-row MERGE semantics)
@@ -239,12 +262,17 @@ class VersionedTable:
                 r[0]
                 for r in target.where(cond).select(self.partition_col).distinct().collect()
             ]
+            affected_strs = {str(a) for a in affected}
             keep_files = [
-                f
-                for f in man["files"]
-                if self._file_partition(f) not in [str(a) for a in affected]
+                f for f in man["files"] if self._file_partition(f) not in affected_strs
             ]
-            kept_rows = target.where(F.col(self.partition_col).isin(affected)).where(~cond)
+            # the rewrite re-scan is partition-pruned via the manifest (the
+            # affected-partition DISCOVERY above is a full scan — condition
+            # is arbitrary — but runs no rewrite work)
+            kept_rows = self._read_manifest_files(
+                man,
+                [f for f in man["files"] if self._file_partition(f) in affected_strs],
+            ).where(~cond)
             new_files = self._write_version_files(kept_rows, new_v, subdir="delta")
         else:
             keep_files = []
@@ -363,11 +391,12 @@ class VersionedTable:
             )
             for p in doomed
         }
-        target = self.read()
         new_v = man["version"] + 1
         if self.partition_col:
-            rows = target.where(
-                F.col(self.partition_col).cast("string").isin([str(p) for p in doomed])
+            # compaction reads ONLY the partitions it repacks (manifest-
+            # pruned file list), never the carried ones
+            rows = self._read_manifest_files(
+                man, [f for f in man["files"] if self._file_partition(f) in doomed]
             )
             keep_files = [f for f in man["files"] if self._file_partition(f) not in doomed]
             # per-partition output file count = bins[p]: hash the key into
@@ -386,13 +415,13 @@ class VersionedTable:
             new_files = self._write_version_files(packed, new_v, subdir="compact")
         else:
             keep_files = []
-            packed = target.repartition(bins[None])
+            packed = self.read().repartition(bins[None])
             new_files = self._write_version_files(packed, new_v)
         self._commit(
             {
                 "version": new_v,
                 "files": sorted(keep_files) + new_files,
-                "schema": man.get("schema") or target.schema.jsonValue(),
+                "schema": man.get("schema") or self.read().schema.jsonValue(),
             }
         )
         return {

@@ -457,3 +457,20 @@ def test_changes_cdf_between_versions(table, spark):
     ch2 = {(r.k, r._change_type): r.label for r in table.changes(3, 4).collect()}
     assert ch2[(4, "update_postimage")] == "gold"
     assert ch2[(4, "update_preimage")] is None
+
+
+def test_rewrite_scan_is_manifest_pruned(table):
+    """The rewrite-side scan of upsert/delete/optimize must open ONLY the
+    affected partitions' files — the manifest is the partition index; no
+    full-table filter scan at rewrite time."""
+    man = table._current()
+    seg0 = [f for f in man["files"] if table._file_partition(f) == "seg0"]
+    df = table._read_manifest_files(man, seg0)
+    got = {
+        os.path.relpath(p.replace("file:", ""), table.path) for p in df.inputFiles()
+    }
+    assert got == set(seg0)
+    assert df.count() == 10  # the k % 3 == 0 rows
+    # empty selection: zero-row frame under the manifest schema, not a crash
+    empty = table._read_manifest_files(man, [])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "seg", "val"}
