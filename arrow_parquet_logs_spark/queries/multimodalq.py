@@ -201,49 +201,18 @@ def multimodal_real_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "multimodal_real_png_decode",
-    oracle="""
-    WITH px AS (
-        SELECT doc_id,
-               (doc_id * 53) % 256 AS r0, (doc_id * 59) % 256 AS g0, (doc_id * 61) % 256 AS b0,
-               (doc_id * 67) % 256 AS r1, (doc_id * 71) % 256 AS g1, (doc_id * 73) % 256 AS b1,
-               (doc_id * 79) % 256 AS r2, (doc_id * 83) % 256 AS g2, (doc_id * 89) % 256 AS b2,
-               (doc_id * 97) % 256 AS r3, (doc_id * 101) % 256 AS g3, (doc_id * 103) % 256 AS b3
-        FROM documents WHERE doc_id < 200
-    )
-    SELECT doc_id AS id, 'image' AS media_type,
-           CAST(82 AS BIGINT) AS byte_len,
-           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
-           CAST(1 AS INTEGER) AS n_frames,
-           (  299*(r0+r1+r2+r3) + 587*(g0+g1+g2+g3) + 114*(b0+b1+b2+b3)
-           ) / (1000.0 * 255 * 4) AS mean_luma
-    FROM px ORDER BY id
-    """,
-    tags=("multimodal", "pandas-udf", "decode", "png"),
-)
-def multimodal_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG decoding under the driver's hash gate — stdlib zlib + numpy,
-    no codec library (operators.multimodal._decode_png). The query
-    synthesizes a fully valid 2×2 RGB PNG per document ENTIRELY in Catalyst
-    expressions: signature + constant IHDR/IEND chunks, an IDAT whose zlib
+def _png_2x2_payload():
+    """Catalyst expression for a fully valid 2×2 RGB PNG derived from
+    ``doc_id``: signature + constant IHDR/IEND chunks, an IDAT whose zlib
     stream uses a stored (uncompressed) deflate block so the scanline bytes
     are expressible JVM-side, Adler-32 folded symbolically over the known
     byte values, and the chunk CRC via the built-in ``F.crc32``. Row 1 is
-    filter-0 (None); row 2 is filter-2 (Up), so the decoder's scanline
-    UNFILTERING — not just raster slicing — sits under the driver gate: the
-    oracle recomputes the expected Rec.601 mean luma from the *unfiltered*
-    pixel arithmetic, and any chunk-walk/inflate/unfilter bug lands as a
-    hash mismatch. (Sub/Average/Paeth filters + gray/RGBA color types are
-    pinned byte-level in tests/test_operators.py.)"""
+    filter-0 (None); row 2 is filter-2 (Up), so decoding exercises real
+    scanline UNFILTERING. Pixel channels: row 1 = doc_id·(53,59,61 |
+    67,71,73) % 256, row 2 = doc_id·(79,83,89 | 97,101,103) % 256."""
     import struct as _struct
     import zlib as _zlib
 
-    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
-
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-
-    # pixel channel values from doc_id arithmetic (ints in [0, 256))
     def ch(mult: int):
         return (F.col("doc_id") * mult) % 256
 
@@ -287,10 +256,82 @@ def multimodal_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _struct.pack(">I", 25)  # IDAT length: 2+5+14+4
     )
     iend = _struct.pack(">I", 0) + b"IEND" + _struct.pack(">I", _zlib.crc32(b"IEND") & 0xFFFFFFFF)
-    payload = F.concat(F.lit(head), idat_td, idat_crc, F.lit(iend))
+    return F.concat(F.lit(head), idat_td, idat_crc, F.lit(iend))
 
-    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "png")
+
+@register(
+    "multimodal_real_png_decode",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 53) % 256 AS r0, (doc_id * 59) % 256 AS g0, (doc_id * 61) % 256 AS b0,
+               (doc_id * 67) % 256 AS r1, (doc_id * 71) % 256 AS g1, (doc_id * 73) % 256 AS b1,
+               (doc_id * 79) % 256 AS r2, (doc_id * 83) % 256 AS g2, (doc_id * 89) % 256 AS b2,
+               (doc_id * 97) % 256 AS r3, (doc_id * 101) % 256 AS g3, (doc_id * 103) % 256 AS b3
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(82 AS BIGINT) AS byte_len,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           (  299*(r0+r1+r2+r3) + 587*(g0+g1+g2+g3) + 114*(b0+b1+b2+b3)
+           ) / (1000.0 * 255 * 4) AS mean_luma
+    FROM px ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "png"),
+)
+def multimodal_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decoding under the driver's hash gate — stdlib zlib + numpy,
+    no codec library (operators.multimodal._decode_png). The query
+    synthesizes a fully valid 2×2 RGB PNG per document ENTIRELY in Catalyst
+    expressions (see ``_png_2x2_payload``), decodes it for real, and the
+    oracle recomputes the expected Rec.601 mean luma from the *unfiltered*
+    pixel arithmetic — any chunk-walk/inflate/unfilter bug lands as a hash
+    mismatch. (Sub/Average/Paeth filters + gray/palette/RGBA color types
+    are pinned byte-level in tests/test_operators.py.)"""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = attach_media(
+        docs.select("doc_id", _png_2x2_payload().alias("raw")), "raw", "image", "png"
+    )
     return decode_media(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_png_resize",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               lpad(hex((doc_id * 53) % 256), 2, '0') AS r0,
+               lpad(hex((doc_id * 59) % 256), 2, '0') AS g0,
+               lpad(hex((doc_id * 61) % 256), 2, '0') AS b0
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(1 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+           hex(encode('P6' || chr(10) || '1 1' || chr(10) || '255' || chr(10))
+               || unhex(r0 || g0 || b0)) AS resized_hex
+    FROM px ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "resize", "png"),
+)
+def multimodal_real_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG → decode → resize → PPM re-encode under the hash gate: the
+    same synthesized 2×2 PNGs as `multimodal_real_png_decode` (Up-filtered
+    second row), downsampled to 1×1 by the pure-numpy nearest-neighbor
+    resize (src = floor(dst·src/dst) picks pixel (0,0)) — so the full
+    inflate/unfilter path feeds the resize, and the oracle rebuilds the
+    expected output file byte-for-byte from the (0,0) channel arithmetic."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = attach_media(
+        docs.select("doc_id", _png_2x2_payload().alias("raw")), "raw", "image", "png"
+    )
+    out = resize_media(media, 1, 1, id_col="doc_id")
+    return out.select(
+        "doc_id", "width", "height", F.hex("resized_payload").alias("resized_hex")
+    ).orderBy("doc_id")
 
 
 @register(
