@@ -306,3 +306,50 @@ def srp_lsh_topk(
         .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
     return _ranked(pairs, k)
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Embedding-space outlier pruning: rank every vector by its squared
+    L2 distance from the GLOBAL centroid and flag the top ``k`` — the
+    curation pass that drops mis-embedded / off-distribution examples
+    before training.
+
+    Exact integer arithmetic end to end, so the ranking is identical on
+    any engine and any partitioning: per-dim values quantize to
+    ``floor(v·scale)``; with S_d = Σ qi_d and N = corpus size, the
+    per-vector score is the integer numerator Σ_d (qi_d·N − S_d)² of the
+    true distance² (the 1/N² factor is rank-invariant). Sums run in
+    DECIMAL(38,0) so no int64 overflow at any N·scale. One explode →
+    one map-side-combinable per-dim aggregate (d rows, broadcast back) →
+    one per-id aggregate; the only driver-side data is the k-th (score,
+    id) threshold pair — rows are flagged by tuple comparison against it,
+    so ties resolve deterministically (score DESC, id ASC)."""
+    comp = (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(as_double_array(vec_col)).alias("dim", "val"))
+        .withColumn("qi", F.floor(F.col("val") * scale).cast("long"))
+    )
+    sums = comp.groupBy("dim").agg(
+        F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dev = (F.col("qi") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    scored = (
+        comp.join(F.broadcast(sums), "dim")
+        .groupBy(id_col)
+        .agg(F.sum(dev * dev).cast("decimal(38,0)").alias("dist2_num"))
+    )
+    kth = scored.orderBy(F.col("dist2_num").desc(), F.col(id_col)).limit(k).collect()
+    if not kth:
+        return scored.withColumn("is_outlier", F.lit(False))
+    d_k, id_k = kth[-1]["dist2_num"], kth[-1][id_col]
+    return scored.withColumn(
+        "is_outlier",
+        (F.col("dist2_num") > F.lit(d_k))
+        | ((F.col("dist2_num") == F.lit(d_k)) & (F.col(id_col) <= F.lit(id_k))),
+    )

@@ -478,3 +478,79 @@ def table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "c_custkey bigint, _change_type string, c_acctbal double"
     ).orderBy("c_custkey", "_change_type")
+
+
+@register(
+    "table_stream_cdc_cdf",
+    oracle="""
+    WITH b1 AS (  -- batch 1: raise balances for custkey % 50 = 0
+        SELECT c_custkey, 'update_postimage' AS _change_type,
+               CAST(c_acctbal + 10.0 AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 50 = 0
+        UNION ALL
+        SELECT c_custkey, 'update_preimage', CAST(c_acctbal AS DOUBLE)
+        FROM customer WHERE c_custkey % 50 = 0
+    ),
+    b2 AS (  -- batch 2: brand-new keys
+        SELECT c_custkey + 2000000 AS c_custkey, 'insert' AS _change_type,
+               CAST(7.0 AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    ORDER BY c_custkey, _change_type
+    """,
+    tags=("versioned-table", "cdc", "streaming", "change-data-feed"),
+)
+def table_stream_cdc_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC pipeline under one hash gate: a 2-file parquet STREAM
+    of updates lands in a VersionedTable via ``start_stream_upsert``
+    (foreachBatch MERGE commits, one version per micro-batch), and the
+    result is read back as the table's change data feed ``changes(v1,
+    v3)`` — exactly what a downstream consumer of a streaming-maintained
+    curated dataset would tail. The oracle replays both micro-batches'
+    edit script in pure SQL: update pre/post images for batch 1's touched
+    keys, inserts for batch 2's new keys. A dropped batch, a re-applied
+    checkpointed batch, or a wrong pre-image breaks the hash."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="table_cdc_cdf_")
+    try:
+        t = VersionedTable(
+            spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        t.write(cust)
+        batch1 = cust.where(F.col("c_custkey") % 50 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(10.0)
+        )
+        batch2 = cust.where(F.col("c_custkey") % 101 == 0).select(
+            (F.col("c_custkey") + 2000000).alias("c_custkey"),
+            F.lit(7.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        src = f"{root}/src"
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        t.start_stream_upsert(stream, f"{root}/ckpt").awaitTermination(300)
+        assert t._current()["version"] == 3, t._current()["version"]
+        rows = (
+            t.changes(1, 3)
+            .select("c_custkey", "_change_type", "c_acctbal")
+            .orderBy("c_custkey", "_change_type")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_custkey bigint, _change_type string, c_acctbal double"
+    ).orderBy("c_custkey", "_change_type")

@@ -741,3 +741,50 @@ def ann_ivfpq_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(a.count(), mism, bool(sa == sb and sa))],
         "n_code_rows bigint, n_mismatches bigint, search_match boolean",
     )
+
+
+@register(
+    "embeddings_outlier_prune",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id, i AS dim,
+               CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 10000.0) AS BIGINT) AS qi
+        FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+        WHERE embedding IS NOT NULL
+    ),
+    sums AS (
+        SELECT dim, sum(qi) AS s, count(*) AS n FROM comp GROUP BY dim
+    ),
+    scored AS (
+        SELECT vec_id,
+               sum(CAST((qi * n - s) AS HUGEINT) * CAST((qi * n - s) AS HUGEINT)) AS d2
+        FROM comp JOIN sums USING (dim) GROUP BY vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, d2,
+               row_number() OVER (ORDER BY d2 DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id, CAST(d2 AS BIGINT) AS dist2_num, rn <= 25 AS is_outlier
+    FROM ranked ORDER BY vec_id
+    """,
+    tags=("vector", "outlier", "curation"),
+)
+def embeddings_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier pruning under the hash gate
+    (operators.similarity.centroid_outliers): every vector scored by its
+    exact integer-grid distance² numerator from the global centroid, top-25
+    flagged with a deterministic (score DESC, id ASC) tie-break. The
+    oracle recomputes the same integer arithmetic via unnest + window
+    ranking — one differing quantized component anywhere in the corpus
+    moves a score and breaks the hash."""
+    from arrow_parquet_logs_spark.operators.similarity import centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = centroid_outliers(emb, k=25)
+    # DECIMAL(38,0) internally (no overflow at any N·scale); the presented
+    # score fits int64 through sf0.1 — the hash-gate scales — and an ANSI
+    # overflow at a larger sf would be loud, not wrong
+    return out.select(
+        "vec_id", F.col("dist2_num").cast("long").alias("dist2_num"), "is_outlier"
+    ).orderBy("vec_id")

@@ -36,7 +36,49 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(rows)
 
 
+#: queries whose plans intentionally use a BROADCAST nested loop to combine
+#: a bounded side — a 1-row aggregate/stats frame (funnel stage counts, BM25
+#: corpus stats, scalar-subquery averages) or a broadcast query set (ANN
+#: query×corpus scoring, where the query batch is small by definition).
+#: A raw (non-broadcast) CartesianProduct is still a regression for them.
+_BROADCAST_NL_OK = {
+    "events_funnel_conversion",
+    "docs_bm25_retrieval",
+    "docs_table_profile",
+    "events_winsorized_mean",
+    "docs_weighted_sample",
+    "docs_mixture_plan",
+    "agg_approx_distinct",
+    "tpch_q15_top_supplier",
+    "tpch_q22_dormant_rich_customers",  # scalar avg subquery (TPC-H shape)
+    "docs_importance_weights",          # 1-row corpus stats combine
+    "docs_top_terms_approx",            # 1-row approx_top_k result explode
+    "docs_unigram_lm_score",            # 1-row vocabulary stats combine
+    "ann_cosine_topk",                  # broadcast query set × corpus
+    "ann_ivf_kmeans",                   # broadcast query set, pruned cells
+    "ann_ivfpq_search",                 # broadcast rerank query set
+    "ann_pq_rerank",                    # broadcast rerank query set
+    "knn_label_vote",                   # broadcast query set × corpus
+}
+
+
+def audit_plan(spark_df, name: str = "?") -> None:
+    """Every oracle-checked query's physical plan is also audited for
+    quadratic operators — the 100 TB regression class. Runs on the SAME
+    DataFrame the parity check executes, so the whole registry is swept on
+    every full oracle run at no extra cost (queries that materialize
+    internally and return collected rows present a LocalTableScan here;
+    their internal plans are covered by the operator-level plan tests)."""
+    from arrow_parquet_logs_spark.plans.inspect import explain_str
+
+    plan = explain_str(spark_df)
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    if name not in _BROADCAST_NL_OK:
+        assert "NestedLoop" not in plan, f"{name}: BroadcastNestedLoopJoin in plan"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
+    audit_plan(spark_df, name)
     s_pdf = spark_df.toPandas()
     d_pdf = con.sql(sql).df()
     assert sorted(s_pdf.columns) == sorted(d_pdf.columns), (

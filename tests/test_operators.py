@@ -802,3 +802,31 @@ def test_png_decode_palette_colortype():
     )
     with pytest.raises(ValueError, match="palette index"):
         M._decode_png(bad)
+
+
+def test_centroid_outliers_exact_and_partition_invariant(spark):
+    """centroid_outliers: the far vector is flagged, scores are identical
+    under any partitioning (exact integer arithmetic), and NULL vectors
+    drop out instead of poisoning the centroid."""
+    from arrow_parquet_logs_spark.operators.similarity import centroid_outliers
+
+    rows = [(i, [0.1, 0.1, 0.1, 0.1]) for i in range(9)]
+    rows.append((99, [0.9, 0.9, 0.9, 0.9]))
+    rows.append((100, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out1 = {r.vec_id: (r.dist2_num, r.is_outlier) for r in centroid_outliers(emb, k=1).collect()}
+    assert out1[99][1] is True
+    assert sum(1 for _, o in out1.values() if o) == 1
+    assert 100 not in out1  # NULL vector dropped
+    out2 = {
+        r.vec_id: (r.dist2_num, r.is_outlier)
+        for r in centroid_outliers(emb.repartition(7), k=1).collect()
+    }
+    assert out1 == out2
+    # deterministic ties: identical vectors tie-break by id
+    tied = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [0.5, 0.5]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.is_outlier for r in centroid_outliers(tied, k=1).collect()}
+    assert got == {1: False, 2: False, 3: True}
