@@ -474,3 +474,47 @@ def test_rewrite_scan_is_manifest_pruned(table):
     # empty selection: zero-row frame under the manifest schema, not a crash
     empty = table._read_manifest_files(man, [])
     assert empty.count() == 0 and set(empty.columns) == {"k", "seg", "val"}
+
+
+def _lock_stress_worker(lockpath, counterpath, iters):
+    import time as _time
+
+    from arrow_parquet_logs_spark.logstore.locks import file_lock
+
+    for _ in range(iters):
+        while True:
+            try:
+                with file_lock(lockpath, "busy", stale_after=60):
+                    with open(counterpath) as fh:
+                        v = int(fh.read())
+                    _time.sleep(0.0005)  # widen the race window
+                    with open(counterpath, "w") as fh:
+                        fh.write(str(v + 1))
+                break
+            except RuntimeError:
+                _time.sleep(0.0005)
+
+
+def test_file_lock_mutual_exclusion_stress(tmp_path):
+    """8 processes x 25 critical sections under the lock: a read-modify-
+    write counter tears if two writers ever hold the lock together — the
+    end count proves mutual exclusion under real contention (including
+    the token-checked release and identity-checked takeover paths)."""
+    import multiprocessing as mp
+
+    lockpath = str(tmp_path / "l.lock")
+    counter = str(tmp_path / "counter")
+    with open(counter, "w") as fh:
+        fh.write("0")
+    procs = [
+        mp.Process(target=_lock_stress_worker, args=(lockpath, counter, 25))
+        for _ in range(8)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    with open(counter) as fh:
+        assert int(fh.read()) == 8 * 25
+    assert not os.path.exists(lockpath)
