@@ -514,3 +514,87 @@ def audio_features(df: DataFrame, id_col: str = "id") -> DataFrame:
         F.col("media.format").alias("format"),
     )
     return spread_for_python(flat).mapInPandas(extract, schema=_AUDIO_SCHEMA)
+
+
+# ---- perceptual image hashing (dHash) over REAL decoded rasters ------------
+
+
+def dhash_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Perceptual difference-hash (dHash, the standard 9×8 form) over REAL
+    decoded payloads — the image-dedup counterpart of the text tier's
+    SimHash. Per image: decode (RAW_DECODABLE formats only, same honesty
+    gate as ``decode_media``), integer Rec.601 luma (299R+587G+114B, no
+    division — exact), nearest-neighbor resample of the luma grid to 9
+    wide × 8 high, then 64 bits where bit ``r·8+c`` = luma[r,c] >
+    luma[r,c+1]. All-integer, so the hash is bit-identical on any engine,
+    partitioning, or batch split. Near-duplicate *images* (crops,
+    re-encodes, brightness-preserving edits) land within small hamming
+    distance; pair formation is ``dhash_pairs``."""
+    # NULL format counts as non-decodable (see decode_media probe)
+    if df.where(~F.coalesce(
+        F.col("media.format").isin(*RAW_DECODABLE), F.lit(False)
+    )).limit(1).count() > 0:
+        raise NotImplementedError(
+            "media codecs not available in this environment; dhash_media "
+            f"decodes only raw {RAW_DECODABLE} payloads"
+        )
+    id_type = dict(df.dtypes)[id_col]
+
+    def go(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            hashes = []
+            for b, fmt in zip(pdf["payload"], pdf["format"]):
+                _, _, px = _decode_raw(fmt, bytes(b) if b is not None else b"")
+                h, w = px.shape[0], px.shape[1]
+                lum = (
+                    299 * px[:, :, 0].astype(np.int64)
+                    + 587 * px[:, :, 1].astype(np.int64)
+                    + 114 * px[:, :, 2].astype(np.int64)
+                )
+                yi = (np.arange(8) * h) // 8
+                xi = (np.arange(9) * w) // 9
+                g = lum[yi][:, xi]  # 8×9 integer luma grid
+                bits = (g[:, :-1] > g[:, 1:]).reshape(-1)  # row-major r*8+c
+                hv = int((bits.astype(np.uint64) * shifts).sum(dtype=np.uint64))
+                hashes.append(int(np.int64(np.uint64(hv))))  # two's complement
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
+
+    flat = df.select(
+        F.col(id_col),
+        F.col("media.payload").alias("payload"),
+        F.col("media.format").alias("format"),
+    )
+    return spread_for_python(flat).mapInPandas(go, f"{id_col} {id_type}, dhash long")
+
+
+def dhash_pairs(
+    sigs: DataFrame, id_col: str = "id", hash_col: str = "dhash", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate image pairs with hamming(dhash) ≤ ``max_hamming`` via
+    4-chunk pigeonhole banding (the text SimHash recipe on a 64-bit hash):
+    two hashes within hamming 3 agree exactly on ≥1 of 4 disjoint 16-bit
+    chunks, so an equi-join on (chunk_idx, chunk_value) has guaranteed
+    recall at index-join cost — never an all-pairs scan.
+    ``shiftrightunsigned`` keeps chunk extraction correct when bit 63 is
+    set (dhash is a two's-complement int64)."""
+    chunks = sigs.select(
+        F.col(id_col).alias("sid"), F.col(hash_col).alias("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+    ).selectExpr(
+        "sid", "sig",
+        "concat(c, ':', shiftrightunsigned(sig, c * 16) & 65535) AS chunk_key",
+    )
+    a = chunks.select(F.col("sid").alias("a_id"), F.col("sig").alias("a_sig"), "chunk_key")
+    b = chunks.select(F.col("sid").alias("b_id"), F.col("sig").alias("b_sig"), "chunk_key")
+    return (
+        a.join(b, "chunk_key")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+        .selectExpr("a_id", "b_id", "CAST(bit_count(a_sig ^ b_sig) AS INT) AS hamming")
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -394,3 +394,82 @@ def multimodal_real_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.concat(F.lit(header), *[sample_le(m) for m in (7, 11, 13, 17, 19, 23, 29, 31)])
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "wav")
     return audio_features(media, id_col="doc_id").orderBy("id")
+
+
+#: 48 channel multipliers (one per RGB byte of a 4×4 raster) shared by the
+#: Spark payload builder and the programmatically-built DuckDB oracle below
+_DHASH_MULTS = [
+    3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59,
+    61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137,
+    139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211, 223, 227,
+]
+
+
+def _dhash_oracle() -> str:
+    """DuckDB replay of the 9×8 dHash over the synthesized 4×4 rasters: a
+    4×4 source resampled to 9×8 yields real comparisons only between
+    adjacent source columns (j, j+1) at grid cols 2j+2, each duplicated on
+    the two grid rows of source row s — bit positions 16s+2j+2 and
+    16s+2j+10. The oracle computes every luma comparison from the same
+    (doc_id % 50)·multiplier arithmetic and brute-forces all pairs."""
+    lums = []
+    for s in range(4):
+        for c in range(4):
+            i = 3 * (s * 4 + c)
+            r_, g_, b_ = _DHASH_MULTS[i], _DHASH_MULTS[i + 1], _DHASH_MULTS[i + 2]
+            lums.append(
+                f"299*((k*{r_})%256) + 587*((k*{g_})%256) + 114*((k*{b_})%256) AS l{s}_{c}"
+            )
+    terms = []
+    for s in range(4):
+        for j in range(3):
+            w = f"(CAST(1 AS BIGINT) << {16 * s + 2 * j + 2}) + (CAST(1 AS BIGINT) << {16 * s + 2 * j + 10})"
+            terms.append(f"CASE WHEN l{s}_{j} > l{s}_{j + 1} THEN {w} ELSE 0 END")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, doc_id % 50 AS k FROM documents WHERE doc_id < 300
+    ),
+    lum AS (
+        SELECT doc_id, {', '.join(lums)} FROM base
+    ),
+    h AS (
+        SELECT doc_id, {' + '.join(terms)} AS dh FROM lum
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dh, b.dh)) <= 3
+    ORDER BY a_id, b_id
+    """
+
+
+@register(
+    "multimodal_dhash_dedup",
+    oracle=_dhash_oracle(),
+    tags=("multimodal", "dedup", "perceptual-hash", "pandas-udf", "decode"),
+)
+def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image deduplication under the hash gate: synthesized 4×4
+    PPMs (50 repeating pixel classes via doc_id % 50) run through the REAL
+    decode → integer-luma 9×8 dHash (operators.multimodal.dhash_media),
+    then near-duplicate pairs form via the 4-chunk pigeonhole hamming join
+    (``dhash_pairs``, guaranteed recall at hamming ≤ 3 — never all-pairs).
+    The oracle recomputes every luma comparison bit from the same doc_id
+    arithmetic and brute-forces the pair set: a wrong resample index, bit
+    position, or a chunk-join recall hole lands as a hash mismatch."""
+    from arrow_parquet_logs_spark.operators.multimodal import (
+        attach_media,
+        dhash_media,
+        dhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    k = F.col("doc_id") % 50
+
+    def byte(mult: int):
+        return F.unhex(F.lpad(F.hex((k * mult) % 256), 2, "0"))
+
+    payload = F.concat(F.lit(b"P6\n4 4\n255\n"), *[byte(m) for m in _DHASH_MULTS])
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "ppm")
+    sigs = dhash_media(media, id_col="doc_id")
+    return dhash_pairs(sigs, id_col="doc_id", max_hamming=3).orderBy("a_id", "b_id")

@@ -830,3 +830,38 @@ def test_centroid_outliers_exact_and_partition_invariant(spark):
     )
     got = {r.vec_id: r.is_outlier for r in centroid_outliers(tied, k=1).collect()}
     assert got == {1: False, 2: False, 3: True}
+
+
+def test_dhash_media_duplicates_and_gate(spark):
+    """dHash: byte-identical images hash equal (hamming-0 pair guaranteed
+    by the pigeonhole join); a high-contrast different image does not pair;
+    non-raw formats hit the codec gate."""
+    import numpy as np
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + px.astype("uint8").tobytes()
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(8, 8, 3))
+    grad = np.zeros((8, 8, 3), dtype=np.int64)
+    grad[:, ::2] = 255  # alternating columns: every dHash bit differs wildly
+    rows = [(1, bytearray(ppm(base))), (2, bytearray(ppm(base))), (3, bytearray(ppm(grad)))]
+    df = M.attach_media(
+        spark.createDataFrame(rows, "id long, raw binary"), "raw", "image", "ppm"
+    )
+    sigs = M.dhash_media(df)
+    got = {r.id: r.dhash for r in sigs.collect()}
+    assert got[1] == got[2]
+    pairs = {(r.a_id, r.b_id): r.hamming for r in M.dhash_pairs(sigs).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert all(h <= 3 for h in pairs.values())
+    # partitioning-invariant
+    sigs2 = {r.id: r.dhash for r in M.dhash_media(df.repartition(3)).collect()}
+    assert sigs2 == got
+    jpeg = M.attach_media(
+        spark.createDataFrame([(9, bytearray(b"x"))], "id long, raw binary"),
+        "raw", "image", "jpeg",
+    )
+    with pytest.raises(NotImplementedError):
+        M.dhash_media(jpeg)
