@@ -1242,3 +1242,58 @@ def events_stream_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_id bigint, context_id bigint, user_id bigint, "
         "error_ts timestamp, context_ts timestamp, context_type string",
     ).orderBy("error_id", "context_id")
+
+
+@register(
+    "events_stream_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "join", "stream-static", "broadcast"),
+)
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the remaining Structured
+    Streaming join shape: a file-source event stream inner-joins a
+    BROADCAST static customer dimension per micro-batch (stateless: no
+    watermark, no join state, append mode), the standard pattern for
+    enriching a hot event stream with a slowly-changing dim at 100 TB —
+    the dim broadcasts once per batch, the stream side never shuffles.
+    The enriched rows drain through an append-mode memory sink and
+    aggregate batch-side; the oracle is the plain batch join+rollup, so a
+    dropped or duplicated micro-batch, or a join-key mismatch, breaks the
+    hash. DECIMAL value sums keep the total exact under any batch split."""
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.sources.tables import read_events_stream
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
+    joined = stream.join(F.broadcast(dim), "user_id").select("segment", "value")
+    name = f"stream_enrich_{next(_STREAM_SEQ)}"
+    (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = (
+        spark.table(name)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("total_value"),
+        )
+        .orderBy("segment")
+        .collect()
+    )
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        rows, "segment string, n_events bigint, total_value double"
+    ).orderBy("segment")
