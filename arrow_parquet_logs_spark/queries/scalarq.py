@@ -514,3 +514,51 @@ def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS union_in_bounds,
+           true AS daily_ge_merged
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "approx", "sketch", "rollup"),
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pattern that makes 100 TB cardinality
+    dashboards possible: per-(day, event_type) HLL sketches are
+    PRE-AGGREGATED once (`hll_sketch_agg`, a few KB each, storable in a
+    rollup table), then any coarser cut re-aggregates by UNIONING sketches
+    (`hll_union_agg`) instead of rescanning raw events. The sketch bytes
+    are engine-specific, so (the agg_approx_distinct recipe) the query
+    emits the exact per-type cardinalities (hash-checked) plus booleans
+    pinning that (a) the union-of-dailies estimate lands within HLL error
+    bounds of exact and (b) summed daily distincts ≥ the merged distinct —
+    the set-union inequality any correct merge must satisfy."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("daily_users"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("daily_users").alias("sum_daily"),
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    bound = 3 * 0.02625  # default lgConfigK=12 → rsd ≈ 1.04/√4096
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("est") - F.col("exact_users"))
+             <= F.lit(bound) * F.col("exact_users")).alias("union_in_bounds"),
+            (F.col("sum_daily") >= F.col("exact_users")).alias("daily_ge_merged"),
+        )
+        .orderBy("event_type")
+    )
