@@ -910,3 +910,219 @@ def sql_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, min(min_price) AS best_price FROM cost GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name,
+           CAST(c.min_price AS DOUBLE) AS best_price
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.min_price = b.best_price
+    JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size = 15 AND p.p_type = 'SMALL'
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    """,
+    tags=("join", "tpch", "correlated", "decorrelation"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier), adapted: the driver schema has no
+    partsupp, so supply cost is the supplier's minimum observed price for
+    the part (MIN over their lineitems — exact under any partitioning, no
+    summation). The correlated `= (SELECT min(..) WHERE part matches)`
+    decorrelates into aggregate → self-join on (partkey, min), the classic
+    Q2 physical plan; part/supplier/nation dims broadcast."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    cost = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("min_price").alias("best_price"))
+    dims = t["part"].where((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+    return (
+        cost.join(best, (cost["l_partkey"] == best["l_partkey"])
+                  & (cost["min_price"] == best["best_price"]))
+        .drop(best["l_partkey"])
+        .join(F.broadcast(dims), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey", "s_name", "s_acctbal", "n_name",
+            F.col("min_price").cast("double").alias("best_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("join", "tpch", "semi", "exists"),
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): count one quarter's orders
+    having at least one LATE line — adapted lateness is shipment >60 days
+    after the order date (the driver schema has no l_commitdate). The
+    EXISTS plans as a LEFT SEMI join on the order key with the extra
+    cross-side date condition evaluated in the join — one shuffle, no
+    duplicate-order inflation, the Q4 physical plan."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q11_important_suppliers",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, SUM({_DISC_PRICE_SQL}) AS value
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, CAST(value AS DOUBLE) AS value
+    FROM rev
+    WHERE value > (SELECT SUM(value) * 0.005 FROM rev)
+    ORDER BY value DESC, l_suppkey
+    """,
+    tags=("agg", "tpch", "scalar-subquery", "having"),
+)
+def tpch_q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock value): per-group value filtered
+    against a fraction of the GLOBAL total — adapted to supplier revenue
+    (no partsupp in the driver schema). Two aggregations over one scan
+    shape: the per-supplier rollup joins a broadcast 1-row total; DECIMAL
+    sums keep the threshold comparison exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("value"))
+    total = rev.agg((F.sum("value") * F.lit(0.005)).alias("threshold"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("l_suppkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_suppkey")
+    )
+
+
+@register(
+    "tpch_q12_shipping_latency",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "tpch", "conditional-agg"),
+)
+def tpch_q12_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and priority): conditional counts of
+    high/low-priority lines per shipping class — adapted classes are
+    LATE/ONTIME against a 90-day latency (no l_shipmode in the driver
+    schema). One fact-fact equi-join with the year predicate pushed to the
+    orders scan, CASE counts folded into a single aggregation — Q12's
+    physical plan exactly."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        o.join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(late, "LATE").otherwise("ONTIME").alias("ship_class"),
+            F.when(high, 1).otherwise(0).alias("h"),
+            F.when(high, 0).otherwise(1).alias("l"),
+        )
+        .groupBy("ship_class")
+        .agg(F.sum("h").alias("high_line_count"), F.sum("l").alias("low_line_count"))
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_ps
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    p_tot AS (
+        SELECT l_partkey, SUM(q_ps) AS q_p FROM ps GROUP BY l_partkey
+    ),
+    dominant AS (
+        SELECT DISTINCT ps.l_suppkey
+        FROM ps
+        JOIN p_tot ON ps.l_partkey = p_tot.l_partkey
+        JOIN part ON p_partkey = ps.l_partkey AND p_type = 'PROMO'
+        WHERE ps.q_ps * 2 > p_tot.q_p
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN dominant ON s_suppkey = l_suppkey
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "tpch", "semi", "nested-agg"),
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-inventory suppliers): suppliers who shipped
+    MORE THAN HALF of some PROMO part's total quantity — adapted from
+    partsupp availability to shipped-quantity dominance. The nested
+    aggregate subquery (per-(part,supp) sums vs per-part totals) reuses
+    one shuffle's output for both levels, the part filter broadcasts, and
+    the supplier probe is a semi join — Q20's nested-semi plan. DECIMAL
+    quantity sums keep the 2× comparison exact."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    ps = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity", 18, 2)).alias("q_ps")
+    )
+    p_tot = ps.groupBy("l_partkey").agg(F.sum("q_ps").alias("q_p"))
+    promo = t["part"].where(F.col("p_type") == "PROMO").select("p_partkey")
+    dominant = (
+        ps.join(p_tot, "l_partkey")
+        .join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .where(F.col("q_ps") * 2 > F.col("q_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -51,6 +51,7 @@ _BROADCAST_NL_OK = {
     "agg_approx_distinct",
     "tpch_q15_top_supplier",
     "tpch_q22_dormant_rich_customers",  # scalar avg subquery (TPC-H shape)
+    "tpch_q11_important_suppliers",     # 1-row global-total threshold combine
     "docs_importance_weights",          # 1-row corpus stats combine
     "docs_top_terms_approx",            # 1-row approx_top_k result explode
     "docs_unigram_lm_score",            # 1-row vocabulary stats combine
