@@ -418,11 +418,52 @@ def materialize_ivfpq(
     opens only the probed cells' directories (partition pruning), and what
     it reads there is ~1/32 the corpus bytes (codes, not floats).
 
+    The fitted model (centroids + codebooks) persists alongside the codes
+    (``_MODEL.json``), so the index is SELF-CONTAINED: a later process
+    loads the exact grid the codes were encoded against
+    (``load_ivfpq_model``) instead of re-fitting — a re-fit on a changed
+    corpus would silently mis-decode every stored code.
+
     Encoding runs vectorized by default (``pandas_encode`` — one numpy
     reduction per Arrow batch, bit-equal to the expression form) because
     this is the stage that scans the whole corpus."""
     enc = _ivfpq_codes(emb, centroids, codebooks, id_col, vec_col, pandas_encode)
     enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+    save_ivfpq_model(centroids, codebooks, path)
+
+
+def save_ivfpq_model(
+    centroids: list[list[float]], codebooks: list[list[list[int]]], path: str
+) -> None:
+    """Persist the fitted IVF-PQ model next to its codes (atomic replace —
+    a reader never sees a torn model file)."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"._MODEL.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"centroids": centroids, "codebooks": codebooks}, fh)
+    os.replace(tmp, os.path.join(path, "_MODEL.json"))
+
+
+def load_ivfpq_model(path: str) -> tuple[list[list[float]], list[list[list[int]]]]:
+    """Load the model a materialized index was encoded against. Raises
+    loudly when the index predates model persistence — the caller must
+    then supply the original fit, never a fresh one."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_MODEL.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"no _MODEL.json at {path}: this index was materialized without "
+            "model persistence; pass the original centroids/codebooks"
+        )
+    with open(mpath, encoding="utf-8") as fh:
+        m = json.load(fh)
+    return m["centroids"], m["codebooks"]
 
 
 def append_to_ivfpq(

@@ -5,6 +5,7 @@ the exact top-k."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from arrow_parquet_logs_spark.operators import pq as PQ, similarity as S
@@ -234,3 +235,27 @@ def test_stream_ivfpq_ingest_equals_batch_rebuild(spark, sf_dir, tmp_path):
         map(tuple, PQ.search_ivfpq(spark, full, emb, queries, cents, books, k=3).collect())
     )
     assert ra == rb and ra
+
+
+def test_ivfpq_model_persistence_self_contained(spark, sf_dir, tmp_path):
+    """materialize_ivfpq persists the fitted model beside its codes: a
+    fresh process loads the EXACT encode grid back and searches
+    identically; an index without a model raises instead of inviting a
+    silent re-fit mismatch. The underscore-prefixed model file is
+    invisible to the parquet reader."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = PQ.fit_ivfpq(emb)
+    idx = str(tmp_path / "idx")
+    PQ.materialize_ivfpq(emb, cents, books, idx)
+    c2, b2 = PQ.load_ivfpq_model(idx)
+    assert c2 == cents and b2 == books
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, PQ.search_ivfpq(spark, idx, emb, q, cents, books, k=3).collect()))
+    b = sorted(map(tuple, PQ.search_ivfpq(spark, idx, emb, q, c2, b2, k=3).collect()))
+    assert a == b and a
+    # parquet scan unaffected by the sidecar file
+    assert spark.read.parquet(idx).count() > 0
+    with pytest.raises(FileNotFoundError, match="_MODEL.json"):
+        PQ.load_ivfpq_model(str(tmp_path / "nowhere"))
