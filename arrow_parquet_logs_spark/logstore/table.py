@@ -458,6 +458,35 @@ class VersionedTable:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def restore(self, version: int) -> dict:
+        """RESTORE: roll the table back to a previous version as a NEW
+        commit — the escape hatch after a bad CDC batch or botched delete.
+        No data moves: the new manifest simply references the target
+        version's files (they are still on disk while time-travelable),
+        so restore is O(manifest) regardless of table size, the history
+        after the bad commit stays auditable, and vacuum's file-liveness
+        rule keeps every referenced file alive."""
+        with self._mutate_lock():
+            mpath = os.path.join(self.path, f"v{version}", "MANIFEST.json")
+            if not os.path.exists(mpath):
+                raise ValueError(f"no version {version} at {self.path}")
+            with open(mpath) as fh:
+                target = json.load(fh)
+            cur = self._current()
+            new_v = cur["version"] + 1
+            self._commit(
+                {
+                    "version": new_v,
+                    "files": target["files"],
+                    "schema": target.get("schema"),
+                }
+            )
+            return {
+                "version": new_v,
+                "restored_from": version,
+                "files": len(target["files"]),
+            }
+
     def versions(self) -> list[int]:
         out = []
         for d in os.listdir(self.path):

@@ -554,3 +554,57 @@ def table_stream_cdc_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "c_custkey bigint, _change_type string, c_acctbal double"
     ).orderBy("c_custkey", "_change_type")
+
+
+@register(
+    "table_restore_rollback",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_balance
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("versioned-table", "restore", "time-travel"),
+)
+def table_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the hash gate: snapshot customer (v1), apply a
+    corrupting MERGE (every balance zeroed — v2), then ``restore(1)`` —
+    a new commit that references v1's files without copying data. The
+    post-restore aggregate must equal the ORIGINAL table exactly (the
+    oracle reads the untouched base table), so a restore that leaked any
+    v2 row, lost a file reference, or re-read the corrupted partition
+    breaks the hash."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
+    )
+    root = tempfile.mkdtemp(prefix="table_restore_")
+    try:
+        t = VersionedTable(
+            spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        t.write(cust)
+        t.upsert(cust.withColumn("c_acctbal", F.lit(0.0)))  # the mistake
+        t.restore(1)
+        rows = (
+            t.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_balance"),
+            )
+            .orderBy("c_mktsegment")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_customers bigint, total_balance double"
+    ).orderBy("c_mktsegment")

@@ -518,3 +518,23 @@ def test_file_lock_mutual_exclusion_stress(tmp_path):
     with open(counter) as fh:
         assert int(fh.read()) == 8 * 25
     assert not os.path.exists(lockpath)
+
+
+def test_restore_rolls_back_without_copying(table, spark):
+    """restore(v): a bad commit rolls back as a NEW version referencing the
+    old files — no data copied, the bad version stays time-travelable, and
+    a later vacuum keeps every file the restore still references."""
+    bad = spark.createDataFrame([(0, "seg0", -1)], "k long, seg string, val long")
+    table.upsert(bad)  # v2: the mistake
+    before = _as_dict(table.read(version=1))
+    r = table.restore(1)
+    assert r["version"] == 3 and r["restored_from"] == 1
+    assert _as_dict(table.read()) == before           # rolled back
+    assert _as_dict(table.read(version=2))[0] == ("seg0", -1)  # audit trail
+    # restore wrote no new data files
+    assert not any(f.startswith("v3/") for f in table._current()["files"])
+    # vacuum keeps the restored (v1) files alive via the v3 references
+    table.vacuum(keep_versions=1)
+    assert _as_dict(table.read()) == before
+    with pytest.raises(ValueError, match="no version 99"):
+        table.restore(99)
