@@ -434,9 +434,11 @@ _AUDIO_SCHEMA = (
 
 
 def _decode_wav(buf: bytes):
-    """RIFF/WAVE PCM16 mono → (sample_rate, int16 numpy samples). Pure
-    byte-layout parsing (chunk walk, little-endian fields) — real audio
-    decode with no codec library, the PPM/BMP story for the audio tier."""
+    """RIFF/WAVE PCM16 mono/stereo → (sample_rate, int16 numpy samples).
+    Pure byte-layout parsing (chunk walk, little-endian fields) — real
+    audio decode with no codec library, the PPM/BMP story for the audio
+    tier. Stereo downmixes to mono with the exact-integer mean
+    ``(L + R) >> 1`` (floor), so features stay bit-deterministic."""
     import struct as _struct
 
     import numpy as np
@@ -456,11 +458,15 @@ def _decode_wav(buf: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sr, _, _, bits = _struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_format != 1 or bits != 16 or channels != 1:
+    if audio_format != 1 or bits != 16 or channels not in (1, 2):
         raise ValueError(
-            f"only PCM16 mono supported (format={audio_format}, bits={bits}, ch={channels})"
+            f"only PCM16 mono/stereo supported (format={audio_format}, bits={bits}, ch={channels})"
         )
-    return int(sr), np.frombuffer(data, dtype="<i2")
+    s = np.frombuffer(data, dtype="<i2")
+    if channels == 2:
+        pairs = s[: (len(s) // 2) * 2].astype(np.int64).reshape(-1, 2)
+        s = ((pairs[:, 0] + pairs[:, 1]) >> 1).astype(np.int16)
+    return int(sr), s
 
 
 def audio_features(df: DataFrame, id_col: str = "id") -> DataFrame:

@@ -473,3 +473,70 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "ppm")
     sigs = dhash_media(media, id_col="doc_id")
     return dhash_pairs(sigs, id_col="doc_id", max_hamming=3).orderBy("a_id", "b_id")
+
+
+@register(
+    "multimodal_real_wav_stereo",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               [(doc_id*7)%65536, (doc_id*11)%65536, (doc_id*13)%65536, (doc_id*17)%65536,
+                (doc_id*19)%65536, (doc_id*23)%65536, (doc_id*29)%65536, (doc_id*31)%65536] AS us
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id,
+               list_transform(us, x -> CASE WHEN x < 32768 THEN x ELSE x - 65536 END) AS ss
+        FROM u
+    ),
+    m AS (  -- interleaved L/R pairs downmixed with the exact floor mean
+        SELECT doc_id,
+               [CAST(floor((ss[1] + ss[2]) / 2.0) AS BIGINT),
+                CAST(floor((ss[3] + ss[4]) / 2.0) AS BIGINT),
+                CAST(floor((ss[5] + ss[6]) / 2.0) AS BIGINT),
+                CAST(floor((ss[7] + ss[8]) / 2.0) AS BIGINT)] AS ds
+        FROM s
+    )
+    SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(4 AS INTEGER) AS n_samples,
+           CAST(500 AS BIGINT) AS duration_us,
+           CAST(list_aggregate(list_transform(ds, x -> x*x), 'sum') AS BIGINT) AS sum_sq,
+           CAST(len(list_filter(range(1, 4), i -> (ds[i+1] >= 0) != (ds[i] >= 0))) AS INTEGER) AS zero_crossings
+    FROM m ORDER BY id
+    """,
+    tags=("multimodal", "audio", "pandas-udf", "decode", "stereo"),
+)
+def multimodal_real_wav_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO WAV decode under the driver's hash gate: the same synthesized
+    PCM16 sample words as the mono query, declared as 2-channel interleaved
+    L/R — the decoder must downmix with the exact floor mean (L+R)>>1
+    before computing features, and the oracle replays that floor-mean (as
+    floor((l+r)/2.0), since SQL integer division truncates toward zero and
+    would disagree on negative samples). Wrong interleave order, truncating
+    division, or channel-count mishandling breaks the hash."""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, audio_features
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    n_frames, sr, ch = 4, 8000, 2
+    header = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + 2 * ch * n_frames)
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * 2 * ch, 2 * ch, 16)
+        + b"data"
+        + _struct.pack("<I", 2 * ch * n_frames)
+    )
+
+    def sample_le(mult: int):
+        u = (F.col("doc_id") * mult) % 65536
+        lo = F.unhex(F.lpad(F.hex(u % 256), 2, "0"))
+        hi = F.unhex(F.lpad(F.hex((u / 256).cast("int")), 2, "0"))
+        return F.concat(lo, hi)
+
+    payload = F.concat(F.lit(header), *[sample_le(m) for m in (7, 11, 13, 17, 19, 23, 29, 31)])
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "wav")
+    return audio_features(media, id_col="doc_id").orderBy("id")

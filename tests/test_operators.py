@@ -865,3 +865,31 @@ def test_dhash_media_duplicates_and_gate(spark):
     )
     with pytest.raises(NotImplementedError):
         M.dhash_media(jpeg)
+
+
+def test_wav_stereo_downmix_exact():
+    """Stereo PCM16 downmixes with the exact floor mean (L+R)>>1 —
+    including negative samples — and unsupported bit depths stay loud."""
+    import struct
+
+    import numpy as np
+
+    def wav(samples, channels, sr=8000, bits=16):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sr,
+                                    sr * channels * bits // 8, channels * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    sr, s = M._decode_wav(wav([100, 200, -5, -6, 7, -8], 2))
+    assert sr == 8000
+    # (100+200)>>1=150 ; (-5-6)>>1=-6 (floor) ; (7-8)>>1=-1 (floor)
+    assert s.tolist() == [150, -6, -1]
+    sr, mono = M._decode_wav(wav([1, -2, 3], 1))
+    assert mono.tolist() == [1, -2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PCM16"):
+        M._decode_wav(wav([0, 0], 4))
