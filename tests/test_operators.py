@@ -893,3 +893,12 @@ def test_wav_stereo_downmix_exact():
 
     with _pytest.raises(ValueError, match="PCM16"):
         M._decode_wav(wav([0, 0], 4))
+
+
+def test_centroid_outliers_empty_and_all_null(spark):
+    from arrow_parquet_logs_spark.operators.similarity import centroid_outliers
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert centroid_outliers(empty, k=3).count() == 0
+    nulls = spark.createDataFrame([(1, None)], "vec_id long, embedding array<float>")
+    assert centroid_outliers(nulls, k=3).count() == 0

@@ -259,3 +259,21 @@ def test_ivfpq_model_persistence_self_contained(spark, sf_dir, tmp_path):
     assert spark.read.parquet(idx).count() > 0
     with pytest.raises(FileNotFoundError, match="_MODEL.json"):
         PQ.load_ivfpq_model(str(tmp_path / "nowhere"))
+
+
+def test_search_ivfpq_string_ids(spark, sf_dir, tmp_path):
+    """ADVICE r3: search_ivfpq must work with non-integer id columns — the
+    LUT inherits the caller's id type."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    cents, books = PQ.fit_ivfpq(emb)
+    idx = str(tmp_path / "sidx")
+    PQ.materialize_ivfpq(emb, cents, books, idx)
+    q = emb.where(F.col("vec_id").isin("v0", "v1"))
+    out = PQ.search_ivfpq(spark, idx, emb, q, cents, books, k=3).collect()
+    assert out and all(isinstance(r.q_id, str) and r.q_id.startswith("v") for r in out)
+    assert {r.q_id for r in out} == {"v0", "v1"}

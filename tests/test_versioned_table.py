@@ -538,3 +538,14 @@ def test_restore_rolls_back_without_copying(table, spark):
     assert _as_dict(table.read()) == before
     with pytest.raises(ValueError, match="no version 99"):
         table.restore(99)
+
+
+def test_changes_cdf_key_only_table(spark, tmp_path):
+    """CDF on a table whose schema is keys-only (no value columns): inserts
+    and deletes still report; the update classes cannot occur."""
+    t = VersionedTable(spark, str(tmp_path / "ko"), key_cols=["k"])
+    t.write(spark.createDataFrame([(1,), (2,)], "k long"))
+    t.upsert(spark.createDataFrame([(3,)], "k long"))
+    t.delete_where(F.col("k") == 1)
+    got = {(r.k, r._change_type) for r in t.changes(1, 3).collect()}
+    assert got == {(3, "insert"), (1, "delete")}
