@@ -71,9 +71,9 @@ _DECODE_SCHEMA = (
     "n_frames int, mean_luma double"
 )
 
-#: formats decodable with no codec library — plain byte layouts, plus PNG
-#: (stdlib zlib inflate + numpy unfilter; no codec library involved).
-RAW_DECODABLE = ("ppm", "bmp", "png")
+#: formats decodable with no codec library — plain byte layouts (PPM/BMP/
+#: uncompressed TIFF), plus PNG (stdlib zlib inflate + numpy unfilter).
+RAW_DECODABLE = ("ppm", "bmp", "png", "tiff")
 
 
 def _decode_ppm(buf: bytes):
@@ -127,6 +127,65 @@ def _decode_bmp(buf: bytes):
     rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
     px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
     return w, h, (px if top_down else px[::-1])
+
+
+def _decode_tiff(buf: bytes):
+    """Baseline TIFF (uncompressed, 8-bit RGB or grayscale, strip layout)
+    → (width, height, HxWx3 uint8 RGB array). Pure byte-layout parsing —
+    endianness-aware header, IFD entry walk, inline-vs-offset tag values,
+    multi-strip raster assembly — no compression, no codec library (the
+    BMP/PPM story with a real metadata structure). Compressed TIFF
+    (LZW/deflate/JPEG-in-TIFF) raises."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF")
+    e = "<" if buf[:2] == b"II" else ">"
+    magic, ifd_off = _struct.unpack_from(e + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    (n_entries,) = _struct.unpack_from(e + "H", buf, ifd_off)
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+    def values(entry_off):
+        tag, typ, cnt = _struct.unpack_from(e + "HHI", buf, entry_off)
+        if typ not in _TYPE_SIZE:
+            return tag, None
+        sz = _TYPE_SIZE[typ] * cnt
+        off = entry_off + 8 if sz <= 4 else _struct.unpack_from(e + "I", buf, entry_off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return tag, list(_struct.unpack_from(e + str(cnt) + fmt, buf, off))
+
+    tags = {}
+    for i in range(n_entries):
+        tag, vals = values(ifd_off + 2 + 12 * i)
+        if vals is not None:
+            tags[tag] = vals
+    w = tags.get(256, [None])[0]
+    h = tags.get(257, [None])[0]
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    if w is None or h is None:
+        raise ValueError("TIFF missing width/height tags")
+    if comp != 1:
+        raise ValueError(f"only uncompressed TIFF supported (compression={comp})")
+    if spp not in (1, 3) or any(b != 8 for b in bps):
+        raise ValueError(f"only 8-bit gray/RGB TIFF supported (spp={spp}, bits={bps})")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offset/count tags")
+    raster = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+    need = w * h * spp
+    if len(raster) < need:
+        raise ValueError("TIFF raster truncated")
+    px = np.frombuffer(raster, dtype=np.uint8, count=need).reshape(h, w, spp)
+    if spp == 1:
+        px = np.repeat(px, 3, axis=2)
+    return w, h, px
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -256,6 +315,8 @@ def _decode_raw(fmt: str, buf: bytes):
         return _decode_bmp(buf)
     if fmt == "png":
         return _decode_png(buf)
+    if fmt == "tiff":
+        return _decode_tiff(buf)
     raise ValueError(f"format {fmt!r} is not raw-decodable")
 
 

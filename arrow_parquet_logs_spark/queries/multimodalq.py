@@ -540,3 +540,80 @@ def multimodal_real_wav_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.concat(F.lit(header), *[sample_le(m) for m in (7, 11, 13, 17, 19, 23, 29, 31)])
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "wav")
     return audio_features(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_tiff_decode",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 109) % 256 AS r0, (doc_id * 113) % 256 AS g0, (doc_id * 127) % 256 AS b0,
+               (doc_id * 131) % 256 AS r1, (doc_id * 137) % 256 AS g1, (doc_id * 139) % 256 AS b1,
+               (doc_id * 149) % 256 AS r2, (doc_id * 151) % 256 AS g2, (doc_id * 157) % 256 AS b2,
+               (doc_id * 163) % 256 AS r3, (doc_id * 167) % 256 AS g3, (doc_id * 173) % 256 AS b3
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(152 AS BIGINT) AS byte_len,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           (  299*(r0+r1+r2+r3) + 587*(g0+g1+g2+g3) + 114*(b0+b1+b2+b3)
+           ) / (1000.0 * 255 * 4) AS mean_luma
+    FROM px ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "tiff"),
+)
+def multimodal_real_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decoding under the driver's hash gate: a fully valid
+    little-endian baseline TIFF per document — header, 10-entry IFD
+    (width/height/bits/compression/photometric/strip table/rows-per-strip),
+    out-of-line [8,8,8] BitsPerSample array, one strip — with only the
+    12 raster bytes varying by doc_id arithmetic, so the whole skeleton is
+    one Python-computed constant and the oracle recomputes dimensions +
+    exact Rec.601 luma. An IFD-walk bug (entry stride, inline-vs-offset
+    values, strip assembly) lands as a hash mismatch; endianness,
+    multi-strip and grayscale variants are pinned byte-level in
+    tests/test_operators.py."""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    e, n, ifd_off = "<", 10, 8
+    bps_off = ifd_off + 2 + 12 * n + 4
+    data_off = bps_off + 6  # raster directly after the [8,8,8] array
+
+    def entry(tag, typ, cnt, val):
+        return _struct.pack(e + "HHI", tag, typ, cnt) + _struct.pack(e + "I", val)
+
+    def entry_short(tag, val):
+        return _struct.pack(e + "HHI", tag, 3, 1) + _struct.pack(e + "H", val).ljust(4, b"\0")
+
+    prefix = (
+        _struct.pack(e + "2sHI", b"II", 42, ifd_off)
+        + _struct.pack(e + "H", n)
+        + entry(256, 4, 1, 2)            # width
+        + entry(257, 4, 1, 2)            # height
+        + entry(258, 3, 3, bps_off)      # bits per sample -> out-of-line
+        + entry_short(259, 1)            # uncompressed
+        + entry_short(262, 2)            # RGB
+        + entry(273, 4, 1, data_off)     # strip offset
+        + entry_short(277, 3)            # samples per pixel
+        + entry(278, 4, 1, 2)            # rows per strip
+        + entry(279, 4, 1, 12)           # strip byte count
+        + entry_short(296, 2)            # resolution unit (inches)
+        + _struct.pack(e + "I", 0)       # next IFD
+        + _struct.pack(e + "HHH", 8, 8, 8)
+    )
+    assert len(prefix) == data_off
+
+    def byte(mult: int):
+        return F.unhex(F.lpad(F.hex((F.col("doc_id") * mult) % 256), 2, "0"))
+
+    raster = F.concat(*[byte(m) for m in (109, 113, 127, 131, 137, 139,
+                                          149, 151, 157, 163, 167, 173)])
+    media = attach_media(
+        docs.select("doc_id", F.concat(F.lit(prefix), raster).alias("raw")),
+        "raw", "image", "tiff",
+    )
+    return decode_media(media, id_col="doc_id").orderBy("id")

@@ -902,3 +902,88 @@ def test_centroid_outliers_empty_and_all_null(spark):
     assert centroid_outliers(empty, k=3).count() == 0
     nulls = spark.createDataFrame([(1, None)], "vec_id long, embedding array<float>")
     assert centroid_outliers(nulls, k=3).count() == 0
+
+
+def _encode_tiff_py(px, endian="<", strips=1, gray=False):
+    """Reference TIFF encoder for tests: header + one IFD + strip table,
+    both endiannesses, arbitrary strip split — independent of the decoder."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    spp = 1 if gray else 3
+    raster = np.asarray(px, dtype=np.uint8).tobytes()
+    rows_per = max(1, -(-h // strips))
+    strip_bytes = []
+    for s in range(0, h, rows_per):
+        strip_bytes.append(raster[s * w * spp : min(s + rows_per, h) * w * spp])
+    e = endian
+    n = 10
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n + 4
+    bps_off = after_ifd                      # [8,8,8] when spp=3
+    strips_off = bps_off + (6 if spp == 3 else 0)
+    counts_off = strips_off + 4 * len(strip_bytes)
+    data_off = counts_off + 4 * len(strip_bytes)
+    offs, pos = [], data_off
+    for sb in strip_bytes:
+        offs.append(pos)
+        pos += len(sb)
+
+    def entry(tag, typ, cnt, val, inline_fmt=None):
+        raw = struct.pack(e + "HHI", tag, typ, cnt)
+        if inline_fmt is not None:
+            v = struct.pack(e + inline_fmt, *val) if isinstance(val, tuple) else struct.pack(e + inline_fmt, val)
+            return raw + v.ljust(4, b"\0")
+        return raw + struct.pack(e + "I", val)
+
+    entries = [
+        entry(256, 4, 1, w, "I"),
+        entry(257, 4, 1, h, "I"),
+        (entry(258, 3, 3, bps_off) if spp == 3 else entry(258, 3, 1, 8, "H")),
+        entry(259, 3, 1, 1, "H"),
+        entry(262, 3, 1, 2 if spp == 3 else 1, "H"),
+        (entry(273, 4, len(offs), offs[0], "I") if len(offs) == 1
+         else entry(273, 4, len(offs), strips_off)),
+        entry(277, 3, 1, spp, "H"),
+        entry(278, 4, 1, rows_per, "I"),
+        (entry(279, 4, len(strip_bytes), len(strip_bytes[0]), "I")
+         if len(strip_bytes) == 1 else entry(279, 4, len(strip_bytes), counts_off)),
+        entry(296, 3, 1, 2, "H"),
+    ]
+    out = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, ifd_off)
+    out += struct.pack(e + "H", n) + b"".join(entries) + struct.pack(e + "I", 0)
+    if spp == 3:
+        out += struct.pack(e + "HHH", 8, 8, 8)
+    out += b"".join(struct.pack(e + "I", o) for o in offs)
+    out += b"".join(struct.pack(e + "I", len(sb)) for sb in strip_bytes)
+    return out + b"".join(strip_bytes)
+
+
+def test_tiff_decode_endianness_strips_and_gray():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.int64)
+    for endian in ("<", ">"):
+        for strips in (1, 3):
+            w, h, out = M._decode_tiff(_encode_tiff_py(px, endian, strips))
+            assert (w, h) == (5, 6)
+            assert (out.astype(np.int64) == px).all(), (endian, strips)
+    g = rng.integers(0, 256, size=(4, 3), dtype=np.int64)
+    w, h, out = M._decode_tiff(_encode_tiff_py(g.reshape(4, 3, 1), "<", 1, gray=True))
+    assert (w, h) == (3, 4)
+    assert (out == np.repeat(g.reshape(4, 3, 1), 3, axis=2)).all()
+    with pytest.raises(ValueError, match="not a TIFF"):
+        M._decode_tiff(b"nope")
+    # compressed TIFF is loudly refused: flip the compression tag to LZW(5)
+    buf = bytearray(_encode_tiff_py(px, "<", 1))
+    import struct as _s
+
+    for i in range(10):
+        off = 8 + 2 + 12 * i
+        if _s.unpack_from("<H", buf, off)[0] == 259:
+            _s.pack_into("<H", buf, off + 8, 5)
+    with pytest.raises(ValueError, match="compression"):
+        M._decode_tiff(bytes(buf))
