@@ -720,3 +720,62 @@ def embedding_dup_pairs_fast(
         .groupBy("a_id", "b_id")
         .agg(F.min("cosine").alias("cosine"))
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    pandas_shingles: bool = False,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (the PPJoin/
+    AllPairs family, Xiao et al. WWW'08 / Bayardo et al. WWW'07 — public):
+    a provably LOSSLESS shrink of the inverted index.
+
+    Under any fixed global total order of shingles, if ``J(A,B) ≥ t`` then
+    ``|A∩B| ≥ ⌈t·|A|⌉``, so A and B must share at least one element among
+    each set's first ``p = |A| − ⌈t·|A|⌉ + 1`` ordered shingles — indexing
+    ONLY those prefixes (≈ (1−t) of the full index at threshold t) still
+    surfaces every qualifying pair. Candidates verify with an exact
+    row-local ``array_intersect`` against the full sets, so the output is
+    IDENTICAL to the full inverted-index join — same oracle — while the
+    quadratic-risk stage shrinks by the threshold factor and needs no
+    df-cap heuristic for correctness.
+
+    This form orders shingles lexicographically (deterministic with zero
+    extra passes). Production note: ordering by ascending document
+    frequency instead puts the RAREST shingles in prefixes and minimizes
+    candidate counts (one extra df-aggregate pass, unchanged guarantees);
+    at 100 TB that is the tuning knob, `minhash_lsh_pairs` the sanctioned
+    approximate path when even prefixes run hot."""
+    shingler = _shingle_sets_pandas if pandas_shingles else _shingle_sets
+    sets = (
+        shingler(df, id_col, text_col, n)
+        .select("sid", F.array_sort("sh").alias("sh"))
+        .persist()
+    )
+    plen = F.greatest(
+        F.lit(1), F.size("sh") - F.ceil(F.size("sh") * threshold).cast("int") + 1
+    )
+    inv = sets.select("sid", F.explode(F.slice("sh", F.lit(1), plen)).alias("g"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .where(F.col("a.sid") < F.col("b.sid"))
+        .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
+        .distinct()
+    )
+    fa = sets.select(F.col("sid").alias("a_id"), F.col("sh").alias("a_sh"))
+    fb = sets.select(F.col("sid").alias("b_id"), F.col("sh").alias("b_sh"))
+    common = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = common.cast("double") / (
+        F.size("a_sh") + F.size("b_sh") - common
+    )
+    return (
+        cand.join(fa, "a_id")
+        .join(fb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -251,6 +251,22 @@ def dedup_ngram_jaccard_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.6, pandas_shingles=True)
 
 
+@register(
+    "dedup_jaccard_prefix",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (PPJoin/AllPairs family):
+    only each document's first |A|-ceil(t|A|)+1 lexicographically-ordered
+    shingles enter the inverted index — a provably lossless ~(1-t) shrink
+    of the quadratic-risk join — with exact array_intersect verification.
+    Output identical to `dedup_ngram_jaccard`, pinned by the SAME oracle
+    (operators.dedup.jaccard_prefix_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_prefix_pairs(docs, threshold=0.6)
+
+
 def _minhash_sig_sql() -> str:
     # exploded rows + k columnar min-aggregates, not nested list lambdas:
     # identical integer values, but DuckDB executes the aggregate form ~50×

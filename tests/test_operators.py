@@ -987,3 +987,36 @@ def test_tiff_decode_endianness_strips_and_gray():
             _s.pack_into("<H", buf, off + 8, 5)
     with pytest.raises(ValueError, match="compression"):
         M._decode_tiff(bytes(buf))
+
+
+def test_jaccard_prefix_equals_full_index(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: pair set and scores identical to the
+    full inverted-index join on the real corpus, plus edge docs (short
+    texts whose prefix is the whole set, empty-ish docs)."""
+    edge = spark.createDataFrame(
+        [(9001, "one two three"), (9002, "one two three"), (9003, ""), (9004, "a b")],
+        "doc_id long, text string",
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+        .unionByName(edge)
+    )
+    full = sorted(
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=None).collect()
+    )
+    pref = sorted(
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in D.jaccard_prefix_pairs(docs, threshold=0.6).collect()
+    )
+    assert full and pref == full
+    # the index really is smaller: sum of prefix lengths < sum of set sizes
+    from pyspark.sql import functions as F
+
+    sets = D._shingle_sets(docs, "doc_id", "text", 3)
+    sizes = sets.select(F.size("sh").alias("s"))
+    total = sizes.agg(F.sum("s")).head()[0]
+    prefix_total = sizes.agg(
+        F.sum(F.greatest(F.lit(1), F.col("s") - F.ceil(F.col("s") * 0.6).cast("int") + 1))
+    ).head()[0]
+    assert prefix_total < total * 0.55
