@@ -100,3 +100,79 @@ def interval_join_by_bucket(
         )
         return inner.unionByName(unmatched)
     return inner
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance: str | None = None,
+    allow_exact: bool = True,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: every LEFT row gains the most recent RIGHT row
+    with ``right_ts ≤ left_ts`` (strictly ``<`` when ``allow_exact=False``)
+    per join key — the point-in-time enrichment every event pipeline needs
+    (prices as-of trade, last-touch attribution, config as-of event).
+
+    Spark has no native as-of join, and the naive inequality join is
+    quadratic; this is the scale formulation: tag both sides, UNION into
+    one stream, ONE shuffle on the key, and carry the right side's columns
+    forward with ``last(..., ignorenulls=True)`` over the time-ordered
+    window — cost identical to a window aggregate regardless of how far
+    back the match lies. Right rows sort before (after) left rows at equal
+    timestamps to realize inclusive (strict) semantics; pass ``tiebreak``
+    (a right-side column) to make same-timestamp right rows deterministic.
+    ``tolerance`` (an SQL interval string, e.g. ``'2 hours'``) nulls out
+    matches older than ``left_ts - tolerance`` — matches pandas
+    ``merge_asof`` semantics.
+
+    Carried columns surface as ``<col><suffix>`` plus ``<left_ts><suffix>``
+    for the matched timestamp; left rows with no qualifying right row keep
+    NULLs (left-outer as-of)."""
+    from pyspark.sql import Window as W
+
+    keys = [on] if isinstance(on, str) else list(on)
+    r_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != r_ts]
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast("timestamp").alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in keys],
+        F.col(r_ts).cast("timestamp").alias(left_ts),
+        F.lit(0 if allow_exact else 2).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(r_ts).cast("timestamp").alias("__r_ts"),
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    order = [F.col(left_ts), F.col("__side")]
+    if tiebreak is not None:
+        order.append(F.col(f"__r_{tiebreak}") if tiebreak in right_cols else F.col(tiebreak))
+    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    carried = merged.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+    )
+    out = carried.where(F.col("__side") == 1)
+    ok = F.col("__c_ts").isNotNull()
+    if tolerance is not None:
+        ok = ok & (F.col("__c_ts") >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.when(ok, F.col(f"__c_{c}")).alias(f"{c}{suffix}") for c in right_cols],
+        F.when(ok, F.col("__c_ts")).alias(f"{left_ts}{suffix}"),
+    )

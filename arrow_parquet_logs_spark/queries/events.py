@@ -1297,3 +1297,42 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "segment string, n_events bigint, total_value double"
     ).orderBy("segment")
+
+
+@register(
+    "events_asof_join_operator",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS ts_asof,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS us_since_view
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof", "eventtime"),
+)
+def events_asof_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERIC as-of join operator (operators.relational.asof_join —
+    union-and-carry, one shuffle on the key) checked against DuckDB's
+    NATIVE ``ASOF JOIN``: purchases enrich with the most recent prior-or-
+    equal view per user. Two independent formulations of backward-inclusive
+    as-of semantics must agree row-for-row — a tie-handling or
+    inclusivity bug in either the operator's side-ordering or its carry
+    window lands as a hash mismatch. (events_asof_attribution pins the
+    same semantics hand-inlined; this query pins the reusable operator.)"""
+    from arrow_parquet_logs_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(purchases, views, on="user_id", left_ts="ts")
+    return (
+        out.where(F.col("ts_asof").isNotNull())
+        .select(
+            "event_id", "user_id", "ts", "ts_asof",
+            (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("us_since_view"),
+        )
+        .orderBy("event_id")
+    )

@@ -1020,3 +1020,39 @@ def test_jaccard_prefix_equals_full_index(spark, sf_dir):
         F.sum(F.greatest(F.lit(1), F.col("s") - F.ceil(F.col("s") * 0.6).cast("int") + 1))
     ).head()[0]
     assert prefix_total < total * 0.55
+
+
+def test_asof_join_modes(spark):
+    """Generic asof_join: inclusive vs strict same-timestamp semantics,
+    tolerance nulling, missing-key left-outer NULLs, multi-column carry."""
+    from arrow_parquet_logs_spark.operators.relational import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, "A", "2024-01-01 10:00:05", 100.0),
+         (2, "A", "2024-01-01 10:00:00", 101.0),
+         (3, "B", "2024-01-01 10:00:10", 102.0),
+         (4, "C", "2024-01-01 10:00:10", 103.0)],
+        "trade_id long, sym string, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00", 1.0, 10), ("A", "2024-01-01 10:00:04", 2.0, 20),
+         ("B", "2024-01-01 09:00:00", 3.0, 30)],
+        "sym string, qts string, bid double, qid int",
+    ).withColumn("qts", F.col("qts").cast("timestamp"))
+
+    incl = {r.trade_id: (r.bid_asof, r.qid_asof) for r in asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts").collect()}
+    assert incl == {1: (2.0, 20), 2: (1.0, 10), 3: (3.0, 30), 4: (None, None)}
+    strict = {r.trade_id: r.bid_asof for r in asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts", allow_exact=False
+    ).collect()}
+    assert strict[2] is None and strict[1] == 2.0
+    tol = {r.trade_id: r.bid_asof for r in asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts", tolerance="5 minutes"
+    ).collect()}
+    assert tol[3] is None and tol[1] == 2.0  # B's quote is an hour stale
+    # partitioning invariance
+    again = {r.trade_id: (r.bid_asof, r.qid_asof) for r in asof_join(
+        trades.repartition(5), quotes.repartition(3), on="sym",
+        left_ts="ts", right_ts="qts").collect()}
+    assert again == incl
