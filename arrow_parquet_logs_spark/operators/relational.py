@@ -113,11 +113,15 @@ def asof_join(
     tolerance: str | None = None,
     allow_exact: bool = True,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every LEFT row gains the most recent RIGHT row
-    with ``right_ts ≤ left_ts`` (strictly ``<`` when ``allow_exact=False``)
-    per join key — the point-in-time enrichment every event pipeline needs
-    (prices as-of trade, last-touch attribution, config as-of event).
+    """As-of join: every LEFT row gains the most recent RIGHT row with
+    ``right_ts ≤ left_ts`` (``direction='backward'``, the default; strictly
+    ``<`` when ``allow_exact=False``) or the EARLIEST right row with
+    ``right_ts ≥ left_ts`` (``direction='forward'``) per join key — the
+    point-in-time enrichment every event pipeline needs (prices as-of
+    trade, last-touch attribution, config as-of event; pandas
+    ``merge_asof`` semantics).
 
     Spark has no native as-of join, and the naive inequality join is
     quadratic; this is the scale formulation: tag both sides, UNION into
@@ -136,11 +140,19 @@ def asof_join(
     NULLs (left-outer as-of)."""
     from pyspark.sql import Window as W
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     keys = [on] if isinstance(on, str) else list(on)
     r_ts = right_ts or left_ts
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != r_ts]
 
+    # side ordering realizes the equality semantics: backward wants an
+    # equal-ts right row VISIBLE to the carry (right sorts first, side 0);
+    # forward mirrors it (right sorts after left, side 2). Strict mode
+    # flips the side value so the equal-ts right row lands out of frame.
+    r_side = (2 if allow_exact else 0) if fwd else (0 if allow_exact else 2)
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
@@ -150,27 +162,41 @@ def asof_join(
     r_tagged = right.select(
         *[F.col(c) for c in keys],
         F.col(r_ts).cast("timestamp").alias(left_ts),
-        F.lit(0 if allow_exact else 2).alias("__side"),
+        F.lit(r_side).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         F.col(r_ts).cast("timestamp").alias("__r_ts"),
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     order = [F.col(left_ts), F.col("__side")]
     if tiebreak is not None:
-        order.append(F.col(f"__r_{tiebreak}") if tiebreak in right_cols else F.col(tiebreak))
-    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+        tb = F.col(f"__r_{tiebreak}") if tiebreak in right_cols else F.col(tiebreak)
+        # forward wants the EARLIEST qualifying right row; with a
+        # descending-frame carry the tiebreak flips to keep it nearest
+        order.append(tb.desc() if fwd else tb)
+    if fwd:
+        w = W.partitionBy(*keys).orderBy(*order).rowsBetween(
+            W.currentRow, W.unboundedFollowing
+        )
+        carry = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = W.partitionBy(*keys).orderBy(*order).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        carry = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     carried = merged.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in right_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+        *[carry(f"__r_{c}").over(w).alias(f"__c_{c}") for c in right_cols],
+        carry("__r_ts").over(w).alias("__c_ts"),
     )
     out = carried.where(F.col("__side") == 1)
     ok = F.col("__c_ts").isNotNull()
     if tolerance is not None:
-        ok = ok & (F.col("__c_ts") >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
+        tol = F.expr(f"INTERVAL {tolerance}")
+        ok = ok & (
+            (F.col("__c_ts") <= F.col(left_ts) + tol)
+            if fwd
+            else (F.col("__c_ts") >= F.col(left_ts) - tol)
+        )
     return out.select(
         *[F.col(c) for c in left.columns],
         *[F.when(ok, F.col(f"__c_{c}")).alias(f"{c}{suffix}") for c in right_cols],

@@ -1056,3 +1056,39 @@ def test_asof_join_modes(spark):
         trades.repartition(5), quotes.repartition(3), on="sym",
         left_ts="ts", right_ts="qts").collect()}
     assert again == incl
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward': earliest right row at-or-after each left ts,
+    inclusive/strict equality mirrored, forward tolerance window."""
+    from arrow_parquet_logs_spark.operators.relational import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, "A", "2024-01-01 10:00:02"), (2, "A", "2024-01-01 10:00:04"),
+         (3, "B", "2024-01-01 10:00:00")],
+        "trade_id long, sym string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:04", 1.0), ("A", "2024-01-01 10:00:09", 2.0),
+         ("B", "2024-01-01 11:00:00", 3.0)],
+        "sym string, qts string, bid double",
+    ).withColumn("qts", F.col("qts").cast("timestamp"))
+
+    fwd = {r.trade_id: r.bid_asof for r in asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts", direction="forward"
+    ).collect()}
+    assert fwd == {1: 1.0, 2: 1.0, 3: 3.0}  # trade 2 matches the equal-ts quote
+    strict = {r.trade_id: r.bid_asof for r in asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        direction="forward", allow_exact=False,
+    ).collect()}
+    assert strict == {1: 1.0, 2: 2.0, 3: 3.0}  # equal-ts excluded for trade 2
+    tol = {r.trade_id: r.bid_asof for r in asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        direction="forward", tolerance="5 minutes",
+    ).collect()}
+    assert tol == {1: 1.0, 2: 1.0, 3: None}  # B's quote is an hour ahead
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="sym", direction="nearest")
