@@ -600,8 +600,10 @@ def test_wav_decoder_roundtrip_and_rejection():
         _decode_wav(b"OGGS" + b"\x00" * 40)          # wrong container
     with _pytest.raises(ValueError):
         _decode_wav(wav([1, 2], fmt=3))               # float PCM
+    # stereo now decodes (exact floor-mean downmix, own tests); 4-channel
+    # stays rejected
     with _pytest.raises(ValueError):
-        _decode_wav(wav([1, 2], ch=2))                # stereo unsupported
+        _decode_wav(wav([1, 2, 3, 4], ch=4))
     with _pytest.raises(ValueError):
         _decode_wav(wav([1, 2])[:20])                 # truncated: no data chunk
 
