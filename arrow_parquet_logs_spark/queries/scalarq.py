@@ -562,3 +562,66 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS qty,
+               CAST(l_extendedprice AS DOUBLE) AS price,
+               CAST(l_discount * 100 AS DOUBLE) AS disc
+        FROM lineitem WHERE l_orderkey < 1000
+    ),
+    counted AS (
+        SELECT *,
+               CAST((CASE WHEN disc > 5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN price > 5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN qty > 5 THEN 1 ELSE 0 END) AS INT) AS n_keys
+        FROM base
+    ),
+    uni AS (
+        SELECT l_orderkey, l_linenumber, n_keys, 'disc' AS key, disc * 2 AS value
+        FROM counted WHERE disc > 5
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, n_keys, 'price', price * 2
+        FROM counted WHERE price > 5
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, n_keys, 'qty', qty * 2
+        FROM counted WHERE qty > 5
+    )
+    SELECT l_orderkey, l_linenumber, n_keys, key, value
+    FROM uni ORDER BY l_orderkey, l_linenumber, key
+    """,
+    tags=("scalar", "map", "higher-order"),
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP-typed column function family under the hash gate:
+    create_map → map_filter (drop small values) → transform_values
+    (double) → map_entries + array_sort → explode back to rows. Map
+    iteration order is engine-defined, so the result is presented as
+    key-sorted exploded rows and the oracle rebuilds them relationally —
+    a lambda mis-binding (filtering by key instead of value, transforming
+    the wrong side) changes rows and breaks the hash. All higher-order
+    functions stay JVM-side (no Python in the loop)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("price"), F.col("l_extendedprice").cast("double"),
+        F.lit("disc"), (F.col("l_discount") * 100).cast("double"),
+    )
+    kept = F.map_filter(m, lambda k, v: v > 5)
+    doubled = F.transform_values(kept, lambda k, v: v * 2)
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.size(doubled).cast("int").alias("n_keys"),
+            F.explode(F.array_sort(F.map_entries(doubled))).alias("e"),
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "n_keys",
+            F.col("e.key").alias("key"), F.col("e.value").alias("value"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "key")
+    )
