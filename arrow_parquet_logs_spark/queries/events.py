@@ -1336,3 +1336,87 @@ def events_asof_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 3 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("json", "variant", "spark4"),
+)
+def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type — the modern
+    JSON path: ``parse_json`` once into a binary variant column, then
+    typed ``variant_get`` extractions (no per-access string re-parse, the
+    engine-level reason VARIANT exists; at 100 TB the parse cost is paid
+    once per ingest instead of once per predicate). Filter + integer
+    aggregate on the extracted field; the oracle replays with plain JSON
+    extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    k = F.variant_get("pv", "$.k", "bigint")
+    return (
+        v.where(k % 3 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_ewma_value",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_id, event_type, value,
+               lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+               lag(value, 3) OVER w AS v3, lag(value, 4) OVER w AS v4
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type,
+           floor((0.5 * value
+                  + 0.25 * COALESCE(v1, 0.0) + 0.125 * COALESCE(v2, 0.0)
+                  + 0.0625 * COALESCE(v3, 0.0) + 0.03125 * COALESCE(v4, 0.0)
+                 ) * 1000000) / 1000000 AS ewma5
+    FROM lagged
+    WHERE event_id < 5000
+    ORDER BY event_id
+    """,
+    tags=("window", "timeseries", "ewma"),
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.5, 5-term truncation) as
+    UNROLLED lag terms — the only EWMA formulation that is deterministic
+    across engines and partitionings: each output is one fixed-order
+    float expression of five window lags (no recursive state, no
+    frame-order summation), floor-rounded at 1e-6 to absorb the last ulp.
+    Per-key windows shuffle once on event_type; the truncated form is
+    also the scale story — an exact recursive EWMA would serialize each
+    key's full history."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    terms = (
+        F.lit(0.5) * F.col("value")
+        + F.lit(0.25) * F.coalesce(F.lag("value", 1).over(w), F.lit(0.0))
+        + F.lit(0.125) * F.coalesce(F.lag("value", 2).over(w), F.lit(0.0))
+        + F.lit(0.0625) * F.coalesce(F.lag("value", 3).over(w), F.lit(0.0))
+        + F.lit(0.03125) * F.coalesce(F.lag("value", 4).over(w), F.lit(0.0))
+    )
+    return (
+        ev.select("event_id", "event_type", qfloor(terms).alias("ewma5"))
+        .where(F.col("event_id") < 5000)
+        .orderBy("event_id")
+    )
