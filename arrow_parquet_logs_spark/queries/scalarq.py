@@ -625,3 +625,32 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "key")
     )
+
+
+@register(
+    "agg_bitwise_functions",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS and_key,
+           CAST(bit_or(l_orderkey) AS BIGINT) AS or_key,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_key,
+           CAST(bit_count(bit_or(l_orderkey)) AS INT) AS or_popcount
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor + bit_count):
+    order- and partitioning-independent by algebra (associative,
+    commutative), so the hash gate needs no rounding discipline at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_orderkey").alias("and_key"),
+            F.bit_or("l_orderkey").alias("or_key"),
+            F.bit_xor("l_orderkey").alias("xor_key"),
+            F.bit_count(F.bit_or("l_orderkey")).cast("int").alias("or_popcount"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1685,3 +1685,31 @@ def docs_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_urls"), "domain")
     )
+
+
+@register(
+    "docs_regexp_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           COALESCE(regexp_extract(text, '[0-9]+', 0), '') AS first_number,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+           CAST(regexp_matches(text, '[0-9]') AS BOOLEAN) AS has_digit
+    FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """,
+    tags=("text", "regex", "scalar"),
+)
+def docs_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family breadth on the dialect-portable subset (plain
+    character classes — identical semantics in Java regex and RE2/DuckDB,
+    the same Java∩RE2 discipline as the PII scrub): extract-all count,
+    first match, global replacement mask, boolean containment. Each stays
+    whole-stage-codegen JVM-side."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).cast("int").alias("n_numbers"),
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+    ).orderBy("doc_id")
