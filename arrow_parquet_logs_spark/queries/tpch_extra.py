@@ -944,12 +944,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("min_price")
     )
-    best = cost.groupBy("l_partkey").agg(F.min("min_price").alias("best_price"))
+    # rename the derived side's key: a self-derived frame's cost["l_partkey"]
+    # and best["l_partkey"] resolve to the SAME attribute and Spark folds the
+    # equality to trivially-true — the join would silently degrade to
+    # price-only matching
+    best = cost.groupBy("l_partkey").agg(F.min("min_price").alias("best_price")
+                                         ).withColumnRenamed("l_partkey", "b_partkey")
     dims = t["part"].where((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
     return (
-        cost.join(best, (cost["l_partkey"] == best["l_partkey"])
-                  & (cost["min_price"] == best["best_price"]))
-        .drop(best["l_partkey"])
+        cost.join(best, (F.col("l_partkey") == F.col("b_partkey"))
+                  & (F.col("min_price") == F.col("best_price")))
+        .drop("b_partkey")
         .join(F.broadcast(dims), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
