@@ -34,6 +34,16 @@ SUBSET = [
     "docs_sequence_packing",
     "events_value_percentiles_approx",
     "tpch_q21_sole_late_supplier",
+    # round 4: dHash pigeonhole pairs, integer-grid outlier ranking,
+    # prefix-filtered set-sim join, as-of union-and-carry, EWMA lags,
+    # decorrelated Q2 self-join, nested-agg Q20 dominance semi
+    "multimodal_dhash_dedup",
+    "embeddings_outlier_prune",
+    "dedup_jaccard_prefix",
+    "events_asof_join_operator",
+    "events_ewma_value",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_excess_suppliers",
 ]
 
 
