@@ -617,3 +617,119 @@ def multimodal_real_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw", "image", "tiff",
     )
     return decode_media(media, id_col="doc_id").orderBy("id")
+
+
+_H64_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _dhash_expr_sql() -> str:
+    """The per-doc dHash value of the synthesized 4×4 rasters in SQL
+    (see _dhash_oracle for the bit-position derivation)."""
+    lums = []
+    for s in range(4):
+        for c in range(4):
+            i = 3 * (s * 4 + c)
+            r_, g_, b_ = _DHASH_MULTS[i], _DHASH_MULTS[i + 1], _DHASH_MULTS[i + 2]
+            lums.append(
+                f"299*((k*{r_})%256) + 587*((k*{g_})%256) + 114*((k*{b_})%256) AS l{s}_{c}"
+            )
+    terms = []
+    for s in range(4):
+        for j in range(3):
+            w = (
+                f"(CAST(1 AS BIGINT) << {16 * s + 2 * j + 2})"
+                f" + (CAST(1 AS BIGINT) << {16 * s + 2 * j + 10})"
+            )
+            terms.append(f"CASE WHEN l{s}_{j} > l{s}_{j + 1} THEN {w} ELSE 0 END")
+    return ", ".join(lums) + " || DHASH || " + " + ".join(terms)
+
+
+@register(
+    "pipeline_multimodal_training_set",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, doc_id % 50 AS k FROM documents WHERE doc_id < 300
+    ),
+    lum AS (
+        SELECT doc_id, {_dhash_expr_sql().split(' || DHASH || ')[0]} FROM base
+    ),
+    h AS (
+        SELECT doc_id, {_dhash_expr_sql().split(' || DHASH || ')[1]} AS dh FROM lum
+    ),
+    kept AS (
+        SELECT doc_id, dh FROM (
+            SELECT doc_id, dh,
+                   row_number() OVER (PARTITION BY dh ORDER BY doc_id) AS rn
+            FROM h
+        ) WHERE rn = 1
+    ),
+    luma AS (
+        SELECT b.doc_id,
+               (  299*((k*53)%256 + (k*67)%256 + (k*79)%256 + (k*97)%256)
+                + 587*((k*59)%256 + (k*71)%256 + (k*83)%256 + (k*101)%256)
+                + 114*((k*61)%256 + (k*73)%256 + (k*89)%256 + (k*103)%256)
+               ) / (1000.0 * 255 * 4) AS mean_luma
+        FROM base b
+    )
+    SELECT kept.doc_id, kept.dh AS dhash, luma.mean_luma,
+           CASE WHEN {_H64_SQL.format(x="concat('split:', CAST(kept.doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+                WHEN {_H64_SQL.format(x="concat('split:', CAST(kept.doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept JOIN luma ON kept.doc_id = luma.doc_id
+    ORDER BY kept.doc_id
+    """,
+    tags=("multimodal", "pipeline", "dedup", "split", "pandas-udf"),
+)
+def pipeline_multimodal_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE training-set pipeline end to end under ONE hash gate — the
+    multimodal twin of `pipeline_training_set`: synthesize per-doc rasters
+    (2×2 PPM for the luma feature, 4×4 PPM in 50 pixel classes for dedup),
+    REAL-decode features (`decode_media` mean luma), perceptually
+    deduplicate (`dhash_media` → keep the lowest doc_id per dHash value —
+    exact-duplicate collapse, the groupBy form of the pair operator), and
+    assign content-stable train/val/test splits. Every stage is the
+    already-verified operator; this pins their COMPOSITION (join keys,
+    survivor selection, feature carry-through) — the whole pipeline's
+    output hashes against a pure-SQL replay."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+    from arrow_parquet_logs_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        dhash_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    k = F.col("doc_id") % 50
+
+    def byte(mult):
+        return F.unhex(F.lpad(F.hex((k * mult) % 256), 2, "0"))
+
+    # dedup raster: the 4×4 class image (same as multimodal_dhash_dedup)
+    quad = F.concat(F.lit(b"P6\n4 4\n255\n"), *[byte(m) for m in _DHASH_MULTS])
+    media4 = attach_media(docs.select("doc_id", quad.alias("raw")), "raw", "image", "ppm")
+    sigs = dhash_media(media4, id_col="doc_id")
+    kept = (
+        sigs.groupBy("dhash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "dhash")
+    )
+
+    # feature raster: the 2×2 luma image (same pixel classes)
+    duo = F.concat(
+        F.lit(b"P6\n2 2\n255\n"),
+        *[byte(m) for m in (53, 59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103)],
+    )
+    media2 = attach_media(docs.select("doc_id", duo.alias("raw")), "raw", "image", "ppm")
+    feats = decode_media(media2, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "mean_luma"
+    )
+
+    bucket = (hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100).cast("int")
+    return (
+        kept.join(feats, "doc_id")
+        .select(
+            "doc_id", "dhash", "mean_luma",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
