@@ -82,3 +82,49 @@ def start_hourly_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_rollup_upsert(
+    stream: DataFrame,
+    table,
+    checkpoint: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+    optimize_every: int | None = None,
+):
+    """UPDATE-mode rollup maintained as a queryable table: each micro-batch
+    emits the windows whose counts CHANGED, and foreachBatch MERGEs them
+    into a ``VersionedTable`` keyed on ``window_start`` (partitioned by
+    ``dt`` → only touched days rewrite, the partition-granular
+    copy-on-write path).
+
+    This is the third rollup form, completing the trade-off triangle:
+    complete-mode memory sink (oracle twin), append-mode file sink (closed
+    windows only, exactly-once files), and THIS — a continuously-correct
+    materialized view: still-open windows are present with their current
+    counts (append mode withholds them until the watermark passes), every
+    read sees a consistent snapshot (manifest protocol), history is
+    time-travelable, and ``optimize_every`` bounds file accumulation on a
+    long stream. Restarts resume from the checkpoint; a re-delivered
+    batch MERGEs the same values — idempotent by keys."""
+    agg = hourly_rollup_agg(stream, ts_col, window, watermark).withColumn(
+        "dt", F.to_date("window_start").cast("string")
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        r = table.upsert(batch_df)
+        if optimize_every and r["version"] % optimize_every == 0:
+            table.optimize()
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -379,3 +379,54 @@ def test_ts_normalizer_covers_every_storage_drift(spark, tmp_path, sf_dir):
             (r.window_start, r.n_events) for r in spark.read.parquet(out).collect()
         )
     assert counts["ns_long"] == counts["ntz_us"] == counts["ltz_us"], counts
+
+
+def test_rollup_upsert_materialized_view(spark, sf_dir, tmp_path):
+    """Update-mode rollup → VersionedTable MERGE commits: after the stream
+    drains, the table equals the batch rollup EXACTLY — including windows
+    the watermark never closed (append mode withholds those) — and a
+    checkpointed restart re-MERGEs nothing new (idempotent final state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+    from arrow_parquet_logs_spark.sources.tables import load_table
+    from arrow_parquet_logs_spark.streaming.rollup import start_rollup_upsert
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 20000)
+    src = str(tmp_path / "src")
+    # split source files by TIME (a real stream arrives roughly in event-time
+    # order): an id-interleaved split would make every later file "late"
+    # beyond the watermark and the state store would rightly drop it
+    for lo, hi in (("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+                   ("2024-01-21", "2024-02-01")):
+        ev.where(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        ).select("event_id", "ts").coalesce(1).write.mode("append").parquet(src)
+    t = VersionedTable(
+        spark, str(tmp_path / "rollup_t"), key_cols=["window_start"], partition_col="dt"
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = start_rollup_upsert(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    got = {r.window_start: r.n_events for r in t.read().collect()}
+    exp = {r.window_start: r.n_events for r in batch.collect()}
+    assert got == exp and got  # open windows included
+    v_before = t._current()["version"]
+    # restart: checkpoint replays nothing — no new version commits
+    q = start_rollup_upsert(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    assert t._current()["version"] == v_before
+    assert {r.window_start: r.n_events for r in t.read().collect()} == exp
