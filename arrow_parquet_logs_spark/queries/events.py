@@ -1420,3 +1420,36 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_id") < 5000)
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+    """,
+    tags=("window", "sequence", "funnel"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition matrix (the Markov-chain view of user
+    behavior): per-user lag pairs (prev → next event type) counted across
+    the corpus. One shuffle on user_id for the window, then a tiny
+    (|types|²) aggregate — the standard path-analysis primitive."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
