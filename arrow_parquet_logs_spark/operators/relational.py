@@ -147,6 +147,11 @@ def asof_join(
     r_ts = right_ts or left_ts
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != r_ts]
+    if left_ts in right_cols:
+        raise ValueError(
+            f"right column {left_ts!r} would collide with the matched-timestamp "
+            f"output {left_ts}{suffix!r} — rename it or pass right_cols without it"
+        )
 
     # side ordering realizes the equality semantics: backward wants an
     # equal-ts right row VISIBLE to the carry (right sorts first, side 0);
@@ -157,14 +162,14 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast("timestamp").alias("__r_ts"),
+        F.lit(None).cast("timestamp").alias("__match_ts"),
     )
     r_tagged = right.select(
         *[F.col(c) for c in keys],
         F.col(r_ts).cast("timestamp").alias(left_ts),
         F.lit(r_side).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(r_ts).cast("timestamp").alias("__r_ts"),
+        F.col(r_ts).cast("timestamp").alias("__match_ts"),
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     order = [F.col(left_ts), F.col("__side")]
@@ -186,19 +191,19 @@ def asof_join(
     carried = merged.select(
         "*",
         *[carry(f"__r_{c}").over(w).alias(f"__c_{c}") for c in right_cols],
-        carry("__r_ts").over(w).alias("__c_ts"),
+        carry("__match_ts").over(w).alias("__c_match_ts"),
     )
     out = carried.where(F.col("__side") == 1)
-    ok = F.col("__c_ts").isNotNull()
+    ok = F.col("__c_match_ts").isNotNull()
     if tolerance is not None:
         tol = F.expr(f"INTERVAL {tolerance}")
         ok = ok & (
-            (F.col("__c_ts") <= F.col(left_ts) + tol)
+            (F.col("__c_match_ts") <= F.col(left_ts) + tol)
             if fwd
-            else (F.col("__c_ts") >= F.col(left_ts) - tol)
+            else (F.col("__c_match_ts") >= F.col(left_ts) - tol)
         )
     return out.select(
         *[F.col(c) for c in left.columns],
         *[F.when(ok, F.col(f"__c_{c}")).alias(f"{c}{suffix}") for c in right_cols],
-        F.when(ok, F.col("__c_ts")).alias(f"{left_ts}{suffix}"),
+        F.when(ok, F.col("__c_match_ts")).alias(f"{left_ts}{suffix}"),
     )

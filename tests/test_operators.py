@@ -1094,3 +1094,24 @@ def test_asof_join_forward_direction(spark):
 
     with _pytest.raises(ValueError, match="direction"):
         asof_join(trades, quotes, on="sym", direction="nearest")
+
+
+def test_asof_join_right_column_named_ts(spark):
+    """A right data column named exactly like left_ts would collide with
+    the matched-timestamp output column — the operator refuses loudly
+    (silent duplicate output names are the failure mode), and excluding
+    the column via right_cols carries the rest cleanly."""
+    from arrow_parquet_logs_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "A", "2024-01-01 10:00:05")], "id long, k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:01", "x")], "k string, qts string, ts string"
+    ).withColumn("qts", F.col("qts").cast("timestamp"))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="qts")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="qts", right_cols=[]
+    ).head()
+    assert out.ts_asof is not None and out.ts_asof.second == 1
