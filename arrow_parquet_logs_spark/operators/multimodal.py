@@ -8,13 +8,16 @@ media-processing operators.
 
 Decoding is three-tiered by format:
 
-- **PPM (P6), BMP (24-bit uncompressed) and PNG (8-bit gray/RGB/RGBA,
-  non-interlaced)** decode for REAL — PPM/BMP are plain byte layouts in
-  pure numpy; PNG needs only stdlib ``zlib`` for the IDAT inflate plus the
-  five PNG scanline filters re-implemented in numpy. Decode and
-  nearest-neighbor resize are exact pixel math, pinned by byte-level tests.
-- genuinely library-bound formats (JPEG/MP3/video codecs) are absent in
-  this environment: ``NotImplementedError`` unless ``allow_fake=True``, which
+- **PPM (P6), BMP (24-bit uncompressed), uncompressed TIFF, PNG (8-bit
+  gray/palette/RGB/RGBA, non-interlaced), GIF (87a/89a, full LZW +
+  palettes + interlace + multi-frame), and baseline JPEG (ITU T.81
+  sequential DCT: Huffman decode, dequantization, IDCT, chroma
+  upsampling, JFIF YCbCr→RGB)** decode for REAL — plain byte layouts and
+  hand-rolled entropy coders in pure numpy, with only stdlib ``zlib`` for
+  the PNG inflate. Decode and nearest-neighbor resize are exact pixel
+  math (JPEG is float IDCT with pinned round-half-up), byte-level tested.
+- genuinely library-bound formats (progressive JPEG, MP3/video codecs) are
+  absent in this environment: ``NotImplementedError`` unless ``allow_fake=True``, which
   derives deterministic pseudo-features from the payload's sha256 — the
   Spark plumbing (struct schema, Arrow batch shapes, UDF signatures,
   partition behavior) stays real and testable while the codec is a
@@ -72,8 +75,10 @@ _DECODE_SCHEMA = (
 )
 
 #: formats decodable with no codec library — plain byte layouts (PPM/BMP/
-#: uncompressed TIFF), plus PNG (stdlib zlib inflate + numpy unfilter).
-RAW_DECODABLE = ("ppm", "bmp", "png", "tiff")
+#: uncompressed TIFF), PNG (stdlib zlib inflate + numpy unfilter), GIF
+#: (hand-rolled LZW + palettes + interlace), and baseline JPEG (hand-rolled
+#: Huffman + dequant + IDCT + chroma upsample, ITU T.81 sequential DCT).
+RAW_DECODABLE = ("ppm", "bmp", "png", "tiff", "gif", "jpeg")
 
 
 def _decode_ppm(buf: bytes):
@@ -308,6 +313,418 @@ def _decode_png(buf: bytes):
     return w, h, px
 
 
+def _lzw_decode_gif(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
+    """General GIF LZW decompression → palette-index bytes. The real thing,
+    not a fitted subset: LSB-first variable-width codes (min+1 .. 12 bits),
+    clear-code dictionary resets, the KwKwK self-reference case, width
+    growth at table size 2^width, and the deferred-clear behavior (table
+    full at 4096 → stop adding, keep decoding). Stops after ``max_pixels``
+    indices (trailing padding bits in the last sub-block are legal)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF LZW min code size {min_code_size} out of range")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    singles = [bytes([i]) for i in range(clear)]
+    table = singles + [b"", b""]
+    out = bytearray()
+    acc = acc_bits = pos = 0
+    n = len(data)
+    prev: bytes | None = None
+    while len(out) < max_pixels:
+        while acc_bits < width:
+            if pos >= n:
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << acc_bits
+            acc_bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        acc_bits -= width
+        if code == clear:
+            table = singles + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW: first code after clear must be a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:max_pixels])
+
+
+def _gif_subblocks(buf: bytes, i: int):
+    """Concatenate a GIF data sub-block sequence starting at ``i`` →
+    (bytes, index just past the 0x00 terminator)."""
+    parts = []
+    while True:
+        if i >= len(buf):
+            raise ValueError("GIF sub-blocks truncated")
+        sz = buf[i]
+        if sz == 0:
+            return b"".join(parts), i + 1
+        parts.append(buf[i + 1 : i + 1 + sz])
+        if len(parts[-1]) != sz:
+            raise ValueError("GIF sub-blocks truncated")
+        i += 1 + sz
+
+
+def _gif_frames(buf: bytes):
+    """GIF87a/89a → (screen_w, screen_h, [(delay_cs, HxWx3 uint8 RGB)]).
+    Full structural parse: logical screen descriptor, global/local color
+    tables, extension blocks (Graphic Control Extension delays are kept,
+    others skipped), per-frame LZW decompression (``_lzw_decode_gif``),
+    Adam-style 4-pass interlace reordering, palette resolution. Frames
+    decode independently against their own palette (disposal/compositing
+    against prior frames is a presentation concern, not a decode one)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        return _gif_frames_inner(buf, _struct, np)
+    except (_struct.error, IndexError) as exc:  # truncated mid-structure
+        raise ValueError(f"GIF truncated or malformed: {exc}") from exc
+
+
+def _gif_frames_inner(buf: bytes, _struct, np):
+    sw, sh, packed = _struct.unpack_from("<HHB", buf, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 7)
+        gct = np.frombuffer(buf, np.uint8, ncol * 3, i).reshape(-1, 3)
+        i += ncol * 3
+    frames = []
+    delay_cs = 0
+    while i < len(buf):
+        b0 = buf[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension block
+            label = buf[i + 1]
+            data, i = _gif_subblocks(buf, i + 2)
+            if label == 0xF9 and len(data) >= 3:  # Graphic Control Extension
+                delay_cs = _struct.unpack_from("<H", data, 1)[0]
+        elif b0 == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = _struct.unpack_from("<HHHHB", buf, i + 1)
+            i += 10
+            lct = None
+            if ipacked & 0x80:
+                ncol = 2 << (ipacked & 7)
+                lct = np.frombuffer(buf, np.uint8, ncol * 3, i).reshape(-1, 3)
+                i += ncol * 3
+            min_code = buf[i]
+            data, i = _gif_subblocks(buf, i + 1)
+            idx = np.frombuffer(
+                _lzw_decode_gif(data, min_code, w * h), np.uint8, w * h
+            ).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: stored row k displays at order[k]
+                order = [*range(0, h, 8), *range(4, h, 8), *range(2, h, 4), *range(1, h, 2)]
+                dest = np.empty_like(idx)
+                dest[order] = idx
+                idx = dest
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            if idx.size and int(idx.max()) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            frames.append((delay_cs, pal[idx]))
+            delay_cs = 0
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        if b0 == 0x21:
+            continue
+    if not frames:
+        raise ValueError("GIF contains no image")
+    return sw, sh, frames
+
+
+def _decode_gif(buf: bytes):
+    """GIF → (width, height, HxWx3 uint8 RGB) of the FIRST frame — the
+    single-image contract shared with the other image tiers. Multi-frame
+    metadata (frame count, real GCE delays) is exposed by
+    ``gif_animation_info``."""
+    _, _, frames = _gif_frames(buf)
+    px = frames[0][1]
+    return px.shape[1], px.shape[0], px
+
+
+# ---- baseline JPEG (ITU T.81 sequential DCT) — pure numpy, no codec lib ----
+
+#: scan order index → raster position, ITU T.81 Figure A.6
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman decode map {(length, code): symbol} from a DHT
+    segment's 16 length counts + symbol list (ITU T.81 Annex C)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment with 0xFF00
+    byte-unstuffing already applied by the caller."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy data truncated")
+            self.acc = self.d[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/coefficient magnitude decode (ITU T.81 F.2.2.1): ``t`` low bits
+    ``v`` → signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(buf: bytes):
+    """Baseline JPEG (JFIF, sequential DCT, Huffman) → (width, height,
+    HxWx3 uint8 RGB) with numpy only — marker/segment walk, DQT/DHT table
+    parsing, per-MCU Huffman decode of DC diffs + AC run-lengths (EOB/ZRL),
+    dequantization through the zigzag, 8×8 IDCT via the orthonormal DCT
+    basis matrix, restart-marker handling (DRI), nearest-neighbor chroma
+    upsampling for subsampled scans, and JFIF YCbCr→RGB with round-half-up.
+    Grayscale replicates to 3 channels. Progressive (SOF2), arithmetic
+    coding, and 12-bit precision raise — baseline only, loudly."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_jpeg_inner(buf, _struct, np)
+    except (_struct.error, IndexError) as exc:  # truncated mid-segment
+        raise ValueError(f"JPEG truncated or malformed: {exc}") from exc
+
+
+def _decode_jpeg_inner(buf: bytes, _struct, np):
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    entropy = None
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {i}")
+        marker = buf[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = _struct.unpack_from(">H", buf, i + 2)
+        seg = buf[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    raise ValueError("only 8-bit quantization tables supported")
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, j + 1).astype(np.int32)
+                j += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1 : j + 17]
+                nsym = sum(counts)
+                symbols = seg[j + 17 : j + 17 + nsym]
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(counts, symbols)
+                j += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline sequential
+            prec, h, w, ncomp = _struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit precision supported (got {prec})")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = _struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"only baseline sequential JPEG supported (SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = _struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15) for c in range(ns)]
+            entropy = buf[i + 2 + seglen :]
+            break
+        # APPn/COM/anything else: skipped
+        i += 2 + seglen
+    if sof is None or scan is None or entropy is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = sof
+    if len(scan) != len(comps):
+        raise ValueError("JPEG partial scans not supported (baseline single scan only)")
+
+    # split entropy bytes into restart segments, unstuffing FF00 as we go
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = 0
+    while j < len(entropy):
+        b = entropy[j]
+        if b == 0xFF:
+            nxt = entropy[j + 1] if j + 1 < len(entropy) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or next marker ends the scan
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    td_ta = {cid: (td, ta) for cid, td, ta in scan}
+    planes = {
+        cid: np.zeros((mcuy * v * 8, mcux * hh * 8), dtype=np.float64)
+        for cid, hh, v, _ in comps
+    }
+    basis = np.array(
+        [
+            [
+                0.5 * (1 / np.sqrt(2) if u == 0 else 1.0) * np.cos((2 * x + 1) * u * np.pi / 16)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+    zz = np.array(_JPEG_ZIGZAG)
+
+    n_mcus = mcux * mcuy
+    per_seg = restart_interval if restart_interval else n_mcus
+    mcu = 0
+    for seg_bytes in segments:
+        if mcu >= n_mcus:
+            break
+        bits = _JpegBits(seg_bytes)
+        preds = {cid: 0 for cid, *_ in comps}
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for cid, ch, cv, tq in comps:
+                td, ta = td_ta[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        t = bits.huff(huff_dc[td])
+                        diff = _jpeg_extend(bits.bits(t), t)
+                        preds[cid] += diff
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[0] = preds[cid]
+                        k = 0
+                        while k < 63:
+                            rs = bits.huff(huff_ac[ta])
+                            r, s = rs >> 4, rs & 15
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            k += r + 1
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient index overflow")
+                            coef[k] = _jpeg_extend(bits.bits(s), s)
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zz] = coef * qt[tq]
+                        spatial = basis @ block.reshape(8, 8) @ basis.T
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu += 1
+    if mcu < n_mcus:
+        raise ValueError("JPEG entropy data ended before all MCUs decoded")
+
+    # crop to per-component size, upsample nearest to full res
+    full = []
+    for cid, ch, cv, _ in comps:
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        p = planes[cid][:chh, :cw]
+        yi = np.arange(h) * cv // vmax
+        xi = np.arange(w) * ch // hmax
+        full.append(p[yi][:, xi])
+    if len(full) == 1:
+        g = np.clip(np.floor(full[0] + 128.5), 0, 255).astype(np.uint8)
+        return w, h, np.repeat(g[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = (f + 128.0 for f in full)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.stack([r, g, b], axis=2)
+    return w, h, np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+
+
 def _decode_raw(fmt: str, buf: bytes):
     if fmt == "ppm":
         return _decode_ppm(buf)
@@ -317,6 +734,10 @@ def _decode_raw(fmt: str, buf: bytes):
         return _decode_png(buf)
     if fmt == "tiff":
         return _decode_tiff(buf)
+    if fmt == "gif":
+        return _decode_gif(buf)
+    if fmt == "jpeg":
+        return _decode_jpeg(buf)
     raise ValueError(f"format {fmt!r} is not raw-decodable")
 
 
@@ -360,13 +781,29 @@ def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) ->
         import pandas as pd
 
         for pdf in batches:
-            width, height, luma = [], [], []
+            width, height, luma, nframes = [], [], [], []
             for b, fmt in zip(pdf["payload"], pdf["format"]):
                 raw = bytes(b) if b is not None else b""
-                if fmt in RAW_DECODABLE:
+                if fmt == "gif":
+                    # GIF is the one multi-frame raw format: report the real
+                    # frame count and the exact mean luma across ALL frames
+                    # (each decoded against its own palette).
+                    _, _, frames = _gif_frames(raw)
+                    first = frames[0][1]
+                    width.append(first.shape[1])
+                    height.append(first.shape[0])
+                    nframes.append(len(frames))
+                    tot = npx = 0
+                    for _, px in frames:
+                        r, g, bl = (px[:, :, c].astype("int64") for c in range(3))
+                        tot += int((299 * r + 587 * g + 114 * bl).sum())
+                        npx += px.shape[0] * px.shape[1]
+                    luma.append(tot / (1000 * 255 * npx))
+                elif fmt in RAW_DECODABLE:
                     w, h, px = _decode_raw(fmt, raw)
                     width.append(w)
                     height.append(h)
+                    nframes.append(1)
                     luma.append(_mean_luma(px))
                 else:
                     # NULL payloads (schema allows them) hash as empty rather
@@ -374,6 +811,7 @@ def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) ->
                     d = hashlib.sha256(raw).digest()
                     width.append(16 + d[0] % 64)
                     height.append(16 + d[1] % 64)
+                    nframes.append(1)
                     luma.append(d[2] / 255.0)
             yield pd.DataFrame(
                 {
@@ -382,7 +820,7 @@ def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) ->
                     "byte_len": pdf["byte_len"],
                     "width": width,
                     "height": height,
-                    "n_frames": [1] * len(pdf),
+                    "n_frames": nframes,
                     "mean_luma": luma,
                 }
             )
@@ -482,6 +920,52 @@ def resize_media(
         F.col("media.format").alias("format"),
     )
     return spread_for_python(flat).mapInPandas(resize, schema=out_schema)
+
+
+def gif_animation_info(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """REAL animation metadata from GIF payloads via Arrow-batched
+    ``mapInPandas``: frame count, total duration in ms (sum of the parsed
+    Graphic Control Extension delays × 10 — centiseconds per the GIF89a
+    spec), and the exact all-frames Rec.601 mean luma. This replaces the
+    probe-stub ``duration_ms`` of ``frame_sample_plan`` pipelines with a
+    real container parse for the one animated format decodable here —
+    ``frame_sample_plan`` consumes the returned ``duration_ms`` unchanged.
+    Non-GIF formats raise loudly (same honesty gate as the other tiers)."""
+    if df.where(~F.coalesce(
+        F.col("media.format") == "gif", F.lit(False)
+    )).limit(1).count() > 0:
+        raise NotImplementedError(
+            "gif_animation_info parses real GIF containers only; other "
+            "video/animation formats need codec libraries absent here"
+        )
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, n_frames int, duration_ms long, mean_luma double"
+
+    def info(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            nf, dur, luma = [], [], []
+            for b in pdf["payload"]:
+                _, _, frames = _gif_frames(bytes(b) if b is not None else b"")
+                nf.append(len(frames))
+                dur.append(sum(d for d, _ in frames) * 10)
+                tot = npx = 0
+                for _, px in frames:
+                    r, g, bl = (px[:, :, c].astype("int64") for c in range(3))
+                    tot += int((299 * r + 587 * g + 114 * bl).sum())
+                    npx += px.shape[0] * px.shape[1]
+                luma.append(tot / (1000 * 255 * npx))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_frames": nf, "duration_ms": dur, "mean_luma": luma}
+            )
+
+    flat = df.select(
+        F.col(id_col),
+        F.col("media.payload").alias("payload"),
+        F.col("media.format").alias("format"),
+    )
+    return spread_for_python(flat).mapInPandas(info, schema)
 
 
 # ---- audio: real PCM WAV decode (pure byte layout, no codec libs) ----------

@@ -38,7 +38,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media(
-        docs.select("doc_id", F.col("text").cast("binary").alias("raw")), "raw", "image", "jpeg"
+        docs.select("doc_id", F.col("text").cast("binary").alias("raw")), "raw", "image", "webp"
     )
     return decode_media(media, id_col="doc_id", allow_fake=True).orderBy("id")
 
@@ -733,3 +733,226 @@ def pipeline_multimodal_training_set(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("doc_id")
     )
+
+
+# ---- GIF: real LZW decode under the hash gate ------------------------------
+
+#: 256-entry global color table shared by the Spark payload builder and the
+#: oracle: palette[i] = ((i*3)%256, (i*5)%256, (i*7)%256)
+_GIF_GCT = bytes(
+    v for i in range(256) for v in ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256)
+)
+
+
+def _gif_lzw_2x2_bytes(p0, p1, p2, p3):
+    """The 11 LZW data bytes of a 2×2 image (min code size 8) whose code
+    stream is CLEAR p0 CLEAR p1 CLEAR p2 CLEAR p3 EOI — every code stays 9
+    bits because the dictionary resets before it can grow, so each output
+    byte is a fixed arithmetic function of the pixel indices, expressible
+    in Catalyst. The decoder still runs its fully general LZW path
+    (variable widths, resets, table bookkeeping) on these bytes."""
+    vals = [
+        F.lit(0),
+        (p0 % 128) * 2 + 1,
+        F.shiftright(p0, 7),
+        (p1 % 32) * 8 + 4,
+        F.shiftright(p1, 5),
+        (p2 % 8) * 32 + 16,
+        F.shiftright(p2, 3),
+        (p3 % 2) * 128 + 64,
+        F.shiftright(p3, 1),
+        F.lit(1),
+        F.lit(1),
+    ]
+    return F.concat(*[F.unhex(F.lpad(F.hex(v), 2, "0")) for v in vals])
+
+
+def _gif_pixels(mults):
+    return [(F.col("doc_id") * m) % 256 for m in mults]
+
+
+def _gif_luma_sql(mults) -> str:
+    """SQL term: Σ over pixels of 299·R + 587·G + 114·B where pixel index
+    p = (doc_id·mult) % 256 resolves through the shared palette."""
+    terms = []
+    for m in mults:
+        p = f"((doc_id*{m})%256)"
+        terms.append(f"299*(({p}*3)%256) + 587*(({p}*5)%256) + 114*(({p}*7)%256)")
+    return " + ".join(terms)
+
+
+@register(
+    "multimodal_real_gif_decode",
+    oracle=f"""
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(806 AS BIGINT) AS byte_len,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           ({_gif_luma_sql((7, 11, 13, 17))}) / (1000.0 * 255 * 4) AS mean_luma
+    FROM documents WHERE doc_id < 200 ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "gif"),
+)
+def multimodal_real_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decoding under the driver's hash gate — hand-rolled LZW +
+    palette resolution, no codec library (operators.multimodal._decode_gif).
+    The query synthesizes a fully valid single-frame GIF89a per document in
+    Catalyst expressions: constant header/LSD/256-entry global color table,
+    2×2 raster whose LZW data bytes are arithmetic functions of the pixel
+    indices (see ``_gif_lzw_2x2_bytes`` — the clear-before-every-pixel
+    construction keeps codes at 9 bits), pixel indices doc_id·(7,11,13,17)
+    % 256. The oracle resolves the same indices through the same palette
+    arithmetic: an LZW bit-order, sub-block walk, or palette-lookup bug
+    lands as a hash mismatch. (Dictionary growth, KwKwK, interlace, and
+    multi-frame paths are pinned byte-level in tests.)"""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    head = (
+        b"GIF89a"
+        + _struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+        + _GIF_GCT
+        + b"\x2c" + _struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + b"\x08\x0b"
+    )
+    payload = F.concat(
+        F.lit(head),
+        _gif_lzw_2x2_bytes(*_gif_pixels((7, 11, 13, 17))),
+        F.lit(b"\x00\x3b"),
+    )
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "gif")
+    return decode_media(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_gif_animation",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS n_frames,
+           CAST((doc_id % 100 + 7) * 10 AS BIGINT) AS duration_ms,
+           ({_gif_luma_sql((7, 11, 13, 17, 19, 23, 29, 31))}) / (1000.0 * 255 * 8) AS mean_luma
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "gif", "video"),
+)
+def multimodal_real_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animation-container parsing under the hash gate: a 2-frame
+    GIF89a per document with per-frame Graphic Control Extension delays
+    (frame 1: doc_id % 100 centiseconds — a VARIABLE byte the parser must
+    read from the right offset; frame 2: constant 7 cs), decoded by
+    ``gif_animation_info`` into the real frame count, total duration in ms
+    from the parsed delays, and the exact mean luma across both frames'
+    palette-resolved pixels. This replaces the sha-stubbed duration of
+    ``multimodal_frame_plan`` with a real container parse — the returned
+    ``duration_ms`` feeds ``frame_sample_plan`` unchanged."""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, gif_animation_info
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    head = b"GIF89a" + _struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0) + _GIF_GCT
+    img_desc = b"\x2c" + _struct.pack("<HHHHB", 0, 0, 2, 2, 0) + b"\x08\x0b"
+    delay1 = F.unhex(F.lpad(F.hex(F.col("doc_id") % 100), 2, "0"))
+    gce1 = F.concat(F.lit(b"\x21\xf9\x04\x00"), delay1, F.lit(b"\x00\x00\x00"))
+    gce2 = F.lit(b"\x21\xf9\x04\x00" + _struct.pack("<H", 7) + b"\x00\x00")
+    payload = F.concat(
+        F.lit(head),
+        gce1, F.lit(img_desc),
+        _gif_lzw_2x2_bytes(*_gif_pixels((7, 11, 13, 17))), F.lit(b"\x00"),
+        gce2, F.lit(img_desc),
+        _gif_lzw_2x2_bytes(*_gif_pixels((19, 23, 29, 31))), F.lit(b"\x00"),
+        F.lit(b"\x3b"),
+    )
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "video", "gif")
+    return gif_animation_info(media, id_col="doc_id").orderBy("doc_id")
+
+
+# ---- JPEG: real baseline Huffman+IDCT decode under the hash gate -----------
+
+#: ITU T.81 Annex K.3 standard luminance Huffman tables
+_JPEG_DC_LUM = (
+    bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_JPEG_AC_LUM = (
+    bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]),
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13,
+        0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08, 0x23, 0x42,
+        0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A,
+        0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35,
+        0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67,
+        0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84,
+        0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3,
+        0xB4, 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+
+
+def _jpeg_8x8_head() -> bytes:
+    """Constant prefix of a valid baseline JPEG: SOI, DQT (all-ones table),
+    SOF0 (8×8 grayscale), the two Annex-K luminance DHT segments, SOS. Only
+    the first two entropy-coded scan bytes vary per document."""
+    import struct as _struct
+
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    head += b"\xff\xc0" + _struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    for tc, (counts, symbols) in ((0, _JPEG_DC_LUM), (1, _JPEG_AC_LUM)):
+        head += (
+            b"\xff\xc4"
+            + _struct.pack(">H", 3 + 16 + len(symbols))
+            + bytes([tc << 4]) + counts + symbols
+        )
+    head += b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    return bytes(head)
+
+
+@register(
+    "multimodal_real_jpeg_decode",
+    oracle="""
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(315 AS BIGINT) AS byte_len,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(144 + doc_id % 16 AS DOUBLE) / 255 AS mean_luma
+    FROM documents WHERE doc_id < 200 ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "jpeg"),
+)
+def multimodal_real_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decoding under the driver's hash gate — hand-
+    rolled Huffman + dequantization + IDCT, no codec library
+    (operators.multimodal._decode_jpeg). Each document gets a fully valid
+    8×8 grayscale JPEG: constant DQT/SOF0/DHT (ITU T.81 Annex K luminance
+    tables) plus a 3-byte entropy scan encoding a single DC-only block with
+    coefficient d = 129 + 8·(doc_id % 16) — DC category 8 (6-bit code
+    ``111110``), 8 magnitude bits, EOB, padding; the two variable bytes are arithmetic
+    in d. A DC-only block IDCTs to the flat value d/8, so every pixel is
+    floor(d/8 + 0.5) + 128 = 144 + doc_id % 16 exactly (d ≡ 1 mod 8 keeps
+    the rounding 0.125 away from any boundary), which the oracle restates
+    as mean_luma. A Huffman-table, bit-unstuffing, zigzag, dequant, or
+    IDCT-normalization bug lands as a hash mismatch. (Multi-block DC
+    prediction, AC run-lengths, restart markers, and 4:2:0 chroma are
+    pinned byte-level in tests.)"""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id") % 16 * 8 + 129
+    s0 = F.shiftright(d, 6) + 0xF8
+    s1 = (d % 64) * 4 + 2
+    payload = F.concat(
+        F.lit(_jpeg_8x8_head()),
+        F.unhex(F.lpad(F.hex(s0), 2, "0")),
+        F.unhex(F.lpad(F.hex(s1), 2, "0")),
+        F.lit(b"\xbf\xff\xd9"),
+    )
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "jpeg")
+    return decode_media(media, id_col="doc_id").orderBy("id")

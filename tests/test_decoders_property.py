@@ -132,3 +132,473 @@ def test_same_pixels_decode_identically_across_formats(w, h, seed):
     for gw, gh, out in outs:
         assert (gw, gh) == (w, h)
         assert (out.astype(np.int64) == px).all()
+
+
+# ---- GIF: reference LZW encoder + round-trip properties --------------------
+
+
+def _lzw_encode_py(indices: bytes, min_code_size: int) -> bytes:
+    """Reference GIF LZW encoder (LSB-first, variable width, 4096-entry
+    dictionary) — exercises the decoder's real dictionary-growth path."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    out = bytearray()
+    acc = acc_bits = 0
+
+    def emit(code, w):
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += w
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    emit(clear, width)
+    prev = b""
+    for p in bytes(indices):
+        cur = prev + bytes([p])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        prev = bytes([p])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif_py(frames, palette, w, h, delays=None, interlace=False, min_code_size=None):
+    """Reference GIF89a writer: frames are HxW uint8 index arrays resolved
+    through one global color table."""
+    npal = len(palette)
+    size_field = max(0, (max(npal, 2) - 1).bit_length() - 1)
+    entries = 2 << size_field
+    pal = np.zeros((entries, 3), np.uint8)
+    pal[:npal] = palette
+    if min_code_size is None:
+        min_code_size = max(2, (entries - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += pal.tobytes()
+    for k, fr in enumerate(frames):
+        if delays is not None:
+            out += bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", delays[k]) + bytes([0, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        idx = fr
+        if interlace:
+            order = [*range(0, h, 8), *range(4, h, 8), *range(2, h, 4), *range(1, h, 2)]
+            idx = fr[order]
+        data = _lzw_encode_py(idx.reshape(-1).astype(np.uint8).tobytes(), min_code_size)
+        out += bytes([min_code_size])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 48),
+    npal=st.integers(2, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_gif_roundtrip_random(w, h, npal, interlace, seed):
+    """Random palettes/dims/interlacing round-trip bit-exactly — large
+    rasters push the LZW dictionary through several code-width growths,
+    the path the Catalyst-synthesized registry payloads can't reach."""
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+    img = rng.integers(0, npal, (h, w)).astype(np.uint8)
+    gw, gh, out = M._decode_gif(_encode_gif_py([img], palette, w, h, interlace=interlace))
+    assert (gw, gh) == (w, h)
+    assert (out == palette[img]).all()
+
+
+def test_gif_lzw_dictionary_growth_kwkwk():
+    """A long two-symbol run forces repeated KwKwK self-reference codes and
+    dictionary growth past several width boundaries."""
+    img = np.tile(np.array([0, 0, 1, 1], np.uint8), 700).reshape(40, 70)
+    palette = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    _, _, out = M._decode_gif(_encode_gif_py([img], palette, 70, 40, min_code_size=2))
+    assert (out == palette[img]).all()
+
+
+def test_gif_multiframe_delays_and_info():
+    rng = np.random.default_rng(3)
+    palette = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    f1 = rng.integers(0, 16, (5, 7)).astype(np.uint8)
+    f2 = rng.integers(0, 16, (5, 7)).astype(np.uint8)
+    buf = _encode_gif_py([f1, f2], palette, 7, 5, delays=[12, 34])
+    sw, sh, frames = M._gif_frames(buf)
+    assert (sw, sh) == (7, 5)
+    assert [d for d, _ in frames] == [12, 34]
+    assert (frames[0][1] == palette[f1]).all()
+    assert (frames[1][1] == palette[f2]).all()
+
+
+def test_gif_error_paths():
+    import pytest
+
+    with pytest.raises(ValueError):
+        M._decode_gif(b"NOTAGIF")
+    palette = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    img = np.zeros((2, 2), np.uint8)
+    good = _encode_gif_py([img], palette, 2, 2)
+    with pytest.raises(ValueError):
+        M._decode_gif(good[:20])  # truncated before image data
+    # palette index out of range: 4-entry table, index 3 valid, but force a
+    # 2-entry logical palette with an index pointing past it
+    img_bad = np.array([[0, 3], [1, 2]], np.uint8)
+    buf = _encode_gif_py([img_bad], palette, 2, 2)  # pads table to 4 entries
+    # padded entries are zeros, decode succeeds; now corrupt the LZW stream
+    with pytest.raises(ValueError):
+        M._lzw_decode_gif(b"\xff\xff\xff", 8, 100)  # codes out of range
+
+
+# ---- JPEG: reference bit-writer encoder + coefficient-level properties -----
+
+_STD_DC_L = (
+    bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_STD_AC_L = (
+    bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]),
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13,
+        0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08, 0x23, 0x42,
+        0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A,
+        0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35,
+        0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67,
+        0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84,
+        0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3,
+        0xB4, 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+
+
+def _huff_codes_py(counts, symbols):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriterPy:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)
+        return bytes(self.out)
+
+
+def _mag_bits_py(v):
+    t = abs(v).bit_length()
+    if t == 0:
+        return 0, 0
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _encode_jpeg_blocks_py(bw, blocks, dc_codes, ac_codes, pred):
+    zz = M._JPEG_ZIGZAG
+    for coef in blocks:
+        zzc = [int(coef[zz[i]]) for i in range(64)]
+        t, bits = _mag_bits_py(zzc[0] - pred)
+        ln, code = dc_codes[t]
+        bw.write(code, ln)
+        bw.write(bits, t)
+        pred = zzc[0]
+        last_nz = max([i for i in range(1, 64) if zzc[i]], default=0)
+        run = 0
+        for i in range(1, last_nz + 1):
+            if zzc[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            t, bits = _mag_bits_py(zzc[i])
+            ln, code = ac_codes[(run << 4) | t]
+            bw.write(code, ln)
+            bw.write(bits, t)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_codes[0x00]
+            bw.write(code, ln)
+    return pred
+
+
+def _encode_jpeg_py(w, h, comps, qtables, blocks_by_comp, restart_interval=0):
+    """Reference baseline-JPEG writer over chosen QUANTIZED coefficients
+    (raster order): standard Annex-K luminance Huffman tables for every
+    component, MCU interleaving, optional restart markers."""
+    zz = M._JPEG_ZIGZAG
+    out = bytearray(b"\xff\xd8")
+    for tq, q in qtables.items():
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(q[zz[i]]) for i in range(64))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        out += bytes([cid, (hs << 4) | vs, tq])
+    for tc, (counts, symbols) in ((0, _STD_DC_L), (1, _STD_AC_L)):
+        out += (
+            b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(symbols))
+            + bytes([tc << 4]) + counts + symbols
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for cid, *_ in comps:
+        out += bytes([cid, 0x00])
+    out += bytes([0, 63, 0])
+    dc_codes = _huff_codes_py(*_STD_DC_L)
+    ac_codes = _huff_codes_py(*_STD_AC_L)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    preds = {c[0]: 0 for c in comps}
+    idx = {c[0]: 0 for c in comps}
+    bw = _BitWriterPy()
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            out += bw.flush() + bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriterPy()
+            preds = {c[0]: 0 for c in comps}
+        for cid, hs, vs, tq in comps:
+            nb = hs * vs
+            preds[cid] = _encode_jpeg_blocks_py(
+                bw, blocks_by_comp[cid][idx[cid] : idx[cid] + nb], dc_codes, ac_codes,
+                preds[cid],
+            )
+            idx[cid] += nb
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ref_idct_py(coef64, q64):
+    """Independent O(n⁴) direct cosine-sum IDCT (ITU T.81 A.3.3 verbatim) —
+    a different code path from the decoder's basis-matrix product."""
+    F2 = np.array(
+        [coef64[i] * q64[i] for i in range(64)], dtype=np.float64
+    ).reshape(8, 8)
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4.0 * F2[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s
+    return out
+
+
+def _rand_block(rng, dc_range=200, n_ac=8, ac_range=80):
+    c = np.zeros(64, dtype=np.int64)
+    c[0] = int(rng.integers(-dc_range, dc_range))
+    nz = rng.choice(np.arange(1, 64), size=n_ac, replace=False)
+    c[nz] = rng.integers(-ac_range, ac_range, n_ac)
+    return c
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    bw_=st.integers(1, 3),
+    bh_=st.integers(1, 3),
+    seed=st.integers(0, 2**32 - 1),
+    restart=st.sampled_from([0, 1, 2]),
+)
+def test_jpeg_gray_random_coefficients(bw_, bh_, seed, restart):
+    """Random quantized coefficients (DC + sparse AC) through the full
+    Huffman/zigzag/dequant/IDCT chain — expected pixels from an
+    independent direct cosine-sum, checked bit-exactly (both sides use
+    float64 and round-half-up, so disagreement means a real decode bug,
+    not rounding noise). Restart intervals reset DC prediction."""
+    rng = np.random.default_rng(seed)
+    w, h = bw_ * 8, bh_ * 8
+    blocks = [_rand_block(rng) for _ in range(bw_ * bh_)]
+    q = rng.integers(1, 30, 64).astype(np.int64)
+    buf = _encode_jpeg_py(w, h, [(1, 1, 1, 0)], {0: q}, {1: blocks}, restart_interval=restart)
+    gw, gh, px = M._decode_jpeg(buf)
+    assert (gw, gh) == (w, h)
+    expected = np.zeros((h, w))
+    for m, c in enumerate(blocks):
+        my, mx = divmod(m, bw_)
+        expected[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = _ref_idct_py(c, q)
+    expg = np.clip(np.floor(expected + 128.5), 0, 255).astype(np.uint8)
+    assert (px[:, :, 0] == expg).all()
+    assert (px[:, :, 1] == expg).all() and (px[:, :, 2] == expg).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sub=st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_color_subsampling(sub, seed):
+    """3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0: MCU interleaving,
+    nearest-neighbor chroma upsampling, and the JFIF color transform all
+    checked bit-exactly against an independent per-plane reference."""
+    rng = np.random.default_rng(seed)
+    hs, vs = sub
+    w, h = 8 * hs, 8 * vs  # one MCU
+    yb = [_rand_block(rng, 100, 5, 50) for _ in range(hs * vs)]
+    cbb = [_rand_block(rng, 60, 3, 30)]
+    crb = [_rand_block(rng, 60, 3, 30)]
+    q0 = np.full(64, 2, np.int64)
+    q1 = np.full(64, 3, np.int64)
+    buf = _encode_jpeg_py(
+        w, h,
+        [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)],
+        {0: q0, 1: q1},
+        {1: yb, 2: cbb, 3: crb},
+    )
+    gw, gh, px = M._decode_jpeg(buf)
+    assert (gw, gh) == (w, h)
+    yplane = np.zeros((h, w))
+    for m, c in enumerate(yb):
+        my, mx = divmod(m, hs)
+        yplane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = _ref_idct_py(c, q0)
+    cbp = _ref_idct_py(cbb[0], q1)
+    crp = _ref_idct_py(crb[0], q1)
+    yi = np.arange(h) // vs
+    xi = np.arange(w) // hs
+    cb_up = cbp[yi][:, xi]
+    cr_up = crp[yi][:, xi]
+    Y = yplane + 128.0
+    r = Y + 1.402 * cr_up
+    g = Y - 0.344136 * cb_up - 0.714136 * cr_up
+    b = Y + 1.772 * cb_up
+    expc = np.clip(np.floor(np.stack([r, g, b], 2) + 0.5), 0, 255).astype(np.uint8)
+    assert (px == expc).all()
+
+
+def test_jpeg_error_paths():
+    import pytest
+
+    with pytest.raises(ValueError):
+        M._decode_jpeg(b"notajpeg")
+    q = np.ones(64, np.int64)
+    blocks = [_rand_block(np.random.default_rng(0))]
+    good = _encode_jpeg_py(8, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks})
+    # progressive SOF2 must raise loudly, not mis-decode
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        M._decode_jpeg(progressive)
+    # truncated entropy data
+    with pytest.raises(ValueError):
+        M._decode_jpeg(good[:-6])
+
+
+def test_jpeg_through_spark_pipeline(spark):
+    """decode_media over real JPEG payloads end to end (format='jpeg' is in
+    RAW_DECODABLE: no allow_fake)."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    q = rng.integers(1, 20, 64).astype(np.int64)
+    rows = []
+    expected = {}
+    for i in range(6):
+        blocks = [_rand_block(rng) for _ in range(2)]
+        buf = _encode_jpeg_py(16, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks})
+        rows.append((i, bytearray(buf)))
+        exp = np.zeros((8, 16))
+        for m, c in enumerate(blocks):
+            exp[:, m * 8 : m * 8 + 8] = _ref_idct_py(c, q)
+        g = np.clip(np.floor(exp + 128.5), 0, 255).astype(np.int64)
+        expected[i] = float((1000 * g.sum()) / (1000 * 255 * 16 * 8))
+    df = spark.createDataFrame(rows, "doc_id long, raw binary")
+    media = M.attach_media(df, "raw", "image", "jpeg")
+    out = {r.id: r for r in M.decode_media(media, id_col="doc_id").collect()}
+    for i in range(6):
+        assert (out[i].width, out[i].height, out[i].n_frames) == (16, 8, 1)
+        assert out[i].mean_luma == expected[i]
+
+
+def test_gif_through_spark_pipeline(spark):
+    """decode_media + resize_media + gif_animation_info over real GIF
+    payloads end to end."""
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+    rows = []
+    exp_luma = {}
+    for i in range(5):
+        img = rng.integers(0, 64, (6, 4)).astype(np.uint8)
+        f2 = rng.integers(0, 64, (6, 4)).astype(np.uint8)
+        buf = _encode_gif_py([img, f2], palette, 4, 6, delays=[10 + i, 20])
+        rows.append((i, bytearray(buf)))
+        tot = 0
+        for fr in (img, f2):
+            px = palette[fr].astype(np.int64)
+            tot += int((299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]).sum())
+        exp_luma[i] = tot / (1000 * 255 * 48)
+    df = spark.createDataFrame(rows, "doc_id long, raw binary")
+    media = M.attach_media(df, "raw", "video", "gif")
+    dec = {r.id: r for r in M.decode_media(media, id_col="doc_id").collect()}
+    for i in range(5):
+        assert (dec[i].width, dec[i].height, dec[i].n_frames) == (4, 6, 2)
+        assert dec[i].mean_luma == exp_luma[i]
+    info = {r.doc_id: r for r in M.gif_animation_info(media, id_col="doc_id").collect()}
+    for i in range(5):
+        assert info[i].n_frames == 2
+        assert info[i].duration_ms == (10 + i + 20) * 10
+        assert info[i].mean_luma == exp_luma[i]
+    # non-GIF formats stay gated
+    import pytest
+
+    other = M.attach_media(
+        spark.createDataFrame([(9, bytearray(b"x"))], "doc_id long, raw binary"),
+        "raw", "video", "mp4",
+    )
+    with pytest.raises(NotImplementedError):
+        M.gif_animation_info(other, id_col="doc_id")
