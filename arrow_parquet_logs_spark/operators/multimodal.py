@@ -970,7 +970,7 @@ def gif_animation_info(df: DataFrame, id_col: str = "id") -> DataFrame:
 
 # ---- audio: real PCM WAV decode (pure byte layout, no codec libs) ----------
 
-AUDIO_RAW_DECODABLE = ("wav",)
+AUDIO_RAW_DECODABLE = ("wav", "aiff")
 
 _AUDIO_SCHEMA = (
     "id long, sample_rate int, n_samples int, duration_us long, "
@@ -978,12 +978,42 @@ _AUDIO_SCHEMA = (
 )
 
 
+def _ulaw_table():
+    """G.711 μ-law byte → linear int16, the standard ITU expansion
+    (complement, 3-bit exponent, 4-bit mantissa, +0x84 bias) — exact
+    integer arithmetic, recomputable by a SQL oracle."""
+    import numpy as np
+
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # transmitted complemented
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 7
+    mantissa = u & 0x0F
+    magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -magnitude, magnitude).astype(np.int16)
+
+
+def _alaw_table():
+    """G.711 A-law byte → linear int16 (XOR 0x55 toggle, segmented
+    expansion; MSB set = positive)."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a >> 4) & 7
+    mantissa = a & 0x0F
+    t = mantissa << 4
+    mag = np.where(seg == 0, t + 8, ((t + 0x108) << np.maximum(seg - 1, 0)))
+    mag = np.where(seg == 1, t + 0x108, mag)
+    return np.where((a & 0x80) != 0, mag, -mag).astype(np.int16)
+
+
 def _decode_wav(buf: bytes):
-    """RIFF/WAVE PCM16 mono/stereo → (sample_rate, int16 numpy samples).
-    Pure byte-layout parsing (chunk walk, little-endian fields) — real
-    audio decode with no codec library, the PPM/BMP story for the audio
-    tier. Stereo downmixes to mono with the exact-integer mean
-    ``(L + R) >> 1`` (floor), so features stay bit-deterministic."""
+    """RIFF/WAVE → (sample_rate, int16 numpy samples): linear PCM16
+    (format 1), G.711 A-law (6) and μ-law (7, both 8-bit, expanded through
+    the exact integer ITU tables), mono or stereo. Pure byte-layout
+    parsing (chunk walk, little-endian fields) — real audio decode with no
+    codec library, the PPM/BMP story for the audio tier. Stereo downmixes
+    to mono with the exact-integer mean ``(L + R) >> 1`` (floor), so
+    features stay bit-deterministic."""
     import struct as _struct
 
     import numpy as np
@@ -1003,20 +1033,75 @@ def _decode_wav(buf: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sr, _, _, bits = _struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_format != 1 or bits != 16 or channels not in (1, 2):
+    if channels not in (1, 2):
+        raise ValueError(f"only mono/stereo supported (ch={channels})")
+    if audio_format == 1 and bits == 16:
+        s = np.frombuffer(data, dtype="<i2")
+    elif audio_format in (6, 7) and bits == 8:
+        table = _alaw_table() if audio_format == 6 else _ulaw_table()
+        s = table[np.frombuffer(data, dtype=np.uint8)]
+    else:
         raise ValueError(
-            f"only PCM16 mono/stereo supported (format={audio_format}, bits={bits}, ch={channels})"
+            f"only PCM16 / G.711 A-law / G.711 mu-law supported "
+            f"(format={audio_format}, bits={bits})"
         )
-    s = np.frombuffer(data, dtype="<i2")
     if channels == 2:
         pairs = s[: (len(s) // 2) * 2].astype(np.int64).reshape(-1, 2)
         s = ((pairs[:, 0] + pairs[:, 1]) >> 1).astype(np.int16)
     return int(sr), s
 
 
+def _decode_aiff(buf: bytes):
+    """AIFF (big-endian PCM16 mono/stereo) → (sample_rate, int16 numpy
+    samples): FORM/AIFF container walk, COMM chunk with the 80-bit IEEE
+    extended-precision sample rate decoded by hand (sign/15-bit exponent/
+    64-bit explicit-one mantissa), SSND offset handling. The big-endian
+    twin of ``_decode_wav`` — same downmix contract."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"FORM" or buf[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    i, comm, ssnd = 12, None, None
+    while i + 8 <= len(buf):
+        cid = buf[i : i + 4]
+        sz = _struct.unpack_from(">I", buf, i + 4)[0]
+        body = buf[i + 8 : i + 8 + sz]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM/SSND chunk")
+    channels, _nframes, bits = _struct.unpack_from(">HIH", comm, 0)
+    # 80-bit extended float at COMM+8: 1 sign + 15 exponent, 64-bit mantissa
+    # with an EXPLICIT integer bit (no hidden one)
+    se, mant = _struct.unpack_from(">HQ", comm, 8)
+    if se & 0x8000 or mant == 0:
+        raise ValueError("invalid AIFF sample rate")
+    exp = (se & 0x7FFF) - 16383  # value = mant · 2^(exp-63)
+    shift = 63 - exp
+    sr = mant >> shift if shift >= 0 else mant << (-shift)
+    if bits != 16 or channels not in (1, 2):
+        raise ValueError(f"only PCM16 mono/stereo AIFF supported (bits={bits}, ch={channels})")
+    offset, _block = _struct.unpack_from(">II", ssnd, 0)
+    s = np.frombuffer(ssnd, dtype=">i2", offset=8 + offset).astype("=i2")
+    if channels == 2:
+        pairs = s[: (len(s) // 2) * 2].astype(np.int64).reshape(-1, 2)
+        s = ((pairs[:, 0] + pairs[:, 1]) >> 1).astype(np.int16)
+    return int(sr), s
+
+
+def _decode_audio(fmt: str, buf: bytes):
+    return _decode_aiff(buf) if fmt == "aiff" else _decode_wav(buf)
+
+
 def audio_features(df: DataFrame, id_col: str = "id") -> DataFrame:
-    """Audio feature extraction via Arrow-batched ``mapInPandas``: REAL WAV
-    decode (``media.format`` ∈ AUDIO_RAW_DECODABLE), then exact-integer
+    """Audio feature extraction via Arrow-batched ``mapInPandas``: REAL
+    WAV (PCM16 / G.711 A-law / μ-law) or AIFF decode (``media.format`` ∈
+    AUDIO_RAW_DECODABLE), then exact-integer
     features — sample count, µs duration (n·10⁶ // rate), int64 energy
     (Σs²), and zero-crossing count (sign(s)=s≥0) — all rationals of int16
     samples, so the result is bit-deterministic under any batch split and
@@ -1039,8 +1124,8 @@ def audio_features(df: DataFrame, id_col: str = "id") -> DataFrame:
 
         for pdf in batches:
             sr_l, n_l, dur, ss, zc = [], [], [], [], []
-            for b in pdf["payload"]:
-                sr, s = _decode_wav(bytes(b) if b is not None else b"")
+            for b, fmt in zip(pdf["payload"], pdf["format"]):
+                sr, s = _decode_audio(fmt, bytes(b) if b is not None else b"")
                 sr_l.append(sr)
                 n_l.append(len(s))
                 dur.append(len(s) * 1_000_000 // sr)

@@ -956,3 +956,120 @@ def multimodal_real_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "jpeg")
     return decode_media(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_ulaw_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               [(doc_id*7)%256, (doc_id*11)%256, (doc_id*13)%256, (doc_id*17)%256,
+                (doc_id*19)%256, (doc_id*23)%256, (doc_id*29)%256, (doc_id*31)%256] AS bs
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (  -- G.711 mu-law expansion: complement, 3-bit exponent, +0x84 bias
+        SELECT doc_id,
+               list_transform(bs, x -> CASE
+                   WHEN xor(x, 255) >= 128
+                   THEN 132 - (((xor(x, 255) % 16) * 8 + 132) * (1 << ((xor(x, 255) // 16) % 8)))
+                   ELSE (((xor(x, 255) % 16) * 8 + 132) * (1 << ((xor(x, 255) // 16) % 8))) - 132
+               END) AS ss
+        FROM b
+    )
+    SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(8 AS INTEGER) AS n_samples,
+           CAST(1000 AS BIGINT) AS duration_us,
+           CAST(list_aggregate(list_transform(ss, x -> x*x), 'sum') AS BIGINT) AS sum_sq,
+           CAST(len(list_filter(range(1, 8), i -> (ss[i+1] >= 0) != (ss[i] >= 0))) AS INTEGER) AS zero_crossings
+    FROM s ORDER BY id
+    """,
+    tags=("multimodal", "audio", "pandas-udf", "decode", "g711"),
+)
+def multimodal_real_ulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 μ-law decoding under the driver's hash gate: a RIFF/WAVE
+    payload with format code 7 (8-bit μ-law companded samples, one byte
+    each from doc_id arithmetic) runs through the chunk-walking decoder and
+    the exact-integer ITU expansion table (operators.multimodal._ulaw_table
+    — complement, 3-bit exponent, 4-bit mantissa, +0x84 bias), and the
+    oracle replays the same expansion in SQL bit arithmetic before
+    recomputing energy and zero crossings. A companding-table bug at any of
+    the 256 byte values the documents hit lands as a hash mismatch."""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, audio_features
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    n, sr = 8, 8000
+    header = (
+        b"RIFF" + _struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 7, 1, sr, sr, 1, 8)
+        + b"data" + _struct.pack("<I", n)
+    )
+
+    def byte(mult: int):
+        return F.unhex(F.lpad(F.hex((F.col("doc_id") * mult) % 256), 2, "0"))
+
+    payload = F.concat(F.lit(header), *[byte(m) for m in (7, 11, 13, 17, 19, 23, 29, 31)])
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "wav")
+    return audio_features(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_aiff_features",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               [(doc_id*37)%65536, (doc_id*41)%65536, (doc_id*43)%65536, (doc_id*47)%65536,
+                (doc_id*53)%65536, (doc_id*59)%65536, (doc_id*61)%65536, (doc_id*67)%65536] AS us
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id,
+               list_transform(us, x -> CASE WHEN x < 32768 THEN x ELSE x - 65536 END) AS ss
+        FROM u
+    )
+    SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(8 AS INTEGER) AS n_samples,
+           CAST(1000 AS BIGINT) AS duration_us,
+           CAST(list_aggregate(list_transform(ss, x -> x*x), 'sum') AS BIGINT) AS sum_sq,
+           CAST(len(list_filter(range(1, 8), i -> (ss[i+1] >= 0) != (ss[i] >= 0))) AS INTEGER) AS zero_crossings
+    FROM s ORDER BY id
+    """,
+    tags=("multimodal", "audio", "pandas-udf", "decode", "aiff"),
+)
+def multimodal_real_aiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AIFF decoding under the driver's hash gate — the big-endian
+    container twin of `multimodal_real_wav_features`. Each document gets a
+    valid FORM/AIFF file: COMM chunk whose sample rate is the 80-bit IEEE
+    extended-precision value for 8000 Hz (decoded by hand in
+    operators.multimodal._decode_aiff — 15-bit exponent, explicit-one
+    64-bit mantissa), SSND chunk with 8 BIG-endian int16 samples from
+    doc_id arithmetic. The oracle recomputes the signed-sample features;
+    an endianness, chunk-offset, or extended-float bug lands as a hash
+    mismatch."""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, audio_features
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    rate = 8000
+    e = rate.bit_length() - 1
+    ext80 = _struct.pack(">HQ", 16383 + e, rate << (63 - e))
+    comm = _struct.pack(">HIH", 1, 8, 16) + ext80
+    head = (
+        b"FORM" + _struct.pack(">I", 4 + (8 + len(comm)) + (8 + 24)) + b"AIFF"
+        + b"COMM" + _struct.pack(">I", len(comm)) + comm
+        + b"SSND" + _struct.pack(">I", 24) + _struct.pack(">II", 0, 0)
+    )
+
+    def sample_be(mult: int):
+        u = (F.col("doc_id") * mult) % 65536
+        hi = F.unhex(F.lpad(F.hex((u / 256).cast("int")), 2, "0"))
+        lo = F.unhex(F.lpad(F.hex(u % 256), 2, "0"))
+        return F.concat(hi, lo)
+
+    payload = F.concat(F.lit(head), *[sample_be(m) for m in (37, 41, 43, 47, 53, 59, 61, 67)])
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "aiff")
+    return audio_features(media, id_col="doc_id").orderBy("id")

@@ -602,3 +602,111 @@ def test_gif_through_spark_pipeline(spark):
     )
     with pytest.raises(NotImplementedError):
         M.gif_animation_info(other, id_col="doc_id")
+
+
+# ---- audio: G.711 companding + AIFF container ------------------------------
+
+
+def _ulaw_ref_py(b):
+    """Independent μ-law expansion (classic C implementation transcribed)."""
+    u = ~b & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_ref_py(b):
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def test_g711_tables_match_reference():
+    ut, at = M._ulaw_table(), M._alaw_table()
+    for b in range(256):
+        assert ut[b] == _ulaw_ref_py(b)
+        assert at[b] == _alaw_ref_py(b)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 64),
+    channels=st.sampled_from([1, 2]),
+    law=st.sampled_from([6, 7]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_g711_wav_roundtrip_random(n, channels, law, seed):
+    rng = np.random.default_rng(seed)
+    data = bytes(rng.integers(0, 256, n * channels, dtype=np.int64).tolist())
+    buf = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, law, channels, 8000,
+                                8000 * channels, channels, 8)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    sr, s = M._decode_wav(buf)
+    ref = _alaw_ref_py if law == 6 else _ulaw_ref_py
+    lin = np.array([ref(b) for b in data], dtype=np.int64)
+    if channels == 2:
+        exp = (lin.reshape(-1, 2).sum(axis=1) >> 1).astype(np.int16)
+    else:
+        exp = lin.astype(np.int16)
+    assert sr == 8000 and s.tolist() == exp.tolist()
+
+
+def _ext80_py(rate):
+    e = rate.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, rate << (63 - e))
+
+
+def _encode_aiff_py(samples, sr, channels=1, ssnd_offset=0):
+    sd = np.asarray(samples, dtype=np.int64).astype(">i2").tobytes()
+    comm = struct.pack(">HIH", channels, len(samples) // channels, 16) + _ext80_py(sr)
+    ssnd = struct.pack(">II", ssnd_offset, 0) + b"\x00" * ssnd_offset + sd
+    return (
+        b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd)) + b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 64),
+    channels=st.sampled_from([1, 2]),
+    sr=st.sampled_from([8000, 22050, 44100, 48000]),
+    offset=st.sampled_from([0, 4]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_aiff_roundtrip_random(n, channels, sr, offset, seed):
+    """Big-endian PCM + 80-bit extended-float rate + SSND offset skip all
+    round-trip; stereo downmix matches the WAV contract exactly."""
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, n * channels, dtype=np.int64)
+    got_sr, got = M._decode_aiff(_encode_aiff_py(samples, sr, channels, offset))
+    assert got_sr == sr
+    if channels == 2:
+        exp = (samples.reshape(-1, 2).sum(axis=1) >> 1).astype(np.int16)
+    else:
+        exp = samples.astype(np.int16)
+    assert got.tolist() == exp.tolist()
+
+
+def test_audio_error_paths():
+    import pytest
+
+    with pytest.raises(ValueError):
+        M._decode_aiff(b"FORMxxxxWAVE")
+    with pytest.raises(ValueError):
+        M._decode_wav(
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)  # float PCM
+            + b"data" + struct.pack("<I", 0)
+        )

@@ -893,7 +893,7 @@ def test_wav_stereo_downmix_exact():
     assert mono.tolist() == [1, -2, 3]
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="PCM16"):
+    with _pytest.raises(ValueError, match="mono/stereo"):
         M._decode_wav(wav([0, 0], 4))
 
 
