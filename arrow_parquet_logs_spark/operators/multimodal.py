@@ -134,13 +134,86 @@ def _decode_bmp(buf: bytes):
     return w, h, (px if top_down else px[::-1])
 
 
+def _lzw_decode_tiff(data: bytes, max_bytes: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, 9→12 bit codes,
+    ClearCode 256 / EOI 257, and the 'early change' — code width grows one
+    entry EARLIER than GIF (when the table reaches 2^width − 1), matching
+    libtiff. Hand-rolled like the GIF twin; stops after ``max_bytes``."""
+    CLEAR, EOI = 256, 257
+    singles = [bytes([i]) for i in range(256)]
+    table = singles + [b"", b""]
+    width = 9
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    n = len(data)
+    while len(out) < max_bytes:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = singles + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW: first code after clear must be a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW: code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    return bytes(out[:max_bytes])
+
+
+def _packbits_decode(data: bytes, max_bytes: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): control byte n in
+    0..127 copies n+1 literals; 129..255 repeats the next byte 257−n
+    times; 128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < max_bytes:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError("PackBits literal run truncated")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out[:max_bytes])
+
+
 def _decode_tiff(buf: bytes):
-    """Baseline TIFF (uncompressed, 8-bit RGB or grayscale, strip layout)
-    → (width, height, HxWx3 uint8 RGB array). Pure byte-layout parsing —
-    endianness-aware header, IFD entry walk, inline-vs-offset tag values,
-    multi-strip raster assembly — no compression, no codec library (the
-    BMP/PPM story with a real metadata structure). Compressed TIFF
-    (LZW/deflate/JPEG-in-TIFF) raises."""
+    """Baseline TIFF (8-bit RGB or grayscale, strip layout; uncompressed,
+    LZW — MSB-first early-change variant — or PackBits, with the
+    horizontal-differencing predictor) → (width, height, HxWx3 uint8 RGB
+    array). Pure byte-layout parsing — endianness-aware header, IFD entry
+    walk, inline-vs-offset tag values, per-strip decompression, multi-strip
+    raster assembly — no codec library (the BMP/PPM story with a real
+    metadata structure). Deflate/JPEG-in-TIFF compression raises."""
     import struct as _struct
 
     import numpy as np
@@ -175,19 +248,39 @@ def _decode_tiff(buf: bytes):
     bps = tags.get(258, [8])
     if w is None or h is None:
         raise ValueError("TIFF missing width/height tags")
-    if comp != 1:
-        raise ValueError(f"only uncompressed TIFF supported (compression={comp})")
+    if comp not in (1, 5, 32773):
+        raise ValueError(
+            f"only uncompressed/LZW/PackBits TIFF supported (compression={comp})"
+        )
     if spp not in (1, 3) or any(b != 8 for b in bps):
         raise ValueError(f"only 8-bit gray/RGB TIFF supported (spp={spp}, bits={bps})")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip offset/count tags")
-    raster = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+    rows_per_strip = tags.get(278, [h])[0]
+    pieces, row0 = [], 0
+    for o, c in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, h - row0)
+        need_strip = strip_rows * w * spp
+        raw = buf[o : o + c]
+        if comp == 5:
+            pieces.append(_lzw_decode_tiff(raw, need_strip))
+        elif comp == 32773:
+            pieces.append(_packbits_decode(raw, need_strip))
+        else:
+            pieces.append(raw)
+        row0 += strip_rows
+    raster = b"".join(pieces)
     need = w * h * spp
     if len(raster) < need:
         raise ValueError("TIFF raster truncated")
     px = np.frombuffer(raster, dtype=np.uint8, count=need).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: un-difference per channel
+        px = (px.astype(np.int64).cumsum(axis=1) % 256).astype(np.uint8)
     if spp == 1:
         px = np.repeat(px, 3, axis=2)
     return w, h, px

@@ -1073,3 +1073,109 @@ def multimodal_real_aiff_features(spark: SparkSession, sf_dir: str) -> DataFrame
     payload = F.concat(F.lit(head), *[sample_be(m) for m in (37, 41, 43, 47, 53, 59, 61, 67)])
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "aiff")
     return audio_features(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_jpeg_resize",
+    oracle="""
+    SELECT doc_id, CAST(1 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+           hex(encode('P6' || chr(10) || '1 1' || chr(10) || '255' || chr(10)))
+           || repeat(lpad(hex(144 + doc_id % 16), 2, '0'), 3) AS resized_hex
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "resize", "jpeg"),
+)
+def multimodal_real_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG → Huffman/IDCT decode → resize → PPM re-encode under the
+    hash gate: the same DC-only 8×8 grayscale JPEGs as
+    `multimodal_real_jpeg_decode` (flat value 144 + doc_id % 16), shrunk to
+    1×1 by the nearest-neighbor resize, so the whole entropy-decode chain
+    feeds the resize path and the oracle rebuilds the output file
+    byte-for-byte (gray replicates to three equal channels)."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id") % 16 * 8 + 129
+    payload = F.concat(
+        F.lit(_jpeg_8x8_head()),
+        F.unhex(F.lpad(F.hex(F.shiftright(d, 6) + 0xF8), 2, "0")),
+        F.unhex(F.lpad(F.hex((d % 64) * 4 + 2), 2, "0")),
+        F.lit(b"\xbf\xff\xd9"),
+    )
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "jpeg")
+    out = resize_media(media, 1, 1, id_col="doc_id")
+    return out.select(
+        "doc_id", "width", "height", F.hex("resized_payload").alias("resized_hex")
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_real_tiff_packbits",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 101) % 256 AS r0, (doc_id * 103) % 256 AS g0, (doc_id * 107) % 256 AS b0,
+               (doc_id * 109) % 256 AS r1, (doc_id * 113) % 256 AS g1, (doc_id * 127) % 256 AS b1,
+               (doc_id * 131) % 256 AS r2, (doc_id * 137) % 256 AS g2, (doc_id * 139) % 256 AS b2,
+               (doc_id * 149) % 256 AS r3, (doc_id * 151) % 256 AS g3, (doc_id * 157) % 256 AS b3
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(153 AS BIGINT) AS byte_len,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           (  299*(r0+r1+r2+r3) + 587*(g0+g1+g2+g3) + 114*(b0+b1+b2+b3)
+           ) / (1000.0 * 255 * 4) AS mean_luma
+    FROM px ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "tiff", "packbits"),
+)
+def multimodal_real_tiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-TIFF decoding under the driver's hash gate: the same
+    IFD skeleton as `multimodal_real_tiff_decode` but with compression tag
+    32773 (PackBits) and the strip stored as one 13-byte literal packet
+    (control byte 0x0B + the 12 raster bytes) — so the per-strip RLE
+    decompression path runs for real on every row. Repeat packets, run
+    splits and the 0x80 no-op are pinned by the reference-encoder property
+    tests; LZW strips (MSB-first early-change dictionary) are pinned there
+    too."""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    e, n, ifd_off = "<", 10, 8
+    bps_off = ifd_off + 2 + 12 * n + 4
+    data_off = bps_off + 6
+
+    def entry(tag, typ, cnt, val):
+        return _struct.pack(e + "HHI", tag, typ, cnt) + _struct.pack(e + "I", val)
+
+    def entry_short(tag, val):
+        return _struct.pack(e + "HHI", tag, 3, 1) + _struct.pack(e + "H", val).ljust(4, b"\0")
+
+    prefix = (
+        _struct.pack(e + "2sHI", b"II", 42, ifd_off)
+        + _struct.pack(e + "H", n)
+        + entry(256, 4, 1, 2)
+        + entry(257, 4, 1, 2)
+        + entry(258, 3, 3, bps_off)
+        + entry_short(259, 32773)        # PackBits
+        + entry_short(262, 2)
+        + entry(273, 4, 1, data_off)
+        + entry_short(277, 3)
+        + entry(278, 4, 1, 2)
+        + entry(279, 4, 1, 13)           # 1 control byte + 12 literals
+        + entry_short(296, 2)
+        + _struct.pack(e + "I", 0)
+        + _struct.pack(e + "HHH", 8, 8, 8)
+        + b"\x0b"                        # PackBits literal run of 12
+    )
+
+    def byte(mult: int):
+        return F.unhex(F.lpad(F.hex((F.col("doc_id") * mult) % 256), 2, "0"))
+
+    mults = (101, 103, 107, 109, 113, 127, 131, 137, 139, 149, 151, 157)
+    payload = F.concat(F.lit(prefix), *[byte(m) for m in mults])
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "tiff")
+    return decode_media(media, id_col="doc_id").orderBy("id")

@@ -710,3 +710,55 @@ def test_audio_error_paths():
             + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)  # float PCM
             + b"data" + struct.pack("<I", 0)
         )
+
+
+# ---- TIFF: LZW / PackBits compression + predictor --------------------------
+
+from tests.test_operators import _packbits_encode_py, _tiff_lzw_encode_py
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    endian=st.sampled_from(["<", ">"]),
+    strips=st.integers(1, 4),
+    gray=st.booleans(),
+    compression=st.sampled_from([1, 5, 32773]),
+    predictor=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_tiff_compressed_roundtrip_random(w, h, endian, strips, gray, compression, predictor, seed):
+    """LZW (MSB-first early-change) and PackBits strips, with and without
+    the horizontal-differencing predictor, across endianness and strip
+    splits — all byte-exact through the independent reference encoder."""
+    rng = np.random.default_rng(seed)
+    ch = 1 if gray else 3
+    # low-entropy rasters so PackBits/LZW hit real runs and dictionary reuse
+    px = (rng.integers(0, 5, size=(h, w, ch), dtype=np.int64) * 51) % 256
+    buf = _encode_tiff_py(px, endian, min(strips, h), gray=gray,
+                          compression=compression, predictor=predictor)
+    gw, gh, out = M._decode_tiff(buf)
+    assert (gw, gh) == (w, h)
+    exp = np.repeat(px, 3, axis=2) if gray else px
+    assert (out.astype(np.int64) == exp).all()
+
+
+def test_tiff_lzw_dictionary_growth():
+    """A raster long enough to push the TIFF LZW table past the 511/1023
+    early-change boundaries (where GIF-style late change would desync)."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(40, 40, 3), dtype=np.int64)
+    buf = _encode_tiff_py(px, "<", 1, compression=5)
+    gw, gh, out = M._decode_tiff(buf)
+    assert (out.astype(np.int64) == px).all()
+
+
+def test_packbits_reference_cases():
+    """The canonical Apple PackBits worked example round-trips, and the
+    128 no-op control byte is skipped."""
+    data = bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4 + [0x80, 0x00]
+                 + [0x2A, 0x22] + [0xAA] * 9)
+    enc = _packbits_encode_py(data)
+    assert M._packbits_decode(enc, len(data)) == data
+    assert M._packbits_decode(b"\x80" + enc, len(data)) == data  # leading no-op

@@ -906,7 +906,72 @@ def test_centroid_outliers_empty_and_all_null(spark):
     assert centroid_outliers(nulls, k=3).count() == 0
 
 
-def _encode_tiff_py(px, endian="<", strips=1, gray=False):
+def _tiff_lzw_encode_py(data: bytes) -> bytes:
+    """Reference TIFF-variant LZW encoder: MSB-first packing, early width
+    change (grow when the next free code reaches 2^width - 1), deferred
+    clear when the table fills — independent of the decoder."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(CLEAR)
+    prev = b""
+    for byt in data:
+        cur = prev + bytes([byt])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            # early change, mirrored at the decoder's one-code lag: the
+            # decoder grows when its table reaches 2^w - 1 (PIL/libtiff
+            # interop convention), which is one append behind the encoder
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = bytes([byt])
+    if prev:
+        emit(table[prev])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode_py(data: bytes) -> bytes:
+    """Reference PackBits encoder (repeat packets for runs >= 2, literal
+    packets otherwise, both capped at 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while j < n and (j - i) < 128 and not (j + 1 < n and data[j] == data[j + 1]):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _encode_tiff_py(px, endian="<", strips=1, gray=False, compression=1, predictor=1):
     """Reference TIFF encoder for tests: header + one IFD + strip table,
     both endiannesses, arbitrary strip split — independent of the decoder."""
     import struct
@@ -915,13 +980,23 @@ def _encode_tiff_py(px, endian="<", strips=1, gray=False):
 
     h, w = px.shape[:2]
     spp = 1 if gray else 3
-    raster = np.asarray(px, dtype=np.uint8).tobytes()
+    arr = np.asarray(px, dtype=np.uint8).reshape(h, w, spp).astype(np.int64)
+    if predictor == 2:  # horizontal differencing per channel
+        d = arr.copy()
+        d[:, 1:] = (arr[:, 1:] - arr[:, :-1]) % 256
+        arr = d
+    raster = arr.astype(np.uint8).tobytes()
     rows_per = max(1, -(-h // strips))
     strip_bytes = []
     for s in range(0, h, rows_per):
-        strip_bytes.append(raster[s * w * spp : min(s + rows_per, h) * w * spp])
+        sb = raster[s * w * spp : min(s + rows_per, h) * w * spp]
+        if compression == 5:
+            sb = _tiff_lzw_encode_py(sb)
+        elif compression == 32773:
+            sb = _packbits_encode_py(sb)
+        strip_bytes.append(sb)
     e = endian
-    n = 10
+    n = 10 + (1 if predictor == 2 else 0)
     ifd_off = 8
     after_ifd = ifd_off + 2 + 12 * n + 4
     bps_off = after_ifd                      # [8,8,8] when spp=3
@@ -944,7 +1019,7 @@ def _encode_tiff_py(px, endian="<", strips=1, gray=False):
         entry(256, 4, 1, w, "I"),
         entry(257, 4, 1, h, "I"),
         (entry(258, 3, 3, bps_off) if spp == 3 else entry(258, 3, 1, 8, "H")),
-        entry(259, 3, 1, 1, "H"),
+        entry(259, 3, 1, compression, "H"),
         entry(262, 3, 1, 2 if spp == 3 else 1, "H"),
         (entry(273, 4, len(offs), offs[0], "I") if len(offs) == 1
          else entry(273, 4, len(offs), strips_off)),
@@ -954,6 +1029,8 @@ def _encode_tiff_py(px, endian="<", strips=1, gray=False):
          if len(strip_bytes) == 1 else entry(279, 4, len(strip_bytes), counts_off)),
         entry(296, 3, 1, 2, "H"),
     ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, 2, "H"))
     out = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, ifd_off)
     out += struct.pack(e + "H", n) + b"".join(entries) + struct.pack(e + "I", 0)
     if spp == 3:
@@ -979,14 +1056,14 @@ def test_tiff_decode_endianness_strips_and_gray():
     assert (out == np.repeat(g.reshape(4, 3, 1), 3, axis=2)).all()
     with pytest.raises(ValueError, match="not a TIFF"):
         M._decode_tiff(b"nope")
-    # compressed TIFF is loudly refused: flip the compression tag to LZW(5)
+    # unsupported compression is loudly refused: flip the tag to deflate(8)
     buf = bytearray(_encode_tiff_py(px, "<", 1))
     import struct as _s
 
     for i in range(10):
         off = 8 + 2 + 12 * i
         if _s.unpack_from("<H", buf, off)[0] == 259:
-            _s.pack_into("<H", buf, off + 8, 5)
+            _s.pack_into("<H", buf, off + 8, 8)  # deflate: genuinely unsupported
     with pytest.raises(ValueError, match="compression"):
         M._decode_tiff(bytes(buf))
 
