@@ -1179,3 +1179,89 @@ def multimodal_real_tiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame
     payload = F.concat(F.lit(prefix), *[byte(m) for m in mults])
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "tiff")
     return decode_media(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_flac_features",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, (doc_id * 7) % 65536 AS uv
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id, CASE WHEN uv < 32768 THEN uv ELSE uv - 65536 END AS sv
+        FROM u
+    )
+    SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(192 AS INTEGER) AS n_samples,
+           CAST(24000 AS BIGINT) AS duration_us,
+           CAST(192 * sv * sv AS BIGINT) AS sum_sq,
+           CAST(0 AS INTEGER) AS zero_crossings
+    FROM s ORDER BY id
+    """,
+    tags=("multimodal", "audio", "pandas-udf", "decode", "flac"),
+)
+def multimodal_real_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decoding under the driver's hash gate — hand-rolled
+    lossless decode, no codec library (operators.multimodal._decode_flac).
+    Each document gets a fully valid FLAC stream: STREAMINFO (8 kHz, mono,
+    16-bit, 192 samples), one fixed-blocksize frame whose CRC-8-protected
+    header is constant and whose CONSTANT subframe carries the document's
+    16-bit sample value — with the frame's CRC-16 computed SYMBOLICALLY in
+    Catalyst (two chained lookups through the broadcast 256-entry
+    poly-0x8005 table over the two variable sample bytes), so every
+    synthesized file passes the decoder's integrity checks. The oracle
+    recomputes the exact signed-sample features. Rice-coded FIXED/LPC
+    subframes, partitions/escapes, wasted bits, and all four stereo
+    decorrelations are pinned by the reference-encoder property tests."""
+    from arrow_parquet_logs_spark.operators.multimodal import (
+        _flac_crc8,
+        _flac_crc16,
+        _flac_crc_tables,
+        attach_media,
+        audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    # constant stream prefix: magic + STREAMINFO + frame header (CRC-8
+    # protected, content-independent) + CONSTANT subframe header byte
+    bits, acc, n = bytearray(), 0, 0
+
+    def w(v: int, nb: int) -> None:
+        nonlocal acc, n
+        acc = (acc << nb) | (v & ((1 << nb) - 1))
+        n += nb
+        while n >= 8:
+            bits.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+            acc &= (1 << n) - 1
+
+    w(192, 16); w(192, 16); w(0, 24); w(0, 24)         # block/frame sizes
+    w(8000, 20); w(0, 3); w(15, 5); w(192, 36)         # rate/ch/bps/total
+    sib = bytes(bits) + b"\x00" * 16                   # md5 zero = unverified
+    hdr5 = bytes([0xFF, 0xF8, 0x14, 0x08, 0x00])       # sync|bs=192|8kHz|mono|16b|frame 0
+    prefix7 = hdr5 + bytes([_flac_crc8(hdr5)]) + b"\x00"
+    head = b"fLaC" + bytes([0x80]) + len(sib).to_bytes(3, "big") + sib + prefix7
+    c0 = _flac_crc16(prefix7)
+    _, t16 = _flac_crc_tables()
+    t_arr = F.array(*[F.lit(x) for x in t16])
+
+    def byte(v):
+        return F.unhex(F.lpad(F.hex(v), 2, "0"))
+
+    u = (F.col("doc_id") * 7) % 65536
+    b_hi, b_lo = F.shiftright(u, 8), u.bitwiseAND(F.lit(255))
+    c1 = F.lit((c0 << 8) & 0xFFFF).bitwiseXOR(
+        F.element_at(t_arr, (F.lit(c0 >> 8).bitwiseXOR(b_hi) + 1).cast("int"))
+    )
+    c2 = F.shiftleft(c1, 8).bitwiseAND(F.lit(65535)).bitwiseXOR(
+        F.element_at(t_arr, (F.shiftright(c1, 8).bitwiseXOR(b_lo) + 1).cast("int"))
+    )
+    payload = F.concat(
+        F.lit(head), byte(b_hi), byte(b_lo),
+        byte(F.shiftright(c2, 8)), byte(c2.bitwiseAND(F.lit(255))),
+    )
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "flac")
+    return audio_features(media, id_col="doc_id").orderBy("id")

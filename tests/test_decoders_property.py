@@ -762,3 +762,277 @@ def test_packbits_reference_cases():
     enc = _packbits_encode_py(data)
     assert M._packbits_decode(enc, len(data)) == data
     assert M._packbits_decode(b"\x80" + enc, len(data)) == data  # leading no-op
+
+
+# ---- FLAC: reference encoder + lossless round-trip properties --------------
+
+
+class _FlacBW:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v, nbits):
+        v &= (1 << nbits) - 1
+        self.acc = (self.acc << nbits) | v
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def bytes(self):
+        assert self.n == 0
+        return bytes(self.out)
+
+
+def _flac_rice_write(bw, resid, param):
+    for e in resid:
+        zz = (-e) * 2 - 1 if e < 0 else e * 2
+        q, r = zz >> param, zz & ((1 << param) - 1)
+        for _ in range(q):
+            bw.w(0, 1)
+        bw.w(1, 1)
+        if param:
+            bw.w(r, param)
+
+
+def _flac_write_subframe(bw, samples, bps, kind, order=2, porder=0, param=8,
+                         lpc_coefs=None, lpc_shift=0, lpc_prec=12, wasted=0,
+                         escape_parts=frozenset()):
+    n = len(samples)
+    bw.w(0, 1)
+    eff = bps - wasted
+    s2 = [s >> wasted for s in samples] if wasted else list(samples)
+
+    def wasted_flag():
+        bw.w(1 if wasted else 0, 1)
+        if wasted:
+            for _ in range(wasted - 1):
+                bw.w(0, 1)
+            bw.w(1, 1)
+
+    if kind == "constant":
+        bw.w(0, 6)
+        wasted_flag()
+        bw.w(s2[0], eff)
+        return
+    if kind == "verbatim":
+        bw.w(1, 6)
+        wasted_flag()
+        for s in s2:
+            bw.w(s, eff)
+        return
+    if kind == "fixed":
+        bw.w(8 + order, 6)
+        wasted_flag()
+        for s in s2[:order]:
+            bw.w(s, eff)
+        coefs = M._FLAC_FIXED_COEFFS[order]
+        resid = [
+            s2[i] - sum(c * s2[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+    else:  # lpc
+        coefs = lpc_coefs
+        order = len(coefs)
+        bw.w(32 + order - 1, 6)
+        wasted_flag()
+        for s in s2[:order]:
+            bw.w(s, eff)
+        bw.w(lpc_prec - 1, 4)
+        bw.w(lpc_shift, 5)
+        for c in coefs:
+            bw.w(c, lpc_prec)
+        resid = [
+            s2[i] - (sum(c * s2[i - 1 - j] for j, c in enumerate(coefs)) >> lpc_shift)
+            for i in range(order, n)
+        ]
+    bw.w(0, 2)  # 4-bit rice parameters
+    bw.w(porder, 4)
+    idx = 0
+    for p in range(1 << porder):
+        cnt = (n >> porder) - (order if p == 0 else 0)
+        part = resid[idx : idx + cnt]
+        idx += cnt
+        if p in escape_parts:
+            bw.w(15, 4)
+            raw_bits = max((abs(e).bit_length() + 1 for e in part), default=1)
+            bw.w(raw_bits, 5)
+            for e in part:
+                bw.w(e, raw_bits)
+        else:
+            bw.w(param, 4)
+            _flac_rice_write(bw, part, param)
+
+
+_FLAC_BS_CODES = {192: 1, 576: 2, 256: 8, 512: 9}
+
+
+def _encode_flac_py(channel_samples, sr=8000, bps=16, block_size=192,
+                    subframe_kwargs=None, ch_mode="independent"):
+    """Reference FLAC encoder for tests (8 kHz / 16-bit headers): STREAMINFO,
+    framing with CRC-8/CRC-16, chosen subframe shape per call."""
+    assert sr == 8000 and bps == 16
+    nch = len(channel_samples)
+    n_total = len(channel_samples[0])
+    subframe_kwargs = subframe_kwargs or {"kind": "verbatim"}
+    out = bytearray(b"fLaC")
+    si = _FlacBW()
+    si.w(block_size, 16)
+    si.w(block_size, 16)
+    si.w(0, 24)
+    si.w(0, 24)
+    si.w(sr, 20)
+    si.w(nch - 1, 3)
+    si.w(bps - 1, 5)
+    si.w(n_total, 36)
+    sib = si.bytes() + b"\x00" * 16
+    out += bytes([0x80]) + len(sib).to_bytes(3, "big") + sib
+    for frame_no, start in enumerate(range(0, n_total, block_size)):
+        blk = [c[start : start + block_size] for c in channel_samples]
+        nsamp = len(blk[0])
+        bw = _FlacBW()
+        bw.w(0b11111111111110, 14)
+        bw.w(0, 2)
+        bs_code = _FLAC_BS_CODES.get(nsamp, 6)
+        bw.w(bs_code, 4)
+        bw.w(4, 4)   # 8 kHz
+        mode_code = {"independent": nch - 1, "left_side": 8,
+                     "right_side": 9, "mid_side": 10}[ch_mode]
+        bw.w(mode_code, 4)
+        bw.w(4, 3)   # 16-bit
+        bw.w(0, 1)
+        if frame_no < 0x80:
+            bw.w(frame_no, 8)
+        else:
+            bw.w(0xC0 | (frame_no >> 6), 8)
+            bw.w(0x80 | (frame_no & 0x3F), 8)
+        if bs_code == 6:
+            bw.w(nsamp - 1, 8)
+        bw.align()
+        hdr = bw.bytes()
+        hdr += bytes([M._flac_crc8(hdr)])
+        body = _FlacBW()
+        if ch_mode == "independent":
+            for c in range(nch):
+                _flac_write_subframe(body, blk[c], bps, **subframe_kwargs)
+        else:
+            side = [l - r for l, r in zip(blk[0], blk[1])]
+            if ch_mode == "left_side":
+                _flac_write_subframe(body, blk[0], bps, **subframe_kwargs)
+                _flac_write_subframe(body, side, bps + 1, **subframe_kwargs)
+            elif ch_mode == "right_side":
+                _flac_write_subframe(body, side, bps + 1, **subframe_kwargs)
+                _flac_write_subframe(body, blk[1], bps, **subframe_kwargs)
+            else:
+                mid = [(l + r) >> 1 for l, r in zip(blk[0], blk[1])]
+                _flac_write_subframe(body, mid, bps, **subframe_kwargs)
+                _flac_write_subframe(body, side, bps + 1, **subframe_kwargs)
+        body.align()
+        frame = hdr + body.bytes()
+        frame += M._flac_crc16(frame).to_bytes(2, "big")
+        out += frame
+    return bytes(out)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    kind=st.sampled_from(["verbatim", "constant"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_flac_mono_roundtrip_random(n, kind, seed):
+    rng = np.random.default_rng(seed)
+    if kind == "constant":
+        v = int(rng.integers(-32768, 32768))
+        s = [v] * n
+    else:
+        s = [int(x) for x in rng.integers(-32768, 32768, n)]
+    sr, got = M._decode_flac(_encode_flac_py([s]))
+    assert sr == 8000 and got.tolist() == s
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    order=st.integers(0, 4),
+    porder=st.sampled_from([0, 1, 2]),
+    param=st.integers(4, 10),
+    escape=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_flac_fixed_predictors_roundtrip(order, porder, param, escape, seed):
+    """FIXED orders 0-4 with Rice partitions (and raw-escape partitions):
+    residual decode, warmup handling, and the per-order difference
+    reconstruction are all lossless."""
+    rng = np.random.default_rng(seed)
+    base = [int(x) for x in np.cumsum(rng.integers(-50, 50, 192))]
+    kwargs = {"kind": "fixed", "order": order, "porder": porder, "param": param}
+    if escape:
+        kwargs["escape_parts"] = {0}
+    sr, got = M._decode_flac(_encode_flac_py([base], subframe_kwargs=kwargs))
+    assert got.tolist() == base
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    order=st.integers(1, 8),
+    shift=st.integers(0, 14),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_flac_lpc_roundtrip(order, shift, seed):
+    rng = np.random.default_rng(seed)
+    base = [int(x) for x in (3000 * np.sin(np.arange(192) * 0.07)).astype(int)]
+    coefs = [int(x) for x in rng.integers(-(1 << 11), 1 << 11, order)]
+    sr, got = M._decode_flac(_encode_flac_py(
+        [base],
+        subframe_kwargs={"kind": "lpc", "lpc_coefs": coefs, "lpc_shift": shift,
+                         "lpc_prec": 13, "param": 12},
+    ))
+    assert got.tolist() == base
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    mode=st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_flac_stereo_decorrelation_roundtrip(mode, seed):
+    """All four channel assignments reconstruct L/R exactly; the downmix
+    then matches the WAV/AIFF floor-mean contract."""
+    rng = np.random.default_rng(seed)
+    L = [int(x) for x in rng.integers(-20000, 20000, 192)]
+    R = [int(x) for x in rng.integers(-20000, 20000, 192)]
+    sr, got = M._decode_flac(_encode_flac_py([L, R], ch_mode=mode))
+    assert got.tolist() == [(l + r) >> 1 for l, r in zip(L, R)]
+
+
+def test_flac_wasted_bits_and_multiframe():
+    rng = np.random.default_rng(9)
+    s = [int(x) << 3 for x in rng.integers(-4096, 4096, 500)]
+    sr, got = M._decode_flac(_encode_flac_py(
+        [s], subframe_kwargs={"kind": "verbatim", "wasted": 3}))
+    assert got.tolist() == s  # 2 full frames + 116-sample partial tail
+
+
+def test_flac_crc_and_error_paths():
+    import pytest
+
+    with pytest.raises(ValueError):
+        M._decode_flac(b"notflac")
+    good = bytearray(_encode_flac_py([[7] * 192], subframe_kwargs={"kind": "constant"}))
+    bad16 = bytearray(good)
+    bad16[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-16"):
+        M._decode_flac(bytes(bad16))
+    bad8 = bytearray(good)
+    bad8[4 + 4 + 34 + 5] ^= 0xFF  # frame-header CRC-8 byte
+    with pytest.raises(ValueError, match="CRC-8"):
+        M._decode_flac(bytes(bad8))
+    with pytest.raises(ValueError):
+        M._decode_flac(bytes(good[:-3]))
