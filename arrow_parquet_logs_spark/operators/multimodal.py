@@ -208,12 +208,13 @@ def _packbits_decode(data: bytes, max_bytes: int) -> bytes:
 
 def _decode_tiff(buf: bytes):
     """Baseline TIFF (8-bit RGB or grayscale, strip layout; uncompressed,
-    LZW — MSB-first early-change variant — or PackBits, with the
-    horizontal-differencing predictor) → (width, height, HxWx3 uint8 RGB
-    array). Pure byte-layout parsing — endianness-aware header, IFD entry
-    walk, inline-vs-offset tag values, per-strip decompression, multi-strip
-    raster assembly — no codec library (the BMP/PPM story with a real
-    metadata structure). Deflate/JPEG-in-TIFF compression raises."""
+    LZW — MSB-first early-change variant — deflate (stdlib zlib, codes 8 and
+    legacy 32946) or PackBits, with the horizontal-differencing predictor)
+    → (width, height, HxWx3 uint8 RGB array). Pure byte-layout parsing —
+    endianness-aware header, IFD entry walk, inline-vs-offset tag values,
+    per-strip decompression, multi-strip raster assembly — no codec library
+    (the BMP/PPM story with a real metadata structure). JPEG-in-TIFF
+    compression raises."""
     import struct as _struct
 
     import numpy as np
@@ -248,9 +249,9 @@ def _decode_tiff(buf: bytes):
     bps = tags.get(258, [8])
     if w is None or h is None:
         raise ValueError("TIFF missing width/height tags")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(
-            f"only uncompressed/LZW/PackBits TIFF supported (compression={comp})"
+            f"only uncompressed/LZW/deflate/PackBits TIFF supported (compression={comp})"
         )
     if spp not in (1, 3) or any(b != 8 for b in bps):
         raise ValueError(f"only 8-bit gray/RGB TIFF supported (spp={spp}, bits={bps})")
@@ -269,6 +270,10 @@ def _decode_tiff(buf: bytes):
         raw = buf[o : o + c]
         if comp == 5:
             pieces.append(_lzw_decode_tiff(raw, need_strip))
+        elif comp in (8, 32946):  # Adobe/legacy deflate: a zlib stream
+            import zlib
+
+            pieces.append(zlib.decompress(raw)[:need_strip])
         elif comp == 32773:
             pieces.append(_packbits_decode(raw, need_strip))
         else:

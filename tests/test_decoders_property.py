@@ -724,7 +724,7 @@ from tests.test_operators import _packbits_encode_py, _tiff_lzw_encode_py
     endian=st.sampled_from(["<", ">"]),
     strips=st.integers(1, 4),
     gray=st.booleans(),
-    compression=st.sampled_from([1, 5, 32773]),
+    compression=st.sampled_from([1, 5, 8, 32773, 32946]),
     predictor=st.sampled_from([1, 2]),
     seed=st.integers(0, 2**32 - 1),
 )

@@ -992,6 +992,10 @@ def _encode_tiff_py(px, endian="<", strips=1, gray=False, compression=1, predict
         sb = raster[s * w * spp : min(s + rows_per, h) * w * spp]
         if compression == 5:
             sb = _tiff_lzw_encode_py(sb)
+        elif compression in (8, 32946):
+            import zlib as _z
+
+            sb = _z.compress(sb)
         elif compression == 32773:
             sb = _packbits_encode_py(sb)
         strip_bytes.append(sb)
@@ -1056,14 +1060,14 @@ def test_tiff_decode_endianness_strips_and_gray():
     assert (out == np.repeat(g.reshape(4, 3, 1), 3, axis=2)).all()
     with pytest.raises(ValueError, match="not a TIFF"):
         M._decode_tiff(b"nope")
-    # unsupported compression is loudly refused: flip the tag to deflate(8)
+    # unsupported compression is loudly refused: flip the tag to JPEG-in-TIFF(7)
     buf = bytearray(_encode_tiff_py(px, "<", 1))
     import struct as _s
 
     for i in range(10):
         off = 8 + 2 + 12 * i
         if _s.unpack_from("<H", buf, off)[0] == 259:
-            _s.pack_into("<H", buf, off + 8, 8)  # deflate: genuinely unsupported
+            _s.pack_into("<H", buf, off + 8, 7)  # JPEG-in-TIFF: genuinely unsupported
     with pytest.raises(ValueError, match="compression"):
         M._decode_tiff(bytes(buf))
 
