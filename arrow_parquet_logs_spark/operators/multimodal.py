@@ -351,14 +351,27 @@ def _png_unfilter(raw, h: int, w: int, ch: int):
     return out.astype(np.uint8)
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2). Pass k
+#: holds the pixels at (x0 + i·dx, y0 + j·dy); empty passes (zero pixels
+#: in either axis) contribute no scanlines to the stream.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _decode_png(buf: bytes):
-    """PNG (8-bit depth, gray/palette/RGB/RGBA, non-interlaced) → (width,
-    height, HxWx3 uint8 RGB array) with stdlib ``zlib`` + numpy only:
-    chunk walk with CRC verification, concatenated-IDAT inflate, scanline
-    unfilter (PNG spec, RFC 2083). Gray expands to 3 equal channels;
-    palette indexes resolve through PLTE; RGBA drops alpha — the decode
-    contract (dimensions + RGB raster) matches the PPM/BMP tiers.
-    Interlaced (Adam7) and 16-bit images raise."""
+    """PNG (8- or 16-bit depth, gray/palette/RGB/RGBA, sequential or
+    Adam7-interlaced) → (width, height, HxWx3 uint8 RGB array) with stdlib
+    ``zlib`` + numpy only: chunk walk with CRC verification,
+    concatenated-IDAT inflate, scanline unfilter (PNG spec, RFC 2083).
+    Gray expands to 3 equal channels; palette indexes resolve through
+    PLTE; RGBA drops alpha; 16-bit samples reduce to their high byte (the
+    spec's sample-depth scaling approximation) — the decode contract
+    (dimensions + 8-bit RGB raster) matches the PPM/BMP tiers. Interlaced
+    streams carry seven per-pass sub-images, each filtered against its own
+    pass raster; decode unfilters each pass independently and scatters it
+    into the final grid."""
     import struct as _struct
     import zlib
 
@@ -387,15 +400,42 @@ def _decode_png(buf: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = _struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+    if color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if depth not in (8, 16) or (depth == 16 and color == 3):
         raise ValueError(
-            f"only 8-bit gray/palette/RGB/RGBA supported (depth={depth}, color={color})"
+            f"only 8/16-bit gray/RGB/RGBA and 8-bit palette supported "
+            f"(depth={depth}, color={color})"
         )
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color]
-    raster = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, ch)
-    px = raster.reshape(h, w, ch)
+    bps = depth // 8            # bytes per sample
+    bpp = ch * bps              # filter unit = bytes per pixel (spec §9)
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        raster = _png_unfilter(raw, h, w, bpp)
+        px = raster.reshape(h, w, ch * bps)
+    else:
+        # Adam7: seven independently filtered sub-images, concatenated in
+        # pass order; unfilter each against its own pass width, then
+        # scatter into the (y0 + j·dy, x0 + i·dx) grid positions.
+        px = np.zeros((h, w, ch * bps), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[off : off + need], ph, pw, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch * bps)
+            off += need
+    if bps == 2:
+        # 16-bit big-endian samples → high byte (spec's depth-scaling
+        # approximation: floor(v / 257) ≈ v >> 8)
+        px = px.reshape(h, w, ch, 2)[:, :, :, 0]
+    px = px.reshape(h, w, ch)
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing a valid PLTE chunk")
@@ -1076,6 +1116,62 @@ _AUDIO_SCHEMA = (
 )
 
 
+#: IMA/DVI ADPCM quantizer step table (IMA ADPCM spec, 89 entries) and the
+#: 3-bit-magnitude → step-index adjustment table. Pure public constants —
+#: the same tables every IMA decoder ships.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int):
+    """IMA ADPCM (WAV format tag 0x11, mono) → int16 numpy samples. Each
+    ``block_align``-byte block opens with a 4-byte header (int16 LE
+    predictor — emitted verbatim as the block's first sample — and the
+    step-table index), then 4-bit codes two-per-byte, LOW nibble first.
+    Per code: diff = step>>3 (+step if bit2, +step>>1 if bit1, +step>>2 if
+    bit0), sign from bit3, predictor clamped to int16, index stepped by
+    the magnitude table and clamped to [0, 88] — exact integer arithmetic,
+    replayable by a SQL oracle. Sequential by construction (each sample
+    depends on the previous state), so it runs as a per-block loop;
+    per-payload cost is linear in the payload."""
+    import struct as _struct
+
+    import numpy as np
+
+    if block_align < 5:
+        raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+    out = []
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        pred = _struct.unpack_from("<h", data, b0)[0]
+        idx = data[b0 + 2]
+        if idx > 88:
+            raise ValueError(f"IMA ADPCM step index {idx} out of range")
+        out.append(pred)
+        for byte in data[b0 + 4 : b0 + block_align]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+                out.append(pred)
+    return np.asarray(out, dtype=np.int16)
+
+
 def _ulaw_table():
     """G.711 μ-law byte → linear int16, the standard ITU expansion
     (complement, 3-bit exponent, 4-bit mantissa, +0x84 bias) — exact
@@ -1107,7 +1203,9 @@ def _alaw_table():
 def _decode_wav(buf: bytes):
     """RIFF/WAVE → (sample_rate, int16 numpy samples): linear PCM16
     (format 1), G.711 A-law (6) and μ-law (7, both 8-bit, expanded through
-    the exact integer ITU tables), mono or stereo. Pure byte-layout
+    the exact integer ITU tables), mono or stereo, plus IMA ADPCM (0x11,
+    4-bit, mono — real compressed-audio decode via ``_decode_ima_adpcm``).
+    Pure byte-layout
     parsing (chunk walk, little-endian fields) — real audio decode with no
     codec library, the PPM/BMP story for the audio tier. Stereo downmixes
     to mono with the exact-integer mean ``(L + R) >> 1`` (floor), so
@@ -1130,7 +1228,9 @@ def _decode_wav(buf: bytes):
         i += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, channels, sr, _, _, bits = _struct.unpack_from("<HHIIHH", fmt, 0)
+    audio_format, channels, sr, _, block_align, bits = _struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
     if channels not in (1, 2):
         raise ValueError(f"only mono/stereo supported (ch={channels})")
     if audio_format == 1 and bits == 16:
@@ -1138,9 +1238,13 @@ def _decode_wav(buf: bytes):
     elif audio_format in (6, 7) and bits == 8:
         table = _alaw_table() if audio_format == 6 else _ulaw_table()
         s = table[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 0x11 and bits == 4:
+        if channels != 1:
+            raise ValueError("IMA ADPCM: only mono supported")
+        return int(sr), _decode_ima_adpcm(data, block_align)
     else:
         raise ValueError(
-            f"only PCM16 / G.711 A-law / G.711 mu-law supported "
+            f"only PCM16 / G.711 A-law / G.711 mu-law / IMA ADPCM supported "
             f"(format={audio_format}, bits={bits})"
         )
     if channels == 2:

@@ -334,6 +334,103 @@ def multimodal_real_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _png_2x2_interlaced_payload():
+    """Catalyst expression for a fully valid Adam7-INTERLACED 2×2 RGB PNG
+    from ``doc_id`` — the interlaced twin of ``_png_2x2_payload``. A 2×2
+    grid populates three Adam7 passes: pass 1 holds (0,0), pass 6 holds
+    (1,0), pass 7 holds the bottom row — so the stored-deflate stream is
+    three sub-images with their own filter bytes (pass 7 uses Sub, pinning
+    per-pass unfiltering: its second pixel is stored as a left-delta that
+    only reconstructs inside the pass raster). Same stored-block +
+    symbolic-Adler + ``F.crc32`` machinery as the sequential payload."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def ch(mult: int):
+        return (F.col("doc_id") * mult) % 256
+
+    p00 = [ch(m) for m in (53, 59, 61)]
+    p10 = [ch(m) for m in (67, 71, 73)]
+    p01 = [ch(m) for m in (79, 83, 89)]
+    p11 = [ch(m) for m in (97, 101, 103)]
+    # pass 7 scanline Sub-filtered: second pixel is a left-delta
+    deltas = [F.pmod(b - a, F.lit(256)) for a, b in zip(p01, p11)]
+    vals = [F.lit(0), *p00, F.lit(0), *p10, F.lit(1), *p01, *deltas]
+
+    n = len(vals)  # 15 stored bytes
+    a_sum = F.lit(1)
+    b_sum = F.lit(n)
+    for i, v in enumerate(vals, start=1):
+        a_sum = a_sum + v
+        b_sum = b_sum + v * (n - i + 1)
+    adler = F.unhex(
+        F.concat(
+            F.lpad(F.hex(b_sum % 65521), 4, "0"), F.lpad(F.hex(a_sum % 65521), 4, "0")
+        )
+    )
+
+    def byte(v):
+        return F.unhex(F.lpad(F.hex(v), 2, "0"))
+
+    zstream = F.concat(
+        F.lit(b"\x78\x01\x01\x0f\x00\xf0\xff"), *[byte(v) for v in vals], adler
+    )
+    idat_td = F.concat(F.lit(b"IDAT"), zstream)
+    idat_crc = F.unhex(F.lpad(F.hex(F.crc32(idat_td)), 8, "0"))
+
+    ihdr_data = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    head = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", 13) + b"IHDR" + ihdr_data
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF)
+        + _struct.pack(">I", 26)  # IDAT length: 2+5+15+4
+    )
+    iend = _struct.pack(">I", 0) + b"IEND" + _struct.pack(">I", _zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    return F.concat(F.lit(head), idat_td, idat_crc, F.lit(iend))
+
+
+@register(
+    "multimodal_real_png_interlaced",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 53) % 256 AS r0, (doc_id * 59) % 256 AS g0, (doc_id * 61) % 256 AS b0,
+               (doc_id * 67) % 256 AS r1, (doc_id * 71) % 256 AS g1, (doc_id * 73) % 256 AS b1,
+               (doc_id * 79) % 256 AS r2, (doc_id * 83) % 256 AS g2, (doc_id * 89) % 256 AS b2,
+               (doc_id * 97) % 256 AS r3, (doc_id * 101) % 256 AS g3, (doc_id * 103) % 256 AS b3
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(83 AS BIGINT) AS byte_len,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           (  299*(r0+r1+r2+r3) + 587*(g0+g1+g2+g3) + 114*(b0+b1+b2+b3)
+           ) / (1000.0 * 255 * 4) AS mean_luma
+    FROM px ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "png", "interlace"),
+)
+def multimodal_real_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced PNG decoding under the driver's hash gate: a
+    2×2 interlaced PNG per document (three Adam7 passes, the last one
+    Sub-filtered inside its own pass raster — see
+    ``_png_2x2_interlaced_payload``) decodes through the per-pass
+    unfilter-and-scatter path (operators.multimodal._decode_png), and the
+    oracle recomputes the Rec.601 mean luma from the un-interlaced pixel
+    arithmetic. A pass-ordering, pass-width, or scatter-stride bug moves a
+    pixel to the wrong grid cell and lands as a hash mismatch. (Larger
+    interlaced and 16-bit rasters are pinned byte-level against
+    zlib-compressed streams in tests/test_operators.py.)"""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = attach_media(
+        docs.select("doc_id", _png_2x2_interlaced_payload().alias("raw")),
+        "raw", "image", "png",
+    )
+    return decode_media(media, id_col="doc_id").orderBy("id")
+
+
 @register(
     "multimodal_real_wav_features",
     oracle="""
@@ -1012,6 +1109,106 @@ def multimodal_real_ulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame
 
     payload = F.concat(F.lit(header), *[byte(m) for m in (7, 11, 13, 17, 19, 23, 29, 31)])
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "wav")
+    return audio_features(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_adpcm_features",
+    oracle="""
+    WITH RECURSIVE init AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id*37)%65536 >= 32768 THEN (doc_id*37)%65536 - 65536
+                    ELSE (doc_id*37)%65536 END AS pred,
+               doc_id % 89 AS idx,
+               [(doc_id*7)%256, (doc_id*11)%256, (doc_id*13)%256, (doc_id*17)%256] AS d
+        FROM documents WHERE doc_id < 200
+    ),
+    -- replay the IMA ADPCM state machine: k counts decoded nibbles, the
+    -- recursive step applies quantizer step/diff/clamp and index walk
+    dec AS (
+        SELECT doc_id, 0 AS k, pred, idx,
+               CAST(pred AS BIGINT)*pred AS sum_sq, 0 AS zc, pred AS prev, d
+        FROM init
+        UNION ALL
+        SELECT doc_id, k+1, new_pred, new_idx,
+               sum_sq + CAST(new_pred AS BIGINT)*new_pred,
+               zc + CASE WHEN (new_pred >= 0) != (prev >= 0) THEN 1 ELSE 0 END,
+               new_pred, d
+        FROM (
+            SELECT doc_id, k, sum_sq, zc, d, nib, idx,
+                   GREATEST(-32768, LEAST(32767,
+                       pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS new_pred,
+                   GREATEST(0, LEAST(88,
+                       idx + [-1,-1,-1,-1,2,4,6,8][(nib%8)+1])) AS new_idx,
+                   pred AS prev
+            FROM (
+                SELECT *,
+                       (step//8) + CASE WHEN nib%8 >= 4 THEN step ELSE 0 END
+                                 + CASE WHEN nib%4 >= 2 THEN step//2 ELSE 0 END
+                                 + CASE WHEN nib%2 = 1 THEN step//4 ELSE 0 END AS diff
+                FROM (
+                    SELECT *,
+                           CASE WHEN k%2 = 0 THEN d[k//2+1] % 16
+                                ELSE d[k//2+1] // 16 END AS nib,
+                           [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+                            41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
+                            190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+                            724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+                            2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+                            6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+                            16818,18500,20350,22385,24623,27086,29794,32767][idx+1] AS step
+                    FROM dec WHERE k < 8
+                )
+            )
+        )
+    )
+    SELECT doc_id AS id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(9 AS INTEGER) AS n_samples, CAST(1125 AS BIGINT) AS duration_us,
+           sum_sq, CAST(zc AS INTEGER) AS zero_crossings
+    FROM dec WHERE k = 8 ORDER BY id
+    """,
+    tags=("multimodal", "audio", "pandas-udf", "decode", "adpcm"),
+)
+def multimodal_real_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode under the driver's hash gate: IMA
+    ADPCM (WAV format tag 0x11), the 4-bit differential codec. Each
+    document gets one 8-byte ADPCM block — int16 predictor seeded from
+    doc_id (emitted as sample 0), step index doc_id%89, four data bytes =
+    eight 4-bit codes — decoded by the real state machine
+    (operators.multimodal._decode_ima_adpcm: step table, diff
+    reconstruction, int16 clamp, index walk). The oracle replays that
+    state machine as a RECURSIVE CTE over the same 89-entry step table, so
+    any quantizer/clamp/index bug at any of the 9 samples per doc lands as
+    a hash mismatch. 4 bits per sample is the 4× audio compression tier —
+    the decode stays per-payload linear and Arrow-batched, the aggregation
+    stays Catalyst."""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, audio_features
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    n_data = 8  # one block: 4-byte header + 4 code bytes → 9 samples
+    header = (
+        b"RIFF" + _struct.pack("<I", 40 + n_data) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHHHH", 20, 0x11, 1, 8000, 4055, 8, 4, 2, 9)
+        + b"data" + _struct.pack("<I", n_data)
+    )
+
+    def byte(v):
+        return F.unhex(F.lpad(F.hex(v), 2, "0"))
+
+    u = (F.col("doc_id") * 37) % 65536
+    block = F.concat(
+        byte(u % 256),                       # predictor int16 LE, low byte
+        byte((u / 256).cast("int")),         # predictor high byte
+        byte(F.col("doc_id") % 89),          # step index
+        F.lit(b"\x00"),                      # reserved
+        *[byte((F.col("doc_id") * m) % 256) for m in (7, 11, 13, 17)],
+    )
+    media = attach_media(
+        docs.select("doc_id", F.concat(F.lit(header), block).alias("raw")),
+        "raw", "audio", "wav",
+    )
     return audio_features(media, id_col="doc_id").orderBy("id")
 
 

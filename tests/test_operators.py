@@ -722,6 +722,153 @@ def test_png_decode_error_paths():
         M._decode_png(good[:33])
 
 
+def test_png_decode_adam7_interlaced():
+    """Adam7: seven independently filtered sub-images scattered back into
+    the pixel grid — pinned against a zlib-compressed stream built by an
+    independent encoder over many raster sizes (including degenerate ones
+    where most passes are empty)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (2, 2), (3, 1), (1, 9), (5, 7), (8, 8), (16, 5), (9, 10)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in M._ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for j in range(sub.shape[0]):
+                # alternate None/Up filters inside the pass raster
+                if j % 2 == 0:
+                    raw += b"\x00" + sub[j].tobytes()
+                else:
+                    raw += b"\x02" + ((sub[j].astype(np.int64)
+                                       - sub[j - 1]) % 256).astype(np.uint8).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        buf = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+        got_w, got_h, out = M._decode_png(buf)
+        assert (got_w, got_h) == (w, h)
+        assert (out == px).all(), (w, h)
+
+
+def test_png_decode_16bit_depth():
+    """16-bit samples (big-endian pairs) reduce to their high byte; the
+    filter unit is bytes-per-pixel (6 for 16-bit RGB), so a Sub-filtered
+    16-bit row only reconstructs if bpp is honored."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(13)
+    for color, ch in [(0, 1), (2, 3), (6, 4)]:
+        px = rng.integers(0, 65536, size=(3, 4, ch), dtype=np.uint16)
+        rows = px.astype(">u2").reshape(3, -1).view(np.uint8)
+        raw = bytearray()
+        bpp = ch * 2
+        for y in range(3):
+            if y == 1:  # Sub filter: subtract the byte bpp positions left
+                line = rows[y].astype(np.int64)
+                out = line.copy()
+                out[bpp:] = (line[bpp:] - line[:-bpp]) % 256
+                raw += b"\x01" + out.astype(np.uint8).tobytes()
+            else:
+                raw += b"\x00" + rows[y].tobytes()
+        ihdr = struct.pack(">IIBBBBB", 4, 3, 16, color, 0, 0, 0)
+        buf = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+        _, _, out = M._decode_png(buf)
+        hi = (px >> 8).astype(np.uint8)
+        if ch == 1:
+            exp = np.repeat(hi[:, :, None].reshape(3, 4, 1), 3, axis=2)
+        elif ch == 4:
+            exp = hi[:, :, :3]
+        else:
+            exp = hi
+        assert (out == exp).all(), color
+    # 16-bit palette is not a legal PNG combination → loud reject
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        M._decode_png(bad)
+
+
+def test_ima_adpcm_decode_statemachine():
+    """IMA ADPCM: predictor header emitted as sample 0, then 4-bit codes
+    low-nibble-first through the step-table state machine with int16 and
+    index clamps — cross-checked against an independent straight-line
+    reimplementation over random blocks, plus container-level wiring."""
+    import struct
+
+    import numpy as np
+
+    def ref(data, ba):
+        out = []
+        for b0 in range(0, len(data) // ba * ba, ba):
+            blk = data[b0 : b0 + ba]
+            pred = int.from_bytes(blk[0:2], "little", signed=True)
+            idx = blk[2]
+            out.append(pred)
+            for byte in blk[4:]:
+                for n in (byte % 16, byte // 16):
+                    step = M._IMA_STEPS[idx]
+                    d = (step >> 3) + (step if n & 4 else 0) \
+                        + ((step >> 1) if n & 2 else 0) + ((step >> 2) if n & 1 else 0)
+                    pred = min(32767, max(-32768, pred + (-d if n >= 8 else d)))
+                    idx = min(88, max(0, idx + M._IMA_INDEX[n % 8]))
+                    out.append(pred)
+        return out
+
+    rng = np.random.default_rng(17)
+    for _ in range(50):
+        ba = int(rng.choice([8, 12, 36]))
+        data = b""
+        for _ in range(int(rng.integers(1, 4))):
+            data += struct.pack(
+                "<hBB", int(rng.integers(-32768, 32768)), int(rng.integers(0, 89)), 0
+            ) + bytes(rng.integers(0, 256, ba - 4, dtype=np.uint8))
+        assert list(M._decode_ima_adpcm(data, ba)) == ref(data, ba)
+
+    # container: format 0x11 routes to the ADPCM branch; stereo rejects
+    def wav(block, ch=1):
+        return (
+            b"RIFF" + struct.pack("<I", 40 + len(block)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHHHH", 20, 0x11, ch, 8000, 4055, 8, 4, 2, 9)
+            + b"data" + struct.pack("<I", len(block)) + block
+        )
+
+    blk = struct.pack("<hBB", -1234, 40, 0) + bytes([0x21, 0x8F, 0x07, 0xE3])
+    sr, s = M._decode_wav(wav(blk))
+    assert sr == 8000 and list(s) == ref(blk, 8)
+    with pytest.raises(ValueError, match="mono"):
+        M._decode_wav(wav(blk, ch=2))
+    with pytest.raises(ValueError, match="out of range"):
+        M._decode_ima_adpcm(struct.pack("<hBB", 0, 89, 0) + b"\x00" * 4, 8)
+
+
 def test_png_decode_through_spark_pipeline(spark):
     """decode_media + resize_media over real PNG payloads (format='png' is
     raw-decodable: NO allow_fake) — resize re-encodes as PPM whose bytes we
