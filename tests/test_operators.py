@@ -309,6 +309,32 @@ def test_ngram_df_cap_is_sortless_broadcast_anti(spark):
     assert "SortMergeJoin LeftAnti" not in plan and "ShuffledHashJoin LeftAnti" not in plan, plan
 
 
+def test_connected_components_regimes_agree(spark):
+    """The bounded-graph union-find fast path and the distributed
+    propagation loop (forced via driver_edge_cap=0) must produce identical
+    labels — long chain (diameter 40), star with non-min hub, singleton
+    edge, disjoint components, and string ids."""
+    from arrow_parquet_logs_spark.operators.dedup import connected_components
+
+    cases = [
+        ([(i, i + 1) for i in range(40)] + [(100, 101), (101, 102)],
+         "a_id long, b_id long"),
+        ([(5, 1), (5, 2), (5, 3), (9, 9)], "a_id long, b_id long"),
+        ([("b", "a"), ("b", "c"), ("x", "y")], "a_id string, b_id string"),
+    ]
+    for rows, schema in cases:
+        df = spark.createDataFrame(rows, schema)
+        fast = {r.doc_id: (r.cluster_id, r.is_canonical)
+                for r in connected_components(df).collect()}
+        dist = {r.doc_id: (r.cluster_id, r.is_canonical)
+                for r in connected_components(df, driver_edge_cap=0).collect()}
+        assert fast == dist, (schema, fast, dist)
+    # chain semantics: A~B, B~C ⇒ one cluster labeled by the min id
+    chain = spark.createDataFrame([(3, 2), (2, 1)], "a_id long, b_id long")
+    out = {r.doc_id: r.cluster_id for r in connected_components(chain).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
 def test_lsh_band_flood_collapses_exact_dups(spark):
     """Adversarial corpus: 10,000 byte-identical short docs — every one
     shares every band key, so pair semantics would materialize ~5*10^7
