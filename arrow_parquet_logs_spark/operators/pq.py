@@ -574,16 +574,28 @@ def search_ivfpq(
                     (r[0], int(cell), j, c, int(d2[c])) for c in range(ks)
                 )
     # q_id keeps the caller's id type (string keys etc.), like the sibling
-    # encode_pq/pq_adc_topk operators — no int64 assumption baked in
+    # encode_pq/pq_adc_topk operators — no int64 assumption baked in.
+    # Arrow-batched conversion: the LUT is |Q|·nprobe·m·ks rows (82k at 10
+    # queries) and row-at-a-time Py4J conversion of that is slower than the
+    # scan it feeds.
+    import pandas as pd
+
     q_id_type = queries.schema[id_col].dataType.simpleString()
     lut = spark.createDataFrame(
-        lut_rows, f"q_id {q_id_type}, cell int, j int, c int, part long"
+        pd.DataFrame(lut_rows, columns=["q_id", "cell", "j", "c", "part"]),
+        f"q_id {q_id_type}, cell int, j int, c int, part long",
     )
 
     codes = spark.read.parquet(path).where(F.col("cell").isin(sorted(probed)))
+    # the code value is a JOIN KEY, not a post-join filter: joining on
+    # (cell, j) alone and then filtering code == c would materialize ks×
+    # more rows than survive (every code row × all 256 LUT entries of its
+    # subspace) — a 256× row blow-up inside the join that only grows with
+    # the corpus
     approx = (
-        codes.join(F.broadcast(lut), ["cell", "j"])
-        .where(F.col("code") == F.col("c"))
+        codes.join(
+            F.broadcast(lut.withColumnRenamed("c", "code")), ["cell", "j", "code"]
+        )
         .groupBy("q_id", id_col)
         .agg(F.sum("part").alias("adist"))
         .where(F.col("q_id") != F.col(id_col))
