@@ -252,3 +252,78 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     for _, pat, token in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, token)
     return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+# ---- distributed Bloom filter (decontamination at non-broadcast scale) -----
+
+def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
+                 k_hashes: int = 3) -> DataFrame:
+    """Build a Bloom filter over the distinct values of ``key_col`` as a
+    BITMAP TABLE: one row per 64-bit word, ``(word int, bits long)``.
+
+    Scale story: the exact-broadcast decontamination path
+    (`docs_benchmark_contamination`) ships the benchmark's distinct shingle
+    ROWS to every executor — fine for a benchmark suite, impossible when
+    the blocklist is itself corpus-sized. A Bloom filter ships BITS:
+    ``m_bits`` is fixed up front (2²⁰ bits = 16 K words ≈ 128 KB regardless
+    of key count), membership is k portable-hash probes, and the whole
+    build is one explode + one map-side-combinable ``bit_or`` aggregation.
+    Hashes are the repo-wide portable md5 family (`functions.hashing
+    .hash64` with seeds ``bf0..bf{k-1}``), so an oracle can replay every
+    probe bit-for-bit in SQL.
+
+    False positives: ~(1-e^{-kn/m})^k (classical bound) — callers that
+    need EXACT output re-verify BF-positives against the real key set
+    (two-phase: the verify join only sees the tiny surviving fraction).
+    False negatives: none, by construction."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
+    seeds = range(k_hashes)
+    pos = F.explode(
+        F.array(*[F.pmod(hash64(F.col(key_col), seed=f"bf{i}"), F.lit(m_bits)) for i in seeds])
+    ).alias("pos")
+    return (
+        keys.select(F.col(key_col)).where(F.col(key_col).isNotNull()).distinct()
+        .select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, int(pmod(pos, 64)))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_might_contain(probe: DataFrame, bloom: DataFrame, key_col: str,
+                        m_bits: int = 1 << 20, k_hashes: int = 3) -> DataFrame:
+    """Filter ``probe`` to the rows whose ``key_col`` MIGHT be in the Bloom
+    filter built by ``bloom_bitmap`` (same ``m_bits``/``k_hashes``).
+
+    Plan shape: explode the k probe positions per row, broadcast-join the
+    16 K-word bitmap (the broadcast is the BITMAP, never the key set),
+    test the bit, and keep rows where all k probes hit — a left join makes
+    an absent word row an automatic miss. No shuffle of the probe side
+    beyond the per-row explode/collapse; the collapse groupBy is on the
+    probe's own row, so it is map-side combinable."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
+    cols = probe.columns
+    seeds = range(k_hashes)
+    pos = F.explode(
+        F.array(*[F.pmod(hash64(F.col(key_col), seed=f"bf{i}"), F.lit(m_bits)) for i in seeds])
+    ).alias("pos")
+    probed = probe.select(*cols, pos).select(
+        *cols,
+        (F.col("pos") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(1L, int(pmod(pos, 64)))").alias("mask"),
+    )
+    hits = probed.join(F.broadcast(bloom), "word", "left").withColumn(
+        "_hit",
+        F.coalesce(F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False)),
+    )
+    return (
+        hits.groupBy(*cols)
+        .agg(F.min(F.col("_hit").cast("int")).alias("_all_hit"))
+        .where(F.col("_all_hit") == 1)
+        .select(*cols)
+    )

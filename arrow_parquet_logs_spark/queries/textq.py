@@ -1076,6 +1076,66 @@ def docs_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_bloom_decontamination",
+    oracle=f"""
+    WITH bt AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 89 = 0),
+    bsh AS (SELECT DISTINCT g FROM (SELECT unnest({_SH3}) AS g FROM bt)),
+    tt AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 89 != 0),
+    tsh AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest({_SH3}) AS g FROM tt)),
+    hits AS (
+        SELECT tsh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM tsh JOIN bsh USING (g) GROUP BY tsh.doc_id
+    )
+    SELECT doc_id, n_shared FROM hits WHERE n_shared >= 2 ORDER BY doc_id
+    """,
+    tags=("text", "contamination", "bloom", "dedup"),
+)
+def docs_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the NON-broadcast-scale variant of
+    `docs_benchmark_contamination`. When the blocklist is itself huge (an
+    entire eval corpus, a rights-holder opt-out list), its shingle ROWS
+    can't broadcast; a Bloom filter broadcasts BITS (2²⁰ bits ≈ 128 KB
+    regardless of blocklist size). Two phases keep the output EXACT:
+
+    1. probe every training (doc, shingle) against the broadcast bitmap
+       (`operators.text.bloom_might_contain`, k=3 portable-hash probes) —
+       no false negatives by construction, so nothing contaminated slips
+       through;
+    2. exact-verify only the BF-positive survivors with a real join
+       against the blocklist shingles — the join input is the tiny
+       surviving fraction, so the shuffle is candidate-sized, not
+       corpus-sized.
+
+    Because phase 2 restores exactness, the oracle is the plain exact
+    contamination SQL — the Bloom layer must be output-invisible, and a
+    hash/bit/word-layout bug that dropped a true member would surface as a
+    missing row. Flags docs sharing ≥2 word-3-gram shingles with the
+    benchmark slice (every 89th doc)."""
+    from arrow_parquet_logs_spark.operators.text import bloom_bitmap, bloom_might_contain
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 89 == 0
+    bsh = (
+        docs.where(is_bench)
+        .select(F.explode(X.distinct_shingles("text", 3)).alias("g"))
+        .distinct()
+        .persist()
+    )
+    bloom = bloom_bitmap(bsh, "g")
+    tsh = docs.where(~is_bench).select(
+        "doc_id", F.explode(X.distinct_shingles("text", 3)).alias("g")
+    )
+    cand = bloom_might_contain(tsh, bloom, "g")
+    return (
+        cand.join(bsh, "g")  # exact verify: BF false positives die here
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "docs_sequence_packing",
     oracle=f"""
     WITH t AS (

@@ -1369,3 +1369,28 @@ def test_asof_join_right_column_named_ts(spark):
         left, right, on="k", left_ts="ts", right_ts="qts", right_cols=[]
     ).head()
     assert out.ts_asof is not None and out.ts_asof.second == 1
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    """bloom_bitmap/bloom_might_contain: every true member survives (no
+    false negatives, the property the two-phase decontamination exactness
+    rests on); at sane sizing the FP count is tiny; at adversarially tiny
+    m the filter degrades to pass-through but still never drops a member;
+    NULL keys neither build bits nor probe through."""
+    from arrow_parquet_logs_spark.operators.text import bloom_bitmap, bloom_might_contain
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(300)] + [(None,)], "g string")
+    probe = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(600)] + [(9999, None)], "doc_id long, g string"
+    )
+    bloom = bloom_bitmap(keys, "g").persist()
+    got = sorted(r.doc_id for r in bloom_might_contain(probe, bloom, "g").collect())
+    assert [i for i in got if i < 300] == list(range(300))  # no FN
+    assert 9999 not in got                                   # NULL never matches
+    assert len(got) <= 310                                   # FP ~0 at m=2^20
+    small = bloom_bitmap(keys, "g", m_bits=128, k_hashes=2).persist()
+    got2 = set(
+        r.doc_id
+        for r in bloom_might_contain(probe, small, "g", m_bits=128, k_hashes=2).collect()
+    )
+    assert set(range(300)) <= got2  # degraded, never lossy
