@@ -53,6 +53,39 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return df.select(F.col(id_col).alias("sid"), distinct_shingles(text_col, n).alias("sh"))
 
 
+def _band_keys_from_sets(sets: DataFrame, k: int, bands: int) -> DataFrame:
+    """(sid, band_key) LSH band keys from (sid, sh) shingle sets.
+
+    Signatures via explode + codegen min-aggregation rather than nested
+    higher-order functions: HOFs evaluate interpreted per element, while
+    exploded column arithmetic stays in whole-stage codegen (~20% faster
+    end-to-end, identical values). One shuffle on sid. Band keys are the
+    same ``md5('<band>:<joined minhashes>')`` the SQL oracles compute from
+    the signature array — and because the minhash coefficient family is
+    fixed, band keys computed TODAY collide correctly with band keys
+    computed LAST MONTH: the property the persistent index relies on."""
+    from arrow_parquet_logs_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
+    rows = k // bands
+    ca, cb = minhash_coeffs(k)
+    hashes = sets.select("sid", F.explode("sh").alias("g")).select(
+        "sid", (hash64(F.col("g")) % MINHASH_P).alias("h")
+    )
+    sig_cols = hashes.groupBy("sid").agg(
+        *[F.min((F.lit(ca[i]) * F.col("h") + F.lit(cb[i])) % MINHASH_P).alias(f"s{i}") for i in range(k)]
+    )
+    band_exprs = [
+        F.md5(
+            F.concat(
+                F.lit(f"{b}:"),
+                F.concat_ws(",", *[F.col(f"s{b * rows + j}").cast("string") for j in range(rows)]),
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig_cols.select("sid", F.explode(F.array(*band_exprs)).alias("band_key"))
+
+
 def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard on candidate pairs via array_intersect on the two
     (already-distinct) shingle arrays — per-pair cost, no re-join on shingles."""
@@ -212,13 +245,9 @@ def minhash_lsh_pairs(
     `_exact_collapse`) — the defense against degenerate hot bands from
     duplicate floods; AQE's skew handling covers what remains (near- but
     not byte-identical boilerplate, whose pair output is genuinely dense)."""
-    from arrow_parquet_logs_spark.functions.hashing import MINHASH_P, minhash_coeffs
-
     stars = None
     if collapse_exact:
         df, stars = _exact_collapse(df, id_col, text_col)
-    rows = k // bands
-    ca, cb = minhash_coeffs(k)
     # persist the shingle sets: they feed hashing once and the Jaccard
     # verification twice — without it the docs are re-scanned and
     # re-shingled three times inside one action (at 100 TB: checkpoint it).
@@ -226,33 +255,111 @@ def minhash_lsh_pairs(
     # lazy); Spark's cache manager dedups identical plans across calls and
     # evicts LRU under memory pressure, so repeated invocations stay bounded.
     sets = _shingle_sets(df, id_col, text_col, n).persist()
-    # signatures via explode + codegen min-aggregation rather than nested
-    # higher-order functions: HOFs evaluate interpreted per element, while
-    # exploded column arithmetic stays in whole-stage codegen (~20% faster
-    # end-to-end here, identical values). One extra shuffle on sid.
-    hashes = sets.select("sid", F.explode("sh").alias("g")).select(
-        "sid", (hash64(F.col("g")) % MINHASH_P).alias("h")
-    )
-    sig_cols = hashes.groupBy("sid").agg(
-        *[F.min((F.lit(ca[i]) * F.col("h") + F.lit(cb[i])) % MINHASH_P).alias(f"s{i}") for i in range(k)]
-    )
-    # band keys straight from the named columns (same '<band>:<joined>' md5
-    # the oracle computes from the signature array)
-    band_exprs = [
-        F.md5(
-            F.concat(
-                F.lit(f"{b}:"),
-                F.concat_ws(",", *[F.col(f"s{b * rows + j}").cast("string") for j in range(rows)]),
-            )
-        )
-        for b in range(bands)
-    ]
-    bk = sig_cols.select("sid", F.explode(F.array(*band_exprs)).alias("band_key"))
+    bk = _band_keys_from_sets(sets, k, bands)
     a = bk.select(F.col("sid").alias("a_id"), "band_key")
     b = bk.select(F.col("sid").alias("b_id"), "band_key")
     cand = a.join(b, "band_key").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
     verified = _verify_jaccard(cand, sets, threshold)
     return verified.unionByName(stars) if stars is not None else verified
+
+
+def materialize_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's LSH band keys as a parquet index: one
+    ``(sid, band_key)`` row per (document, band).
+
+    The index is what makes dedup INCREMENTAL: signatures over a 100 TB
+    corpus are computed once (here), and each incoming batch only
+    re-shingles ITSELF — `minhash_pairs_incremental` joins the batch's
+    band keys against these stored rows. Because the minhash coefficient
+    family and the shingle normalization are fixed and content-stable, a
+    key stored today collides correctly with one computed at any later
+    ingest. ~``bands`` rows × ~50 bytes per document ≈ 1/1000 of corpus
+    bytes. Unpartitioned on purpose: probes hit every band, and the join
+    key (band_key) is a uniform md5 — there is no pruning axis; the
+    shuffle-on-band_key join IS the access path."""
+    sets = _shingle_sets(df, id_col, text_col, n)
+    _band_keys_from_sets(sets, k, bands).write.mode(mode).parquet(path)
+
+
+def append_to_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> None:
+    """Add a new batch's band keys to an existing index (parquet append —
+    the same incremental-maintenance contract as `pq.append_to_ivfpq`).
+    Run after the batch passed `minhash_pairs_incremental`, so the index
+    always reflects every document admitted so far."""
+    materialize_minhash_index(df, path, id_col, text_col, n, k, bands, mode="append")
+
+
+def minhash_pairs_incremental(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs of an INCOMING batch against an indexed corpus —
+    without recomputing a single corpus signature.
+
+    The per-batch cost is what a steady-state ingest pipeline pays:
+    shingle + minhash the batch only, join its band keys against the
+    stored index (`materialize_minhash_index`), and exact-Jaccard-verify
+    the candidates. ``corpus_docs`` supplies raw text ONLY for the
+    candidate ids (semi-join pushdown — the corpus scan is
+    candidate-sized, never a full pass). Batch-internal duplicates are
+    caught by a self-join on the same fresh band keys. Ids must be
+    disjoint between batch and corpus (ingest invariant). Returns
+    (a_id, b_id, jaccard) with a_id < b_id, jaccard ≥ threshold — the
+    same row shape and verification as `minhash_lsh_pairs`, so the same
+    policy code consumes either."""
+    nsets = _shingle_sets(new_docs, id_col, text_col, n).persist()
+    nbk = _band_keys_from_sets(nsets, k, bands).persist()
+
+    idx = spark.read.parquet(path).withColumnRenamed("sid", "c_sid")
+    cross = (
+        nbk.join(idx, "band_key")
+        .select(
+            F.least(F.col("sid"), F.col("c_sid")).alias("a_id"),
+            F.greatest(F.col("sid"), F.col("c_sid")).alias("b_id"),
+        )
+    )
+    a = nbk.select(F.col("sid").alias("a_id"), "band_key")
+    b = nbk.select(F.col("sid").alias("b_id"), "band_key")
+    within = a.join(b, "band_key").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
+    cand = cross.unionByName(within).distinct()
+
+    # verification shingles: the batch's own sets plus corpus sets for
+    # candidate ids only (left-semi prunes the corpus scan to candidates)
+    cand_ids = (
+        cand.select(F.col("a_id").alias("cid"))
+        .unionByName(cand.select(F.col("b_id").alias("cid")))
+        .distinct()
+    )
+    corpus_hit = corpus_docs.join(
+        cand_ids, corpus_docs[id_col] == cand_ids["cid"], "left_semi"
+    )
+    csets = _shingle_sets(corpus_hit, id_col, text_col, n)
+    return _verify_jaccard(cand, nsets.unionByName(csets), threshold)
 
 
 import re as _re

@@ -350,6 +350,49 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SH3} AS s FROM toks),
+    {_minhash_sig_sql()},
+    bands AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 8), b -> md5(concat(CAST(b AS VARCHAR), ':',
+                   array_to_string(list_slice(sig, b*4+1, b*4+4), ','))))) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    )
+    SELECT * FROM ({_VERIFY_SQL}) ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental", "index"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest dedup: the corpus (doc_id % 10 != 0) is indexed
+    ONCE (`materialize_minhash_index` — its band keys land in parquet),
+    then an incoming batch (doc_id % 10 == 0) is deduped against it by
+    `minhash_pairs_incremental`: the batch re-shingles only itself, joins
+    its fresh band keys against the STORED corpus keys, and exact-verifies
+    candidates with a candidate-sized corpus text lookup. The oracle
+    replays the whole minhash pipeline over all documents and keeps the
+    pairs touching the batch — so a stored key that stopped colliding with
+    a freshly computed one (coefficient drift, shingle normalization
+    drift: the failure mode of any persistent signature index) lands as a
+    hash mismatch."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    corpus, batch = docs.where(~is_new), docs.where(is_new)
+    path = tempfile.mkdtemp(prefix="minhash_idx_") + "/idx"
+    D.materialize_minhash_index(corpus, path)
+    return D.minhash_pairs_incremental(spark, path, batch, corpus).orderBy("a_id", "b_id")
+
+
+@register(
     "docs_chunking",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

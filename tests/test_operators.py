@@ -1394,3 +1394,44 @@ def test_bloom_filter_no_false_negatives_and_prunes(spark):
         for r in bloom_might_contain(probe, small, "g", m_bits=128, k_hashes=2).collect()
     )
     assert set(range(300)) <= got2  # degraded, never lossy
+
+
+def test_minhash_incremental_equals_full_recompute(spark, tmp_path):
+    """Index-based incremental dedup must equal the batch-touching subset
+    of a full-corpus minhash run (no collapse in either path), and
+    append_to_minhash_index must leave the index identical to a rebuild
+    over the union."""
+    from arrow_parquet_logs_spark.operators.dedup import (
+        append_to_minhash_index,
+        materialize_minhash_index,
+        minhash_lsh_pairs,
+        minhash_pairs_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, base + f" tail{i % 4}") for i in range(40)]  # 4 near-dup families
+    rows += [(i, f"unique totally different document number {i} with its own words") for i in range(40, 60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where("doc_id % 5 != 0")
+    batch = docs.where("doc_id % 5 = 0")
+
+    idx = str(tmp_path / "idx")
+    materialize_minhash_index(corpus, idx)
+    got = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in minhash_pairs_incremental(spark, idx, batch, corpus).collect()
+    }
+    full = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, collapse_exact=False).collect()
+        if r.a_id % 5 == 0 or r.b_id % 5 == 0
+    }
+    assert got == full and len(got) > 0
+
+    # append ≡ rebuild: same (sid, band_key) multiset
+    append_to_minhash_index(batch, idx)
+    rebuilt = str(tmp_path / "idx2")
+    materialize_minhash_index(docs, rebuilt)
+    a = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    b = sorted(map(tuple, spark.read.parquet(rebuilt).collect()))
+    assert a == b
