@@ -350,6 +350,71 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_jsonl_ingest",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(1 AS BIGINT) AS n_corrupt
+    FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """,
+    tags=("text", "ingest", "jsonl", "source"),
+)
+def docs_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-JSONL corpus ingest — the wire format most public text corpora
+    actually arrive in (C4, The Pile, Common Crawl derivatives are all
+    newline-delimited JSON, usually gzipped). Round-trips a document slice
+    through ``.json.gz`` files plus one deliberately malformed plain line,
+    and reads back the 100 TB way:
+
+    - **explicit schema** — no schema-inference pre-pass over the corpus
+      (inference is a full extra scan at scale);
+    - **PERMISSIVE + columnNameOfCorruptRecord** — the poison line is
+      quarantined into the corrupt column instead of failing the job or
+      (worse) silently vanishing; the query counts it and excludes it;
+    - mixed compression in one directory (gzip + plain) — Spark resolves
+      per-file codecs from extensions, no per-run config. Gzip files are
+      NOT splittable: one file = one task, so writers shard output (here:
+      Spark's own partitioned writer) rather than emitting one giant .gz.
+
+    The oracle is the identity over the slice plus the corrupt count —
+    any encode/decode drift (escaping, unicode, null handling) or a
+    quarantine miss lands as a hash mismatch."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    path = tempfile.mkdtemp(prefix="jsonl_ingest_") + "/corpus"
+    docs.select("doc_id", "text").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(path)
+    with open(os.path.join(path, "poison.json"), "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": 999999, "text": NOT_VALID_JSON}\n')
+
+    back = (
+        spark.read.schema("doc_id long, text string, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        # Spark refuses corrupt-column-only queries on raw JSON (the parser
+        # prunes to referenced columns, so _bad alone would see nothing to
+        # fail) — persist the parsed batch once, then both the quarantine
+        # count and the clean projection read the same parse
+        .persist()
+    )
+    n_corrupt = back.where(F.col("_bad").isNotNull()).count()
+    return (
+        back.where(F.col("_bad").isNull() & F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            F.length("text").alias("n_chars"),
+        )
+        .withColumn("n_corrupt", F.lit(n_corrupt).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dedup_minhash_incremental",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
