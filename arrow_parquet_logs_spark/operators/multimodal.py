@@ -1172,6 +1172,54 @@ def _decode_ima_adpcm(data: bytes, block_align: int):
     return np.asarray(out, dtype=np.int16)
 
 
+#: Microsoft ADPCM (WAV format tag 0x02) public constants: the 7 standard
+#: predictor coefficient pairs (×256 fixed point) and the 16-entry delta
+#: adaptation table.
+_MS_ADPCM_COEFFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                    (460, -208), (392, -232))
+_MS_ADPCM_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+                   768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _decode_ms_adpcm(data: bytes, block_align: int):
+    """Microsoft ADPCM (format tag 0x02, mono) → int16 numpy samples. Each
+    block: 7-byte header (coefficient-pair index, initial delta int16,
+    sample1 int16, sample2 int16 — the two header samples are emitted
+    first, older one leading), then 4-bit SIGNED codes two-per-byte, HIGH
+    nibble first (the opposite nibble order of IMA). Per code:
+    ``pred = trunc((s1·c1 + s2·c2)/256) + signed_nibble·delta`` clamped to
+    int16, then ``delta = max(16, (adapt[nib]·delta) >> 8)``. The
+    prediction division truncates toward zero (C semantics — floor would
+    differ on negative numerators, and the oracle replays exactly this).
+    Exact integer arithmetic end to end."""
+    import struct as _struct
+
+    import numpy as np
+
+    if block_align < 7:
+        raise ValueError(f"MS ADPCM block_align {block_align} too small")
+    out = []
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        blk = data[b0 : b0 + block_align]
+        pred_idx = blk[0]
+        if pred_idx >= len(_MS_ADPCM_COEFFS):
+            raise ValueError(f"MS ADPCM predictor index {pred_idx} out of range")
+        c1, c2 = _MS_ADPCM_COEFFS[pred_idx]
+        delta, s1, s2 = _struct.unpack_from("<hhh", blk, 1)
+        out.append(s2)
+        out.append(s1)
+        for byte in blk[7:]:
+            for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                signed = nib - 16 if nib & 8 else nib
+                num = s1 * c1 + s2 * c2
+                pred = (abs(num) // 256) * (1 if num >= 0 else -1) + signed * delta
+                pred = max(-32768, min(32767, pred))
+                out.append(pred)
+                s2, s1 = s1, pred
+                delta = max(16, (_MS_ADPCM_ADAPT[nib] * delta) >> 8)
+    return np.asarray(out, dtype=np.int16)
+
+
 def _ulaw_table():
     """G.711 μ-law byte → linear int16, the standard ITU expansion
     (complement, 3-bit exponent, 4-bit mantissa, +0x84 bias) — exact
@@ -1203,8 +1251,9 @@ def _alaw_table():
 def _decode_wav(buf: bytes):
     """RIFF/WAVE → (sample_rate, int16 numpy samples): linear PCM16
     (format 1), G.711 A-law (6) and μ-law (7, both 8-bit, expanded through
-    the exact integer ITU tables), mono or stereo, plus IMA ADPCM (0x11,
-    4-bit, mono — real compressed-audio decode via ``_decode_ima_adpcm``).
+    the exact integer ITU tables), mono or stereo, plus IMA ADPCM (0x11)
+    and Microsoft ADPCM (0x02) — both 4-bit mono compressed-audio decodes
+    (``_decode_ima_adpcm`` / ``_decode_ms_adpcm``).
     Pure byte-layout
     parsing (chunk walk, little-endian fields) — real audio decode with no
     codec library, the PPM/BMP story for the audio tier. Stereo downmixes
@@ -1242,9 +1291,13 @@ def _decode_wav(buf: bytes):
         if channels != 1:
             raise ValueError("IMA ADPCM: only mono supported")
         return int(sr), _decode_ima_adpcm(data, block_align)
+    elif audio_format == 0x02 and bits == 4:
+        if channels != 1:
+            raise ValueError("MS ADPCM: only mono supported")
+        return int(sr), _decode_ms_adpcm(data, block_align)
     else:
         raise ValueError(
-            f"only PCM16 / G.711 A-law / G.711 mu-law / IMA ADPCM supported "
+            f"only PCM16 / G.711 A-law / G.711 mu-law / IMA ADPCM / MS ADPCM supported "
             f"(format={audio_format}, bits={bits})"
         )
     if channels == 2:

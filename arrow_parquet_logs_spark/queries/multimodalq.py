@@ -1213,6 +1213,114 @@ def multimodal_real_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "multimodal_real_msadpcm_features",
+    oracle="""
+    WITH RECURSIVE init AS (
+        SELECT doc_id,
+               doc_id % 7 AS pi,
+               16 + doc_id % 100 AS delta,
+               CASE WHEN (doc_id*37)%65536 >= 32768 THEN (doc_id*37)%65536 - 65536
+                    ELSE (doc_id*37)%65536 END AS s1,
+               CASE WHEN (doc_id*53)%65536 >= 32768 THEN (doc_id*53)%65536 - 65536
+                    ELSE (doc_id*53)%65536 END AS s2,
+               [(doc_id*7)%256, (doc_id*11)%256] AS d
+        FROM documents WHERE doc_id < 200
+    ),
+    c AS (
+        SELECT *,
+               [256,512,0,192,240,460,392][pi+1] AS c1,
+               [0,-256,0,64,0,-208,-232][pi+1] AS c2
+        FROM init
+    ),
+    -- replay the MS ADPCM state machine: header samples s2,s1 emitted
+    -- first, then 4 signed nibbles (HIGH first) through the adaptive
+    -- predictor; the prediction division truncates toward zero (C
+    -- semantics), which is NOT // on negatives — hence the CASE
+    dec AS (
+        SELECT doc_id, 0 AS k, s1, s2, delta, c1, c2, d,
+               CAST(s2 AS BIGINT)*s2 + CAST(s1 AS BIGINT)*s1 AS sum_sq,
+               CASE WHEN (s1 >= 0) != (s2 >= 0) THEN 1 ELSE 0 END AS zc,
+               s1 AS prev
+        FROM c
+        UNION ALL
+        SELECT doc_id, k+1, new_s AS s1, s1 AS s2,
+               GREATEST(16, (
+                   [230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230][nib+1]
+                   * delta) // 256) AS delta,
+               c1, c2, d,
+               sum_sq + CAST(new_s AS BIGINT)*new_s,
+               zc + CASE WHEN (new_s >= 0) != (prev >= 0) THEN 1 ELSE 0 END,
+               new_s AS prev
+        FROM (
+            SELECT *,
+                   GREATEST(-32768, LEAST(32767,
+                       CASE WHEN num >= 0 THEN num // 256 ELSE -((-num) // 256) END
+                       + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END) * delta)) AS new_s
+            FROM (
+                SELECT *,
+                       CASE WHEN k%2 = 0 THEN d[k//2+1] // 16 ELSE d[k//2+1] % 16 END AS nib,
+                       CAST(s1 AS BIGINT)*c1 + CAST(s2 AS BIGINT)*c2 AS num
+                FROM dec WHERE k < 4
+            )
+        )
+    )
+    SELECT doc_id AS id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(6 AS INTEGER) AS n_samples, CAST(750 AS BIGINT) AS duration_us,
+           sum_sq, CAST(zc AS INTEGER) AS zero_crossings
+    FROM dec WHERE k = 4 ORDER BY id
+    """,
+    tags=("multimodal", "audio", "pandas-udf", "decode", "adpcm"),
+)
+def multimodal_real_msadpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Microsoft ADPCM decode (WAV format tag 0x02) under the
+    driver's hash gate — the adaptive-coefficient twin of
+    `multimodal_real_adpcm_features`. Each document gets one 9-byte block:
+    coefficient-pair index doc_id%7 (exercising all 7 standard predictor
+    pairs across the corpus), initial delta, two seeded header samples
+    (emitted first, older leading), and two code bytes = four HIGH-first
+    signed nibbles through the real state machine
+    (operators.multimodal._decode_ms_adpcm: ×256 fixed-point two-tap
+    prediction with C-truncating division, int16 clamp, delta adaptation
+    floor 16). The oracle replays every step as a RECURSIVE CTE — the
+    truncate-vs-floor division distinction on negative predictions is
+    exactly the kind of bug the hash gate exists to catch."""
+    import struct as _struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, audio_features
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    n_data = 9  # one block: 7-byte header + 2 code bytes → 6 samples
+    header = (
+        b"RIFF" + _struct.pack("<I", 40 + n_data) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHHHH", 20, 0x02, 1, 8000, 4055, 9, 4, 2, 6)
+        + b"data" + _struct.pack("<I", n_data)
+    )
+
+    def byte(v):
+        return F.unhex(F.lpad(F.hex(v), 2, "0"))
+
+    def int16le(u):
+        return F.concat(byte(u % 256), byte((u / 256).cast("int")))
+
+    u1 = (F.col("doc_id") * 37) % 65536
+    u2 = (F.col("doc_id") * 53) % 65536
+    delta = F.lit(16) + F.col("doc_id") % 100
+    block = F.concat(
+        byte(F.col("doc_id") % 7),            # coefficient-pair index
+        int16le(delta),                        # initial delta (int16 LE)
+        int16le(u1),                           # sample1 (newer)
+        int16le(u2),                           # sample2 (older)
+        byte((F.col("doc_id") * 7) % 256),     # code bytes
+        byte((F.col("doc_id") * 11) % 256),
+    )
+    media = attach_media(
+        docs.select("doc_id", F.concat(F.lit(header), block).alias("raw")),
+        "raw", "audio", "wav",
+    )
+    return audio_features(media, id_col="doc_id").orderBy("id")
+
+
+@register(
     "multimodal_real_aiff_features",
     oracle="""
     WITH u AS (

@@ -1435,3 +1435,61 @@ def test_minhash_incremental_equals_full_recompute(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(idx).collect()))
     b = sorted(map(tuple, spark.read.parquet(rebuilt).collect()))
     assert a == b
+
+
+def test_ms_adpcm_decode_statemachine():
+    """MS ADPCM (format 0x02): header samples emitted older-first, HIGH
+    nibble first, ×256 two-tap prediction with C-truncating division,
+    delta adaptation floored at 16 — cross-checked against an independent
+    straight-line reimplementation over random blocks and all 7
+    coefficient pairs; container routing + mono gate."""
+    import struct
+
+    import numpy as np
+
+    def ref(data, ba):
+        out = []
+        for b0 in range(0, len(data) // ba * ba, ba):
+            blk = data[b0 : b0 + ba]
+            c1, c2 = M._MS_ADPCM_COEFFS[blk[0]]
+            delta, s1, s2 = struct.unpack_from("<hhh", blk, 1)
+            out += [s2, s1]
+            for byte in blk[7:]:
+                for n in (byte // 16, byte % 16):
+                    sn = n - 16 if n >= 8 else n
+                    num = s1 * c1 + s2 * c2
+                    pred = int(num / 256) + sn * delta  # trunc toward zero
+                    pred = min(32767, max(-32768, pred))
+                    out.append(pred)
+                    s2, s1 = s1, pred
+                    delta = max(16, (M._MS_ADPCM_ADAPT[n] * delta) >> 8)
+        return out
+
+    rng = np.random.default_rng(23)
+    for _ in range(60):
+        ba = int(rng.choice([9, 16, 32]))
+        data = b""
+        for _ in range(int(rng.integers(1, 4))):
+            data += struct.pack(
+                "<Bhhh",
+                int(rng.integers(0, 7)),
+                int(rng.integers(16, 4000)),
+                int(rng.integers(-32768, 32768)),
+                int(rng.integers(-32768, 32768)),
+            ) + bytes(rng.integers(0, 256, ba - 7, dtype=np.uint8))
+        assert list(M._decode_ms_adpcm(data, ba)) == ref(data, ba)
+
+    def wav(block, ch=1):
+        return (
+            b"RIFF" + struct.pack("<I", 40 + len(block)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHHHH", 20, 0x02, ch, 8000, 4055, 9, 4, 2, 6)
+            + b"data" + struct.pack("<I", len(block)) + block
+        )
+
+    blk = struct.pack("<Bhhh", 1, 100, 1000, -2000) + bytes([0x5A, 0xC3])
+    sr, s = M._decode_wav(wav(blk))
+    assert sr == 8000 and list(s) == ref(blk, 9)
+    with pytest.raises(ValueError, match="mono"):
+        M._decode_wav(wav(blk, ch=2))
+    with pytest.raises(ValueError, match="out of range"):
+        M._decode_ms_adpcm(struct.pack("<Bhhh", 7, 16, 0, 0) + b"\x00\x00", 9)
