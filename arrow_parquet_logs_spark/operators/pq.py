@@ -426,10 +426,31 @@ def materialize_ivfpq(
 
     Encoding runs vectorized by default (``pandas_encode`` — one numpy
     reduction per Arrow batch, bit-equal to the expression form) because
-    this is the stage that scans the whole corpus."""
+    this is the stage that scans the whole corpus.
+
+    Codes are CLUSTERED before the write: without it, every encode task
+    holds rows of every cell and dynamic partitioning writes a file per
+    (task × cell) — measured 503 files for a 16-cell sf0.1 index, and the
+    file count (hence search-side open cost) grows with cluster width.
+    ``files_per_cell`` bounds the opposite failure at 100 TB (one giant
+    file per cell = one writer task per cell): cells split into that many
+    hash sub-buckets, sized so each file lands near the parquet sweet
+    spot."""
     enc = _ivfpq_codes(emb, centroids, codebooks, id_col, vec_col, pandas_encode)
+    enc = _cluster_by_cell(enc, id_col)
     enc.write.mode("overwrite").partitionBy("cell").parquet(path)
     save_ivfpq_model(centroids, codebooks, path)
+
+
+def _cluster_by_cell(enc, id_col: str, files_per_cell: int = 1):
+    """Shuffle code rows so each ``cell=`` directory is written by
+    ``files_per_cell`` tasks (codes are ~1/32 of corpus bytes, so this
+    extra shuffle is cheap relative to the encode scan it follows)."""
+    if files_per_cell <= 1:
+        return enc.repartition("cell")
+    return enc.repartition(
+        F.col("cell"), F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell))
+    )
 
 
 def save_ivfpq_model(
@@ -482,6 +503,7 @@ def append_to_ivfpq(
     periodic re-fit + full rewrite handles centroid/codebook drift — the
     same maintenance contract as ``ivf.append_to_cells``."""
     enc = _ivfpq_codes(emb_new, centroids, codebooks, id_col, vec_col, pandas_encode)
+    enc = _cluster_by_cell(enc, id_col)
     enc.write.mode("append").partitionBy("cell").parquet(path)
 
 
