@@ -327,3 +327,72 @@ def bloom_might_contain(probe: DataFrame, bloom: DataFrame, key_col: str,
         .where(F.col("_all_hit") == 1)
         .select(*cols)
     )
+
+
+# ---- training-set shard export (the output end of the pipeline) ------------
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 16,
+) -> DataFrame:
+    """Write the final training set as ``shard=`` partitioned parquet plus
+    an order-independent integrity manifest, and return the manifest.
+
+    The output end of a 100 TB pipeline has its own failure modes: partial
+    writes, non-deterministic shard membership across re-runs, silent row
+    loss between export and training. This pins all three:
+
+    - **content-stable sharding** — shard = portable-hash(id) mod N, so a
+      re-run (any partitioning, any cluster size) produces byte-equal
+      shard membership; one cluster-on-shard shuffle before the write
+      gives one file per shard (same fix as the IVF cell layout);
+    - **order-independent manifest** — per shard: row count and
+      ``bit_xor`` of a per-row fingerprint ``hash64(id || ':' || md5(text))``.
+      XOR commutes, so the hash is partition- and order-invariant and an
+      oracle can recompute it from the source table; a dropped, duplicated
+      or bit-flipped row flips the shard hash;
+    - **atomic manifest publish** — ``_MANIFEST.json`` is written to a
+      temp name and renamed in last, so a reader never sees data files
+      without a (complete) manifest; the manifest doubles as the
+      export-complete marker.
+
+    Returns (shard, n_rows, content_hash) read back FROM DISK — callers
+    verifying an old export get the persisted truth, not a recomputation."""
+    import json
+    import os
+
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
+    spark = df.sparkSession
+    fp = hash64(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col))))
+    out = df.select(
+        F.col(id_col), F.col(text_col),
+        F.pmod(hash64(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))), F.lit(shards)).alias("shard"),
+        fp.alias("_fp"),
+    )
+    out.drop("_fp").repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifest = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("_fp").alias("content_hash"),
+        )
+        .orderBy("shard")
+        .collect()  # bounded: one row per shard
+    )
+    tmp = os.path.join(path, "_MANIFEST.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(
+            [{"shard": r["shard"], "n_rows": r["n_rows"], "content_hash": r["content_hash"]}
+             for r in manifest],
+            fh,
+        )
+    os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    rows = json.load(open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8"))
+    return spark.createDataFrame(
+        [(r["shard"], r["n_rows"], r["content_hash"]) for r in rows],
+        "shard int, n_rows long, content_hash long",
+    )

@@ -350,6 +350,42 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_export_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               {_H64.format(x="concat('shard:', CAST(doc_id AS VARCHAR))")} % 16 AS shard,
+               {_H64.format(x="concat(CAST(doc_id AS VARCHAR), ':', md5(text))")} AS fp
+        FROM documents WHERE doc_id < 1000
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(fp) AS content_hash
+    FROM t GROUP BY shard ORDER BY shard
+    """,
+    tags=("text", "export", "shards", "manifest", "sink"),
+)
+def docs_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-set export under the hash gate: a document
+    slice is written as 16 content-stable ``shard=`` parquet partitions
+    with an atomic order-independent integrity manifest
+    (`operators.text.export_training_shards`), and the returned rows are
+    the manifest READ BACK FROM DISK — so shard assignment drift, a
+    dropped/duplicated row, or a broken manifest publish all land as a
+    hash mismatch against the oracle's recomputation from the source
+    table. The xor-of-fingerprints hash commutes, making the check
+    partition-count- and order-invariant: the property that lets a 1000-
+    executor export be verified shard-by-shard without a global sort."""
+    import tempfile
+
+    from arrow_parquet_logs_spark.operators.text import export_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    path = tempfile.mkdtemp(prefix="shard_export_") + "/out"
+    return export_training_shards(docs, path).orderBy("shard")
+
+
+@register(
     "docs_jsonl_ingest",
     oracle="""
     SELECT doc_id, md5(text) AS text_md5,
