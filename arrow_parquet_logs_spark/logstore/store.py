@@ -717,21 +717,29 @@ class LogStore:
         # so a reader that resolved its file list against manifest N just
         # before this commit can still finish scanning this round's landing
         # files — they survive until version N+2). Interrupted deletions are
-        # retried on every later compaction; a name leaves the manifest only
-        # once its file is confirmed gone.
+        # retried on every later compaction. The consumed set is CUMULATIVE:
+        # a name never leaves the manifest, even after its file is deleted —
+        # a deleted batch file that REAPPEARS (an ingest client retrying a
+        # stale PUT after a partition, a restore-from-backup, an
+        # eventually-consistent listing ghost) must stay excluded forever or
+        # its rows double-count; this is the replay half of the exactly-once
+        # contract (the reference's restart-duplication bug, writer.py:
+        # 181-219, is one instance). Growth bound: one ~45-byte name per
+        # ingest batch between compactions — KBs/day at production cadence;
+        # a catalog service would checkpoint-trim names older than the
+        # ingest tier's maximum replay horizon.
         ldir = self._part_dir(self._landing_root(), container, session)
-        survivors = []
         for name in man["consumed_landing"]:
             try:
                 os.remove(os.path.join(ldir, name))
-            except FileNotFoundError:
-                pass
-            except OSError:
-                survivors.append(name)  # retry next round
+            except (FileNotFoundError, OSError):
+                pass  # already gone, or retried (and still excluded) later
         manifest = {
             "version": new_version,
             "files": files,
-            "consumed_landing": sorted(set(survivors) | {os.path.basename(f) for f in landing}),
+            "consumed_landing": sorted(
+                set(man["consumed_landing"]) | {os.path.basename(f) for f in landing}
+            ),
         }
         self._commit_version(container, session, manifest)
         return {"version": new_version, "compacted": True, "files": len(files), "input_files": len(inputs)}

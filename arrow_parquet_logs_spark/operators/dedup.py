@@ -359,7 +359,16 @@ def minhash_pairs_incremental(
         cand_ids, corpus_docs[id_col] == cand_ids["cid"], "left_semi"
     )
     csets = _shingle_sets(corpus_hit, id_col, text_col, n)
-    return _verify_jaccard(cand, nsets.unionByName(csets), threshold)
+    # materialize the (candidate-sized) verified pairs, then release the
+    # per-batch caches — an ingest loop calling this repeatedly must not
+    # accumulate persisted plans across batches (LRU eviction is not a
+    # lifecycle policy)
+    verified = _verify_jaccard(cand, nsets.unionByName(csets), threshold).localCheckpoint(
+        eager=True
+    )
+    nsets.unpersist()
+    nbk.unpersist()
+    return verified
 
 
 import re as _re
@@ -543,7 +552,7 @@ def simhash_pairs(
 # ------------------------------------------------ duplicate clusters ----
 def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
                          max_iters: int = 20,
-                         driver_edge_cap: int = 5_000_000) -> DataFrame:
+                         driver_edge_cap: int = 2_000_000) -> DataFrame:
     """Near-dup pairs → duplicate clusters (cluster label = min member id).
 
     Pair output alone can't drive dedup policy (keep one per *cluster*, not
@@ -552,11 +561,16 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_
     Two regimes, chosen by the MEASURED edge count (the directed edge set
     is materialized either way, so the count is free):
 
-    - **Bounded graph** (≤ ``driver_edge_cap`` directed edges, default 5 M
-      ≈ tens of MB): exact union-find on the driver — near-dup graphs are
-      orders of magnitude smaller than their corpus (they hold only the
-      nodes that HAVE a near-duplicate), and one collect + O(E α) pass
-      beats a dozen distributed join rounds whose per-round job latency
+    - **Bounded graph** (≤ ``driver_edge_cap`` directed edges, default 2 M):
+      exact union-find on the driver — near-dup graphs are orders of
+      magnitude smaller than their corpus (they hold only the nodes that
+      HAVE a near-duplicate). The edge list arrives via Arrow
+      (``toPandas``: two columnar arrays, ~16 B/edge for longs) rather
+      than ``collect()``'s per-edge Row objects (~200-400 B each — the
+      old 5 M-Row cap risked 1-2 GB of driver heap); the union-find dict
+      over ≤ 2·cap node ids is the remaining driver cost, and the cap
+      bounds it explicitly. One Arrow fetch + O(E α) pass beats a dozen
+      distributed join rounds whose per-round job latency
       dominates at this size (measured: 12 rounds ≈ 6 s for a 920-pair
       graph vs < 0.5 s driver-side). The cap bounds driver memory
       explicitly — a gated, size-checked collect, same contract as the
@@ -598,8 +612,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_
     )
     n_edges = edges.count()  # materializes the persist; free thereafter
     if n_edges <= driver_edge_cap:
-        # exact driver-side union-find over the bounded edge list
-        rows = edges.collect()
+        # exact driver-side union-find; Arrow-columnar fetch (not collect()
+        # — per-edge Row objects would be ~20x the memory of two arrays)
+        pdf = edges.toPandas()
         parent: dict = {}
 
         def find(x):
@@ -610,8 +625,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
-            a, b = r[0], r[1]
+        for a, b in zip(pdf[pdf.columns[0]].to_list(), pdf[pdf.columns[1]].to_list()):
             if a not in parent:
                 parent[a] = a
             if b not in parent:
@@ -628,6 +642,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_
                 comp_min[r] = x
         out = [(x, comp_min[find(x)]) for x in parent]
         id_field = edges.schema.fields[0]
+        edges.unpersist()  # result is driver-built; cache is dead weight now
         labels = pairs.sparkSession.createDataFrame(
             out,
             T.StructType(
@@ -695,6 +710,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_
             "graph diameter exceeds max_iters; raise it (labels move one hop "
             "per round) or pre-contract long chains"
         )
+    edges.unpersist()  # final labels are checkpointed; drop the edge cache
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),

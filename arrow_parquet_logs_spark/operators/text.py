@@ -256,6 +256,47 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 # ---- distributed Bloom filter (decontamination at non-broadcast scale) -----
 
+#: floor / broadcast-safety cap for auto-sized Bloom bitmaps. The cap is
+#: 2²⁷ bits = 16 MB — comfortably under Spark's broadcast limits and the
+#: 64 MB session autoBroadcastJoinThreshold.
+BLOOM_MIN_BITS = 1 << 20
+BLOOM_MAX_BITS = 1 << 27
+
+
+def bloom_size_for(keys: DataFrame, key_col: str, k_hashes: int = 3,
+                   target_fp: float = 0.01) -> int:
+    """Pick ``m_bits`` for a Bloom filter over ``keys`` so the classical
+    false-positive bound (1-e^{-kn/m})^k stays ≤ ``target_fp``.
+
+    A fixed default (2²⁰) silently degrades: at n = 10⁶ distinct keys with
+    k = 3 the FP rate is ~42%, and the "tiny" two-phase verify join stops
+    being tiny. This sizes m from a cheap ``approx_count_distinct`` of the
+    key set (one map-side-combinable agg, ±5% — absorbed by the 2×
+    power-of-two rounding), solves kn/m from the bound, rounds up to a
+    power of two (so hash/word layouts stay cache- and oracle-friendly),
+    floors at 2²⁰ (128 KB — never worse than the old default) and caps at
+    2²⁷ (16 MB, broadcast-safe; beyond that the caller should shard the
+    filter or raise k). The choice is deterministic for a given dataset,
+    so an oracle replaying with the same m reproduces every probe bit.
+
+    Callers pass the returned value to BOTH :func:`bloom_bitmap` and
+    :func:`bloom_might_contain` — the bitmap does not carry its geometry."""
+    import math
+
+    n = keys.select(F.col(key_col)).where(F.col(key_col).isNotNull()).agg(
+        F.approx_count_distinct(key_col).alias("n")
+    ).collect()[0]["n"]  # bounded: 1 row
+    if n <= 0:
+        return BLOOM_MIN_BITS
+    # (1 - e^{-x})^k <= p  =>  x <= -ln(1 - p^{1/k}); m = k*n/x
+    x = -math.log(1.0 - target_fp ** (1.0 / k_hashes))
+    m = int(k_hashes * n / x)
+    m_bits = BLOOM_MIN_BITS
+    while m_bits < m and m_bits < BLOOM_MAX_BITS:
+        m_bits <<= 1
+    return m_bits
+
+
 def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
                  k_hashes: int = 3) -> DataFrame:
     """Build a Bloom filter over the distinct values of ``key_col`` as a
@@ -299,34 +340,42 @@ def bloom_might_contain(probe: DataFrame, bloom: DataFrame, key_col: str,
     """Filter ``probe`` to the rows whose ``key_col`` MIGHT be in the Bloom
     filter built by ``bloom_bitmap`` (same ``m_bits``/``k_hashes``).
 
-    Plan shape: explode the k probe positions per row, broadcast-join the
-    16 K-word bitmap (the broadcast is the BITMAP, never the key set),
-    test the bit, and keep rows where all k probes hit — a left join makes
-    an absent word row an automatic miss. No shuffle of the probe side
-    beyond the per-row explode/collapse; the collapse groupBy is on the
-    probe's own row, so it is map-side combinable."""
+    Plan shape: k chained LEFT broadcast joins of the bitmap (the
+    broadcast is the BITMAP, never the key set), one per hash seed, each
+    testing its bit — an absent word row is an automatic miss. The probe
+    side is never shuffled, exploded, or re-grouped, so row multiplicity
+    is preserved exactly: a probe with duplicate rows keeps every
+    duplicate that passes (the previous explode/collapse formulation
+    silently deduplicated identical probe rows)."""
     from arrow_parquet_logs_spark.functions.hashing import hash64
 
     cols = probe.columns
-    seeds = range(k_hashes)
-    pos = F.explode(
-        F.array(*[F.pmod(hash64(F.col(key_col), seed=f"bf{i}"), F.lit(m_bits)) for i in seeds])
-    ).alias("pos")
-    probed = probe.select(*cols, pos).select(
-        *cols,
-        (F.col("pos") / 64).cast("int").alias("word"),
-        F.expr("shiftleft(1L, int(pmod(pos, 64)))").alias("mask"),
-    )
-    hits = probed.join(F.broadcast(bloom), "word", "left").withColumn(
-        "_hit",
-        F.coalesce(F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False)),
-    )
-    return (
-        hits.groupBy(*cols)
-        .agg(F.min(F.col("_hit").cast("int")).alias("_all_hit"))
-        .where(F.col("_all_hit") == 1)
-        .select(*cols)
-    )
+    out = probe
+    hit_cols = []
+    for i in range(k_hashes):
+        pos_c, word_c, bits_c, hit_c = f"_pos{i}", f"_word{i}", f"_bits{i}", f"_hit{i}"
+        bi = bloom.select(F.col("word").alias(word_c), F.col("bits").alias(bits_c))
+        out = (
+            out.withColumn(pos_c, F.pmod(hash64(F.col(key_col), seed=f"bf{i}"), F.lit(m_bits)))
+            .withColumn(word_c, (F.col(pos_c) / 64).cast("int"))
+            .join(F.broadcast(bi), word_c, "left")
+            .withColumn(
+                hit_c,
+                F.coalesce(
+                    F.col(bits_c).bitwiseAND(
+                        F.expr(f"shiftleft(1L, int(pmod({pos_c}, 64)))")
+                    )
+                    != 0,
+                    F.lit(False),
+                ),
+            )
+        )
+        hit_cols.append(hit_c)
+    all_hit = hit_cols[0]
+    cond = F.col(all_hit)
+    for h in hit_cols[1:]:
+        cond = cond & F.col(h)
+    return out.where(cond).select(*cols)
 
 
 # ---- training-set shard export (the output end of the pipeline) ------------
@@ -354,6 +403,14 @@ def export_training_shards(
       XOR commutes, so the hash is partition- and order-invariant and an
       oracle can recompute it from the source table; a dropped, duplicated
       or bit-flipped row flips the shard hash;
+    - **manifest attests the BYTES ON DISK** — after the write, the
+      fingerprints are aggregated from ``spark.read.parquet(path)``, not
+      from a second evaluation of the input plan. A partial write, a
+      write-visibility bug, or a non-deterministic input therefore
+      produces a manifest that disagrees with an oracle recomputation
+      from the source table — exactly the divergence the manifest exists
+      to catch. Cost is identical (one scan either way) and the read-back
+      scan is of freshly-written, already-clustered files;
     - **atomic manifest publish** — ``_MANIFEST.json`` is written to a
       temp name and renamed in last, so a reader never sees data files
       without a (complete) manifest; the manifest doubles as the
@@ -367,18 +424,18 @@ def export_training_shards(
     from arrow_parquet_logs_spark.functions.hashing import hash64
 
     spark = df.sparkSession
-    fp = hash64(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col))))
     out = df.select(
         F.col(id_col), F.col(text_col),
         F.pmod(hash64(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))), F.lit(shards)).alias("shard"),
-        fp.alias("_fp"),
     )
-    out.drop("_fp").repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+    out.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+    written = spark.read.parquet(path)  # manifest source: the persisted files
+    fp = hash64(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col))))
     manifest = (
-        out.groupBy("shard")
+        written.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.bit_xor("_fp").alias("content_hash"),
+            F.bit_xor(fp).alias("content_hash"),
         )
         .orderBy("shard")
         .collect()  # bounded: one row per shard
@@ -396,3 +453,47 @@ def export_training_shards(
         [(r["shard"], r["n_rows"], r["content_hash"]) for r in rows],
         "shard int, n_rows long, content_hash long",
     )
+
+
+def verify_training_shards(
+    spark, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Audit an existing shard export: recompute the per-shard fingerprints
+    from the parquet files ON DISK and compare against ``_MANIFEST.json``.
+
+    This is the training-side half of the integrity contract — run it just
+    before consuming an export (or after a suspicious copy/transfer) to
+    catch dropped files, truncated shards, duplicated rows, or bit-level
+    text corruption. Cost: one scan of the export, one broadcast join of
+    the (≤ shards)-row manifest. Returns one row per shard seen on disk or
+    in the manifest: (shard, n_rows, content_hash, manifest_n_rows,
+    manifest_content_hash, ok) — ``ok`` false on any disagreement,
+    including shards present on only one side."""
+    import json
+    import os
+
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest_rows = json.load(fh)
+    manifest = spark.createDataFrame(
+        [(r["shard"], r["n_rows"], r["content_hash"]) for r in manifest_rows],
+        "shard int, manifest_n_rows long, manifest_content_hash long",
+    )
+    fp = hash64(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col))))
+    disk = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.bit_xor(fp).alias("content_hash"))
+    )
+    joined = disk.join(manifest, "shard", "full_outer")  # manifest side ≤ shards rows
+    ok = (
+        F.col("n_rows").isNotNull()
+        & F.col("manifest_n_rows").isNotNull()
+        & (F.col("n_rows") == F.col("manifest_n_rows"))
+        & (F.col("content_hash") == F.col("manifest_content_hash"))
+    )
+    return joined.select(
+        "shard", "n_rows", "content_hash", "manifest_n_rows", "manifest_content_hash",
+        ok.alias("ok"),
+    ).orderBy("shard")

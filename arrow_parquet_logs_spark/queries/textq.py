@@ -1255,7 +1255,11 @@ def docs_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash/bit/word-layout bug that dropped a true member would surface as a
     missing row. Flags docs sharing ≥2 word-3-gram shingles with the
     benchmark slice (every 89th doc)."""
-    from arrow_parquet_logs_spark.operators.text import bloom_bitmap, bloom_might_contain
+    from arrow_parquet_logs_spark.operators.text import (
+        bloom_bitmap,
+        bloom_might_contain,
+        bloom_size_for,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % 89 == 0
@@ -1265,11 +1269,14 @@ def docs_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    bloom = bloom_bitmap(bsh, "g")
+    # auto-size the bitmap from the key cardinality (floors at 2^20, so at
+    # test SFs this is the historical default and the oracle is unchanged)
+    m_bits = bloom_size_for(bsh, "g")
+    bloom = bloom_bitmap(bsh, "g", m_bits=m_bits)
     tsh = docs.where(~is_bench).select(
         "doc_id", F.explode(X.distinct_shingles("text", 3)).alias("g")
     )
-    cand = bloom_might_contain(tsh, bloom, "g")
+    cand = bloom_might_contain(tsh, bloom, "g", m_bits=m_bits)
     return (
         cand.join(bsh, "g")  # exact verify: BF false positives die here
         .groupBy("doc_id")

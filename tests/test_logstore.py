@@ -81,6 +81,32 @@ def test_crash_window_consumed_landing_excluded(store):
     assert store.count(container="a", session="s1") == 2  # not double-counted
 
 
+def test_replayed_landing_file_excluded_across_versions(store):
+    """Exactly-once vs ingest REPLAY: a landing batch consumed (and later
+    deleted) by an OLD version that reappears — a client retrying a stale
+    PUT, a restore-from-backup — must stay manifest-excluded forever. The
+    consumed set is cumulative, so the count never changes."""
+    _w(store, msg="m0")
+    _w(store, msg="m1", ts="2024-01-01T00:00:01Z")
+    ldir = store._part_dir(store._landing_root(), "a", "s1")
+    # snapshot the landing batch files before they're consumed + deleted
+    saved = {f: open(os.path.join(ldir, f), "rb").read() for f in os.listdir(ldir)
+             if f.endswith(".parquet")}
+    store.compact("a", "s1")                       # v1 consumes them
+    _w(store, msg="m2", ts="2024-01-01T00:00:02Z")
+    store.compact("a", "s1")                       # v2 grace-deletes v1's files
+    assert store.count(container="a", session="s1") == 3
+    for f, data in saved.items():                  # replay the stale PUTs
+        assert not os.path.exists(os.path.join(ldir, f))  # confirmed deleted
+        with open(os.path.join(ldir, f), "wb") as fh:
+            fh.write(data)
+    assert store.count(container="a", session="s1") == 3  # still exactly-once
+    # and a further compaction neither re-consumes nor duplicates them
+    _w(store, msg="m3", ts="2024-01-01T00:00:03Z")
+    store.compact("a", "s1")
+    assert store.count(container="a", session="s1") == 4
+
+
 def test_time_travel_archive_versions(store):
     _w(store, msg="m0")
     store.compact("a", "s1")

@@ -1535,3 +1535,99 @@ def test_export_training_shards_manifest_and_layout(spark, tmp_path):
     m3 = [tuple(r) for r in export_training_shards(docs2, p3, shards=8).collect()]
     diffs = [i for i, (a, b) in enumerate(zip(m1, m3)) if a != b]
     assert len(diffs) == 1
+
+
+def test_export_manifest_attests_disk_and_catches_tamper(spark, tmp_path):
+    """The manifest is computed from the written parquet, not the source
+    plan — so verify_training_shards (disk recompute vs _MANIFEST.json)
+    passes on a clean export and flags EXACTLY the shard whose file bytes
+    were tampered with after the write."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from arrow_parquet_logs_spark.operators.text import (
+        export_training_shards,
+        verify_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(200)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "exp")
+    export_training_shards(docs, p, shards=8)
+    clean = verify_training_shards(spark, p).collect()
+    assert len(clean) == 8 and all(r.ok for r in clean)
+
+    # tamper: rewrite one shard's parquet file with one text value flipped
+    victim = sorted(glob.glob(p + "/shard=*/*.parquet"))[0]
+    victim_shard = int(victim.split("shard=")[1].split("/")[0])
+    t = pq.read_table(victim)
+    texts = t.column("text").to_pylist()
+    texts[0] = "tampered after write"
+    t2 = t.set_column(t.schema.get_field_index("text"), "text", pa.array(texts))
+    pq.write_table(t2, victim)
+    # drop the local-FS checksum sidecar so the MANIFEST layer (not the
+    # Hadoop .crc layer) is what catches the tamper
+    import os
+
+    crc = os.path.join(os.path.dirname(victim), "." + os.path.basename(victim) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    after = verify_training_shards(spark, p).collect()
+    bad = [r.shard for r in after if not r.ok]
+    assert bad == [victim_shard]
+    assert all(r.ok for r in after if r.shard != victim_shard)
+
+
+def test_bloom_might_contain_preserves_multiplicity(spark):
+    """The probe side keeps duplicate rows: 3 identical member rows in →
+    3 rows out (the explode/collapse formulation collapsed them)."""
+    from arrow_parquet_logs_spark.operators.text import bloom_bitmap, bloom_might_contain
+
+    keys = spark.createDataFrame([("m",)], "g string")
+    probe = spark.createDataFrame(
+        [(1, "m"), (1, "m"), (1, "m"), (2, "absent-key-zzz")], "doc_id long, g string"
+    )
+    bloom = bloom_bitmap(keys, "g")
+    got = bloom_might_contain(probe, bloom, "g").collect()
+    assert sorted((r.doc_id, r.g) for r in got) == [(1, "m")] * 3
+
+
+def test_bloom_auto_sizing_bounds_fp_rate(spark):
+    """bloom_size_for at 10^6 distinct keys: the fixed 2^20 default would
+    give ~42% FP at k=3; auto-sizing must pick a power-of-two m within the
+    broadcast cap that holds the empirical FP rate under ~2x the 1%
+    target. Floor and cap behavior pinned too."""
+    from arrow_parquet_logs_spark.operators.text import (
+        BLOOM_MAX_BITS,
+        BLOOM_MIN_BITS,
+        bloom_bitmap,
+        bloom_might_contain,
+        bloom_size_for,
+    )
+
+    keys = spark.range(1_000_000).select(
+        F.concat(F.lit("member:"), F.col("id").cast("string")).alias("g")
+    )
+    m = bloom_size_for(keys, "g")
+    assert BLOOM_MIN_BITS <= m <= BLOOM_MAX_BITS
+    assert m & (m - 1) == 0  # power of two
+    assert m >= 1 << 23      # actually grew past the old fixed default
+
+    bloom = bloom_bitmap(keys, "g", m_bits=m)
+    non_members = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("outsider:"), F.col("id").cast("string")).alias("g"),
+    )
+    fp = bloom_might_contain(non_members, bloom, "g", m_bits=m).count()
+    assert fp / 100_000 <= 0.02, fp
+
+    # tiny key set → floor (historical default, oracle-stable)
+    tiny = spark.createDataFrame([("a",), ("b",)], "g string")
+    assert bloom_size_for(tiny, "g") == BLOOM_MIN_BITS
+    # empty key set → floor, no crash
+    assert bloom_size_for(tiny.where("g = 'zz'"), "g") == BLOOM_MIN_BITS

@@ -4,6 +4,8 @@ for repeated fact-fact joins)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from arrow_parquet_logs_spark.plans.inspect import explain_str
@@ -28,10 +30,17 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     """Pre-bucketing both sides on the join key removes the per-query
     shuffle: SortMergeJoin with zero Exchange operators. At 100 TB this is
     the difference between re-shuffling 100 TB per join and none."""
+    import shutil
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
+    # hermetic: DROP TABLE is a no-op in a fresh metastore while an orphan
+    # directory from an earlier run persists in the shared warehouse →
+    # LOCATION_ALREADY_EXISTS; remove the locations before saveAsTable
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
     j = spark.table("b_lineitem").join(
