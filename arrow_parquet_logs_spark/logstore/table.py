@@ -15,7 +15,16 @@ Protocol (same crash-safety argument as ``store.py``):
   what bounds a 100 TB upsert to the data it actually changes;
 - ``vacuum`` deletes version directories outside the kept window only after
   removing every file in them that a SURVIVING manifest still references —
-  files, not directories, are the unit of liveness.
+  files, not directories, are the unit of liveness;
+- ``upsert`` commits OPTIMISTICALLY: data staged lock-free under
+  ``_staged/<token>/``, conflict-checked at partition granularity inside a
+  milliseconds-long commit critical section, rebased when disjoint and
+  retried when not (see :meth:`VersionedTable.upsert`);
+- every manifest carries per-file min/max STATS for key/partition/timestamp
+  columns (footer-harvested at write time, Delta/Iceberg-style), so
+  :meth:`VersionedTable.read_where` and predicate-scoped
+  :meth:`VersionedTable.changes` prune their file lists before Spark plans
+  the scan.
 
 MERGE semantics (`upsert`): matched keys are replaced by the update row,
 unmatched update keys are inserted, everything else is untouched — i.e.
@@ -59,10 +68,16 @@ class VersionedTable:
 
     # ---- commit protocol --------------------------------------------------
     def _mutate_lock(self):
-        """Single-writer guard: two concurrent mutations would both read
-        version N and race to commit N+1 — the loser's changes silently
-        vanish (lost update). O_EXCL makes the second mutator fail loudly.
-        A lock left by a CRASHED writer expires after ``stale_after``
+        """Commit-protocol guard. Full-rewrite operations (write /
+        delete_where / optimize / restore / vacuum) hold it for their whole
+        run; ``upsert`` is OPTIMISTIC — it stages its data write outside
+        any lock and takes this lock only for the commit critical section
+        (re-read CURRENT, partition-level conflict check, manifest+CURRENT
+        swap — milliseconds, no Spark job). Two concurrent mutations
+        racing CURRENT unchecked would both read version N and race to
+        commit N+1 — the loser's changes silently vanish (lost update);
+        O_EXCL makes the second committer wait its turn instead. A lock
+        left by a CRASHED writer expires after ``stale_after``
         (locks.file_lock) rather than wedging the table forever — safe
         because nothing commits before the CURRENT swap, so a takeover
         writer sees the last committed state and the crashed attempt's
@@ -97,16 +112,14 @@ class VersionedTable:
             fh.write(f"v{manifest['version']}")
         os.replace(tmp, os.path.join(self.path, "CURRENT"))
 
-    def _write_version_files(self, df: DataFrame, version: int, subdir: str = "") -> list[str]:
-        """Write ``df`` under v<version>/[subdir] and return table-relative
+    def _write_files(self, df: DataFrame, dest_rel: str) -> list[str]:
+        """Write ``df`` under ``<path>/<dest_rel>`` and return table-relative
         file paths. Partition directories come from a DUPLICATED ``__pt``
         column, so partitionBy strips the duplicate and the real partition
         column stays in the data files — manifest reads never need Hive
         partition discovery or value restoration (one job, no per-partition
         loop, no string-typed round-trip)."""
-        vdir = os.path.join(self.path, f"v{version}", subdir) if subdir else os.path.join(
-            self.path, f"v{version}"
-        )
+        vdir = os.path.join(self.path, dest_rel)
         if self.partition_col:
             df = df.withColumn("__pt", F.col(self.partition_col))
             df.write.mode("overwrite").partitionBy("__pt").parquet(vdir)
@@ -119,6 +132,142 @@ class VersionedTable:
                     rel = os.path.relpath(os.path.join(root, f), self.path)
                     out.append(rel.replace(os.sep, "/"))
         return sorted(out)
+
+    def _write_version_files(self, df: DataFrame, version: int, subdir: str = "") -> list[str]:
+        dest = f"v{version}/{subdir}" if subdir else f"v{version}"
+        return self._write_files(df, dest)
+
+    # ---- per-file column statistics (manifest data skipping) --------------
+    @staticmethod
+    def _stat_encode(v: Any):
+        """JSON-safe encoding preserving order: timestamps → µs ints
+        (tagged "ts"), numbers → as-is ("num"), strings → as-is ("str")."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            epoch = _dt.datetime(1970, 1, 1)
+            return int((v - epoch).total_seconds() * 1_000_000), "ts"
+        if isinstance(v, bool):
+            return int(v), "num"
+        if isinstance(v, (int, float)):
+            return v, "num"
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8"), "str"
+            except UnicodeDecodeError:
+                return None, None
+        if isinstance(v, str):
+            return v, "str"
+        return None, None
+
+    def _harvest_stats(self, files_rel: list[str]) -> dict:
+        """Per-file min/max for the key columns, the partition column and
+        every timestamp column, read from the parquet FOOTERS of freshly
+        written files (no data scan — the footers were just written and are
+        OS-cached). This is the manifest-level data-skipping index every
+        table format carries (Delta stats / Iceberg manifests): a keyed
+        point read or a time-range ``changes()`` prunes its file list
+        BEFORE Spark plans the scan. Returns
+        ``{relpath: {col: {"lo": v, "hi": v, "t": "ts"|"num"|"str"}}}``.
+        Driver-side loop ∝ files WRITTEN THIS COMMIT (partition-granular,
+        not table-sized); a cluster deployment would fold this into the
+        write job the way store.compact harvests Z-bounds."""
+        import pyarrow.parquet as papq
+
+        want = set(self.key_cols)
+        if self.partition_col:
+            want.add(self.partition_col)
+        out: dict = {}
+        for rel in files_rel:
+            p = os.path.join(self.path, rel)
+            try:
+                pf = papq.ParquetFile(p)
+            except Exception:
+                continue
+            md = pf.metadata
+            ts_cols = {
+                f.name for f in pf.schema_arrow
+                if str(f.type).startswith("timestamp")
+            }
+            cols: dict = {}
+            banned: set = set()  # any row group without usable stats bans the column
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if (name not in want and name not in ts_cols) or name in banned:
+                        continue
+                    st = col.statistics
+                    lo = hi = tl = th = None
+                    if st is not None and st.has_min_max:
+                        lo, tl = self._stat_encode(st.min)
+                        hi, th = self._stat_encode(st.max)
+                    if tl is None or th is None or tl != th:
+                        banned.add(name)
+                        cols.pop(name, None)
+                        continue
+                    prev = cols.get(name)
+                    if prev is None:
+                        cols[name] = {"lo": lo, "hi": hi, "t": tl}
+                    else:
+                        prev["lo"] = min(prev["lo"], lo)
+                        prev["hi"] = max(prev["hi"], hi)
+            if cols:
+                out[rel] = cols
+        return out
+
+    @staticmethod
+    def _coerce_pred_value(v: Any, t: str):
+        import datetime as _dt
+
+        if t == "ts":
+            if isinstance(v, str):
+                v = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+            return v  # already µs
+        return v
+
+    @classmethod
+    def _file_maybe_matches(cls, fstats: dict, col: str, op: str, value: Any) -> bool:
+        """Can a file with these footer bounds contain a row satisfying
+        ``col op value``? Missing stats → True (pruning is best-effort,
+        never filtering)."""
+        s = (fstats or {}).get(col)
+        if s is None:
+            return True
+        try:
+            v = cls._coerce_pred_value(value, s["t"])
+            lo, hi = s["lo"], s["hi"]
+            if op == "=":
+                return lo <= v <= hi
+            if op == "<":
+                return lo < v
+            if op == "<=":
+                return lo <= v
+            if op == ">":
+                return hi > v
+            if op == ">=":
+                return hi >= v
+        except (TypeError, ValueError):
+            return True
+        return True  # unknown op: no pruning
+
+    def _prune_files(self, man: dict, predicates) -> list[str]:
+        stats = man.get("stats", {})
+        return [
+            f
+            for f in man["files"]
+            if all(
+                self._file_maybe_matches(stats.get(f), c, op, v)
+                for c, op, v in predicates
+            )
+        ]
 
     @staticmethod
     def _file_partition(relpath: str) -> str | None:
@@ -137,7 +286,14 @@ class VersionedTable:
         man = self._current()
         new_v = man["version"] + 1
         files = self._write_version_files(df, new_v)
-        self._commit({"version": new_v, "files": files, "schema": df.schema.jsonValue()})
+        self._commit(
+            {
+                "version": new_v,
+                "files": files,
+                "schema": df.schema.jsonValue(),
+                "stats": self._harvest_stats(files),
+            }
+        )
         return {"version": new_v, "files": len(files)}
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -164,6 +320,40 @@ class VersionedTable:
             return self.spark.read.schema(st).parquet(*files)
         return self.spark.read.parquet(*files)
 
+    def _manifest_at(self, version: int | None) -> dict:
+        if version is None:
+            return self._current()
+        mpath = os.path.join(self.path, f"v{version}", "MANIFEST.json")
+        if not os.path.exists(mpath):
+            raise ValueError(f"no version {version} at {self.path}")
+        with open(mpath) as fh:
+            return json.load(fh)
+
+    def read_where(self, predicates: Sequence[tuple], version: int | None = None) -> DataFrame:
+        """Predicate-pruned read: ``predicates`` is a CONJUNCTIVE list of
+        ``(col, op, value)`` with op ∈ {=, <, <=, >, >=}. The manifest's
+        per-file min/max stats drop files whose bounds cannot satisfy every
+        conjunct BEFORE Spark ever sees the file list — a keyed point read
+        on a many-file version opens O(matching files), not O(files) — and
+        the same predicates are then applied as real row filters, so the
+        result is exactly ``read(version).where(...)`` regardless of how
+        much (or little) the stats pruned. Files without recorded stats
+        (pre-stats manifests) are conservatively kept. Time travel works
+        unchanged: pass ``version``."""
+        man = self._manifest_at(version)
+        if not man["files"]:
+            raise ValueError(f"empty table at {self.path} (no committed version)")
+        keep = self._prune_files(man, predicates)
+        df = self._read_manifest_files(man, keep)
+        for c, op, v in predicates:
+            col = F.col(c)
+            lit = F.lit(v)
+            df = df.where(
+                {"=": col == lit, "<": col < lit, "<=": col <= lit,
+                 ">": col > lit, ">=": col >= lit}[op]
+            )
+        return df
+
     def _read_manifest_files(self, man: dict, files_rel: list[str]) -> DataFrame:
         """Read a SUBSET of a manifest's files under the manifest schema —
         the partition-pruned scan for rewrite stages: the manifest maps
@@ -183,19 +373,68 @@ class VersionedTable:
             return self.spark.read.schema(st).parquet(*files)
         return self.spark.read.parquet(*files)
 
-    def upsert(self, updates: DataFrame) -> dict:
-        """MERGE: replace matched keys, insert unmatched — rewriting only
-        the partitions the updates touch; all other files carry over by
-        reference."""
-        with self._mutate_lock():
-            return self._upsert_locked(updates)
+    def upsert(self, updates: DataFrame, max_retries: int = 3) -> dict:
+        """MERGE with OPTIMISTIC concurrency (Delta-style): the data write
+        — the expensive part — runs against a lock-free snapshot of
+        CURRENT into a unique ``_staged/<token>/`` directory; the lock is
+        held only for the commit critical section (re-read CURRENT,
+        conflict check, manifest swap — no Spark job inside). Two upserts
+        touching DISJOINT partition sets therefore overlap their data
+        writes fully: the second committer sees CURRENT moved, checks that
+        the partitions that changed since its snapshot don't intersect its
+        own affected set, and REBASES — carries the new CURRENT's files
+        for untouched partitions and commits on top. An OVERLAPPING pair
+        conflicts: the loser discards its staged files and retries the
+        whole merge against the new snapshot (bounded by ``max_retries``).
 
-    def _upsert_locked(self, updates: DataFrame) -> dict:
-        man = self._current()
-        if man["version"] == 0:
-            return self._write_locked(updates)
-        target = self.read()
-        new_v = man["version"] + 1
+        Conflict granularity is the partition set (the same granularity
+        Delta's WriteSerializable uses): concurrent upserts must not carry
+        the same KEY — route CDC shards to writers by key/partition, the
+        standard contract. A non-partitioned table always conflicts (every
+        upsert rewrites everything), degrading to serialized-with-retry.
+
+        Crash-safety is unchanged: nothing becomes visible before the
+        CURRENT swap; abandoned staged directories age out via vacuum's
+        staged-orphan sweep."""
+        for _ in range(1 + max_retries):
+            man0 = self._current()
+            if man0["version"] == 0:
+                with self._mutate_lock():
+                    if self._current()["version"] == 0:
+                        return self._write_locked(updates)
+                continue  # someone initialized the table meanwhile: re-merge
+            plan = self._stage_upsert(updates, man0)
+            try:
+                with self._mutate_lock():
+                    man1 = self._current()
+                    if man1["version"] == man0["version"] or not self._upsert_conflicts(
+                        man0, man1, plan
+                    ):
+                        return self._commit_staged(plan, man1)
+            except RuntimeError:
+                # lock held by a live writer: don't leave this attempt's
+                # staged files for vacuum to age out
+                shutil.rmtree(
+                    os.path.join(self.path, "_staged", plan["token"]), ignore_errors=True
+                )
+                raise
+            # conflict: drop this attempt's staged files, retry on new snapshot
+            shutil.rmtree(
+                os.path.join(self.path, "_staged", plan["token"]), ignore_errors=True
+            )
+        raise RuntimeError(
+            f"upsert conflicted {max_retries + 1} times at {self.path} — "
+            "concurrent writers keep touching the same partitions; shard "
+            "updates by partition or serialize these writers"
+        )
+
+    def _stage_upsert(self, updates: DataFrame, man: dict) -> dict:
+        """Merge ``updates`` against snapshot ``man`` and write the result
+        for the affected partitions under ``_staged/<token>/`` — no lock
+        held; everything here is against the frozen snapshot."""
+        token = uuid.uuid4().hex
+        dest = f"_staged/{token}"
+        target = self._read_manifest_files(man, man["files"])
         if self.partition_col:
             # affected partitions = where updates land ∪ where their keys
             # CURRENTLY live — an update may move a key across partitions,
@@ -206,9 +445,6 @@ class VersionedTable:
             ).select(self.partition_col).distinct()
             affected = [r[0] for r in new_parts.unionByName(old_parts).distinct().collect()]
             affected_strs = {str(a) for a in affected}
-            keep_files = [
-                f for f in man["files"] if self._file_partition(f) not in affected_strs
-            ]
             # rewrite scan opens ONLY the affected partitions' files — the
             # manifest is the partition index, no full-table filter scan
             tgt_part = self._read_manifest_files(
@@ -221,24 +457,71 @@ class VersionedTable:
             merged = tgt_part.join(
                 updates.select(*self.key_cols), self.key_cols, "left_anti"
             ).unionByName(updates, allowMissingColumns=True)
-            new_files = self._write_version_files(merged, new_v, subdir="delta")
         else:
-            keep_files = []
+            affected_strs = None  # whole table: conflicts with any commit
             merged = target.join(
                 updates.select(*self.key_cols), self.key_cols, "left_anti"
             ).unionByName(updates, allowMissingColumns=True)
-            new_files = self._write_version_files(merged, new_v)
+        new_files = self._write_files(merged, dest)
+        return {
+            "token": token,
+            "files": new_files,
+            "affected": affected_strs,
+            "schema": merged.schema.jsonValue(),
+            "base_version": man["version"],
+            "base_schema": man.get("schema"),
+            "stats": self._harvest_stats(new_files),
+        }
+
+    @classmethod
+    def _partition_file_map(cls, man: dict) -> dict:
+        out: dict = {}
+        for f in man["files"]:
+            out.setdefault(cls._file_partition(f), []).append(f)
+        return {k: sorted(v) for k, v in out.items()}
+
+    def _upsert_conflicts(self, man0: dict, man1: dict, plan: dict) -> bool:
+        """True if commits between snapshot ``man0`` and current ``man1``
+        touched anything this staged upsert depends on: its affected
+        partitions, any non-partitioned file, or the table schema (the
+        merge used the snapshot's schema)."""
+        if plan["affected"] is None:
+            return True
+        if man1.get("schema") != plan["base_schema"]:
+            return True
+        a, b = self._partition_file_map(man0), self._partition_file_map(man1)
+        changed = {p for p in set(a) | set(b) if a.get(p) != b.get(p)}
+        if None in changed:
+            return True
+        return not changed.isdisjoint(plan["affected"])
+
+    def _commit_staged(self, plan: dict, man1: dict) -> dict:
+        """Commit a staged upsert on top of ``man1`` (== the snapshot, or a
+        rebase target whose intervening commits were verified disjoint).
+        Carried files keep their recorded stats."""
+        new_v = man1["version"] + 1
+        if plan["affected"] is not None:
+            keep_files = [
+                f for f in man1["files"] if self._file_partition(f) not in plan["affected"]
+            ]
+        else:
+            keep_files = []
+        old_stats = man1.get("stats", {})
+        stats = {f: old_stats[f] for f in keep_files if f in old_stats}
+        stats.update(plan["stats"])
         self._commit(
             {
                 "version": new_v,
-                "files": sorted(keep_files) + new_files,
-                "schema": merged.schema.jsonValue(),
+                "files": sorted(keep_files) + plan["files"],
+                "schema": plan["schema"],
+                "stats": stats,
             }
         )
         return {
             "version": new_v,
-            "rewritten_files": len(new_files),
+            "rewritten_files": len(plan["files"]),
             "carried_files": len(keep_files),
+            "rebased": man1["version"] != plan["base_version"],
         }
 
     def delete_where(self, condition: Any) -> dict:
@@ -277,11 +560,15 @@ class VersionedTable:
         else:
             keep_files = []
             new_files = self._write_version_files(target.where(~cond), new_v)
+        old_stats = man.get("stats", {})
+        stats = {f: old_stats[f] for f in keep_files if f in old_stats}
+        stats.update(self._harvest_stats(new_files))
         self._commit(
             {
                 "version": new_v,
                 "files": sorted(keep_files) + new_files,
                 "schema": target.schema.jsonValue(),
+                "stats": stats,
             }
         )
         return {
@@ -290,7 +577,12 @@ class VersionedTable:
             "carried_files": len(keep_files),
         }
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        predicates: Sequence[tuple] | None = None,
+    ) -> DataFrame:
         """Change data feed: row-level diff between two committed versions,
         in the Delta-CDF shape — every output row is a row of the table
         (latest schema) plus ``_change_type`` ∈ ``insert`` /
@@ -302,9 +594,21 @@ class VersionedTable:
         deployment sizes ``keep_versions`` to its CDC consumers' lag).
         Columns added between the versions read as null on the old side
         (the manifest-schema evolution contract), so a value appearing in
-        a new column surfaces as an update."""
-        new = self.read(version=to_version) if to_version is not None else self.read()
-        old = self.read(version=from_version)
+        a new column surfaces as an update.
+
+        ``predicates`` (the ``read_where`` conjunct form) scopes the diff:
+        both snapshots are stats-pruned AND row-filtered, so a keyed or
+        time-ranged CDC question opens only the files whose bounds can
+        hold matching rows on either side. Semantics caveat, by design: the
+        diff is then between the FILTERED snapshots — a row that left the
+        predicate's range between the versions appears as a delete (its
+        new image no longer matches), the mirror as an insert."""
+        if predicates:
+            new = self.read_where(predicates, version=to_version)
+            old = self.read_where(predicates, version=from_version)
+        else:
+            new = self.read(version=to_version) if to_version is not None else self.read()
+            old = self.read(version=from_version)
         cols = new.columns
         for c in cols:
             if c not in old.columns:
@@ -417,11 +721,15 @@ class VersionedTable:
             keep_files = []
             packed = self.read().repartition(bins[None])
             new_files = self._write_version_files(packed, new_v)
+        old_stats = man.get("stats", {})
+        stats = {f: old_stats[f] for f in keep_files if f in old_stats}
+        stats.update(self._harvest_stats(new_files))
         self._commit(
             {
                 "version": new_v,
                 "files": sorted(keep_files) + new_files,
                 "schema": man.get("schema") or self.read().schema.jsonValue(),
+                "stats": stats,
             }
         )
         return {
@@ -479,6 +787,7 @@ class VersionedTable:
                     "version": new_v,
                     "files": target["files"],
                     "schema": target.get("schema"),
+                    "stats": target.get("stats", {}),
                 }
             )
             return {
@@ -552,6 +861,33 @@ class VersionedTable:
                         orphan_files_removed += 1
             if not alive_here:
                 shutil.rmtree(vdir, ignore_errors=True)
+        # staged-orphan sweep: optimistic upserts stage under _staged/<token>
+        # BEFORE committing; a conflict-loser or crashed writer leaves its
+        # directory behind. A staged file referenced by a surviving manifest
+        # is live (committed stage); an unreferenced one is swept only after
+        # aging past lock_stale_after — an IN-FLIGHT writer (staging without
+        # a lock, by design) is younger than that by the same argument that
+        # bounds lock takeover.
+        import time as _time
+
+        staged_root = os.path.join(self.path, "_staged")
+        if os.path.isdir(staged_root):
+            now = _time.time()
+            for d in os.listdir(staged_root):
+                sdir = os.path.join(staged_root, d)
+                if not os.path.isdir(sdir):
+                    continue
+                alive = False
+                young = False
+                for root, _, fs in os.walk(sdir):
+                    for f in fs:
+                        rel = os.path.relpath(os.path.join(root, f), self.path).replace(os.sep, "/")
+                        if rel in live:
+                            alive = True
+                        elif now - os.path.getmtime(os.path.join(root, f)) <= self.lock_stale_after:
+                            young = True
+                if not alive and not young:
+                    shutil.rmtree(sdir, ignore_errors=True)
         return {
             "removed_versions": removed,
             "kept": survivors,

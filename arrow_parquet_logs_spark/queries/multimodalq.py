@@ -1055,6 +1055,85 @@ def multimodal_real_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, id_col="doc_id").orderBy("id")
 
 
+def _jpeg_prog_8x8_head() -> bytes:
+    """Constant prefix of a valid PROGRESSIVE JPEG: SOI, DQT (all-ones),
+    SOF2 (8×8 grayscale), the Annex-K DHT pair — scans follow, each with
+    its own SOS header."""
+    import struct as _struct
+
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    head += b"\xff\xc2" + _struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    for tc, (counts, symbols) in ((0, _JPEG_DC_LUM), (1, _JPEG_AC_LUM)):
+        head += (
+            b"\xff\xc4"
+            + _struct.pack(">H", 3 + 16 + len(symbols))
+            + bytes([tc << 4]) + counts + symbols
+        )
+    return bytes(head)
+
+
+def _jpeg_sos(ss: int, se: int, ah: int, al: int) -> bytes:
+    import struct as _struct
+
+    return b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes([1, 0x00, ss, se, (ah << 4) | al])
+
+
+@register(
+    "multimodal_real_jpeg_progressive",
+    oracle="""
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(336 AS BIGINT) AS byte_len,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(144 + doc_id % 16 AS DOUBLE) / 255 AS mean_luma
+    FROM documents WHERE doc_id < 200 ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "jpeg", "progressive"),
+)
+def multimodal_real_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive JPEG (SOF2) decoding under the driver's hash gate —
+    successive-approximation scan assembly with no codec library
+    (operators.multimodal._decode_jpeg_progressive_inner). Each document
+    gets a valid three-scan progressive stream for the SAME flat image as
+    `multimodal_real_jpeg_decode` (d = 129 + 8·(doc_id % 16), every pixel
+    144 + doc_id % 16):
+
+    1. DC first scan at Al=1: category-7 code ``11110`` + 7 magnitude bits
+       of d>>1 (d∈[129,249] ⇒ d>>1∈[64,124], always category 7), padded
+       with 1s — the two bytes are arithmetic in d;
+    2. DC refinement (Ah=1, Al=0): one raw bit = d&1 = 1 (d is odd), byte
+       0x80;
+    3. AC first scan (Ss=1..Se=63): all-zero AC ⇒ single EOB ``1010``,
+       byte 0xAF.
+
+    The decoder must route SOF2 to the progressive path, accumulate
+    (d>>1)<<1 from scan 1, OR in the refinement bit, and IDCT the
+    assembled coefficients — a scan-dispatch, point-transform, or
+    refinement bug lands as a hash mismatch. (EOBRUN spans, AC
+    successive approximation, spectral-band splits, and correction-bit
+    ordering are pinned byte-level in
+    tests/test_decoders_property.py::test_jpeg_progressive_*.)"""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id") % 16 * 8 + 129
+    v = F.shiftright(d, 1)
+    b0 = F.shiftright(v, 4) + 0xF0
+    b1 = (v % 16) * 16 + 0x0F
+    payload = F.concat(
+        F.lit(_jpeg_prog_8x8_head()),
+        F.lit(_jpeg_sos(0, 0, 0, 1)),
+        F.unhex(F.lpad(F.hex(b0), 2, "0")),
+        F.unhex(F.lpad(F.hex(b1), 2, "0")),
+        F.lit(_jpeg_sos(0, 0, 1, 0) + b"\x80"),
+        F.lit(_jpeg_sos(1, 63, 0, 0) + b"\xaf"),
+        F.lit(b"\xff\xd9"),
+    )
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "jpeg")
+    return decode_media(media, id_col="doc_id").orderBy("id")
+
+
 @register(
     "multimodal_real_ulaw_features",
     oracle="""

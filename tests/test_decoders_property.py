@@ -1036,3 +1036,199 @@ def test_flac_crc_and_error_paths():
         M._decode_flac(bytes(bad8))
     with pytest.raises(ValueError):
         M._decode_flac(bytes(good[:-3]))
+
+
+# ---- progressive JPEG (SOF2) ----------------------------------------------
+
+#: flat prefix code over all 256 AC symbols (255 at 9 bits + 1 at 10):
+#: progressive scans emit EOBn run-length symbols the standard table lacks
+_FLAT_AC = (
+    bytes([0] * 8 + [255, 1] + [0] * 6),
+    bytes(list(range(255)) + [255]),
+)
+
+
+class _ProgWriter:
+    """Scan-level state for the progressive encoder: bit writer + EOBRUN +
+    correction bits buffered until the next Huffman code (jcphuff-style)."""
+
+    def __init__(self, ac_codes):
+        self.bw = _BitWriterPy()
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending = []  # correction bits awaiting the next emitted code
+
+    def emit_pending(self):
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            ln, code = self.ac_codes[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            self.emit_pending()
+
+
+def _encode_jpeg_progressive_py(w, h, blocks, q, script):
+    """Reference progressive writer (grayscale, one component) over chosen
+    QUANTIZED coefficients: ``script`` is a list of (Ss, Se, Ah, Al) scans
+    covering DC and AC bands with successive approximation, encoded per
+    ITU T.81 G.1.2 (DC point transform = arithmetic shift; AC first pass
+    with EOBRUN; AC refinement with buffered correction bits)."""
+    zz = M._JPEG_ZIGZAG
+    zblocks = [[int(c[zz[i]]) for i in range(64)] for c in blocks]
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0])
+    out += bytes(int(q[zz[i]]) for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    # progressive AC scans need EOBn symbols (0x10..0xE0) that Annex K's
+    # sequential table lacks — embed a flat 256-symbol AC table instead
+    for tc, (counts, symbols) in ((0, _STD_DC_L), (1, _FLAT_AC)):
+        out += (
+            b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(symbols))
+            + bytes([tc << 4]) + counts + symbols
+        )
+    dc_codes = _huff_codes_py(*_STD_DC_L)
+    ac_codes = _huff_codes_py(*_FLAT_AC)
+    for ss, se, ah, al in script:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, ss, se, (ah << 4) | al])
+        pw = _ProgWriter(ac_codes)
+        bw = pw.bw
+        if ss == 0:
+            pred = 0
+            for zc in zblocks:
+                v = zc[0] >> al  # DC point transform: arithmetic shift
+                if ah == 0:
+                    t, bits = _mag_bits_py(v - pred)
+                    ln, code = dc_codes[t]
+                    bw.write(code, ln)
+                    bw.write(bits, t)
+                    pred = v
+                else:
+                    bw.write(v & 1, 1)
+        elif ah == 0:
+            # AC first pass: sign-magnitude point transform, EOBRUN
+            for zc in zblocks:
+                vals = [
+                    (x >> al) if x >= 0 else -((-x) >> al) for x in zc
+                ]
+                nz = [k for k in range(ss, se + 1) if vals[k]]
+                if not nz:
+                    pw.eobrun += 1
+                    continue
+                pw.emit_eobrun()
+                run = 0
+                for k in range(ss, nz[-1] + 1):
+                    if vals[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    t, bits = _mag_bits_py(vals[k])
+                    ln, code = ac_codes[(run << 4) | t]
+                    bw.write(code, ln)
+                    bw.write(bits, t)
+                    run = 0
+                if nz[-1] < se:
+                    pw.eobrun += 1
+            pw.emit_eobrun()
+        else:
+            # AC refinement (jcphuff encode_mcu_AC_refine). TWO correction-
+            # bit buffers, exactly like libjpeg: ``pw.pending`` (BE) holds
+            # bits of EOB-run-covered blocks and flushes with the EOBn
+            # code; ``br`` holds the CURRENT block's bits and flushes after
+            # this block's own (run,1)/ZRL symbol. Conflating them
+            # reorders bits whenever a block has history bits before a
+            # newly-significant coefficient while an EOB run is pending.
+            for zc in zblocks:
+                absv = [abs(x) >> al for x in zc]
+                eobpos = max([k for k in range(ss, se + 1) if absv[k] == 1], default=ss - 1)
+                run = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eobpos:
+                        pw.emit_eobrun()
+                        ln, code = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    if t > 1:  # history-nonzero: buffer its correction bit
+                        br.append(t & 1)
+                        continue
+                    pw.emit_eobrun()
+                    ln, code = ac_codes[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(0 if zc[k] < 0 else 1, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    pw.eobrun += 1
+                    pw.pending.extend(br)
+            pw.emit_eobrun()
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+_PROG_SCRIPT = [
+    (0, 0, 0, 1),    # DC first, one bit held back
+    (1, 5, 0, 2),    # low AC band, two bits held back
+    (6, 63, 0, 2),   # high AC band
+    (0, 0, 1, 0),    # DC refinement
+    (1, 5, 1, 1),    # AC refinements, bit by bit
+    (6, 63, 1, 1),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    bw_=st.integers(1, 3),
+    bh_=st.integers(1, 3),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_progressive_equals_sequential(bw_, bh_, seed):
+    """Progressive decode (spectral selection + 2-level successive
+    approximation, EOBRUN across blocks, AC refinement correction bits)
+    must reproduce the SEQUENTIAL decode of the same quantized
+    coefficients bit-for-bit — the coefficient store is the invariant."""
+    rng = np.random.default_rng(seed)
+    w, h = bw_ * 8, bh_ * 8
+    blocks = [_rand_block(rng) for _ in range(bw_ * bh_)]
+    q = rng.integers(1, 30, 64).astype(np.int64)
+    seq = _encode_jpeg_py(w, h, [(1, 1, 1, 0)], {0: q}, {1: blocks})
+    prog = _encode_jpeg_progressive_py(w, h, blocks, q, _PROG_SCRIPT)
+    sw, sh, spx = M._decode_jpeg(seq)
+    pw_, ph, ppx = M._decode_jpeg(prog)
+    assert (sw, sh) == (pw_, ph) == (w, h)
+    assert (spx == ppx).all()
+
+
+def test_jpeg_progressive_sparse_blocks_exercise_eobrun():
+    """Many all-zero-AC blocks around one dense block: EOBRUN spans whole
+    block runs in both the first pass and the refinement pass."""
+    rng = np.random.default_rng(7)
+    blocks = [np.zeros(64, dtype=np.int64) for _ in range(9)]
+    blocks[4] = _rand_block(rng)
+    for b in blocks[:4]:
+        b[0] = int(rng.integers(-100, 100))  # DC only
+    q = rng.integers(1, 20, 64).astype(np.int64)
+    seq = _encode_jpeg_py(24, 24, [(1, 1, 1, 0)], {0: q}, {1: blocks})
+    prog = _encode_jpeg_progressive_py(24, 24, blocks, q, _PROG_SCRIPT)
+    assert (M._decode_jpeg(seq)[2] == M._decode_jpeg(prog)[2]).all()

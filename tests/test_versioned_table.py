@@ -33,7 +33,8 @@ def test_upsert_merge_semantics_and_partition_carry(table, spark):
     assert r["carried_files"] > 0
     man = table._current()
     assert any(f.startswith("v1/") for f in man["files"]), man["files"]
-    assert any(f.startswith("v2/") for f in man["files"]), man["files"]
+    # rewritten files land in the optimistic staging area, carried by ref
+    assert any(f.startswith("_staged/") for f in man["files"]), man["files"]
     got = _as_dict(table.read())
     assert got[3] == ("seg0", 999)      # matched -> updated
     assert got[100] == ("seg0", 111)    # unmatched -> inserted
@@ -549,3 +550,206 @@ def test_changes_cdf_key_only_table(spark, tmp_path):
     t.delete_where(F.col("k") == 1)
     got = {(r.k, r._change_type) for r in t.changes(1, 3).collect()}
     assert got == {(3, "insert"), (1, "delete")}
+
+
+# ---- optimistic concurrency ------------------------------------------------
+
+def test_disjoint_upserts_commit_without_conflict(table, spark):
+    """Two upserts staged from the SAME snapshot, touching disjoint
+    partitions: the second commits by REBASE (carrying the first's files),
+    no retry, and both changes land."""
+    man0 = table._current()
+    up_a = spark.createDataFrame([(3, "seg0", 999)], "k long, seg string, val long")
+    up_b = spark.createDataFrame([(4, "seg1", 888)], "k long, seg string, val long")
+    plan_a = table._stage_upsert(up_a, man0)
+    plan_b = table._stage_upsert(up_b, man0)   # data writes fully overlap
+    with table._mutate_lock():
+        ra = table._commit_staged(plan_a, table._current())
+    assert ra["version"] == man0["version"] + 1 and not ra["rebased"]
+    man1 = table._current()
+    assert not table._upsert_conflicts(man0, man1, plan_b)
+    with table._mutate_lock():
+        rb = table._commit_staged(plan_b, man1)
+    assert rb["version"] == man0["version"] + 2 and rb["rebased"]
+    got = _as_dict(table.read())
+    assert got[3] == ("seg0", 999) and got[4] == ("seg1", 888) and len(got) == 30
+
+
+def test_overlapping_upsert_retries_exactly_once(table, spark):
+    """A commit landing on the SAME partition between an upsert's stage and
+    its commit forces exactly one retry; the retry re-merges against the
+    new snapshot so both writes survive, last-writer-wins per key."""
+    stage_calls = {"n": 0}
+    orig = table._stage_upsert
+
+    def hooked(updates, man):
+        plan = orig(updates, man)
+        if stage_calls["n"] == 0:
+            stage_calls["n"] += 1
+            # competing writer commits an overlapping (seg0) upsert while
+            # our data write is "in flight"
+            t2 = VersionedTable(table.spark, table.path, key_cols=["k"], partition_col="seg")
+            t2.upsert(
+                table.spark.createDataFrame(
+                    [(6, "seg0", 606)], "k long, seg string, val long"
+                )
+            )
+        stage_calls["n"] += 1
+        return plan
+
+    table._stage_upsert = hooked
+    base = table._current()["version"]
+    r = table.upsert(
+        table.spark.createDataFrame([(3, "seg0", 303)], "k long, seg string, val long")
+    )
+    assert stage_calls["n"] == 3        # first stage + hook + retried stage
+    assert r["version"] == base + 2     # competitor committed base+1
+    got = _as_dict(table.read())
+    assert got[3] == ("seg0", 303) and got[6] == ("seg0", 606)
+
+
+def test_disjoint_interleaved_upsert_rebases_without_retry(table, spark):
+    """Same interleaving as above but the competing commit touches a
+    DIFFERENT partition: no retry (one staging), rebase commit."""
+    stage_calls = {"n": 0}
+    orig = table._stage_upsert
+
+    def hooked(updates, man):
+        plan = orig(updates, man)
+        if stage_calls["n"] == 0:
+            t2 = VersionedTable(table.spark, table.path, key_cols=["k"], partition_col="seg")
+            t2.upsert(
+                table.spark.createDataFrame(
+                    [(4, "seg1", 404)], "k long, seg string, val long"
+                )
+            )
+        stage_calls["n"] += 1
+        return plan
+
+    table._stage_upsert = hooked
+    base = table._current()["version"]
+    r = table.upsert(
+        table.spark.createDataFrame([(3, "seg0", 303)], "k long, seg string, val long")
+    )
+    assert stage_calls["n"] == 1 and r["rebased"]
+    assert r["version"] == base + 2
+    got = _as_dict(table.read())
+    assert got[3] == ("seg0", 303) and got[4] == ("seg1", 404)
+
+
+def test_threaded_disjoint_upserts_both_succeed(table, spark):
+    """True concurrency: four threads upserting four different partitions'
+    keys in parallel; every change lands, versions advance by four."""
+    import threading
+
+    base = table._current()["version"]
+    errs = []
+
+    def w(i):
+        try:
+            t = VersionedTable(table.spark, table.path, key_cols=["k"], partition_col="seg")
+            t.upsert(
+                spark.createDataFrame(
+                    [(1000 + i, f"seg{i % 3}", i)], "k long, seg string, val long"
+                )
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=w, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert table._current()["version"] == base + 4
+    got = _as_dict(table.read())
+    for i in range(4):
+        assert got[1000 + i] == (f"seg{i % 3}", i)
+
+
+def test_conflict_loser_staged_files_cleaned_and_vacuumed(table, spark):
+    """A staged dir abandoned by a crashed writer is swept by vacuum once
+    aged past the staleness horizon — but never while referenced or young."""
+    man0 = table._current()
+    plan = table._stage_upsert(
+        spark.createDataFrame([(3, "seg0", 1)], "k long, seg string, val long"), man0
+    )
+    sdir = os.path.join(table.path, "_staged", plan["token"])
+    assert os.path.isdir(sdir)
+    table.vacuum(keep_versions=1)
+    assert os.path.isdir(sdir)          # young: kept
+    # age every staged file past the horizon
+    import time
+    old = time.time() - table.lock_stale_after - 10
+    for root, _, fs in os.walk(sdir):
+        for f in fs:
+            os.utime(os.path.join(root, f), (old, old))
+    table.vacuum(keep_versions=1)
+    assert not os.path.isdir(sdir)      # aged orphan: swept
+
+
+# ---- manifest column stats / data skipping --------------------------------
+
+def test_stats_prune_point_read_to_one_file(spark, tmp_path):
+    """A keyed point read via read_where opens O(1) files of a multi-file
+    version (manifest min/max pruning), with results identical to the
+    unpruned filter, and time travel intact."""
+    t = VersionedTable(spark, str(tmp_path / "s"), key_cols=["k"])
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(800)], "k long, val long"
+    ).repartitionByRange(8, "k")
+    t.write(df)
+    man = t._current()
+    assert len(man["files"]) == 8 and man.get("stats")
+    pruned = t._prune_files(man, [("k", "=", 5)])
+    assert len(pruned) == 1, pruned
+    got = {r.k: r.val for r in t.read_where([("k", "=", 5)]).collect()}
+    assert got == {5: 50}
+    # range predicate: a fraction of files, exact rows
+    pr = t._prune_files(man, [("k", ">=", 700)])
+    assert len(pr) <= 2
+    assert t.read_where([("k", ">=", 700)]).count() == 100
+    # stats survive an upsert: carried files keep theirs, new files get theirs
+    t.upsert(spark.createDataFrame([(5, -5)], "k long, val long"))
+    got2 = {r.k: r.val for r in t.read_where([("k", "=", 5)]).collect()}
+    assert got2 == {5: -5}
+    # time travel reads the old value through the same pruned path
+    got1 = {r.k: r.val for r in t.read_where([("k", "=", 5)], version=1).collect()}
+    assert got1 == {5: 50}
+
+
+def test_stats_prune_timestamp_predicates(spark, tmp_path):
+    """Timestamp min/max stats prune a time-range read; string-literal and
+    datetime predicates agree."""
+    import datetime as dt
+
+    t = VersionedTable(spark, str(tmp_path / "ts"), key_cols=["k"])
+    rows = [(k, dt.datetime(2024, 1, 1 + k // 100, 12, 0, 0)) for k in range(300)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp").repartitionByRange(3, "ts")
+    t.write(df)
+    man = t._current()
+    pruned = t._prune_files(man, [("ts", ">=", "2024-01-03T00:00:00")])
+    assert len(pruned) == 1, (pruned, man.get("stats"))
+    assert t.read_where([("ts", ">=", "2024-01-03T00:00:00")]).count() == 100
+    assert t.read_where([("ts", ">=", dt.datetime(2024, 1, 3))]).count() == 100
+
+
+def test_changes_with_predicates_prunes_and_matches(table, spark):
+    """Predicate-scoped CDF equals the full CDF filtered to the predicate,
+    for a key-range question."""
+    table.upsert(
+        spark.createDataFrame(
+            [(3, "seg0", 111), (4, "seg1", 222)], "k long, seg string, val long"
+        )
+    )
+    full = {
+        (r.k, r._change_type): r.val
+        for r in table.changes(1, 2).where("k = 3").collect()
+    }
+    scoped = {
+        (r.k, r._change_type): r.val
+        for r in table.changes(1, 2, predicates=[("k", "=", 3)]).collect()
+    }
+    assert scoped == full
+    assert (3, "update_postimage") in {(k, c) for k, c in scoped}
