@@ -16,9 +16,10 @@ Decoding is three-tiered by format:
   successive approximation with EOBRUN and AC refinement correction
   bits, T.81 Annex G)** decode for REAL — plain byte layouts and
   hand-rolled entropy coders in pure numpy, with only stdlib ``zlib`` for
-  the PNG inflate. Decode and nearest-neighbor resize are exact pixel
+  the PNG inflate. **WebP lossless (VP8L)** decodes for real too — see the
+  VP8L section below. Decode and nearest-neighbor resize are exact pixel
   math (JPEG is float IDCT with pinned round-half-up), byte-level tested.
-- genuinely library-bound formats (WebP, MP3/video codecs) are
+- genuinely library-bound formats (lossy VP8, MP3/video codecs) are
   absent in this environment: ``NotImplementedError`` unless ``allow_fake=True``, which
   derives deterministic pseudo-features from the payload's sha256 — the
   Spark plumbing (struct schema, Arrow batch shapes, UDF signatures,
@@ -80,7 +81,7 @@ _DECODE_SCHEMA = (
 #: uncompressed TIFF), PNG (stdlib zlib inflate + numpy unfilter), GIF
 #: (hand-rolled LZW + palettes + interlace), and baseline JPEG (hand-rolled
 #: Huffman + dequant + IDCT + chroma upsample, ITU T.81 sequential DCT).
-RAW_DECODABLE = ("ppm", "bmp", "png", "tiff", "gif", "jpeg")
+RAW_DECODABLE = ("ppm", "bmp", "png", "tiff", "gif", "jpeg", "webp")
 
 
 def _decode_ppm(buf: bytes):
@@ -1222,7 +1223,474 @@ def _decode_raw(fmt: str, buf: bytes):
         return _decode_gif(buf)
     if fmt == "jpeg":
         return _decode_jpeg(buf)
+    if fmt == "webp":
+        return _decode_webp(buf)
     raise ValueError(f"format {fmt!r} is not raw-decodable")
+
+
+# ---- WebP lossless (VP8L) — pure numpy/stdlib, no codec lib ----------------
+#
+# Implements the public "WebP Lossless Bitstream Specification" end to end:
+# LSB-first bit reading, canonical prefix codes (DEFLATE convention) with
+# the code-length-code indirection, simple and zero-bit single-symbol
+# codes, color cache, meta prefix-code (entropy) images, LZ77 backward
+# references with the 120-entry 2D distance map, and all four transforms
+# (predictor with the full 14-mode set, cross-color, subtract-green,
+# color-indexing with pixel packing), applied in reverse read order.
+# Lossy VP8 stays behind the codec gate (it needs the boolean arithmetic
+# decoder + loop filter — a different order of machinery).
+
+class _VP8LBits:
+    """LSB-first bit reader (VP8L convention — opposite of JPEG's)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0  # absolute bit position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        d, p = self.d, self.pos
+        if (p + n - 1) >> 3 >= len(d):
+            raise ValueError("VP8L bitstream truncated")
+        for i in range(n):
+            v |= ((d[p >> 3] >> (p & 7)) & 1) << i
+            p += 1
+        self.pos = p
+        return v
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >> 3 >= len(self.d):
+            raise ValueError("VP8L bitstream truncated")
+        self.pos = p + 1
+        return (self.d[p >> 3] >> (p & 7)) & 1
+
+
+class _VP8LCode:
+    """Canonical prefix decoder from a code-length vector (DEFLATE rule:
+    codes assigned in (length, symbol) order, read MSB-of-code first).
+    A single-symbol code consumes ZERO bits per the VP8L spec."""
+
+    def __init__(self, lengths):
+        nz = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+        if not nz:
+            raise ValueError("empty VP8L prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = None
+            self.max_len = 0
+            return
+        self.single = None
+        table = {}
+        code = 0
+        prev_l = nz[0][0]
+        for l, s in nz:
+            code <<= (l - prev_l)
+            table[(l, code)] = s
+            code += 1
+            prev_l = l
+        if code > (1 << prev_l):
+            raise ValueError("over-subscribed VP8L prefix code")
+        self.table = table
+        self.max_len = nz[-1][0]
+
+    def read(self, br: _VP8LBits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        while length < self.max_len:
+            code = (code << 1) | br.bit()
+            length += 1
+            s = self.table.get((length, code))
+            if s is not None:
+                return s
+        raise ValueError("invalid VP8L prefix code")
+
+
+#: code-length-code symbol transmission order (spec section 6.2.2)
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_read_code(br: _VP8LBits, alphabet_size: int) -> _VP8LCode:
+    """One prefix code: 'simple' (1-2 explicit symbols) or normal (symbol
+    code lengths themselves prefix-coded, with 16/17/18 repeats and the
+    optional max_symbol cap)."""
+    if br.bit():  # simple
+        num_symbols = br.bit() + 1
+        if br.bit():  # first symbol is 8 bits
+            sym0 = br.bits(8)
+        else:
+            sym0 = br.bit()
+        lengths = [0] * alphabet_size
+        if sym0 >= alphabet_size:
+            raise ValueError("VP8L simple-code symbol out of range")
+        if num_symbols == 2:
+            sym1 = br.bits(8)
+            if sym1 >= alphabet_size:
+                raise ValueError("VP8L simple-code symbol out of range")
+            lengths[sym0] = 1
+            lengths[sym1] = 1
+        else:
+            lengths[sym0] = 1
+        return _VP8LCode(lengths)
+    num_clc = br.bits(4) + 4
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_VP8L_CLC_ORDER[i]] = br.bits(3)
+    clc = _VP8LCode(clc_lengths)
+    if br.bit():  # length-capped symbol list
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8  # default previous nonzero length
+    i = 0
+    while i < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s != 0:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif s == 17:
+            i += 3 + br.bits(3)
+        else:  # 18
+            i += 11 + br.bits(7)
+    return _VP8LCode(lengths)
+
+
+def _vp8l_lz77_value(br: _VP8LBits, code: int) -> int:
+    """Length/distance prefix value (spec 4.2.2): codes 0-3 literal, above
+    that (2 + (c&1)) << extra + extra bits + 1."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _vp8l_distance_map():
+    """The 120-entry 2D neighborhood for short distance codes: all (dx, dy)
+    with dy in 0..8, dx in -8..8, pointing strictly backward, ordered by
+    (dx²+dy², larger dy first, |dx|, positive dx first), first 120 —
+    the closed form of the spec's literal table (the leading 48 entries
+    are pinned against the spec list in tests)."""
+    cand = []
+    for dy in range(0, 9):
+        for dx in range(-8, 9):
+            if dy == 0 and dx <= 0:
+                continue
+            cand.append((dx * dx + dy * dy, -dy, abs(dx), 0 if dx > 0 else 1, dx, dy))
+    cand.sort()
+    return [(dx, dy) for *_, dx, dy in cand[:120]]
+
+
+_VP8L_DIST_MAP = _vp8l_distance_map()
+
+
+def _vp8l_plane_to_dist(code: int, width: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _VP8L_DIST_MAP[code - 1]
+    return max(1, dy * width + dx)
+
+
+def _vp8l_decode_entropy_image(br: _VP8LBits, w: int, h: int, np, level0: bool = False,
+                               transforms=None):
+    """Decode one spatially-coded ARGB image (spec 'decode image stream'):
+    optional transforms (level 0 only, recorded into ``transforms``),
+    optional color cache, optional meta prefix-code image, then the
+    entropy-coded pixels with literals / LZ77 backrefs / cache hits.
+    Returns a uint32 ARGB array (h, w) — w possibly REDUCED by a
+    color-indexing transform (the caller applies transforms inverse)."""
+    if level0:
+        while br.bit():
+            ttype = br.bits(2)
+            if any(t[0] == ttype for t in transforms):
+                raise ValueError("duplicate VP8L transform")
+            if ttype == 2:  # subtract green
+                transforms.append((2, None))
+            elif ttype in (0, 1):  # predictor / cross-color
+                size_bits = br.bits(3) + 2
+                bw_ = -(-w // (1 << size_bits))
+                bh_ = -(-h // (1 << size_bits))
+                sub = _vp8l_decode_entropy_image(br, bw_, bh_, np)
+                transforms.append((ttype, (size_bits, sub)))
+            else:  # color indexing
+                n_colors = br.bits(8) + 1
+                pal_deltas = _vp8l_decode_entropy_image(br, n_colors, 1, np)[0]
+                # palette entries are per-channel cumulative deltas
+                pal = np.zeros(n_colors, np.int64)
+                acc = np.zeros(4, np.int64)
+                for i in range(n_colors):
+                    v = int(pal_deltas[i])
+                    for c in range(4):
+                        acc[c] = (acc[c] + ((v >> (8 * c)) & 0xFF)) & 0xFF
+                    pal[i] = (
+                        int(acc[3]) << 24 | int(acc[2]) << 16
+                        | int(acc[1]) << 8 | int(acc[0])
+                    )
+                xbits = 3 if n_colors <= 2 else 2 if n_colors <= 4 else 1 if n_colors <= 16 else 0
+                transforms.append((3, (n_colors, pal, xbits, w)))
+                w = -(-w // (1 << xbits))  # subsequent decode at packed width
+    cache_bits = 0
+    if br.bit():
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L color-cache bits {cache_bits} out of range")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    meta_idx = None
+    mbits = 0
+    n_groups = 1
+    if level0 and br.bit():
+        mbits = br.bits(3) + 2
+        mw = -(-w // (1 << mbits))
+        mh = -(-h // (1 << mbits))
+        meta_img = _vp8l_decode_entropy_image(br, mw, mh, np)
+        meta_idx = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta_idx.max()) + 1
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            [
+                _vp8l_read_code(br, 256 + 24 + cache_size),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 40),
+            ]
+        )
+    n = w * h
+    argb = np.zeros(n, np.int64)
+    cache = [0] * cache_size
+    pos = 0
+    g = groups[0]
+    while pos < n:
+        if meta_idx is not None:
+            y, x = divmod(pos, w)
+            g = groups[int(meta_idx[y >> mbits, x >> mbits])]
+        gcode, rcode, bcode, acode, dcode = g
+        s = gcode.read(br)
+        if s < 256:
+            red = rcode.read(br)
+            blue = bcode.read(br)
+            alpha = acode.read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            argb[pos] = px
+            pos += 1
+            if cache_size:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 280:
+            length = _vp8l_lz77_value(br, s - 256)
+            dist_code = _vp8l_lz77_value(br, dcode.read(br))
+            dist = _vp8l_plane_to_dist(dist_code, w)
+            if dist > pos:
+                raise ValueError("VP8L back-reference before image start")
+            if pos + length > n:
+                raise ValueError("VP8L back-reference overruns image")
+            for _ in range(length):
+                px = int(argb[pos - dist])
+                argb[pos] = px
+                pos += 1
+                if cache_size:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        else:
+            argb[pos] = cache[s - 280]
+            pos += 1
+    return argb.reshape(h, w)
+
+
+def _vp8l_inverse_transforms(argb, transforms, np):
+    """Apply recorded transforms in reverse read order (spec 4.1)."""
+    for ttype, data in reversed(transforms):
+        if ttype == 3:  # color indexing: unpack packed indices, map palette
+            n_colors, pal, xbits, orig_w = data
+            h = argb.shape[0]
+            idx = ((argb >> 8) & 0xFF).astype(np.int64)
+            if xbits:
+                bpp = 8 >> xbits
+                per = 1 << xbits
+                mask = (1 << bpp) - 1
+                full = np.zeros((h, orig_w), np.int64)
+                xs = np.arange(orig_w)
+                full[:, :] = (idx[:, xs >> xbits] >> ((xs & (per - 1)) * bpp)) & mask
+                idx = full
+            out = np.zeros(idx.shape, np.int64)
+            valid = idx < n_colors
+            out[valid] = pal[idx[valid]]
+            argb = out
+        elif ttype == 2:  # add green to red and blue
+            green = (argb >> 8) & 0xFF
+            red = ((argb >> 16) + green) & 0xFF
+            blue = (argb + green) & 0xFF
+            argb = (argb & 0xFF00FF00) | (red << 16) | blue
+        elif ttype == 1:  # cross-color inverse
+            size_bits, sub = data
+            h, w = argb.shape
+            ys = np.arange(h) >> size_bits
+            xs = np.arange(w) >> size_bits
+            cte = sub[ys][:, xs]
+            g2r = ((cte & 0xFF).astype(np.int64) ^ 0x80) - 0x80          # int8
+            g2b = (((cte >> 8) & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            r2b = (((cte >> 16) & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            green = (((argb >> 8) & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            red = ((argb >> 16) & 0xFF).astype(np.int64)
+            red = (red + ((g2r * green) >> 5)) & 0xFF
+            red_s = (red ^ 0x80) - 0x80
+            blue = (argb & 0xFF).astype(np.int64)
+            blue = (blue + ((g2b * green) >> 5) + ((r2b * red_s) >> 5)) & 0xFF
+            argb = (argb & 0xFF00FF00) | (red << 16) | blue
+        elif ttype == 0:  # predictor inverse (sequential)
+            size_bits, sub = data
+            argb = _vp8l_unpredict(argb, size_bits, sub, np)
+    return argb
+
+
+def _vp8l_chans(p):
+    return ((p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+
+
+def _vp8l_pack(a, r, g, b):
+    return ((a & 0xFF) << 24) | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+
+
+def _vp8l_avg2(p, q):
+    return _vp8l_pack(*[(x + y) >> 1 for x, y in zip(_vp8l_chans(p), _vp8l_chans(q))])
+
+
+def _vp8l_unpredict(argb, size_bits, sub, np):
+    """Inverse of the predictor transform: residual + prediction mod 256
+    per channel, 14 modes selected per block from the sub-image's green
+    channel; row 0 predicts from left, column 0 from top, origin from
+    0xff000000; the top-right neighbor of a right-edge pixel is the
+    current row's first pixel (the contiguous-buffer convention the
+    format pins)."""
+    h, w = argb.shape
+    flat = argb.flatten()
+    modes = ((sub >> 8) & 0xFF).astype(np.int64)
+
+    def clamp(v):
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    for pos in range(h * w):
+        y, x = divmod(pos, w)
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = int(flat[pos - 1])
+        elif x == 0:
+            pred = int(flat[pos - w])
+        else:
+            m = int(modes[y >> size_bits, x >> size_bits])
+            left = int(flat[pos - 1])
+            top = int(flat[pos - w])
+            tl = int(flat[pos - w - 1])
+            tr = int(flat[pos - w + 1])  # x==w-1 wraps to row start (by layout)
+            if m == 0:
+                pred = 0xFF000000
+            elif m == 1:
+                pred = left
+            elif m == 2:
+                pred = top
+            elif m == 3:
+                pred = tr
+            elif m == 4:
+                pred = tl
+            elif m == 5:
+                pred = _vp8l_avg2(_vp8l_avg2(left, tr), top)
+            elif m == 6:
+                pred = _vp8l_avg2(left, tl)
+            elif m == 7:
+                pred = _vp8l_avg2(left, top)
+            elif m == 8:
+                pred = _vp8l_avg2(tl, top)
+            elif m == 9:
+                pred = _vp8l_avg2(top, tr)
+            elif m == 10:
+                pred = _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr))
+            elif m == 11:  # Select
+                lc, tc, tlc = _vp8l_chans(left), _vp8l_chans(top), _vp8l_chans(tl)
+                p = [lc[i] + tc[i] - tlc[i] for i in range(4)]
+                p_l = sum(abs(p[i] - lc[i]) for i in range(4))
+                p_t = sum(abs(p[i] - tc[i]) for i in range(4))
+                pred = left if p_l < p_t else top
+            elif m == 12:  # ClampAddSubtractFull
+                lc, tc, tlc = _vp8l_chans(left), _vp8l_chans(top), _vp8l_chans(tl)
+                pred = _vp8l_pack(*[clamp(lc[i] + tc[i] - tlc[i]) for i in range(4)])
+            elif m == 13:  # ClampAddSubtractHalf
+                av = _vp8l_avg2(left, top)
+                ac, tlc = _vp8l_chans(av), _vp8l_chans(tl)
+                out = []
+                for i in range(4):
+                    d = ac[i] - tlc[i]
+                    half = d // 2 if d >= 0 else -((-d) // 2)  # trunc toward 0
+                    out.append(clamp(ac[i] + half))
+                pred = _vp8l_pack(*out)
+            else:
+                raise ValueError(f"VP8L predictor mode {m} out of range")
+        px = int(flat[pos])
+        pc, rc = _vp8l_chans(px), _vp8l_chans(pred)
+        flat[pos] = _vp8l_pack(*[(pc[i] + rc[i]) & 0xFF for i in range(4)])
+    return flat.reshape(h, w)
+
+
+def _decode_webp(buf: bytes):
+    """WebP → (width, height, HxWx3 uint8 RGB). Lossless (VP8L) decodes
+    for real; lossy (VP8) and extended (VP8X-wrapped lossy/animation)
+    raise — they need the boolean arithmetic decoder, behind the codec
+    gate. Alpha is decoded and then dropped (the repo's RGB contract,
+    same as PNG RGBA)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(buf) < 20 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    i = 12
+    while i + 8 <= len(buf):
+        tag = buf[i : i + 4]
+        (size,) = _struct.unpack_from("<I", buf, i + 4)
+        payload = buf[i + 8 : i + 8 + size]
+        if tag == b"VP8L":
+            return _decode_vp8l(payload, np)
+        if tag in (b"VP8 ", b"VP8X"):
+            raise ValueError(
+                "only lossless WebP (VP8L) is raw-decodable; lossy VP8 needs "
+                "the arithmetic decoder (codec gate)"
+            )
+        i += 8 + size + (size & 1)  # RIFF chunks pad to even
+    raise ValueError("WebP without VP8L chunk")
+
+
+def _decode_vp8l(payload: bytes, np):
+    br = _VP8LBits(payload)
+    if br.bits(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    transforms: list = []
+    argb = _vp8l_decode_entropy_image(br, w, h, np, level0=True, transforms=transforms)
+    argb = _vp8l_inverse_transforms(argb, transforms, np)
+    if argb.shape != (h, w):
+        raise ValueError("VP8L transform produced wrong image size")
+    r = ((argb >> 16) & 0xFF).astype(np.uint8)
+    g = ((argb >> 8) & 0xFF).astype(np.uint8)
+    b = (argb & 0xFF).astype(np.uint8)
+    return w, h, np.stack([r, g, b], axis=2)
 
 
 def _mean_luma(px) -> float:

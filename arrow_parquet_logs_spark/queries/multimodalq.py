@@ -38,7 +38,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media(
-        docs.select("doc_id", F.col("text").cast("binary").alias("raw")), "raw", "image", "webp"
+        docs.select("doc_id", F.col("text").cast("binary").alias("raw")), "raw", "image", "heic"
     )
     return decode_media(media, id_col="doc_id", allow_fake=True).orderBy("id")
 
@@ -1131,6 +1131,78 @@ def multimodal_real_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFr
         F.lit(b"\xff\xd9"),
     )
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "jpeg")
+    return decode_media(media, id_col="doc_id").orderBy("id")
+
+
+#: RIFF/WEBP/VP8L wrapper + the 5-byte VP8L header for a 2×2 image
+#: (sig 0x2F, w-1=1 and h-1=1 as 14-bit fields, no alpha hint, version 0 —
+#: exactly 40 bits, byte-aligned).
+_WEBP_PREFIX = (
+    b"RIFF" + (26).to_bytes(4, "little") + b"WEBP"
+    + b"VP8L" + (13).to_bytes(4, "little")
+    + bytes([0x2F, 0x01, 0x40, 0x00, 0x00])
+)
+
+#: constant bits of the 64-bit entropy-image tail: transform/cache/meta
+#: flags 0, then five SIMPLE single-symbol prefix codes (header bits
+#: 1,0,1 + 8-bit symbol each) for green/red/blue/alpha/distance — blue=1,
+#: alpha=255, distance=1 fixed; green at bit 6 and red at bit 17 vary.
+#: Single-symbol codes read ZERO bits per pixel, so the four pixels cost
+#: nothing and the stream ends after the code headers.
+_WEBP_TAIL_CONST = (
+    (1 << 3) | (1 << 5)                # green: simple, 1 sym, 8-bit flag
+    | (1 << 14) | (1 << 16)            # red header
+    | (1 << 25) | (1 << 27) | (1 << 28)   # blue header + symbol 1
+    | (1 << 36) | (1 << 38) | (255 << 39)  # alpha header + symbol 255
+    | (1 << 47) | (1 << 49) | (1 << 50)    # distance header + symbol 1
+)
+
+
+@register(
+    "multimodal_real_webp_decode",
+    oracle="""
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(34 AS BIGINT) AS byte_len,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(299 * (doc_id % 16 * 16) + 587 * (doc_id % 8 * 8 + 7) + 114
+                AS DOUBLE) / 255000 AS mean_luma
+    FROM documents WHERE doc_id < 200 ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "webp", "vp8l"),
+)
+def multimodal_real_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless (VP8L) decoding under the driver's hash gate —
+    hand-rolled LSB-first bitstream, canonical prefix codes, transform
+    machinery (operators.multimodal._decode_vp8l), no codec library. Each
+    document gets a fully valid 34-byte lossless WebP: RIFF/VP8L wrapper,
+    2×2 header, and five SIMPLE single-symbol prefix codes — green
+    doc_id%8*8+7 and red doc_id%16*16 are arithmetic in doc_id; blue 1,
+    alpha 255. Single-symbol codes consume zero bits per pixel (the spec's
+    degenerate-code rule), so all four pixels decode from the code
+    headers alone and mean_luma is the exact Rec.601 rational the oracle
+    restates. A bit-order, canonical-code, RIFF-walk, or zero-bit-code
+    bug lands as a hash mismatch. (LZ77 backrefs, color cache, the
+    distance map, meta code groups, and all four transforms are pinned
+    byte-level in tests/test_decoders_property.py::test_vp8l_*.)"""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    g = (F.col("doc_id") % 8 * 8 + 7).cast("long")
+    r = (F.col("doc_id") % 16 * 16).cast("long")
+    tail = (
+        F.lit(_WEBP_TAIL_CONST).cast("long")
+        + F.shiftleft(g, 6)
+        + F.shiftleft(r, 17)
+    )
+    tail_bytes = [
+        F.unhex(
+            F.lpad(F.hex(F.shiftright(tail, 8 * k).bitwiseAND(F.lit(255))), 2, "0")
+        )
+        for k in range(8)
+    ]
+    payload = F.concat(F.lit(_WEBP_PREFIX), *tail_bytes, F.lit(b"\x00"))
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "webp")
     return decode_media(media, id_col="doc_id").orderBy("id")
 
 

@@ -608,3 +608,63 @@ def table_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "c_mktsegment string, n_customers bigint, total_balance double"
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "table_stats_pruned_read",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+           true AS pruned_subset
+    FROM orders
+    WHERE o_orderkey >= 200 AND o_orderkey <= 699
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    tags=("versioned-table", "stats", "data-skipping", "filter"),
+)
+def table_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping under the hash gate: snapshot orders into a
+    VersionedTable written range-partitioned on the key (16 files with
+    disjoint key ranges), then ``read_where`` a key-range + timestamp
+    conjunction. The manifest's footer-harvested per-file min/max stats
+    must (a) prune the file list to a strict subset BEFORE Spark plans
+    the scan — surfaced as the ``pruned_subset`` column, computed from
+    the manifest, so a stats regression flips a value the oracle pins —
+    and (b) change nothing about the result: the oracle is the plain
+    filter over the base table. Delta/Iceberg-style data skipping as a
+    driver-checkable behavior."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    root = tempfile.mkdtemp(prefix="table_skip_")
+    preds = [
+        ("o_orderkey", ">=", 200),
+        ("o_orderkey", "<=", 699),
+        ("o_orderdate", ">=", "1996-01-01T00:00:00"),
+    ]
+    try:
+        t = VersionedTable(spark, root, key_cols=["o_orderkey"])
+        t.write(orders.repartitionByRange(16, "o_orderkey"))
+        man = t._current()
+        pruned = t._prune_files(man, preds)
+        row = (
+            t.read_where(preds)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("total_price"),
+            )
+            .collect()[0]
+        )
+        out = [(row["n_rows"], row["total_price"], len(pruned) < len(man["files"]))]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "n_rows bigint, total_price double, pruned_subset boolean"
+    )
+

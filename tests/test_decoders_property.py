@@ -1232,3 +1232,556 @@ def test_jpeg_progressive_sparse_blocks_exercise_eobrun():
     seq = _encode_jpeg_py(24, 24, [(1, 1, 1, 0)], {0: q}, {1: blocks})
     prog = _encode_jpeg_progressive_py(24, 24, blocks, q, _PROG_SCRIPT)
     assert (M._decode_jpeg(seq)[2] == M._decode_jpeg(prog)[2]).all()
+
+
+# ---- WebP lossless (VP8L) --------------------------------------------------
+
+class _VP8LWriter:
+    """LSB-first bit writer; prefix-code bits go MSB-of-code first."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits):
+            self.acc |= ((value >> i) & 1) << self.n
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def write_code(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def flush(self):
+        if self.n:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _vp8l_flat_code(bw, alphabet, length):
+    """Emit a normal prefix code assigning every symbol `length` bits (so
+    canonical code of symbol s == s); CLC = {0:len1, length:len1}."""
+    order = M._VP8L_CLC_ORDER
+    bw.write(0, 1)  # not simple
+    need = max(order.index(length), order.index(0)) + 1
+    bw.write(need - 4, 4)
+    for i in range(need):
+        bw.write(1 if order[i] in (0, length) else 0, 3)
+    bw.write(0, 1)  # no max-symbol cap
+    # canonical CLC: symbol 0 -> code 0, symbol `length` -> code 1
+    for _ in range(alphabet):
+        bw.write_code(1, 1)  # emit `length` for every symbol
+
+
+def _vp8l_simple_code(bw, syms):
+    """Emit a simple code (1 or 2 symbols). Canonical: the SMALLER symbol
+    value gets code 0. Returns {symbol: (code, nbits)} for emission."""
+    bw.write(1, 1)
+    bw.write(len(syms) - 1, 1)
+    bw.write(1, 1)          # first symbol in 8 bits
+    bw.write(syms[0], 8)
+    if len(syms) == 2:
+        bw.write(syms[1], 8)
+        lo, hi = min(syms), max(syms)
+        return {lo: (0, 1), hi: (1, 1)}
+    return {syms[0]: (0, 0)}  # single symbol: zero bits
+
+
+def _vp8l_lz77_code(v):
+    """(prefix_code, extra_value, extra_bits) for a length/distance value."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= v <= offset + (1 << extra):
+            return code, v - offset - 1, extra
+    raise ValueError(v)
+
+
+def _vp8l_wrap(payload):
+    import struct
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        vp8l += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+
+
+def _vp8l_header(bw, w, h):
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+
+def _vp8l_emit_tokens(bw, tokens, cache_bits=0, level0=True):
+    """Flat-code entropy image body: optional cache header, no meta codes
+    (level-0 images carry the absent-meta bit), 5 flat prefix codes, then
+    the token stream. Tokens:
+    ('lit', a, r, g, b) / ('copy', length, dist_value) / ('cache', idx)."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if level0:
+        bw.write(0, 1)  # no meta prefix codes
+    galpha = 256 + 24 + cache_size
+    glen = 9 if galpha <= 512 else 10
+    _vp8l_flat_code(bw, galpha, glen)
+    for _ in range(3):
+        _vp8l_flat_code(bw, 256, 8)
+    _vp8l_flat_code(bw, 40, 6)
+    for tok in tokens:
+        if tok[0] == "lit":
+            _, a, r, g, b = tok
+            bw.write_code(g, glen)
+            bw.write_code(r, 8)
+            bw.write_code(b, 8)
+            bw.write_code(a, 8)
+        elif tok[0] == "copy":
+            _, length, dist_value = tok
+            c, ev, eb = _vp8l_lz77_code(length)
+            bw.write_code(256 + c, glen)
+            bw.write(ev, eb)
+            c, ev, eb = _vp8l_lz77_code(dist_value)
+            bw.write_code(c, 6)
+            bw.write(ev, eb)
+        else:
+            bw.write_code(280 + tok[1], glen)
+
+
+def _vp8l_cache_index(px, cache_bits):
+    return ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _lits(img):
+    """Token stream of plain literals from an (h, w, 4) arr of (a,r,g,b)."""
+    h, w, _ = img.shape
+    return [
+        ("lit", int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2]), int(img[y, x, 3]))
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def _rand_argb(rng, h, w):
+    return rng.integers(0, 256, (h, w, 4)).astype(np.int64)
+
+
+def _expect_rgb(img):
+    return np.stack([img[:, :, 1], img[:, :, 2], img[:, :, 3]], axis=2).astype(np.uint8)
+
+
+def test_vp8l_literals_flat_code():
+    rng = np.random.default_rng(0)
+    img = _rand_argb(rng, 5, 7)
+    bw = _VP8LWriter()
+    _vp8l_header(bw, 7, 5)
+    bw.write(0, 1)  # no transforms
+    _vp8l_emit_tokens(bw, _lits(img))
+    w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (w, h) == (7, 5)
+    assert (px == _expect_rgb(img)).all()
+
+
+def test_vp8l_simple_codes_two_color():
+    """All five prefix codes in 'simple' mode; single-symbol codes consume
+    zero bits."""
+    bw = _VP8LWriter()
+    _vp8l_header(bw, 4, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta prefix codes
+    gcodes = _vp8l_simple_code(bw, [10, 200])   # greens: 10 or 200
+    rcodes = _vp8l_simple_code(bw, [7])         # red always 7 (0 bits)
+    bcodes = _vp8l_simple_code(bw, [3, 250])
+    acodes = _vp8l_simple_code(bw, [255])
+    _vp8l_simple_code(bw, [1])                  # distance code, unused
+    pattern = [(10, 3), (200, 250), (10, 250), (200, 3)] * 3
+    for g, b in pattern:
+        bw.write_code(*gcodes[g])
+        # order: green, red, blue, alpha
+        bw.write_code(*rcodes[7])
+        bw.write_code(*bcodes[b])
+        bw.write_code(*acodes[255])
+    w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (w, h) == (4, 3)
+    flat = px.reshape(-1, 3)
+    for i, (g, b) in enumerate(pattern):
+        assert tuple(flat[i]) == (7, g, b), (i, tuple(flat[i]))
+
+
+def test_vp8l_lz77_vertical_copy_and_cache():
+    """One literal row, then a single back-reference replicating it down
+    (distance == width via the dist+120 escape), plus a color-cache run."""
+    rng = np.random.default_rng(3)
+    w_, h_ = 6, 5
+    row = _rand_argb(rng, 1, w_)
+    img = np.tile(row, (h_, 1, 1))
+    tokens = _lits(row) + [("copy", (h_ - 1) * w_, w_ + 120)]
+    bw = _VP8LWriter()
+    _vp8l_header(bw, w_, h_)
+    bw.write(0, 1)
+    _vp8l_emit_tokens(bw, tokens)
+    w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (w, h) == (w_, h_) and (px == _expect_rgb(img)).all()
+
+    # color cache: two literals then cache hits for both
+    cb = 4
+    p0 = (255, 1, 2, 3)
+    p1 = (255, 9, 8, 7)
+    px0 = (p0[0] << 24) | (p0[1] << 16) | (p0[2] << 8) | p0[3]
+    px1 = (p1[0] << 24) | (p1[1] << 16) | (p1[2] << 8) | p1[3]
+    toks = [
+        ("lit",) + p0, ("lit",) + p1,
+        ("cache", _vp8l_cache_index(px0, cb)),
+        ("cache", _vp8l_cache_index(px1, cb)),
+    ]
+    bw = _VP8LWriter()
+    _vp8l_header(bw, 2, 2)
+    bw.write(0, 1)
+    _vp8l_emit_tokens(bw, toks, cache_bits=cb)
+    w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (w, h) == (2, 2)
+    assert tuple(px[0, 0]) == p0[1:] and tuple(px[0, 1]) == p1[1:]
+    assert tuple(px[1, 0]) == p0[1:] and tuple(px[1, 1]) == p1[1:]
+
+
+def test_vp8l_subtract_green_transform():
+    rng = np.random.default_rng(5)
+    img = _rand_argb(rng, 4, 4)
+    res = img.copy()
+    res[:, :, 1] = (img[:, :, 1] - img[:, :, 2]) % 256  # r -= g
+    res[:, :, 3] = (img[:, :, 3] - img[:, :, 2]) % 256  # b -= g
+    bw = _VP8LWriter()
+    _vp8l_header(bw, 4, 4)
+    bw.write(1, 1)
+    bw.write(2, 2)  # subtract-green
+    bw.write(0, 1)  # end transforms
+    _vp8l_emit_tokens(bw, _lits(res))
+    w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (px == _expect_rgb(img)).all()
+
+
+def test_vp8l_distance_map_prefix_pinned():
+    """The generated 120-entry neighborhood must reproduce the spec's
+    literal table (leading entries pinned; short plane-code copy decodes
+    end-to-end below)."""
+    expect = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    ]
+    assert M._VP8L_DIST_MAP[:24] == expect
+    assert len(M._VP8L_DIST_MAP) == 120
+    assert len(set(M._VP8L_DIST_MAP)) == 120
+
+
+def test_vp8l_plane_code_copy_runs():
+    """Short distances through the 2D map: code 2 -> (1,0) -> dist 1
+    (pixel run), code 1 -> (0,1) -> dist == width (row copy, equal to the
+    dist+120 escape)."""
+    w_, h_ = 5, 4
+    p = ("lit", 255, 40, 50, 60)
+    tokens = [p, ("copy", w_ * h_ - 1, 2)]  # plane code 2 = (1, 0)
+    bw = _VP8LWriter()
+    _vp8l_header(bw, w_, h_)
+    bw.write(0, 1)
+    _vp8l_emit_tokens(bw, tokens)
+    w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (px == np.array([40, 50, 60], np.uint8)).all()
+
+    rng = np.random.default_rng(11)
+    row = _rand_argb(rng, 1, w_)
+    img = np.tile(row, (h_, 1, 1))
+    for dist_value in (1, w_ + 120):  # plane code 1 == (0,1) == width
+        tokens = _lits(row) + [("copy", (h_ - 1) * w_, dist_value)]
+        bw = _VP8LWriter()
+        _vp8l_header(bw, w_, h_)
+        bw.write(0, 1)
+        _vp8l_emit_tokens(bw, tokens)
+        w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+        assert (px == _expect_rgb(img)).all(), dist_value
+
+
+# test-side forward predictor (independent reimplementation of the spec)
+def _tst_avg2(p, q):
+    return tuple((a + b) >> 1 for a, b in zip(p, q))
+
+
+def _tst_clamp(v):
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _tst_predict(mode, L, T, TL, TR):
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _tst_avg2(_tst_avg2(L, TR), T)
+    if mode == 6:
+        return _tst_avg2(L, TL)
+    if mode == 7:
+        return _tst_avg2(L, T)
+    if mode == 8:
+        return _tst_avg2(TL, T)
+    if mode == 9:
+        return _tst_avg2(T, TR)
+    if mode == 10:
+        return _tst_avg2(_tst_avg2(L, TL), _tst_avg2(T, TR))
+    if mode == 11:
+        p = [L[i] + T[i] - TL[i] for i in range(4)]
+        pl = sum(abs(p[i] - L[i]) for i in range(4))
+        pt = sum(abs(p[i] - T[i]) for i in range(4))
+        return L if pl < pt else T
+    if mode == 12:
+        return tuple(_tst_clamp(L[i] + T[i] - TL[i]) for i in range(4))
+    if mode == 13:
+        av = _tst_avg2(L, T)
+        out = []
+        for i in range(4):
+            d = av[i] - TL[i]
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(_tst_clamp(av[i] + half))
+        return tuple(out)
+    raise ValueError(mode)
+
+
+def _tst_predict_residuals(img, mode):
+    """Forward predictor transform over an (h, w, 4) image, single block."""
+    h, w, _ = img.shape
+    res = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            px = tuple(int(v) for v in img[y, x])
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = tuple(int(v) for v in img[y, x - 1])
+            elif x == 0:
+                pred = tuple(int(v) for v in img[y - 1, x])
+            else:
+                L = tuple(int(v) for v in img[y, x - 1])
+                T = tuple(int(v) for v in img[y - 1, x])
+                TL = tuple(int(v) for v in img[y - 1, x - 1])
+                TR = (
+                    tuple(int(v) for v in img[y - 1, x + 1])
+                    if x + 1 < w
+                    else tuple(int(v) for v in img[y, 0])
+                )
+                pred = _tst_predict(mode, L, T, TL, TR)
+            res[y, x] = [(px[i] - pred[i]) % 256 for i in range(4)]
+    return res
+
+
+def _vp8l_subimage(bw, tokens):
+    _vp8l_emit_tokens(bw, tokens, level0=False)
+
+
+def test_vp8l_predictor_all_modes():
+    """All 14 predictor modes, one whole-image block each: residuals from
+    an independent forward transform must invert to the exact pixels."""
+    rng = np.random.default_rng(21)
+    for mode in range(14):
+        img = _rand_argb(rng, 6, 6)
+        res = _tst_predict_residuals(img, mode)
+        bw = _VP8LWriter()
+        _vp8l_header(bw, 6, 6)
+        bw.write(1, 1)
+        bw.write(0, 2)          # predictor transform
+        bw.write(3 - 2, 3)      # size_bits=3: one 8x8 block covers 6x6
+        _vp8l_subimage(bw, [("lit", 0, 0, mode, 0)])
+        bw.write(0, 1)          # end transforms
+        _vp8l_emit_tokens(bw, _lits(res))
+        w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+        assert (px == _expect_rgb(img)).all(), mode
+
+
+def test_vp8l_predictor_multi_block():
+    """2x1 predictor blocks with different modes — per-block mode lookup."""
+    rng = np.random.default_rng(22)
+    img = _rand_argb(rng, 4, 8)
+    # blocks of 4x4 (size_bits=2): modes 1 (left) and 2 (top)
+    h, w = 4, 8
+    res = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            px = tuple(int(v) for v in img[y, x])
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = tuple(int(v) for v in img[y, x - 1])
+            elif x == 0:
+                pred = tuple(int(v) for v in img[y - 1, x])
+            else:
+                mode = 1 if (x >> 2) == 0 else 2
+                L = tuple(int(v) for v in img[y, x - 1])
+                T = tuple(int(v) for v in img[y - 1, x])
+                pred = L if mode == 1 else T
+            res[y, x] = [(px[i] - pred[i]) % 256 for i in range(4)]
+    bw = _VP8LWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)
+    bw.write(2 - 2, 3)  # size_bits=2 -> 2x1 blocks
+    _vp8l_subimage(bw, [("lit", 0, 0, 1, 0), ("lit", 0, 0, 2, 0)])
+    bw.write(0, 1)
+    _vp8l_emit_tokens(bw, _lits(res))
+    _, _, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (px == _expect_rgb(img)).all()
+
+
+def test_vp8l_cross_color_transform():
+    rng = np.random.default_rng(23)
+    img = _rand_argb(rng, 4, 4)
+    g2r, g2b, r2b = 37, -90, 115  # signed int8 transform elements
+
+    def s8(v):
+        return ((v & 0xFF) ^ 0x80) - 0x80
+
+    def delta(t, c):
+        return (t * s8(c)) >> 5
+
+    res = img.copy()
+    for y in range(4):
+        for x in range(4):
+            a, r, g, b = (int(v) for v in img[y, x])
+            r_res = (r - delta(g2r, g)) % 256
+            b_res = (b - delta(g2b, g) - delta(r2b, r)) % 256
+            res[y, x] = [a, r_res, g, b_res]
+    bw = _VP8LWriter()
+    _vp8l_header(bw, 4, 4)
+    bw.write(1, 1)
+    bw.write(1, 2)          # cross-color
+    bw.write(3 - 2, 3)      # one block
+    # cte pixel: blue=green_to_red, green=green_to_blue, red=red_to_blue
+    _vp8l_subimage(bw, [("lit", 0, r2b & 0xFF, g2b & 0xFF, g2r & 0xFF)])
+    bw.write(0, 1)
+    _vp8l_emit_tokens(bw, _lits(res))
+    _, _, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (px == _expect_rgb(img)).all()
+
+
+def test_vp8l_color_indexing_packed():
+    """3-color palette (xbits=2: four 2-bit indices per green byte) with
+    delta-coded palette entries."""
+    palette = [(255, 10, 20, 30), (255, 200, 100, 50), (255, 0, 255, 128)]
+    w_, h_ = 10, 3
+    rng = np.random.default_rng(24)
+    idx = rng.integers(0, 3, (h_, w_))
+    img = np.array([[palette[i] for i in row] for row in idx], np.int64)
+    # palette deltas per channel
+    deltas = []
+    prev = (0, 0, 0, 0)
+    for c in palette:
+        deltas.append(tuple((c[i] - prev[i]) % 256 for i in range(4)))
+        prev = c
+    # packed image: width ceil(10/4)=3, each green byte 4 indices LSB-first
+    packed_w = -(-w_ // 4)
+    packed = np.zeros((h_, packed_w), np.int64)
+    for y in range(h_):
+        for x in range(w_):
+            packed[y, x >> 2] |= int(idx[y, x]) << ((x & 3) * 2)
+    bw = _VP8LWriter()
+    _vp8l_header(bw, w_, h_)
+    bw.write(1, 1)
+    bw.write(3, 2)              # color indexing
+    bw.write(len(palette) - 1, 8)
+    _vp8l_subimage(bw, [("lit",) + d for d in deltas])
+    bw.write(0, 1)
+    _vp8l_emit_tokens(
+        bw,
+        [("lit", 0, 0, int(packed[y, x]), 0) for y in range(h_) for x in range(packed_w)],
+    )
+    w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (w, h) == (w_, h_)
+    assert (px == _expect_rgb(img)).all()
+
+
+def test_vp8l_meta_prefix_groups():
+    """Two meta prefix-code groups selected by 4x4 block: group 0 flat,
+    group 1 simple two-symbol — group switching is per pixel."""
+    w_, h_ = 8, 4
+    rng = np.random.default_rng(25)
+    left = _rand_argb(rng, h_, 4)           # block 0: arbitrary pixels
+    right_g = [(77, 3), (210, 3)]           # block 1: two (green, blue) combos
+    bw = _VP8LWriter()
+    _vp8l_header(bw, w_, h_)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(2 - 2, 3)  # mbits=2 -> 4x4 blocks -> meta image 2x1
+    # meta image pixels: (red<<8|green) = group index
+    _vp8l_subimage(bw, [("lit", 0, 0, 0, 0), ("lit", 0, 0, 1, 0)])
+    # group 0: flat codes
+    _vp8l_flat_code(bw, 280, 9)
+    for _ in range(3):
+        _vp8l_flat_code(bw, 256, 8)
+    _vp8l_flat_code(bw, 40, 6)
+    # group 1: simple codes
+    g1_g = _vp8l_simple_code(bw, [77, 210])
+    g1_r = _vp8l_simple_code(bw, [5])
+    g1_b = _vp8l_simple_code(bw, [3])
+    g1_a = _vp8l_simple_code(bw, [255])
+    _vp8l_simple_code(bw, [1])
+    expected = np.zeros((h_, w_, 4), np.int64)
+    k = 0
+    for y in range(h_):
+        for x in range(w_):
+            if (x >> 2) == 0:
+                a, r, g, b = (int(v) for v in left[y, x])
+                bw.write_code(g, 9)
+                bw.write_code(r, 8)
+                bw.write_code(b, 8)
+                bw.write_code(a, 8)
+                expected[y, x] = (a, r, g, b)
+            else:
+                g, _b = right_g[k % 2]
+                k += 1
+                bw.write_code(*g1_g[g])
+                bw.write_code(*g1_r[5])
+                bw.write_code(*g1_b[3])
+                bw.write_code(*g1_a[255])
+                expected[y, x] = (255, 5, g, 3)
+    w, h, px = M._decode_webp(_vp8l_wrap(bw.flush()))
+    assert (px == _expect_rgb(expected)).all()
+
+
+def test_vp8l_error_paths():
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        M._decode_webp(b"nope")
+    # lossy VP8 chunk -> codec gate message
+    import struct
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="lossless"):
+        M._decode_webp(lossy)
+    # bad signature byte
+    bw = _VP8LWriter()
+    bw.write(0x2E, 8)
+    with pytest.raises(ValueError, match="signature"):
+        M._decode_webp(_vp8l_wrap(bw.flush() + b"\x00" * 8))
+    # truncated stream
+    bw = _VP8LWriter()
+    _vp8l_header(bw, 16, 16)
+    bw.write(0, 1)
+    with pytest.raises(ValueError):
+        M._decode_webp(_vp8l_wrap(bw.flush()))

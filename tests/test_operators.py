@@ -106,7 +106,7 @@ def test_lang_id_fallback_und(spark):
 # ---- multimodal plumbing ---------------------------------------------------
 def test_attach_media_schema_and_digest(spark):
     df = spark.createDataFrame([(1, bytearray(b"payload-bytes"))], "id long, raw binary")
-    m = M.attach_media(df, "raw", "image", "webp")
+    m = M.attach_media(df, "raw", "image", "heic")
     row = m.head()
     assert row.media.byte_len == 13
     assert len(row.media.sha256) == 64
@@ -115,7 +115,7 @@ def test_attach_media_schema_and_digest(spark):
 
 def test_decode_media_raises_without_codecs(spark):
     df = M.attach_media(
-        spark.createDataFrame([(1, bytearray(b"x"))], "id long, raw binary"), "raw", "image", "webp"
+        spark.createDataFrame([(1, bytearray(b"x"))], "id long, raw binary"), "raw", "image", "heic"
     )
     with pytest.raises(NotImplementedError):
         M.decode_media(df)
@@ -128,7 +128,7 @@ def test_decode_media_stub_deterministic(spark):
         ),
         "raw",
         "image",
-        "webp",
+        "heic",
     )
     out1 = sorted(map(tuple, M.decode_media(df, allow_fake=True).collect()))
     out2 = sorted(map(tuple, M.decode_media(df.repartition(4), allow_fake=True).collect()))
@@ -212,7 +212,7 @@ def test_resize_media_stub_contract(spark):
         ),
         "raw",
         "image",
-        "webp",
+        "heic",
     )
     with pytest.raises(NotImplementedError):
         M.resize_media(df, 32, 32)
@@ -243,7 +243,7 @@ def test_new_pandas_operators_empty_inputs(spark):
     one = spark.createDataFrame([(1, [0.1] * 8)], "vec_id long, embedding array<float>")
     assert srp_lsh_topk(one, one.where("vec_id < 0")).count() == 0
     empty_media = M.attach_media(
-        spark.createDataFrame([], "id long, raw binary"), "raw", "image", "webp"
+        spark.createDataFrame([], "id long, raw binary"), "raw", "image", "heic"
     )
     assert M.resize_media(empty_media, 32, 32, allow_fake=True).count() == 0
 
@@ -1036,7 +1036,7 @@ def test_dhash_media_duplicates_and_gate(spark):
     assert sigs2 == got
     gated = M.attach_media(
         spark.createDataFrame([(9, bytearray(b"x"))], "id long, raw binary"),
-        "raw", "image", "webp",
+        "raw", "image", "heic",
     )
     with pytest.raises(NotImplementedError):
         M.dhash_media(gated)
