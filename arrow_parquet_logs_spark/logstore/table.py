@@ -648,7 +648,8 @@ class VersionedTable:
         return out.select(*keys, "_change_type")
 
     def optimize(
-        self, target_file_bytes: int = 128 << 20, min_files: int = 2
+        self, target_file_bytes: int = 128 << 20, min_files: int = 2,
+        zorder_cols: Sequence[str] | None = None,
     ) -> dict:
         """OPTIMIZE: bin-packing small-file rewrite as a new version — no
         data change, same single-writer lock + MANIFEST/CURRENT protocol as
@@ -660,14 +661,24 @@ class VersionedTable:
         until vacuum), and a reader mid-scan of the old CURRENT is
         unaffected — the rewrite lands in a fresh ``v<N>/`` directory.
 
+        ``zorder_cols`` (Delta's OPTIMIZE ZORDER BY): rewrite EVERY
+        partition (clustering is the point, so ``min_files`` stops
+        gating), laying rows out along the interleaved Morton code of the
+        given numeric columns. Composes directly with the manifest stats:
+        clustered files carry TIGHT per-file min/max on every clustered
+        column, so a post-optimize ``read_where`` prunes to O(matching)
+        files where the pre-optimize layout (each file spanning the full
+        key range) pruned nothing.
+
         At 100 TB this is the table-maintenance job every format ships
         (Delta OPTIMIZE / Iceberg rewrite_data_files): read cost scales
         with file count via footer+task overhead, so compaction is what
         keeps a frequently-upserted table scannable."""
         with self._mutate_lock():
-            return self._optimize_locked(target_file_bytes, min_files)
+            return self._optimize_locked(target_file_bytes, min_files, zorder_cols)
 
-    def _optimize_locked(self, target_file_bytes: int, min_files: int) -> dict:
+    def _optimize_locked(self, target_file_bytes: int, min_files: int,
+                         zorder_cols: Sequence[str] | None = None) -> dict:
         import math
         from collections import defaultdict
 
@@ -677,7 +688,10 @@ class VersionedTable:
         by_part: dict[str | None, list[str]] = defaultdict(list)
         for f in man["files"]:
             by_part[self._file_partition(f)].append(f)
-        doomed = {p for p, fs in by_part.items() if len(fs) >= min_files}
+        if zorder_cols:
+            doomed = set(by_part)  # re-clustering rewrites everything
+        else:
+            doomed = {p for p, fs in by_part.items() if len(fs) >= min_files}
         if not doomed:
             return {
                 "version": man["version"],
@@ -703,23 +717,37 @@ class VersionedTable:
                 man, [f for f in man["files"] if self._file_partition(f) in doomed]
             )
             keep_files = [f for f in man["files"] if self._file_partition(f) not in doomed]
-            # per-partition output file count = bins[p]: hash the key into
-            # bins[p] buckets and repartition on (partition, bucket) — each
-            # task then writes at most one file per partition directory
-            bmap = F.create_map(
-                *[x for p, b in bins.items() for x in (F.lit(str(p)), F.lit(b))]
-            )
-            bucket = F.pmod(
-                F.abs(F.hash(*self.key_cols)),
-                F.element_at(bmap, F.col(self.partition_col).cast("string")),
-            )
-            packed = rows.repartition(
-                sum(bins.values()), F.col(self.partition_col), bucket
-            )
+            if zorder_cols:
+                from arrow_parquet_logs_spark.operators.layout import zorder_by
+
+                packed = zorder_by(
+                    rows, list(zorder_cols), target_files=sum(bins.values()),
+                    partition_cols=[self.partition_col],
+                )
+            else:
+                # per-partition output file count = bins[p]: hash the key
+                # into bins[p] buckets and repartition on (partition,
+                # bucket) — each task then writes at most one file per
+                # partition directory
+                bmap = F.create_map(
+                    *[x for p, b in bins.items() for x in (F.lit(str(p)), F.lit(b))]
+                )
+                bucket = F.pmod(
+                    F.abs(F.hash(*self.key_cols)),
+                    F.element_at(bmap, F.col(self.partition_col).cast("string")),
+                )
+                packed = rows.repartition(
+                    sum(bins.values()), F.col(self.partition_col), bucket
+                )
             new_files = self._write_version_files(packed, new_v, subdir="compact")
         else:
             keep_files = []
-            packed = self.read().repartition(bins[None])
+            if zorder_cols:
+                from arrow_parquet_logs_spark.operators.layout import zorder_by
+
+                packed = zorder_by(self.read(), list(zorder_cols), target_files=bins[None])
+            else:
+                packed = self.read().repartition(bins[None])
             new_files = self._write_version_files(packed, new_v)
         old_stats = man.get("stats", {})
         stats = {f: old_stats[f] for f in keep_files if f in old_stats}

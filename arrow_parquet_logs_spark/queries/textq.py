@@ -1924,3 +1924,87 @@ def docs_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
         F.col("text").rlike("[0-9]").alias("has_digit"),
     ).orderBy("doc_id")
+
+
+_QSCORE = f"""floor((
+             0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * (CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOP})) AS DOUBLE) / len({_TOKS}))
+             + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+           ) * 1000000) / 1000000"""
+
+
+@register(
+    "docs_token_budget_selection",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               {_QSCORE} AS quality_score
+        FROM documents
+    ),
+    c AS (
+        SELECT *, SUM(n_tokens) OVER (
+            ORDER BY quality_score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM q
+    )
+    SELECT doc_id, n_tokens, quality_score FROM c
+    WHERE cum <= 20000 ORDER BY doc_id
+    """,
+    tags=("text", "quality", "curation", "selection", "window"),
+)
+def docs_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection: keep the highest-quality documents
+    whose inclusive running token total (quality desc, doc_id tie-break)
+    fits a 20k-token budget — the "best data under a compute budget" step
+    every training-mix pipeline runs.
+
+    Scale shape — deliberately NOT the oracle's single global window (a
+    one-partition cumsum over the corpus is the classic driver-shaped
+    bottleneck). Quality scores are floored to 1e-6, so they are DISCRETE:
+
+    1. aggregate token sums per distinct score (map-side combinable; at
+       most 1e6 rows regardless of corpus size),
+    2. one window over the per-score aggregates finds the cut: scores
+       whose buckets fit entirely, plus at most one PARTIAL score,
+    3. only the partial score's documents — the tie group — get a
+       doc-level cumsum, keyed to fill the remaining budget.
+
+    The global sort the oracle performs never happens over documents;
+    the only per-document shuffles are the score aggregation and the
+    candidate-sized tie window. Output is selection-identical to the
+    naive window by construction."""
+    from pyspark.sql import Window as W
+
+    budget = 20_000
+    docs = load_table(spark, sf_dir, "documents")
+    q = X.quality_features(docs).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality_score"
+    )
+    by_score = q.groupBy("quality_score").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w = W.orderBy(F.col("quality_score").desc()).rowsBetween(W.unboundedPreceding, -1)
+    sc = by_score.withColumn(
+        "cum_before", F.coalesce(F.sum("bucket_tokens").over(w), F.lit(0))
+    )
+    full = sc.where(F.col("cum_before") + F.col("bucket_tokens") <= budget)
+    partial = sc.where(
+        (F.col("cum_before") < budget)
+        & (F.col("cum_before") + F.col("bucket_tokens") > budget)
+    )
+    kept_full = q.join(
+        F.broadcast(full.select("quality_score")), "quality_score", "left_semi"
+    )
+    tie = q.join(F.broadcast(partial.select("quality_score", "cum_before")), "quality_score")
+    tw = W.partitionBy("quality_score").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    kept_tie = (
+        tie.withColumn("tie_cum", F.sum("n_tokens").over(tw))
+        .where(F.col("cum_before") + F.col("tie_cum") <= budget)
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+    return (
+        kept_full.select("doc_id", "n_tokens", "quality_score")
+        .unionByName(kept_tie)
+        .orderBy("doc_id")
+    )

@@ -753,3 +753,33 @@ def test_changes_with_predicates_prunes_and_matches(table, spark):
     }
     assert scoped == full
     assert (3, "update_postimage") in {(k, c) for k, c in scoped}
+
+
+def test_optimize_zorder_tightens_stats_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY + manifest stats composition: hash-partitioned
+    files span the full key range (stats prune nothing); after a Z-order
+    rewrite each file covers a tight key envelope and a point read opens
+    O(1) of them. Data identical throughout."""
+    t = VersionedTable(spark, str(tmp_path / "z"), key_cols=["k"])
+    df = spark.createDataFrame(
+        [(k, float(k % 977)) for k in range(4000)], "k long, v double"
+    ).repartition(8)  # hash layout: every file spans ~the full key range
+    t.write(df)
+    man = t._current()
+    assert len(man["files"]) == 8
+    pre = t._prune_files(man, [("k", "=", 42)])
+    assert len(pre) == len(man["files"])  # nothing prunable
+
+    total = sum(os.path.getsize(os.path.join(t.path, f)) for f in man["files"])
+    r = t.optimize(target_file_bytes=total // 8 + 1, zorder_cols=["k"])
+    assert r["rewritten_files"] >= 4, r
+    man2 = t._current()
+    post = t._prune_files(man2, [("k", "=", 42)])
+    assert len(post) <= 2, (len(post), len(man2["files"]))
+    got = {row.k: row.v for row in t.read_where([("k", "=", 42)]).collect()}
+    assert got == {42: 42.0}
+    assert t.read().count() == 4000
+    # range scan also prunes
+    rng_files = t._prune_files(man2, [("k", ">=", 3500)])
+    assert len(rng_files) < len(man2["files"])
+    assert t.read_where([("k", ">=", 3500)]).count() == 500
