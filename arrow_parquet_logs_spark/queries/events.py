@@ -1453,3 +1453,98 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "events_stream_stream_join",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM p JOIN v ON p.user_id = v.user_id
+       AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+    tags=("streaming", "join", "eventtime", "interval"),
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join — the last Structured
+    Streaming join shape (stream-static is `events_stream_enrich`): the
+    events table arrives as a 3-file stream consumed one file per
+    micro-batch by TWO readers — a view stream and a purchase stream —
+    inner-joined on user with ``v_ts ≤ p_ts ≤ v_ts + 10 min``. Matches
+    spanning micro-batches (a view in batch 0 pairing a purchase in
+    batch 2) only appear if Spark's symmetric join STATE retains both
+    sides correctly, which is what this pins; the watermark is set beyond
+    the dataset span so no row is late and the append-mode result must
+    equal the batch join exactly (the oracle). At 100 TB the same plan
+    runs with a real lateness-bounded watermark — the state store then
+    holds only the interval's width per key, which is the point of
+    range-condition stream joins. DECIMAL sums keep totals exact under
+    any micro-batch split."""
+    import os
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.sources.tables import normalize_ts_for_streaming
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="ss_join_") + "/files"
+    try:
+        for i in range(3):
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+        raw_schema = spark.read.parquet(src).schema
+
+        def file_stream():
+            return normalize_ts_for_streaming(
+                spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+        views = (
+            file_stream()
+            .where(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "35 days")
+        )
+        purchases = (
+            file_stream()
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("p_ts"), "value")
+            .withWatermark("p_ts", "35 days")
+        )
+        joined = purchases.join(
+            views,
+            F.expr(
+                "user_id = v_user AND v_ts <= p_ts AND p_ts <= v_ts + interval 10 minutes"
+            ),
+        ).select("user_id", "value")
+        name = f"stream_ss_join_{next(_STREAM_SEQ)}"
+        (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        rows = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(dec("value", 18, 6)).cast("double").alias("total_value"),
+            )
+            .orderBy("user_id")
+            .collect()
+        )
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id bigint, n_pairs bigint, total_value double"
+    ).orderBy("user_id")

@@ -1131,3 +1131,49 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey AS start_key, c_custkey AS cur,
+               0 AS depth, CAST(c_acctbal AS DOUBLE) AS path_balance
+        FROM customer WHERE c_custkey % 211 = 0
+        UNION ALL
+        SELECT ch.start_key, c.c_custkey, ch.depth + 1,
+               ch.path_balance + CAST(c.c_acctbal AS DOUBLE)
+        FROM chain ch
+        JOIN customer c ON c.c_custkey = CAST(floor(ch.cur / 7) AS BIGINT)
+        WHERE ch.cur > 0
+    )
+    SELECT c_custkey, chain_depth, path_balance FROM (
+        SELECT start_key AS c_custkey, CAST(depth AS INTEGER) AS chain_depth,
+               path_balance,
+               ROW_NUMBER() OVER (PARTITION BY start_key ORDER BY depth DESC) AS rn
+        FROM chain
+    ) WHERE rn = 1 ORDER BY c_custkey
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RCTE_SQL,
+    tags=("sql", "recursive", "cte", "iterative", "spark4"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL API (new in Spark 4): walk each
+    seed customer up an implicit 7-ary hierarchy (parent key = key DIV 7)
+    to the root, accumulating account balance along the path; report the
+    chain depth and path sum per seed. The same SQL text runs verbatim as
+    the DuckDB oracle — the accumulation order along a chain is fixed by
+    the recursion itself, so the double path sums are bit-identical.
+
+    Scale shape: each recursive step is one equi-join of the frontier
+    (seed count, never corpus-sized) against the customer table —
+    depth ≈ log₇(keys) iterations of a broadcast-able join, the same
+    bounded-iteration discipline as connected components' pointer
+    jumping; no unbounded frontier growth because each row has exactly
+    one parent."""
+    from arrow_parquet_logs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(_RCTE_SQL)

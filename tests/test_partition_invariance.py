@@ -44,6 +44,12 @@ SUBSET = [
     "events_ewma_value",
     "tpch_q2_min_cost_supplier",
     "tpch_q20_excess_suppliers",
+    # round 5: budgeted selection (score-bucket cut + tie window must pick
+    # the same documents under any partitioning), recursive CTE frontier
+    # joins, manifest-stats pruned read
+    "docs_token_budget_selection",
+    "sql_recursive_cte",
+    "table_stats_pruned_read",
 ]
 
 
