@@ -21,18 +21,40 @@ from arrow_parquet_logs_spark.functions.numeric import dec, dsum, davg
 from arrow_parquet_logs_spark.queries.catalog import register
 from arrow_parquet_logs_spark.sources.tables import load_table, load_tables
 
-# shared SQL fragments (keep Spark expression and oracle literally in sync)
-_DISC_PRICE_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
-_CHARGE_SQL = "CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(20,6))"
+# shared SQL fragments (keep Spark expression and oracle literally in sync).
+#
+# PURE DECIMAL arithmetic end to end — found at the 10x scale probe
+# (SCALING.md): the old form computed the per-row product in DOUBLE and
+# cast the result to DECIMAL, and the double→decimal rounding of a
+# 3-factor product is not bit-identical across engines (Spark rounds the
+# shortest decimal repr, DuckDB the binary value) — invisible at 60k rows,
+# 4 micro-units of sum_charge drift across 6M. Casting the INPUTS to
+# decimal first is exact everywhere: p/d/t are 2-decimal quantities, so
+# every product below is an exact decimal (≤6 fractional digits) with no
+# rounding step anywhere, at any row count. Widths stay ≤38 in both
+# engines (the inner product is down-cast to (18,6), exact: ≤6 true
+# fractional digits, magnitude < 1e12).
+_DISC_PRICE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))"
+)
+_CHARGE_SQL = (
+    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6)) * "
+    "(1 + CAST(l_tax AS DECIMAL(8,4))) AS DECIMAL(20,6))"
+)
 
 
 def _disc_price():
-    return (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+    ).cast("decimal(18,6)")
 
 
 def _charge():
     return (
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * (F.lit(1) + F.col("l_tax"))
+        _disc_price() * (F.lit(1) + F.col("l_tax").cast("decimal(8,4)"))
     ).cast("decimal(20,6)")
 
 
@@ -42,8 +64,8 @@ def _charge():
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({_CHARGE_SQL}), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / count(*) AS avg_disc,
@@ -67,8 +89,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(F.col("l_quantity"), "sum_qty", 12, 2),
             dsum(F.col("l_extendedprice"), "sum_base_price", 14, 2),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_charge()), 2).cast("double").alias("sum_charge"),
             davg(F.col("l_quantity"), "avg_qty", 12, 2),
             davg(F.col("l_extendedprice"), "avg_price", 14, 2),
             davg(F.col("l_discount"), "avg_disc", 8, 4),
@@ -120,7 +142,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5_region_volume",
     oracle=f"""
-    SELECT n_name, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    SELECT n_name, CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -156,7 +178,7 @@ def tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -200,7 +222,7 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT p_brand,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand ORDER BY p_brand
@@ -217,7 +239,7 @@ def brand_revenue_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
             davg(F.col("l_quantity"), "avg_qty", 12, 2),
         )
         .orderBy("p_brand")

@@ -191,9 +191,9 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "tpch_q14_promo_revenue",
     oracle=f"""
-    SELECT 100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
-                                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-             / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS promo_revenue
+    SELECT 100.00 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                                  ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+             / CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01'
       AND l_shipdate < TIMESTAMP '1996-10-01'
@@ -217,7 +217,10 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            (F.lit(100.0) * promo.cast("double") / F.sum(_disc_price()).cast("double")).alias(
+            (
+                F.lit(100.0) * F.round(promo, 2).cast("double")
+                / F.round(F.sum(_disc_price()), 2).cast("double")
+            ).alias(
                 "promo_revenue"
             )
         )
@@ -1015,7 +1018,7 @@ def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_suppkey, CAST(value AS DOUBLE) AS value
     FROM rev
-    WHERE value > (SELECT SUM(value) * 0.005 FROM rev)
+    WHERE value * 200 > (SELECT SUM(value) FROM rev)
     ORDER BY value DESC, l_suppkey
     """,
     tags=("agg", "tpch", "scalar-subquery", "having"),
@@ -1028,10 +1031,13 @@ def tpch_q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums keep the threshold comparison exact on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("value"))
-    total = rev.agg((F.sum("value") * F.lit(0.005)).alias("threshold"))
+    # threshold comparison in EXACT decimal (value*200 > total): the old
+    # decimal*0.005 promoted to DOUBLE, and decimal->double conversion of a
+    # >2^53-significand total is not bit-identical across engines
+    total = rev.agg(F.sum("value").alias("threshold"))
     return (
         rev.crossJoin(F.broadcast(total))
-        .where(F.col("value") > F.col("threshold"))
+        .where(F.col("value") * 200 > F.col("threshold"))
         .select("l_suppkey", F.col("value").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_suppkey")
     )

@@ -619,8 +619,14 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    cbs = PQ.fit_pq(emb)
-    approx = PQ.pq_rerank_topk(emb, q, cbs, k=5, rerank=100).select("q_id", "vec_id")
+    # corpus-scaled recall knobs (same sizing rule and rationale as
+    # ann_ivfpq_search — see SCALING.md's 10x probe): denser corpora thin
+    # the top-5 margins past what 4-bit codebooks + a fixed rerank resolve
+    n = emb.count()
+    ks = 16 if n < 5_000 else 64
+    rerank = max(100, n // 50)
+    cbs = PQ.fit_pq(emb, ks=ks)
+    approx = PQ.pq_rerank_topk(emb, q, cbs, k=5, rerank=rerank).select("q_id", "vec_id")
     exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
     return (
@@ -658,11 +664,20 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    cents, books = PQ.fit_ivfpq(emb)
+    # recall knobs SCALE WITH THE CORPUS (measured at the 10x probe,
+    # SCALING.md): a denser corpus packs the true top-5 into thinner
+    # cosine margins, so a fixed rerank depth (50 ≈ 2.5% of 2k vectors but
+    # 0.25% of 20k) and 4-bit residual codebooks stop clearing the recall
+    # gate. Grow rerank ~n/100 and move to 6-bit codebooks past 5k
+    # vectors — the FAISS-style sizing rule, applied automatically.
+    n = emb.count()
+    ks = 16 if n < 5_000 else 64
+    rerank = max(50, n // 100)
+    cents, books = PQ.fit_ivfpq(emb, ks=ks)
     path = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/idx"
     PQ.materialize_ivfpq(emb, cents, books, path)
     approx = PQ.search_ivfpq(
-        spark, path, emb, q, cents, books, k=5, nprobe=4, rerank=50
+        spark, path, emb, q, cents, books, k=5, nprobe=4, rerank=rerank
     ).select("q_id", "vec_id")
     exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
