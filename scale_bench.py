@@ -76,18 +76,23 @@ def _ivfpq_parts(spark, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
+    # the query's corpus-scaled recall knobs (queries/vectorq.py): timings
+    # reflect PRODUCTION settings at each SF, not a fixed-work scan
+    n = emb.count()
+    ks = 16 if n < 5_000 else 64
+    rerank = max(50, n // 100)
     state: dict = {}
 
     def build() -> None:
         state["path"] = tempfile.mkdtemp(prefix="scale_ivfpq_") + "/idx"
-        state["cents"], state["books"] = PQ.fit_ivfpq(emb)
+        state["cents"], state["books"] = PQ.fit_ivfpq(emb, ks=ks)
         PQ.materialize_ivfpq(emb, state["cents"], state["books"], state["path"])
 
     def search() -> None:
         _noop(
             PQ.search_ivfpq(
                 spark, state["path"], emb, q, state["cents"], state["books"],
-                k=5, nprobe=4, rerank=50,
+                k=5, nprobe=4, rerank=rerank,
             )
         )
 
