@@ -1,5 +1,6 @@
 from arrow_parquet_logs_spark.operators import (
     dedup,
+    expectations,
     ivf,
     multimodal,
     relational,
@@ -8,4 +9,13 @@ from arrow_parquet_logs_spark.operators import (
     text,
 )
 
-__all__ = ["dedup", "ivf", "multimodal", "relational", "sessionize", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "expectations",
+    "ivf",
+    "multimodal",
+    "relational",
+    "sessionize",
+    "similarity",
+    "text",
+]

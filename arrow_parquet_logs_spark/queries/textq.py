@@ -2008,3 +2008,104 @@ def docs_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kept_tie)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_expectations",
+    oracle="""
+    WITH m AS (
+        SELECT
+            CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS doc_id_nulls,
+            CAST(count(doc_id) - count(DISTINCT doc_id) AS DOUBLE) AS doc_id_dups,
+            CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS text_nulls,
+            CAST(sum(CASE WHEN lang IS NOT NULL
+                          AND lang NOT IN ('en','de','fr','es','zh')
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS lang_bad,
+            CAST(sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 10000)
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS nchars_bad,
+            CAST(sum(CASE WHEN source IS NOT NULL
+                          AND NOT regexp_matches(source, '^src[0-9]+$')
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS source_bad,
+            CAST(greatest(0, 100 - count(*)) AS DOUBLE) AS row_shortfall,
+            CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS nchars_drift,
+            CAST(sum(CASE WHEN NOT coalesce(n_chars >= 100, FALSE)
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS short_docs
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT 'doc_id_not_null' AS check_name, 'doc_id' AS col_name,
+               'no NULL values' AS expected, doc_id_nulls AS observed,
+               CAST(0.0 AS DOUBLE) AS threshold, doc_id_nulls <= 0.0 AS passed FROM m
+        UNION ALL
+        SELECT 'doc_id_unique', 'doc_id', 'values are distinct', doc_id_dups,
+               CAST(0.0 AS DOUBLE), doc_id_dups <= 0.0 FROM m
+        UNION ALL
+        SELECT 'text_not_null', 'text', 'no NULL values', text_nulls,
+               CAST(0.0 AS DOUBLE), text_nulls <= 0.0 FROM m
+        UNION ALL
+        SELECT 'lang_in_set', 'lang', 'non-null values in allowed set of 5', lang_bad,
+               CAST(0.0 AS DOUBLE), lang_bad <= 0.0 FROM m
+        UNION ALL
+        SELECT 'n_chars_between', 'n_chars', 'non-null values in [1, 10000]', nchars_bad,
+               CAST(0.0 AS DOUBLE), nchars_bad <= 0.0 FROM m
+        UNION ALL
+        SELECT 'source_matches', 'source', 'non-null values match src-id format', source_bad,
+               CAST(0.0 AS DOUBLE), source_bad <= 0.0 FROM m
+        UNION ALL
+        SELECT 'table_row_count_at_least', '', 'at least 100 rows', row_shortfall,
+               CAST(0.0 AS DOUBLE), row_shortfall <= 0.0 FROM m
+        UNION ALL
+        SELECT 'n_chars_consistent', 'n_chars', 'n_chars equals length of text', nchars_drift,
+               CAST(0.0 AS DOUBLE), nchars_drift <= 0.0 FROM m
+        UNION ALL
+        SELECT 'n_chars_at_least_100', 'n_chars', 'documents have at least 100 chars',
+               short_docs, CAST(0.0 AS DOUBLE), short_docs <= 0.0 FROM m
+    ) ORDER BY check_name
+    """,
+    tags=("text", "quality", "expectations", "constraints"),
+)
+def docs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the Deequ / Great-Expectations shape,
+    SURVEY §2.11 pipeline surface): nine constraints over ``documents`` —
+    null-freedom, key uniqueness, set membership, range, regex conformance,
+    row-count floor, a cross-column consistency contract, and one check
+    DESIGNED to fail on this corpus (a 100-char length floor) so the report
+    provably carries failures, not just confirmations. All nine compile into
+    ONE aggregation pass (`operators.expectations.evaluate_expectations`);
+    every observed value is an integer violation count, so the report is
+    bit-stable under any partitioning. The oracle recomputes each count in
+    plain SQL — a drifted predicate, a mis-thresholded pass flag, or a
+    miscounted violation all land as a hash mismatch."""
+    from arrow_parquet_logs_spark.operators.expectations import (
+        evaluate_expectations,
+        expect_between,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_row_count_at_least,
+        expect_satisfies,
+        expect_unique,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    checks = [
+        expect_not_null("doc_id"),
+        expect_unique("doc_id"),
+        expect_not_null("text"),
+        expect_in_set("lang", ("en", "de", "fr", "es", "zh")),
+        expect_between("n_chars", 1, 10000),
+        expect_matches("source", r"^src[0-9]+$", label="src-id format"),
+        expect_row_count_at_least(100),
+        expect_satisfies(
+            "n_chars_consistent", "n_chars",
+            F.col("n_chars") == F.length("text"),
+            "n_chars equals length of text",
+        ),
+        expect_satisfies(
+            "n_chars_at_least_100", "n_chars",
+            F.col("n_chars") >= 100,
+            "documents have at least 100 chars",
+        ),
+    ]
+    return evaluate_expectations(docs, checks)
