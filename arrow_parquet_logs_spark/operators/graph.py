@@ -1,0 +1,110 @@
+"""Graph algorithms over edge DataFrames — fixed-point integer PageRank.
+
+Complements the connected-components family (operators/dedup.py): where
+components answer "which docs are transitively duplicates", PageRank ranks
+nodes by link authority — the standard importance prior for crawl-derived
+training corpora (the original use case) and for entity/seller graphs.
+
+Determinism contract (catalog.py rules): floating-point PageRank sums are
+partition-order-dependent in their last ulps, so two engines — or the same
+engine re-planned by AQE — can disagree. This implementation defines the
+iteration ENTIRELY over non-negative integers (scaled fixed-point, floor
+division), so every rank is bit-exact: reproducible across Spark and the
+DuckDB oracle, across partition counts, across cluster sizes. The spec:
+
+    R0(v)  = SCALE div N
+    C(v)   = Σ_{u→v} (R(u)·w(u,v)) div W(u)        [W(u) = Σ out-weight]
+    DM     = Σ_{dangling u} R(u)
+    R'(v)  = ((100-p)·SCALE) div (100·N) + (p·(C(v) + DM div N)) div 100
+
+with p the damping percentage (85 ≈ the canonical 0.85). Products are
+evaluated as DECIMAL(38,0) before the integral division, so a 10^12 scale
+survives multi-million edge weights without overflow (Spark's `DIV` on
+decimals and DuckDB's `//` on HUGEINT truncate identically for non-negative
+operands — pinned by the oracle).
+
+Scale shape (the 100 TB question): per iteration, exactly one shuffle-join
+of ranks onto the (out-degree-annotated, reusable) edge list keyed by src
+and one aggregation keyed by dst — the Pregel/GraphX cost model. The two
+scalars (N, dangling mass) travel as broadcast one-row frames, never a
+collect. k iterations = k join+agg rounds; ranks are persisted per round so
+the lineage stays linear, not exponential.
+
+The reference has no graph surface at all; this is §2.11 pipeline breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integer-exact PageRank over ``edges(src, dst, w)``.
+
+    ``w`` is a positive integer edge weight (collapse multi-edges with a
+    count/sum upstream). Returns ``(node, rank_scaled bigint)`` where
+    ``rank_scaled`` ≈ rank·scale under the fixed-point spec above.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outd = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    # Out-degree rides with the edge list once; every iteration reuses it.
+    edges_w = edges.join(outd, "src").select("src", "dst", "w", "wout")
+
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))  # one row, broadcast
+    base = nodes.join(F.broadcast(n_df))  # (node, n)
+    ranks = base.select(
+        "node", "n", F.expr(f"CAST({scale} AS BIGINT) DIV n").alias("r")
+    ).persist()
+    p, q = damping_pct, 100 - damping_pct
+
+    for _ in range(iterations):
+        contrib = (
+            edges_w.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("CAST((CAST(r AS DECIMAL(38,0)) * w) DIV wout AS BIGINT)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        dm_df = (
+            ranks.join(outd, ranks["node"] == outd["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        nxt = (
+            base.join(contrib, "node", "left")
+            .join(F.broadcast(dm_df))
+            .select(
+                "node",
+                "n",
+                F.expr(
+                    f"({q} * CAST({scale} AS BIGINT)) DIV (100 * n)"
+                    f" + ({p} * (coalesce(c, CAST(0 AS BIGINT)) + dm DIV n)) DIV 100"
+                ).alias("r"),
+            )
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the previous generation
+        ranks.unpersist()
+        ranks = nxt
+
+    # The final generation stays cached: the returned frame reads it directly,
+    # and unpersisting it here would force a full re-run of the (already
+    # unpersisted) iteration chain on first use. Callers running ingest loops
+    # should unpersist after materializing, as with the LSH index operators.
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

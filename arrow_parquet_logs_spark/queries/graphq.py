@@ -1,0 +1,97 @@
+"""Graph queries — integer-exact PageRank over the TPC-H trade graph.
+
+The oracle replays the fixed-point iteration (operators/graph.py spec) in
+DuckDB with HUGEINT arithmetic; because both engines evaluate the identical
+integer recurrence, ranks match bit-for-bit — no float tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arrow_parquet_logs_spark.operators.graph import pagerank
+from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.sources.tables import load_table
+
+_SCALE = 10**12
+_TOPK = 20
+
+
+def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
+    """Chained-CTE DuckDB replay of the integer PageRank recurrence."""
+    p, q = damping_pct, 100 - damping_pct
+    cte = f"""
+    edges AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION
+        SELECT DISTINCT dst FROM edges
+    ),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
+    outd AS (SELECT src, CAST(sum(w) AS HUGEINT) AS wout FROM edges GROUP BY src),
+    r0 AS (
+        SELECT node, CAST({_SCALE} AS HUGEINT) // (SELECT n FROM nn) AS r
+        FROM nodes
+    )"""
+    for k in range(1, iterations + 1):
+        prev = f"r{k - 1}"
+        cte += f""",
+    c{k} AS (
+        SELECT e.dst AS node, sum((p.r * e.w) // o.wout) AS c
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN outd o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    dm{k} AS (
+        SELECT COALESCE(sum(p.r), 0) AS dm
+        FROM {prev} p LEFT JOIN outd o ON p.node = o.src
+        WHERE o.src IS NULL
+    ),
+    r{k} AS (
+        SELECT n.node,
+               ({q} * CAST({_SCALE} AS HUGEINT)) // (100 * (SELECT n FROM nn))
+             + ({p} * (COALESCE(c.c, 0)
+                       + (SELECT dm FROM dm{k}) // (SELECT n FROM nn))) // 100 AS r
+        FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+    )"""
+    return (
+        f"WITH {cte}\n"
+        f"SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{iterations}\n"
+        f"ORDER BY rank_scaled DESC, node LIMIT {_TOPK}"
+    )
+
+
+@register(
+    "graph_pagerank_trade",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier trade graph (an edge per
+    (customer, supplier) pair weighted by their lineitem count; suppliers
+    are all dangling, exercising the dangling-mass redistribution path).
+    Three fixed-point iterations of the integer recurrence — one
+    ranks-onto-edges join plus one by-dst aggregation per iteration, the
+    Pregel cost shape — then the top 20 nodes under a total order. The
+    oracle replays the identical HUGEINT recurrence, so any drift in the
+    iteration (a float sneaking in, a mis-ordered floor, dangling mass
+    dropped) is a hash mismatch, not a tolerance judgment call."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ranks = pagerank(edges, iterations=3, damping_pct=85, scale=_SCALE)
+    return ranks.orderBy(F.desc("rank_scaled"), "node").limit(_TOPK)

@@ -1,0 +1,87 @@
+"""Operator tests for integer-exact PageRank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_parquet_logs_spark.operators.graph import pagerank
+
+SCALE = 10**12
+
+
+def _reference_pagerank(edges, iterations=3, p=85, scale=SCALE):
+    """Pure-Python integer replay of the fixed-point recurrence."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    wout = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    r = {v: scale // n for v in nodes}
+    q = 100 - p
+    for _ in range(iterations):
+        c = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            c[d] += (r[s] * w) // wout[s]
+        dm = sum(r[v] for v in nodes if v not in wout)
+        r = {
+            v: (q * scale) // (100 * n) + (p * (c[v] + dm // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+EDGES = [
+    ("a", "b", 2),
+    ("b", "a", 1),
+    ("b", "c", 3),
+    ("c", "a", 1),
+    ("a", "d", 1),
+    # "d" is dangling: no out-edges.
+]
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string, w long")
+
+
+def test_matches_python_reference(spark, edge_df):
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(edge_df).collect()}
+    want = _reference_pagerank(EDGES)
+    assert got == want
+
+
+def test_mass_approximately_conserved(spark, edge_df):
+    # Floor division only ever drops mass; total stays within n·(rounding)
+    # of SCALE — a sanity bound that catches double-counted dangling mass.
+    ranks = pagerank(edge_df, iterations=5)
+    total = ranks.agg(F.sum("rank_scaled")).collect()[0][0]
+    assert 0.99 * SCALE <= total <= SCALE
+
+
+def test_partition_invariance(spark, edge_df):
+    # Bit-identical ranks regardless of input partitioning — the property
+    # float PageRank cannot give and the reason for the integer spec.
+    a = sorted(map(tuple, pagerank(edge_df.repartition(1)).collect()))
+    b = sorted(map(tuple, pagerank(edge_df.repartition(16)).collect()))
+    assert a == b
+
+
+def test_dangling_mass_redistributed(spark):
+    # Two nodes, one edge a->b: b is a sink. Without dangling handling b's
+    # mass vanishes and a starves to the teleport floor only.
+    df = spark.createDataFrame([("a", "b", 1)], "src string, dst string, w long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(df, iterations=3).collect()}
+    want = _reference_pagerank([("a", "b", 1)])
+    assert got == want
+    # a receives teleport + a share of b's dangling mass -> strictly more
+    # than the bare teleport floor of (15*SCALE)//(100*2).
+    assert got["a"] > (15 * SCALE) // 200
+
+
+def test_input_validation(spark, edge_df):
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(edge_df, damping_pct=0)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edge_df, iterations=0)
