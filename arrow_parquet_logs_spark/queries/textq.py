@@ -2109,3 +2109,68 @@ def docs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return evaluate_expectations(docs, checks)
+
+
+@register(
+    "docs_csv_ingest",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(2 AS BIGINT) AS n_corrupt
+    FROM documents WHERE doc_id >= 100 AND doc_id < 400 ORDER BY doc_id
+    """,
+    tags=("text", "ingest", "csv", "source"),
+)
+def docs_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus ingest with corrupt-row quarantine — completing the text
+    source matrix (parquet / Arrow IPC / gzip-JSONL / CSV). A document
+    slice round-trips through headered CSV files plus two poison lines (a
+    type-mismatched key, an extra-column row), read back the 100 TB way:
+
+    - **explicit schema** (CSV inference costs a full extra pass AND
+      type-guesses differently per sample — never at scale);
+    - **PERMISSIVE + columnNameOfCorruptRecord**: both poison rows land in
+      the quarantine column (Spark's CSV parser half-fills the data columns
+      for them, so the filter keys on the quarantine column, not on NULLs);
+    - header=true per file (safe under splittable reads: Spark drops the
+      header token per file, not per partition);
+    - default single-line mode — splittable, unlike ``multiLine=true`` which
+      forces one task per file and is only needed for embedded newlines
+      (quoted commas are fine either way, as the poison probe pins).
+
+    Oracle: identity over the slice + the exact quarantine count — encode/
+    decode drift (quoting, unicode) or a quarantine miss is a hash mismatch."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 400)
+    )
+    path = tempfile.mkdtemp(prefix="csv_ingest_") + "/corpus"
+    docs.select("doc_id", "text").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    with open(os.path.join(path, "poison.csv"), "w", encoding="utf-8") as fh:
+        fh.write("doc_id,text\nnot_an_int,looks ok otherwise\n1,too,many,columns\n")
+
+    back = (
+        spark.read.schema("doc_id long, text string, _bad string")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+        # same rationale as docs_jsonl_ingest: corrupt-column queries must
+        # observe the same parse as the clean projection
+        .persist()
+    )
+    n_corrupt = back.where(F.col("_bad").isNotNull()).count()
+    return (
+        back.where(F.col("_bad").isNull())
+        .select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            F.length("text").alias("n_chars"),
+        )
+        .withColumn("n_corrupt", F.lit(n_corrupt).cast("long"))
+        .orderBy("doc_id")
+    )
