@@ -668,3 +668,85 @@ def table_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "n_rows bigint, total_price double, pruned_subset boolean"
     )
 
+
+
+@register(
+    "table_incremental_rollup",
+    oracle="""
+    WITH final AS (
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 != 0 AND c_acctbal >= 0.0
+        UNION ALL
+        SELECT c_custkey, CAST(c_acctbal + 1000.0 AS DOUBLE), c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, CAST(42.0 AS DOUBLE), c_mktsegment
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("versioned-table", "cdc", "materialized-view", "incremental"),
+)
+def table_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the 100 TB answer to a
+    fresh aggregate over a mutating table. A per-segment count/balance
+    rollup is built once at v1, the base table then takes a MERGE
+    (update+insert) and a DELETE, and the view is brought to v3 by
+    applying ``changes(1, 3)`` through ``operators.mv`` — cost
+    O(|delta| + |view|), no base-table rescan (the returned plan reads
+    the CDF join, never re-aggregates the v3 snapshot). The oracle
+    recomputes the rollup from scratch over the same edit script, so the
+    gate IS the maintained ≡ recomputed contract: a missed pre-image
+    decrement, a sign flip, or float drift in the combine all break the
+    hash. Decimal arithmetic end-to-end keeps the maintained total
+    bit-equal to the recompute under any partitioning."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+    from arrow_parquet_logs_spark.operators.mv import maintain_count_sum_rollup
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="table_mv_")
+    try:
+        t = VersionedTable(
+            spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        t.write(cust)
+        view_v1 = (
+            t.read(version=1)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_balance"),
+            )
+        )
+        updates = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+        )
+        inserts = cust.where(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit(42.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        t.upsert(updates.unionByName(inserts))
+        t.delete_where(F.col("c_acctbal") < 0.0)
+        maintained = maintain_count_sum_rollup(
+            view_v1,
+            t.changes(1, 3).select("c_mktsegment", "c_acctbal", "_change_type"),
+            group_cols=["c_mktsegment"],
+            count_alias="n_customers",
+            sums={"total_balance": "c_acctbal"},
+        )
+        rows = maintained.orderBy("c_mktsegment").collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_customers bigint, total_balance double"
+    ).orderBy("c_mktsegment")

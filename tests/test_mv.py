@@ -1,0 +1,81 @@
+"""Operator tests for CDF-driven rollup maintenance (operators/mv.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_parquet_logs_spark.functions.numeric import dec
+from arrow_parquet_logs_spark.operators.mv import maintain_count_sum_rollup
+
+
+def _rollup(df):
+    return df.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("v", 12, 2)).cast("double").alias("total"),
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("g", "n", "total").collect()))
+
+
+def _cdf(spark, rows):
+    return spark.createDataFrame(rows, "g string, v double, _change_type string")
+
+
+def test_maintained_equals_recompute(spark):
+    base = spark.createDataFrame(
+        [("a", 1.25), ("a", 2.50), ("b", 10.00), ("c", 5.00)], "g string, v double"
+    )
+    view = _rollup(base)
+    # Edit script: update a(1.25 -> 4.25), delete b(10.00), insert d(7.75),
+    # and MOVE c's row from group c to group b (pre in c, post in b).
+    changes = _cdf(spark, [
+        ("a", 1.25, "update_preimage"),
+        ("a", 4.25, "update_postimage"),
+        ("b", 10.00, "delete"),
+        ("d", 7.75, "insert"),
+        ("c", 5.00, "update_preimage"),
+        ("b", 5.00, "update_postimage"),
+    ])
+    final = spark.createDataFrame(
+        [("a", 2.50), ("a", 4.25), ("b", 5.00), ("d", 7.75)], "g string, v double"
+    )
+    got = maintain_count_sum_rollup(
+        view, changes, ["g"], "n", {"total": "v"}
+    )
+    assert _rows(got) == _rows(_rollup(final))
+
+
+def test_group_death_disappears(spark):
+    base = spark.createDataFrame([("a", 3.00)], "g string, v double")
+    changes = _cdf(spark, [("a", 3.00, "delete")])
+    got = maintain_count_sum_rollup(_rollup(base), changes, ["g"], "n", {"total": "v"})
+    assert got.count() == 0
+
+
+def test_group_birth_appears(spark):
+    base = spark.createDataFrame([("a", 3.00)], "g string, v double")
+    changes = _cdf(spark, [("z", 1.00, "insert"), ("z", 2.00, "insert")])
+    got = maintain_count_sum_rollup(_rollup(base), changes, ["g"], "n", {"total": "v"})
+    rows = {r["g"]: (r["n"], r["total"]) for r in got.collect()}
+    assert rows["z"] == (2, 3.00) and rows["a"] == (1, 3.00)
+
+
+def test_empty_delta_is_identity(spark):
+    base = spark.createDataFrame([("a", 3.00), ("b", 4.00)], "g string, v double")
+    view = _rollup(base)
+    changes = spark.createDataFrame([], "g string, v double, _change_type string")
+    got = maintain_count_sum_rollup(view, changes, ["g"], "n", {"total": "v"})
+    assert _rows(got) == _rows(view)
+
+
+def test_delta_only_touches_changed_groups(spark):
+    # The delta side aggregates ONLY the CDF rows — the base table never
+    # re-enters the plan (the O(|delta|+|view|) claim).
+    base = spark.createDataFrame([("a", 3.00), ("b", 4.00)], "g string, v double")
+    view = _rollup(base)
+    changes = _cdf(spark, [("a", 1.00, "insert")])
+    got = maintain_count_sum_rollup(view, changes, ["g"], "n", {"total": "v"})
+    rows = {r["g"]: (r["n"], r["total"]) for r in got.collect()}
+    assert rows == {"a": (2, 4.00), "b": (1, 4.00)}
