@@ -769,7 +769,8 @@ class VersionedTable:
 
     def start_stream_upsert(self, updates_stream: DataFrame, checkpoint: str,
                             available_now: bool = True,
-                            optimize_every: int | None = None):
+                            optimize_every: int | None = None,
+                            on_commit=None):
         """CDC ingestion: apply each micro-batch of ``updates_stream`` as a
         MERGE commit (foreachBatch — the standard Structured Streaming →
         table-format upsert wiring). Batches commit in order, each a full
@@ -779,11 +780,17 @@ class VersionedTable:
         dedup (or use `dedup_log_stream`-style dropDuplicates first).
         ``optimize_every=K`` runs the bin-packing ``optimize()`` after every
         K-th commit so a long CDC run doesn't degrade into one file per
-        partition per commit — the standard auto-compaction knob."""
+        partition per commit — the standard auto-compaction knob.
+        ``on_commit(version)`` (optional) fires after each MERGE commit —
+        the hook downstream maintainers use (e.g. applying that commit's
+        CDF delta to a materialized rollup, operators/mv.py) without a
+        second stream over the table."""
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             r = self.upsert(batch_df)
+            if on_commit is not None:
+                on_commit(r["version"])
             if optimize_every and r["version"] % optimize_every == 0:
                 self.optimize()
 

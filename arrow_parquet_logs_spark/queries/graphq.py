@@ -72,6 +72,7 @@ def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
     "graph_pagerank_trade",
     oracle=_pagerank_oracle(),
     tags=("graph", "pagerank", "iterative"),
+    bench=True,
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier trade graph (an edge per

@@ -750,3 +750,99 @@ def table_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "c_mktsegment string, n_customers bigint, total_balance double"
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "table_stream_incremental_rollup",
+    oracle="""
+    WITH final AS (
+        SELECT c_custkey,
+               CAST(CASE WHEN c_custkey % 50 = 0 THEN c_acctbal + 10.0
+                         ELSE c_acctbal END AS DOUBLE) AS bal,
+               c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 2000000, CAST(7.0 AS DOUBLE), c_mktsegment
+        FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("versioned-table", "cdc", "streaming", "materialized-view", "incremental"),
+)
+def table_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance end-to-end: a 2-file parquet
+    stream of updates lands in a VersionedTable (foreachBatch MERGE, one
+    version per micro-batch), and the ``on_commit`` hook applies EACH
+    commit's CDF delta to a per-segment rollup view (operators/mv.py) —
+    the view is versioned alongside the table (``view/v{N}``), each step
+    costing O(|batch delta| + |view|), never a base-table re-aggregation.
+    The returned frame is the LAST maintained view generation; the oracle
+    recomputes the rollup from scratch over both micro-batches' edit
+    script. A dropped delta, a double-applied batch, or drift in the
+    decimal combine breaks the hash — this is the streaming twin of
+    ``table_incremental_rollup``'s batch contract."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+    from arrow_parquet_logs_spark.operators.mv import maintain_count_sum_rollup
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="table_stream_mv_")
+    try:
+        t = VersionedTable(
+            spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        t.write(cust)
+        view_dir = f"{root}/view"
+        t.read(version=1).groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_balance"),
+        ).write.parquet(f"{view_dir}/v1")
+        state = {"view_version": 1}
+
+        def maintain(version: int) -> None:
+            cdf = t.changes(version - 1, version).select(
+                "c_mktsegment", "c_acctbal", "_change_type"
+            )
+            view = spark.read.parquet(f"{view_dir}/v{state['view_version']}")
+            maintain_count_sum_rollup(
+                view, cdf,
+                group_cols=["c_mktsegment"],
+                count_alias="n_customers",
+                sums={"total_balance": "c_acctbal"},
+            ).write.parquet(f"{view_dir}/v{version}")
+            state["view_version"] = version
+
+        batch1 = cust.where(F.col("c_custkey") % 50 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(10.0)
+        )
+        batch2 = cust.where(F.col("c_custkey") % 101 == 0).select(
+            (F.col("c_custkey") + 2000000).alias("c_custkey"),
+            F.lit(7.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        src = f"{root}/src"
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        t.start_stream_upsert(stream, f"{root}/ckpt", on_commit=maintain).awaitTermination(300)
+        assert state["view_version"] == 3, state["view_version"]
+        rows = (
+            spark.read.parquet(f"{view_dir}/v3").orderBy("c_mktsegment").collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_customers bigint, total_balance double"
+    ).orderBy("c_mktsegment")

@@ -768,7 +768,8 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
     FROM fp a JOIN fp b ON a.mfp = b.mfp AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.text, b.text) <= 40
+    WHERE abs(length(a.text) - length(b.text)) <= 40
+      AND levenshtein(a.text, b.text) <= 40
     ORDER BY a_id, b_id
     """,
     tags=("dedup", "levenshtein", "blocking"),
@@ -777,10 +778,24 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage-style near-dup: block on the 1-permutation minhash
     fingerprint (docs sharing their min shingle hash), verify blocked pairs
     with exact Levenshtein ≤ 40. The classic blocking+verification shape:
-    the equi-join on the fingerprint bounds the quadratic stage, the O(n·m)
-    edit distance runs only on candidates (135 pairs at sf0.01, not
-    1500²/2). Levenshtein is definition-identical in Spark and DuckDB, so
-    the verification stage is oracle-exact."""
+    the equi-join on the fingerprint bounds the quadratic stage, and the
+    expensive verification is defended in depth — the sf1 probe caught the
+    naive form grinding 10^11 DP cells in one task (980k candidate pairs ×
+    300×300 full Levenshtein, single upstream partition):
+
+    - **length pre-filter** (lossless: edit distance ≥ length difference)
+      drops ~80% of candidates before any DP runs — in BOTH engines;
+    - **identity fast path**: duplicate-dense corpora make most surviving
+      candidates byte-identical; ``a = b → 0`` skips their DP entirely;
+    - **thresholded levenshtein(a, b, 40)** (banded DP, Spark-side): cost
+      O(k·n) not O(n·m), returns -1 above the threshold — same predicate;
+    - **repartition before the DP stage**: the join emits from however few
+      tasks the scan had; a CPU-bound stage must be spread across cores
+      explicitly, parquet split sizing won't do it (IO-sized, not
+      CPU-sized).
+
+    Levenshtein is definition-identical in Spark and DuckDB, so the
+    verification stage stays oracle-exact under all four defenses."""
     from arrow_parquet_logs_spark.operators.text import distinct_shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -791,13 +806,18 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = fp.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"), "mfp")
     b = fp.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"), "mfp")
-    return (
+    cand = (
         a.join(b, "mfp")
         .where(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id", "b_id", F.levenshtein("a_text", "b_text").cast("int").alias("edit_dist")
-        )
-        .where(F.col("edit_dist") <= 40)
+        .where(F.abs(F.length("a_text") - F.length("b_text")) <= 40)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "a_id", "b_id")
+    )
+    dist = F.when(F.col("a_text") == F.col("b_text"), F.lit(0)).otherwise(
+        F.expr("levenshtein(a_text, b_text, 40)")
+    )
+    return (
+        cand.select("a_id", "b_id", dist.cast("int").alias("edit_dist"))
+        .where(F.col("edit_dist") >= 0)
         .orderBy("a_id", "b_id")
     )
 

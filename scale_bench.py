@@ -50,6 +50,8 @@ QUERIES = [
     "pipeline_training_set",
     "events_sessionization",
     "docs_token_freq",
+    "dedup_edit_distance",
+    "graph_pagerank_trade",
 ]
 
 
@@ -99,7 +101,7 @@ def _ivfpq_parts(spark, sf_dir: str):
     return build, search
 
 
-def run_sf(spark, sf_dir: str, reps: int) -> dict[str, float]:
+def run_sf(spark, sf_dir: str, reps: int, only: set[str] | None = None) -> dict[str, float]:
     from arrow_parquet_logs_spark.queries import REGISTRY
     from bench import _logstore_cycle
 
@@ -114,19 +116,23 @@ def run_sf(spark, sf_dir: str, reps: int) -> dict[str, float]:
         spark.range(1).count()
 
     for name in QUERIES:
+        if only and name not in only:
+            continue
         fn = REGISTRY[name].fn
         timings[name] = _time(lambda: _noop(fn(spark, sf_dir)), reps)
         _settle()
-    build, search = _ivfpq_parts(spark, sf_dir)
-    timings["ann_ivfpq_build"] = _time(build, reps)
-    timings["ann_ivfpq_search_only"] = _time(search, reps)
-    _settle()
-    # ingest volume scales with the SF dir (20k rows at sf0.1)
-    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_rows = int(20_000 * (float(sf_tag) / 0.1)) if sf_tag else 20_000
-    timings["logstore_cycle"] = round(
-        min(_logstore_cycle(spark, sf_dir, n_rows=n_rows) for _ in range(reps)), 3
-    )
+    if not only or "ann_ivfpq" in only:
+        build, search = _ivfpq_parts(spark, sf_dir)
+        timings["ann_ivfpq_build"] = _time(build, reps)
+        timings["ann_ivfpq_search_only"] = _time(search, reps)
+        _settle()
+    if not only or "logstore_cycle" in only:
+        # ingest volume scales with the SF dir (20k rows at sf0.1)
+        sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        n_rows = int(20_000 * (float(sf_tag) / 0.1)) if sf_tag else 20_000
+        timings["logstore_cycle"] = round(
+            min(_logstore_cycle(spark, sf_dir, n_rows=n_rows) for _ in range(reps)), 3
+        )
     return timings
 
 
@@ -135,6 +141,7 @@ def main() -> None:
     ap.add_argument("--sfs", nargs="+", default=["/root/testdata/sf0.1", ".scale_data/sf1"])
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None, help="comma-separated query subset")
     args = ap.parse_args()
 
     from arrow_parquet_logs_spark.session import get_spark
@@ -150,7 +157,8 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for sf_dir in args.sfs:
         tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        results[tag] = run_sf(spark, sf_dir, args.reps)
+        only = set(args.only.split(",")) if args.only else None
+        results[tag] = run_sf(spark, sf_dir, args.reps, only=only)
 
     tags = list(results)
     out = {"metric": "scale_probe", "unit": "sec", "reps": args.reps, "sfs": results}
