@@ -21,40 +21,40 @@ def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
     """Chained-CTE DuckDB replay of the integer PageRank recurrence."""
     p, q = damping_pct, 100 - damping_pct
     cte = f"""
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                's' || CAST(l_suppkey AS VARCHAR) AS dst,
                CAST(count(*) AS BIGINT) AS w
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2
     ),
-    nodes AS (
+    nodes AS MATERIALIZED (
         SELECT DISTINCT src AS node FROM edges
         UNION
         SELECT DISTINCT dst FROM edges
     ),
-    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
-    outd AS (SELECT src, CAST(sum(w) AS HUGEINT) AS wout FROM edges GROUP BY src),
-    r0 AS (
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
+    outd AS MATERIALIZED (SELECT src, CAST(sum(w) AS HUGEINT) AS wout FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (
         SELECT node, CAST({_SCALE} AS HUGEINT) // (SELECT n FROM nn) AS r
         FROM nodes
     )"""
     for k in range(1, iterations + 1):
         prev = f"r{k - 1}"
         cte += f""",
-    c{k} AS (
+    c{k} AS MATERIALIZED (
         SELECT e.dst AS node, sum((p.r * e.w) // o.wout) AS c
         FROM edges e
         JOIN {prev} p ON p.node = e.src
         JOIN outd o ON o.src = e.src
         GROUP BY e.dst
     ),
-    dm{k} AS (
+    dm{k} AS MATERIALIZED (
         SELECT COALESCE(sum(p.r), 0) AS dm
         FROM {prev} p LEFT JOIN outd o ON p.node = o.src
         WHERE o.src IS NULL
     ),
-    r{k} AS (
+    r{k} AS MATERIALIZED (
         SELECT n.node,
                ({q} * CAST({_SCALE} AS HUGEINT)) // (100 * (SELECT n FROM nn))
              + ({p} * (COALESCE(c.c, 0)
