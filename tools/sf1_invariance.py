@@ -33,6 +33,12 @@ QUERIES = [
     "docs_span_dedup",
     "docs_exact_dedup",
     "ann_srp_lsh_topk",
+    # round-5 close: the remaining oracle-unreachable rows, so every
+    # registry query has EITHER an sf1 oracle row or an sf1 invariance row
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_embedding_cosine",
+    "docs_substring_dedup",
 ]
 
 
