@@ -48,7 +48,14 @@ def rollup_delta(
     sign = (
         F.when(F.col("_change_type").isin(*_ADDS), F.lit(1))
         .when(F.col("_change_type").isin(*_REMOVES), F.lit(-1))
-        .otherwise(F.lit(None))  # unknown change type -> NULL poisons the agg
+        # An unknown change type must FAIL the job, not silently contribute
+        # nothing (sum skips NULLs — a typo'd CDF producer would otherwise
+        # under-maintain the view without a trace).
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("unknown _change_type: "), F.col("_change_type"))
+            ).cast("int")
+        )
     )
     aggs = [F.sum(sign).cast("long").alias(count_alias)]
     for alias, col in sums.items():

@@ -79,3 +79,13 @@ def test_delta_only_touches_changed_groups(spark):
     got = maintain_count_sum_rollup(view, changes, ["g"], "n", {"total": "v"})
     rows = {r["g"]: (r["n"], r["total"]) for r in got.collect()}
     assert rows == {"a": (2, 4.00), "b": (1, 4.00)}
+
+
+def test_unknown_change_type_fails_loudly(spark):
+    import pytest as _pt
+
+    base = spark.createDataFrame([("a", 3.00)], "g string, v double")
+    changes = _cdf(spark, [("a", 1.00, "upsert")])  # not a CDF verb
+    bad = maintain_count_sum_rollup(_rollup(base), changes, ["g"], "n", {"total": "v"})
+    with _pt.raises(Exception, match="unknown _change_type"):
+        bad.collect()
