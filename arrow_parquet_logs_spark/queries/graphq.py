@@ -71,8 +71,11 @@ def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
 @register(
     "graph_pagerank_trade",
     oracle=_pagerank_oracle(),
+    # Not in the bench.py headline set: an iterative 3-round algorithm is
+    # job-latency-bound at test SF and would swamp the round-over-round
+    # recurring-analytics ledger; its public numbers are the SCALE_r05.json
+    # rows (8.05 s sf0.1 → 15.9 s sf1, ratio 1.98 on 10× data).
     tags=("graph", "pagerank", "iterative"),
-    bench=True,
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier trade graph (an edge per

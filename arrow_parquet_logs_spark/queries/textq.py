@@ -803,7 +803,8 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         F.array_min(F.transform(distinct_shingles("text", 3), lambda g: hash64(g))).alias("mfp"),
-    )
+    ).persist()  # the shingle+md5 fingerprint pass is interpreted-HOF CPU;
+    # without the cache the self-join recomputes it for BOTH sides
     a = fp.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"), "mfp")
     b = fp.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"), "mfp")
     cand = (
