@@ -85,3 +85,12 @@ def test_input_validation(spark, edge_df):
         pagerank(edge_df, damping_pct=0)
     with pytest.raises(ValueError, match="iterations"):
         pagerank(edge_df, iterations=0)
+
+
+def test_broadcast_and_shuffle_regimes_identical(spark, edge_df):
+    # broadcast_nodes_cap=0 forces the shuffle-join regime; results must be
+    # bit-identical to the broadcast regime (the size-gate is a pure
+    # physical-strategy switch, like connected_components' regimes).
+    a = sorted(map(tuple, pagerank(edge_df).collect()))
+    b = sorted(map(tuple, pagerank(edge_df, broadcast_nodes_cap=0).collect()))
+    assert a == b
