@@ -49,6 +49,19 @@ def keep_latest(df: DataFrame, keys: list[str], order_col: str, tiebreak: str) -
 
 
 # ------------------------------------------------------- shingle helpers ----
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Spread a doc slice across the session's shuffle parallelism before a
+    CPU-heavy stage. A Catalyst chain (interpreted-HOF shingling, exploded
+    index partial aggregation) inherits the SCAN's task count — 1 for a
+    single-file corpus, since parquet splits are IO-sized, not CPU-sized —
+    and then grinds single-threaded (the defect class the sf1 probe caught
+    on dedup_edit_distance). One bounded text shuffle; used by the exact
+    audit-form operators only, whose SCALING.md contract already trades
+    shuffle volume for exactness (LSH is the no-text-shuffle path)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, key)
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return df.select(F.col(id_col).alias("sid"), distinct_shingles(text_col, n).alias("sh"))
 
@@ -138,7 +151,7 @@ def ngram_jaccard_pairs(
     stage for the bit-identical mapInPandas one (production path)."""
     shingler = _shingle_sets_pandas if pandas_shingles else _shingle_sets
     # persisted: feeds the inverted index and the per-doc sizes
-    sets = shingler(df, id_col, text_col, n).persist()
+    sets = shingler(_spread(df, id_col), id_col, text_col, n).persist()
     inv = sets.select("sid", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
         hot = (
@@ -977,7 +990,7 @@ def jaccard_prefix_pairs(
     approximate path when even prefixes run hot."""
     shingler = _shingle_sets_pandas if pandas_shingles else _shingle_sets
     sets = (
-        shingler(df, id_col, text_col, n)
+        shingler(_spread(df, id_col), id_col, text_col, n)
         .select("sid", F.array_sort("sh").alias("sh"))
         .persist()
     )
