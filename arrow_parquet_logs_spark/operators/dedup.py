@@ -49,7 +49,7 @@ def keep_latest(df: DataFrame, keys: list[str], order_col: str, tiebreak: str) -
 
 
 # ------------------------------------------------------- shingle helpers ----
-def _spread(df: DataFrame, key: str) -> DataFrame:
+def spread(df: DataFrame, key: str) -> DataFrame:
     """Spread a doc slice across the session's shuffle parallelism before a
     CPU-heavy stage. A Catalyst chain (interpreted-HOF shingling, exploded
     index partial aggregation) inherits the SCAN's task count — 1 for a
@@ -151,7 +151,7 @@ def ngram_jaccard_pairs(
     stage for the bit-identical mapInPandas one (production path)."""
     shingler = _shingle_sets_pandas if pandas_shingles else _shingle_sets
     # persisted: feeds the inverted index and the per-doc sizes
-    sets = shingler(_spread(df, id_col), id_col, text_col, n).persist()
+    sets = shingler(spread(df, id_col), id_col, text_col, n).persist()
     inv = sets.select("sid", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
         hot = (
@@ -788,8 +788,13 @@ def embedding_dup_pairs(
     # holds on the sphere. Zero vectors keep a null unit vector and fall out
     # of the candidate join (their cosine is undefined anyway).
     v = as_double_array(vec_col)
+    # spread: the ε-expanded candidate generation (explode → cell join →
+    # pair-distinct partial agg) and the per-pair interpreted cosine fold
+    # pipeline off this scan — a single-file corpus would run them in ONE
+    # task (the sf1-probe defect class). One bounded vector shuffle.
     base = (
-        emb.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("v"), l2_norm(v).alias("_n"))
+        spread(emb, id_col)
+        .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("v"), l2_norm(v).alias("_n"))
         .withColumn(
             "uv",
             F.when(
@@ -990,7 +995,7 @@ def jaccard_prefix_pairs(
     approximate path when even prefixes run hot."""
     shingler = _shingle_sets_pandas if pandas_shingles else _shingle_sets
     sets = (
-        shingler(_spread(df, id_col), id_col, text_col, n)
+        shingler(spread(df, id_col), id_col, text_col, n)
         .select("sid", F.array_sort("sh").alias("sh"))
         .persist()
     )

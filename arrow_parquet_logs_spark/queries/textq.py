@@ -1677,7 +1677,9 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined. The 60-bit portable hash keeps collision rate
     ~n²/2⁶⁰ (negligible at 100 TB window counts) and lets the oracle
     reproduce every hash bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    # D.spread: the window hashing pipelines off the scan; a single-file
+    # corpus would md5 every window in one task (sf1-probe defect class)
+    docs = D.spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", X.tokens("text").alias("t"))
     starts = F.when(
         F.size("t") >= 8, F.sequence(F.lit(0), F.size("t") - 8, F.lit(4))

@@ -43,13 +43,17 @@ QUERIES = [
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale_data/sf1"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    only = next((a.split("=", 1)[1].split(",") for a in sys.argv[1:]
+                 if a.startswith("--only=")), None)
+    sf_dir = argv[0] if argv else ".scale_data/sf1"
     from arrow_parquet_logs_spark.queries import REGISTRY
     from arrow_parquet_logs_spark.session import get_spark
 
     spark = get_spark("sf1-invariance")
     failures = []
-    for name in QUERIES:
+    queries = [q for q in QUERIES if only is None or q in only]
+    for name in queries:
         fn = REGISTRY[name].fn
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -66,7 +70,7 @@ def main() -> int:
                     print(f"  first diff #{i}: {x} vs {y}")
                     break
             failures.append(name)
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} partition-invariant at {sf_dir}"
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} partition-invariant at {sf_dir}"
           + (f"; FAILED: {failures}" if failures else ""))
     return 1 if failures else 0
 
