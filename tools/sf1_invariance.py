@@ -34,10 +34,16 @@ QUERIES = [
     "docs_exact_dedup",
     "ann_srp_lsh_topk",
     # round-5 close: the remaining oracle-unreachable rows, so every
-    # registry query has EITHER an sf1 oracle row or an sf1 invariance row
+    # registry query has EITHER an sf1 oracle row or an sf1 invariance row.
+    # dedup_embedding_cosine (the interpreted expression SPEC form) is the
+    # one deliberate exception: at its loose threshold (t=0.4, ε≈1.1) the
+    # ε-complete expansion is brute-force-class BY DESIGN (exactness at low
+    # t is near-quadratic — see its docstring), and interpreted per-pair
+    # cosine makes an sf1 run hours-long while proving nothing new: its
+    # bit-equality with dedup_embedding_cosine_fast is pytest-pinned, and
+    # the fast form IS sf1-invariant above.
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",
-    "dedup_embedding_cosine",
     "docs_substring_dedup",
 ]
 
