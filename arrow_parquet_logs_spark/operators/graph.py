@@ -44,12 +44,24 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     broadcast_nodes_cap: int = 5_000_000,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over ``edges(src, dst, w)``.
 
     ``w`` is a positive integer edge weight (collapse multi-edges with a
     count/sum upstream). Returns ``(node, rank_scaled bigint)`` where
     ``rank_scaled`` ≈ rank·scale under the fixed-point spec above.
+
+    ``seeds`` (optional, one ``node`` column) switches to PERSONALIZED
+    PageRank: teleport probability — initial mass, the (1−d) restart, and
+    dangling-mass recycling — concentrates uniformly on the seed set
+    instead of all nodes (seeds outside the graph are ignored). The global
+    form is exactly the seeds = all-nodes special case of the same integer
+    recurrence, so one code path serves both:
+
+        R0(v)  = [v∈S]·(SCALE div |S|)
+        R'(v)  = [v∈S]·((100-p)·SCALE div (100·|S|))
+               + (p·(C(v) + [v∈S]·(DM div |S|))) div 100
 
     Strategy is size-gated like ``connected_components``: the rank vector
     is 16 bytes/node, so up to ``broadcast_nodes_cap`` nodes (default 5M ≈
@@ -85,9 +97,26 @@ def pagerank(
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))  # one row, broadcast
     n_val = n_df.collect()[0]["n"]  # bounded: one long
     small = n_val <= broadcast_nodes_cap
-    base = nodes.join(F.broadcast(n_df))  # (node, n)
+    if seeds is None:
+        # global PR == personalized with S = all nodes; one code path
+        flagged = nodes.select("node", F.lit(1).alias("s"))
+        ns_df = n_df.select(F.col("n").alias("ns"))
+    else:
+        sd = seeds.select("node").distinct()
+        flagged = nodes.join(
+            (F.broadcast(sd) if small else sd).select("node", F.lit(1).alias("s")),
+            "node",
+            "left",
+        ).select("node", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+        ns_df = flagged.agg(F.sum("s").cast("long").alias("ns"))
+        if ns_df.collect()[0]["ns"] == 0:  # bounded: one long
+            raise ValueError("no seed appears in the graph")
+    base = (
+        flagged.join(F.broadcast(n_df)).join(F.broadcast(ns_df))
+    ).persist()  # (node, s, n, ns)
     ranks = base.select(
-        "node", "n", F.expr(f"CAST({scale} AS BIGINT) DIV n").alias("r")
+        "node", "s", "n", "ns",
+        F.expr(f"s * (CAST({scale} AS BIGINT) DIV ns)").alias("r"),
     ).persist()
     p, q = damping_pct, 100 - damping_pct
 
@@ -115,10 +144,12 @@ def pagerank(
             .join(F.broadcast(dm_df))
             .select(
                 "node",
+                "s",
                 "n",
+                "ns",
                 F.expr(
-                    f"({q} * CAST({scale} AS BIGINT)) DIV (100 * n)"
-                    f" + ({p} * (coalesce(c, CAST(0 AS BIGINT)) + dm DIV n)) DIV 100"
+                    f"s * (({q} * CAST({scale} AS BIGINT)) DIV (100 * ns))"
+                    f" + ({p} * (coalesce(c, CAST(0 AS BIGINT)) + s * (dm DIV ns))) DIV 100"
                 ).alias("r"),
             )
             .persist()
@@ -136,4 +167,5 @@ def pagerank(
     edges_w.unpersist()
     outd.unpersist()
     nodes.unpersist()
+    base.unpersist()
     return ranks.select("node", F.col("r").alias("rank_scaled"))

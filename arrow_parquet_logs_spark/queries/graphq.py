@@ -17,10 +17,19 @@ _SCALE = 10**12
 _TOPK = 20
 
 
-def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
-    """Chained-CTE DuckDB replay of the integer PageRank recurrence."""
+def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85,
+                     seeds_sql: str | None = None) -> str:
+    """Chained-CTE DuckDB replay of the integer (personalized) PageRank
+    recurrence. ``seeds_sql`` selects a one-column ``node`` seed set;
+    None replays the global form (seeds = all nodes)."""
     p, q = damping_pct, 100 - damping_pct
+    if seeds_sql is None:
+        seed_cte, flag = "", "1"
+    else:
+        seed_cte = f"seeds AS MATERIALIZED ({seeds_sql}),"
+        flag = "CASE WHEN n.node IN (SELECT node FROM seeds) THEN 1 ELSE 0 END"
     cte = f"""
+    {seed_cte}
     edges AS MATERIALIZED (
         SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                's' || CAST(l_suppkey AS VARCHAR) AS dst,
@@ -35,9 +44,13 @@ def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
     ),
     nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
     outd AS MATERIALIZED (SELECT src, CAST(sum(w) AS HUGEINT) AS wout FROM edges GROUP BY src),
+    flagged AS MATERIALIZED (
+        SELECT n.node, {flag} AS s FROM nodes n
+    ),
+    nns AS MATERIALIZED (SELECT CAST(sum(s) AS HUGEINT) AS ns FROM flagged),
     r0 AS MATERIALIZED (
-        SELECT node, CAST({_SCALE} AS HUGEINT) // (SELECT n FROM nn) AS r
-        FROM nodes
+        SELECT node, s, s * (CAST({_SCALE} AS HUGEINT) // (SELECT ns FROM nns)) AS r
+        FROM flagged
     )"""
     for k in range(1, iterations + 1):
         prev = f"r{k - 1}"
@@ -55,11 +68,11 @@ def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
         WHERE o.src IS NULL
     ),
     r{k} AS MATERIALIZED (
-        SELECT n.node,
-               ({q} * CAST({_SCALE} AS HUGEINT)) // (100 * (SELECT n FROM nn))
+        SELECT n.node, n.s,
+               n.s * (({q} * CAST({_SCALE} AS HUGEINT)) // (100 * (SELECT ns FROM nns)))
              + ({p} * (COALESCE(c.c, 0)
-                       + (SELECT dm FROM dm{k}) // (SELECT n FROM nn))) // 100 AS r
-        FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+                       + n.s * ((SELECT dm FROM dm{k}) // (SELECT ns FROM nns)))) // 100 AS r
+        FROM flagged n LEFT JOIN c{k} c ON c.node = n.node
     )"""
     return (
         f"WITH {cte}\n"
@@ -98,4 +111,47 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     ranks = pagerank(edges, iterations=3, damping_pct=85, scale=_SCALE)
+    return ranks.orderBy(F.desc("rank_scaled"), "node").limit(_TOPK)
+
+
+_SEEDS_SQL = (
+    "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE n_name = 'NATION_2'"
+)
+
+
+@register(
+    "graph_pagerank_personalized",
+    oracle=_pagerank_oracle(seeds_sql=_SEEDS_SQL),
+    tags=("graph", "pagerank", "personalized", "iterative"),
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport mass (restart, initial ranks, and
+    dangling recycling) concentrates on ONE nation's customers, so the
+    top suppliers are the ones trade-proximate to that market segment —
+    the random-walk-with-restart relevance every recommender/graph-feature
+    pipeline uses. Same integer recurrence as graph_pagerank_trade (the
+    global form is literally the seeds=all-nodes special case of this code
+    path), same bit-exact HUGEINT oracle replay with a seed-flag column;
+    a wrong seed restriction, leaked teleport mass, or drift in the seeded
+    dangling recycling is a hash mismatch."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seeds = (
+        cust.join(F.broadcast(nation.where(F.col("n_name") == "NATION_2")),
+                  cust["c_nationkey"] == F.col("n_nationkey"))
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    ranks = pagerank(edges, iterations=3, damping_pct=85, scale=_SCALE, seeds=seeds)
     return ranks.orderBy(F.desc("rank_scaled"), "node").limit(_TOPK)

@@ -56,6 +56,7 @@ _BROADCAST_NL_OK = {
     "docs_top_terms_approx",            # 1-row approx_top_k result explode
     "docs_unigram_lm_score",            # 1-row vocabulary stats combine
     "graph_pagerank_trade",             # 1-row N / dangling-mass scalar combine
+    "graph_pagerank_personalized",      # same + 1-row seed-count combine
     "ann_cosine_topk",                  # broadcast query set × corpus
     "ann_ivf_kmeans",                   # broadcast query set, pruned cells
     "ann_ivfpq_search",                 # broadcast rerank query set

@@ -10,14 +10,16 @@ from arrow_parquet_logs_spark.operators.graph import pagerank
 SCALE = 10**12
 
 
-def _reference_pagerank(edges, iterations=3, p=85, scale=SCALE):
-    """Pure-Python integer replay of the fixed-point recurrence."""
+def _reference_pagerank(edges, iterations=3, p=85, scale=SCALE, seeds=None):
+    """Pure-Python integer replay of the fixed-point recurrence
+    (personalized when ``seeds`` is given; global == seeds=all nodes)."""
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
-    n = len(nodes)
+    S = set(nodes) if seeds is None else set(seeds) & set(nodes)
+    ns = len(S)
     wout = {}
     for s, _, w in edges:
         wout[s] = wout.get(s, 0) + w
-    r = {v: scale // n for v in nodes}
+    r = {v: (scale // ns if v in S else 0) for v in nodes}
     q = 100 - p
     for _ in range(iterations):
         c = {v: 0 for v in nodes}
@@ -25,7 +27,8 @@ def _reference_pagerank(edges, iterations=3, p=85, scale=SCALE):
             c[d] += (r[s] * w) // wout[s]
         dm = sum(r[v] for v in nodes if v not in wout)
         r = {
-            v: (q * scale) // (100 * n) + (p * (c[v] + dm // n)) // 100
+            v: (1 if v in S else 0) * ((q * scale) // (100 * ns))
+            + (p * (c[v] + (1 if v in S else 0) * (dm // ns))) // 100
             for v in nodes
         }
     return r
@@ -94,3 +97,22 @@ def test_broadcast_and_shuffle_regimes_identical(spark, edge_df):
     a = sorted(map(tuple, pagerank(edge_df).collect()))
     b = sorted(map(tuple, pagerank(edge_df, broadcast_nodes_cap=0).collect()))
     assert a == b
+
+
+def test_personalized_matches_reference_and_localizes(spark, edge_df):
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank(edge_df, seeds=seeds).collect()}
+    want = _reference_pagerank(EDGES, seeds={"a"})
+    assert got == want
+    # Localization: the seed holds more mass personalized to itself than
+    # under the global teleport, and a node unreachable from the seed in
+    # <= 3 hops of restart mass ranks below its global value.
+    glob = _reference_pagerank(EDGES)
+    assert got["a"] > glob["a"]
+
+
+def test_personalized_no_graph_seed_raises(spark, edge_df):
+    seeds = spark.createDataFrame([("zzz",)], "node string")
+    with pytest.raises(ValueError, match="no seed appears"):
+        pagerank(edge_df, seeds=seeds)
