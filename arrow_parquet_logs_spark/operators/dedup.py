@@ -150,8 +150,11 @@ def ngram_jaccard_pairs(
     ``pandas_shingles=True`` swaps the interpreted-HOF Catalyst shingle
     stage for the bit-identical mapInPandas one (production path)."""
     shingler = _shingle_sets_pandas if pandas_shingles else _shingle_sets
+    # spread only the Catalyst form: the pandas shingler already
+    # repartitions inside spread_for_python (avoid a double text shuffle)
+    src = df if pandas_shingles else spread(df, id_col)
     # persisted: feeds the inverted index and the per-doc sizes
-    sets = shingler(spread(df, id_col), id_col, text_col, n).persist()
+    sets = shingler(src, id_col, text_col, n).persist()
     inv = sets.select("sid", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
         hot = (
@@ -994,8 +997,9 @@ def jaccard_prefix_pairs(
     at 100 TB that is the tuning knob, `minhash_lsh_pairs` the sanctioned
     approximate path when even prefixes run hot."""
     shingler = _shingle_sets_pandas if pandas_shingles else _shingle_sets
+    src = df if pandas_shingles else spread(df, id_col)  # see ngram note
     sets = (
-        shingler(spread(df, id_col), id_col, text_col, n)
+        shingler(src, id_col, text_col, n)
         .select("sid", F.array_sort("sh").alias("sh"))
         .persist()
     )
