@@ -81,7 +81,7 @@ _DECODE_SCHEMA = (
 #: uncompressed TIFF), PNG (stdlib zlib inflate + numpy unfilter), GIF
 #: (hand-rolled LZW + palettes + interlace), and baseline JPEG (hand-rolled
 #: Huffman + dequant + IDCT + chroma upsample, ITU T.81 sequential DCT).
-RAW_DECODABLE = ("ppm", "bmp", "png", "tiff", "gif", "jpeg", "webp")
+RAW_DECODABLE = ("ppm", "bmp", "png", "tiff", "gif", "jpeg", "webp", "avi")
 
 
 def _decode_ppm(buf: bytes):
@@ -1225,6 +1225,8 @@ def _decode_raw(fmt: str, buf: bytes):
         return _decode_jpeg(buf)
     if fmt == "webp":
         return _decode_webp(buf)
+    if fmt == "avi":
+        return _decode_avi(buf)
     raise ValueError(f"format {fmt!r} is not raw-decodable")
 
 
@@ -1693,6 +1695,150 @@ def _decode_vp8l(payload: bytes, np):
     return w, h, np.stack([r, g, b], axis=2)
 
 
+# ---- AVI container (RIFF) with MJPEG / uncompressed-DIB video streams -----
+#
+# Motion-JPEG AVI is the one real *video* container decodable with no codec
+# library: the container is plain RIFF chunk walking (Microsoft "AVI RIFF
+# File Reference", a public spec), and every '..dc' frame is a complete
+# baseline JPEG that reuses _decode_jpeg unchanged. '..db' frames are
+# uncompressed bottom-up BGR DIB bits (dims from the avih header).
+# Inter-frame codecs (H.264/VP9/...) stay behind the codec gate — they need
+# real decoder libraries. The reference has no video path at all
+# (reference reader.py/writer.py are log-record only); this extends the
+# multimodal tier of SURVEY §2.11.
+
+
+def _avi_frames(buf: bytes):
+    """AVI → (width, height, usec_per_frame, [HxWx3 uint8 RGB, ...]).
+
+    Walks the RIFF tree: 'hdrl' for the MainAVIHeader (frame timing +
+    declared dims), 'movi' for the frame chunks — including frames nested
+    in 'rec ' grouping lists. Honors the RIFF even-byte chunk padding and
+    ignores the optional 'idx1' index (a seek aid, not data). Decoded
+    frame dims are cross-checked against the header's declared dims."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/'AVI ' header)")
+    state = {"usec": 0, "w": 0, "h": 0}
+    frames: list = []
+
+    def walk(i: int, end: int, in_movi: bool) -> None:
+        while i + 8 <= end:
+            tag = buf[i : i + 4]
+            (size,) = _struct.unpack_from("<I", buf, i + 4)
+            body0, body1 = i + 8, i + 8 + size
+            if body1 > end:
+                raise ValueError("AVI chunk overruns its parent")
+            if tag == b"LIST":
+                ltype = buf[body0 : body0 + 4]
+                walk(body0 + 4, body1, in_movi or ltype == b"movi")
+            elif tag == b"avih":
+                (state["usec"],) = _struct.unpack_from("<I", buf, body0)
+                state["w"], state["h"] = _struct.unpack_from("<II", buf, body0 + 32)
+            elif in_movi and tag[2:4] == b"dc":
+                _, _, px = _decode_jpeg(buf[body0:body1])
+                frames.append(px)
+            elif in_movi and tag[2:4] == b"db":
+                frames.append(_avi_dib_frame(buf[body0:body1], state["w"], state["h"], np))
+            i = body1 + (size & 1)  # RIFF chunks pad to even
+
+    walk(12, len(buf), False)
+    if not frames:
+        raise ValueError("AVI without video frames")
+    h0, w0 = frames[0].shape[:2]
+    if state["w"] and state["h"] and (w0, h0) != (state["w"], state["h"]):
+        raise ValueError(
+            f"AVI header dims {state['w']}x{state['h']} != decoded {w0}x{h0}"
+        )
+    return w0, h0, int(state["usec"]), frames
+
+
+def _avi_dib_frame(data: bytes, width: int, height: int, np):
+    """'..db' chunk: uncompressed bottom-up BGR DIB bits, rows padded to
+    4 bytes — the BMP pixel-array layout without any header (dims come
+    from the container's avih header)."""
+    if not width or not height:
+        raise ValueError("DIB frame before avih header (unknown dims)")
+    stride = (width * 3 + 3) & ~3
+    if len(data) < stride * height:
+        raise ValueError("DIB frame shorter than stride*height")
+    arr = np.frombuffer(data[: stride * height], dtype=np.uint8)
+    arr = arr.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    return arr[::-1, :, ::-1].copy()  # bottom-up BGR → top-down RGB
+
+
+def _decode_avi(buf: bytes):
+    """AVI → (width, height, FIRST frame px) — the single-image contract
+    shared with the other image tiers; multi-frame features come from
+    decode_media's n_frames/all-frames-luma and video_frame_features."""
+    w, h, _, frames = _avi_frames(buf)
+    return w, h, frames[0]
+
+
+def _container_frames(fmt: str, raw: bytes):
+    """All frames of a multi-frame raw-decodable container as a list of
+    HxWx3 arrays (GIF via the LZW/palette path, AVI via MJPEG/DIB)."""
+    if fmt == "gif":
+        _, _, frames = _gif_frames(raw)
+        return [px for _, px in frames]
+    if fmt == "avi":
+        _, _, _, frames = _avi_frames(raw)
+        return frames
+    raise ValueError(f"format {fmt!r} is not a multi-frame container")
+
+
+def video_frame_features(df: DataFrame, every_ms: int, id_col: str = "id") -> DataFrame:
+    """REAL video frame sampling for AVI payloads via Arrow-batched
+    ``mapInPandas``: decode the container, pick the frame showing at each
+    ``every_ms`` tick (frame k is on screen during
+    [k·spf, (k+1)·spf) with spf = dwMicroSecPerFrame), and emit one row
+    per sampled frame with its exact Rec.601 luma. This *executes* the
+    plan that ``frame_sample_plan`` only describes, for the one video
+    container decodable without codec libraries; other formats raise
+    loudly (same honesty gate as the other tiers)."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    if df.where(~F.coalesce(
+        F.col("media.format") == "avi", F.lit(False)
+    )).limit(1).count() > 0:
+        raise NotImplementedError(
+            "video_frame_features decodes real AVI (MJPEG/DIB) containers "
+            "only; inter-frame video codecs need libraries absent here"
+        )
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, frame_idx int, ts_ms long, luma double"
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, tss, lumas = [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf["payload"]):
+                _, _, usec, frames = _avi_frames(bytes(b) if b is not None else b"")
+                if usec <= 0:
+                    raise ValueError("AVI header lacks frame timing")
+                dur_ms = len(frames) * usec // 1000
+                for ts in range(0, dur_ms, every_ms):
+                    k = ts * 1000 // usec
+                    ids.append(rid)
+                    idxs.append(k)
+                    tss.append(ts)
+                    lumas.append(_mean_luma(frames[k]))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "ts_ms": tss, "luma": lumas}
+            )
+
+    flat = df.select(
+        F.col(id_col),
+        F.col("media.payload").alias("payload"),
+        F.col("media.format").alias("format"),
+    )
+    return spread_for_python(flat).mapInPandas(sample, schema)
+
+
 def _mean_luma(px) -> float:
     """Rec.601 luma mean in [0, 1], computed in integer space (1000×
     scaled weights) so the result is an exact rational — deterministic
@@ -1736,17 +1882,17 @@ def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) ->
             width, height, luma, nframes = [], [], [], []
             for b, fmt in zip(pdf["payload"], pdf["format"]):
                 raw = bytes(b) if b is not None else b""
-                if fmt == "gif":
-                    # GIF is the one multi-frame raw format: report the real
-                    # frame count and the exact mean luma across ALL frames
-                    # (each decoded against its own palette).
-                    _, _, frames = _gif_frames(raw)
-                    first = frames[0][1]
+                if fmt in ("gif", "avi"):
+                    # The multi-frame raw containers (GIF animation, AVI
+                    # MJPEG/DIB): report the real frame count and the exact
+                    # mean luma across ALL frames.
+                    frames = _container_frames(fmt, raw)
+                    first = frames[0]
                     width.append(first.shape[1])
                     height.append(first.shape[0])
                     nframes.append(len(frames))
                     tot = npx = 0
-                    for _, px in frames:
+                    for px in frames:
                         r, g, bl = (px[:, :, c].astype("int64") for c in range(3))
                         tot += int((299 * r + 587 * g + 114 * bl).sum())
                         npx += px.shape[0] * px.shape[1]

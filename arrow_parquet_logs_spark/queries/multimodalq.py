@@ -1055,6 +1055,133 @@ def multimodal_real_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, id_col="doc_id").orderBy("id")
 
 
+def _avi_mjpeg_parts(n_frames: int = 3, fps: int = 10) -> list:
+    """Constant byte segments of an ``n_frames``-frame Motion-JPEG AVI whose
+    only per-document variation is the 2-byte entropy scan of each frame
+    (same DC-only arithmetic as `multimodal_real_jpeg_decode`). Returns
+    segments [c0, c1, ..., cn] such that
+    payload = c0 + v0 + c1 + v1 + ... + v(n-1) + cn, with each v_k the two
+    variable scan bytes of frame k. The container is a fully valid RIFF
+    tree — avih MainAVIHeader with real frame timing, a vids/MJPG strl,
+    movi '00dc' chunks with even-byte padding — per Microsoft's public
+    AVI RIFF File Reference."""
+    import struct as _struct
+
+    jhead = _jpeg_8x8_head()
+    frame_len = len(jhead) + 2 + 3  # head + 2 variable bytes + BF FF D9
+    strf = _struct.pack("<IiiHH4sIiiII", 40, 8, 8, 1, 24, b"MJPG", frame_len, 0, 0, 0, 0)
+    strf_ck = b"strf" + _struct.pack("<I", len(strf)) + strf
+    strh = (
+        b"vids" + b"MJPG"
+        + _struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n_frames, frame_len, 0, 0)
+        + _struct.pack("<HHHH", 0, 0, 8, 8)
+    )
+    strh_ck = b"strh" + _struct.pack("<I", len(strh)) + strh
+    strl = (
+        b"LIST" + _struct.pack("<I", 4 + len(strh_ck) + len(strf_ck)) + b"strl"
+        + strh_ck + strf_ck
+    )
+    avih = _struct.pack(
+        "<IIIIIIIIII",
+        1_000_000 // fps, frame_len * fps, 0, 0x10, n_frames, 0, 1, frame_len, 8, 8,
+    ) + b"\x00" * 16
+    avih_ck = b"avih" + _struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + _struct.pack("<I", 4 + len(avih_ck) + len(strl)) + b"hdrl" + avih_ck + strl
+    frame_ck = b"00dc" + _struct.pack("<I", frame_len)
+    pad = b"\x00" if frame_len % 2 else b""
+    movi_size = 4 + n_frames * (8 + frame_len + len(pad))
+    movi = b"LIST" + _struct.pack("<I", movi_size) + b"movi"
+    riff_size = 4 + len(hdrl) + 8 + movi_size
+    head0 = b"RIFF" + _struct.pack("<I", riff_size) + b"AVI " + hdrl + movi + frame_ck + jhead
+    mid = b"\xbf\xff\xd9" + pad + frame_ck + jhead
+    tail = b"\xbf\xff\xd9" + pad
+    return [head0] + [mid] * (n_frames - 1) + [tail]
+
+
+def _avi_payload_expr(parts: list):
+    """Spark column assembling the per-document AVI payload from the
+    constant segments, splicing in frame k's two entropy-scan bytes
+    (DC coefficient d_k = 129 + 8·((doc_id + k) mod 16) → flat pixel
+    value 144 + (doc_id + k) mod 16)."""
+    pieces = []
+    for k, part in enumerate(parts[:-1]):
+        d = (F.col("doc_id") + k) % 16 * 8 + 129
+        pieces.append(F.lit(part))
+        pieces.append(F.unhex(F.lpad(F.hex(F.shiftright(d, 6) + 0xF8), 2, "0")))
+        pieces.append(F.unhex(F.lpad(F.hex(d % 64 * 4 + 2), 2, "0")))
+    pieces.append(F.lit(parts[-1]))
+    return F.concat(*pieces)
+
+
+@register(
+    "multimodal_real_avi_mjpeg",
+    oracle="""
+    SELECT doc_id AS id, 'video' AS media_type,
+           CAST(1196 AS BIGINT) AS byte_len,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_frames,
+           CAST(432 + doc_id % 16 + (doc_id + 1) % 16 + (doc_id + 2) % 16 AS DOUBLE)
+               / 765 AS mean_luma
+    FROM documents WHERE doc_id < 200 ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "video", "avi"),
+)
+def multimodal_real_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decoding under the driver's hash gate: each document gets
+    a fully valid 3-frame Motion-JPEG AVI (RIFF hdrl/movi tree with true
+    frame timing; every '00dc' chunk a complete baseline JPEG), parsed by
+    the hand-rolled RIFF walker (operators.multimodal._avi_frames) with
+    each frame decoded by the same Huffman+IDCT machinery as
+    `multimodal_real_jpeg_decode`. Frame k is flat 144 + (doc_id+k) mod 16,
+    so the all-frames mean luma is closed-form — a container-walk, chunk
+    padding, or per-frame decode bug lands as a hash mismatch. This is the
+    real-decode half of the video tier; `frame_sample_plan` remains the
+    planning stage for codec-gated formats."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    payload = _avi_payload_expr(_avi_mjpeg_parts())
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "video", "avi")
+    return decode_media(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_avi_frame_sample",
+    oracle="""
+    SELECT doc_id AS id, f.frame_idx,
+           CAST(f.frame_idx * 100 AS BIGINT) AS ts_ms,
+           CAST(144 + (doc_id + f.frame_idx) % 16 AS DOUBLE) / 255 AS luma
+    FROM documents, (VALUES (0), (2)) AS f(frame_idx)
+    WHERE doc_id < 200 ORDER BY id, frame_idx
+    """,
+    tags=("multimodal", "pandas-udf", "video", "avi", "frame-sample"),
+)
+def multimodal_real_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: the 3-frame 10-fps MJPEG AVI of
+    `multimodal_real_avi_mjpeg`, sampled every 200 ms by
+    operators.multimodal.video_frame_features — the tick at 0 ms lands on
+    frame 0 and the tick at 200 ms on frame 2 (frame k is on screen during
+    [k·100 ms, (k+1)·100 ms)), so the oracle is two closed-form rows per
+    document with each sampled frame's exact flat luma. This *executes*
+    the sampling that `frame_sample_plan` only plans, against real
+    container timing (avih dwMicroSecPerFrame), not metadata stubs."""
+    from arrow_parquet_logs_spark.operators.multimodal import (
+        attach_media,
+        video_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    payload = _avi_payload_expr(_avi_mjpeg_parts())
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "video", "avi")
+    return (
+        video_frame_features(media, every_ms=200, id_col="doc_id")
+        .select(
+            F.col("doc_id").alias("id"), "frame_idx", "ts_ms", "luma"
+        )
+        .orderBy("id", "frame_idx")
+    )
+
+
 def _jpeg_prog_8x8_head() -> bytes:
     """Constant prefix of a valid PROGRESSIVE JPEG: SOI, DQT (all-ones),
     SOF2 (8×8 grayscale), the Annex-K DHT pair — scans follow, each with

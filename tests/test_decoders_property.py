@@ -1785,3 +1785,133 @@ def test_vp8l_error_paths():
     bw.write(0, 1)
     with pytest.raises(ValueError):
         M._decode_webp(_vp8l_wrap(bw.flush()))
+
+
+# ---- AVI container (MJPEG / DIB video) --------------------------------------
+
+
+def _avi_py(chunks, w, h, usec=100_000, rec=False, idx1=False, avih=True):
+    """Minimal-but-valid AVI builder for parser tests: RIFF tree with an
+    avih MainAVIHeader, no strl (the parser doesn't need one), and the
+    given movi chunks as (fourcc, payload) pairs — optionally wrapped in a
+    'rec ' grouping list and followed by an idx1 index chunk."""
+
+    def ck(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    frames = b"".join(ck(tag, body) for tag, body in chunks)
+    if rec:
+        frames = ck(b"LIST", b"rec " + frames)
+    movi = ck(b"LIST", b"movi" + frames)
+    parts = b""
+    if avih:
+        hdr = struct.pack("<IIIIIIIIII", usec, 0, 0, 0x10, len(chunks), 0, 1, 0, w, h)
+        hdr += b"\x00" * 16
+        parts += ck(b"LIST", b"hdrl" + ck(b"avih", hdr))
+    parts += movi
+    if idx1:
+        parts += ck(b"idx1", struct.pack("<4sIII", b"00dc", 0x10, 4, 8))
+    return b"RIFF" + struct.pack("<I", 4 + len(parts)) + b"AVI " + parts
+
+
+@settings(max_examples=10, deadline=None)
+@given(bw_=st.integers(1, 2), n=st.integers(1, 4), seed=st.integers(0, 2**32 - 1))
+def test_avi_mjpeg_frames_match_standalone_jpegs(bw_, n, seed):
+    """Every '00dc' frame decodes bit-identically to the same bytes decoded
+    as a standalone JPEG, frame order and count preserved, and the avih
+    timing round-trips. Odd-length JPEG payloads exercise the RIFF
+    even-byte chunk padding."""
+    rng = np.random.default_rng(seed)
+    w, h = bw_ * 8, 8
+    jpegs = []
+    for _ in range(n):
+        blocks = [_rand_block(rng) for _ in range(bw_)]
+        q = rng.integers(1, 30, 64).astype(np.int64)
+        jpegs.append(_encode_jpeg_py(w, h, [(1, 1, 1, 0)], {0: q}, {1: blocks}))
+    buf = _avi_py([(b"00dc", j) for j in jpegs], w, h, usec=40_000)
+    aw, ah, usec, frames = M._avi_frames(buf)
+    assert (aw, ah, usec, len(frames)) == (w, h, 40_000, n)
+    for j, px in zip(jpegs, frames):
+        _, _, want = M._decode_jpeg(j)
+        assert (px == want).all()
+
+
+def test_avi_dib_frames_and_rec_grouping():
+    """'00db' frames are bottom-up BGR with 4-byte row stride; frames inside
+    a 'rec ' grouping list are found; a trailing idx1 chunk is ignored."""
+    rng = np.random.default_rng(7)
+    w, h = 3, 2  # stride 12 -> 3 pad bytes per row
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    dib = b"".join(rows)
+    buf = _avi_py([(b"00db", dib), (b"00db", dib)], w, h, rec=True, idx1=True)
+    aw, ah, _, frames = M._avi_frames(buf)
+    assert (aw, ah, len(frames)) == (w, h, 2)
+    assert (frames[0] == img).all() and (frames[1] == img).all()
+    # single-image contract: first frame
+    dw, dh, px = M._decode_avi(buf)
+    assert (dw, dh) == (w, h) and (px == img).all()
+
+
+def test_avi_error_paths():
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        M._avi_frames(b"nope")
+    # no frames at all
+    with pytest.raises(ValueError, match="without video frames"):
+        M._avi_frames(_avi_py([], 8, 8))
+    # declared dims disagree with decoded frame
+    rng = np.random.default_rng(0)
+    j = _encode_jpeg_py(8, 8, [(1, 1, 1, 0)], {0: np.ones(64, np.int64)},
+                        {1: [_rand_block(rng)]})
+    with pytest.raises(ValueError, match="header dims"):
+        M._avi_frames(_avi_py([(b"00dc", j)], 16, 8))
+    # DIB before any avih header: dims unknown
+    with pytest.raises(ValueError, match="avih"):
+        M._avi_frames(_avi_py([(b"00db", b"\x00" * 12)], 2, 1, avih=False))
+    # chunk size overruns its parent
+    bad = bytearray(_avi_py([(b"00dc", j)], 8, 8))
+    pos = bytes(bad).find(b"00dc") + 4  # the frame chunk's size field
+    bad[pos + 3] = 0x7F  # inflate it far past the movi list's end
+    with pytest.raises(ValueError, match="overruns"):
+        M._avi_frames(bytes(bad))
+    # DIB shorter than stride*height
+    with pytest.raises(ValueError, match="stride"):
+        M._avi_frames(_avi_py([(b"00db", b"\x00" * 4)], 2, 1))
+
+
+def test_avi_through_spark_pipeline(spark):
+    """decode_media and video_frame_features end-to-end over Spark: real
+    multi-frame decode (n_frames, all-frames luma) and tick-accurate frame
+    sampling; the non-AVI honesty gate raises."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    w = h = 8
+    jpegs = []
+    for k in range(3):
+        blocks = [_rand_block(rng)]
+        q = rng.integers(1, 30, 64).astype(np.int64)
+        jpegs.append(_encode_jpeg_py(w, h, [(1, 1, 1, 0)], {0: q}, {1: blocks}))
+    buf = _avi_py([(b"00dc", j) for j in jpegs], w, h, usec=100_000)
+    df = spark.createDataFrame([(1, bytearray(buf))], "id long, raw binary")
+    media = M.attach_media(df, "raw", "video", "avi")
+    row = M.decode_media(media).collect()[0]
+    lumas = [M._mean_luma(M._decode_jpeg(j)[2]) for j in jpegs]
+    assert (row.width, row.height, row.n_frames) == (w, h, 3)
+    assert abs(row.mean_luma - sum(lumas) / 3) < 1e-12
+    sampled = M.video_frame_features(media, every_ms=150).orderBy("frame_idx").collect()
+    # 300 ms of video sampled at 0/150 ms -> frames 0 and 1
+    assert [(r.frame_idx, r.ts_ms) for r in sampled] == [(0, 0), (1, 150)]
+    assert abs(sampled[0].luma - lumas[0]) < 1e-12
+    assert abs(sampled[1].luma - lumas[1]) < 1e-12
+    import pytest
+
+    gif = M.attach_media(df, "raw", "video", "gif")
+    with pytest.raises(NotImplementedError, match="AVI"):
+        M.video_frame_features(gif, every_ms=100).collect()
