@@ -497,3 +497,45 @@ def verify_training_shards(
         "shard", "n_rows", "content_hash", "manifest_n_rows", "manifest_content_hash",
         ok.alias("ok"),
     ).orderBy("shard")
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", form: str = "NFC") -> DataFrame:
+    """Unicode-normalize ``text_col`` in place via ``mapInArrow`` +
+    stdlib ``unicodedata.normalize`` — Arrow batch transfer, one
+    C-implemented normalize call per string (CPython's unicodedata is a C
+    extension over the official UCD). Spark SQL has no normalization
+    expression to stay JVM-side on, and this environment's pyarrow build
+    has a non-composing ``utf8_normalize`` kernel (NFC of e+U+0301 comes
+    back decomposed — probed, not assumed), so the honest fast path is the
+    stdlib. Schema and column order are unchanged; NULLs pass through.
+
+    Web-scale corpora mix precomposed and decomposed encodings of the same
+    visible text (mojibake repair, OCR, legacy CMSes) — exact/MinHash dedup
+    and token statistics all fingerprint *bytes*, so normalization is the
+    canonical first stage of a training-data pipeline. The 100 TB shape is
+    a narrow map: no shuffle, no state, Arrow-batched throughput.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    if text_col not in df.columns:
+        raise ValueError(f"column {text_col!r} not in frame")
+    if dict(df.dtypes)[text_col] != "string":
+        raise ValueError(f"column {text_col!r} must be string")
+    idx = df.columns.index(text_col)
+
+    def norm(batches):
+        import unicodedata
+
+        import pyarrow as pa
+
+        for rb in batches:
+            cols = list(rb.columns)
+            col = cols[idx]
+            cols[idx] = pa.array(
+                [None if s is None else unicodedata.normalize(form, s)
+                 for s in col.to_pylist()],
+                type=col.type,
+            )
+            yield pa.RecordBatch.from_arrays(cols, schema=rb.schema)
+
+    return df.mapInArrow(norm, df.schema)

@@ -2197,3 +2197,72 @@ def docs_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_corrupt", F.lit(n_corrupt).cast("long"))
         .orderBy("doc_id")
     )
+
+
+#: decomposed/precomposed Unicode samples spliced into document text by
+#: ``docs_nfc_normalize`` — combining acute/ring/diaeresis+macron sequences,
+#: an already-composed é (NFC no-op), and a Hangul jamo pair (NFC composes
+#: to the precomposed syllable). Each has a chr()-built twin in the oracle.
+_NFC_SAMPLES = (
+    "e\u0301cole",                # e + COMBINING ACUTE -> \u00e9
+    "A\u030aNGSTRO\u0308M",      # A + RING, O + DIAERESIS
+    "already \u00e9",             # precomposed: NFC identity
+    "o\u0308\u0304 mark",        # o+diaeresis composes, the macron stays combining
+    "\u1100\u1161 hangul",       # jamo pair -> U+AC00
+)
+
+
+@register(
+    "docs_nfc_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             substr(text, 1, 20) || ' ' ||
+             CASE doc_id % 5
+               WHEN 0 THEN 'e' || chr(769) || 'cole'
+               WHEN 1 THEN 'A' || chr(778) || 'NGSTRO' || chr(776) || 'M'
+               WHEN 2 THEN 'already ' || chr(233)
+               WHEN 3 THEN 'o' || chr(776) || chr(772) || ' mark'
+               ELSE chr(4352) || chr(4449) || ' hangul'
+             END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS INTEGER) AS raw_len,
+           nfc_normalize(raw) AS nfc_text,
+           CAST(length(nfc_normalize(raw)) AS INTEGER) AS nfc_len,
+           nfc_normalize(raw) <> raw AS changed
+    FROM s ORDER BY doc_id
+    """,
+    tags=("text", "map-in-arrow", "unicode", "normalize"),
+)
+def docs_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators.text.normalize_text): document
+    text spliced with decomposed combining sequences, precomposed
+    characters, and Hangul jamo, normalized by the Arrow C++ utf8proc
+    kernel via ``mapInArrow`` — no Python per row, no shuffle. The oracle
+    rebuilds the identical codepoint sequences with chr() and normalizes
+    with DuckDB's ``nfc_normalize`` (also utf8proc-backed), so the hash
+    gate compares two independent engines' full Unicode composition
+    tables byte-for-byte — composition pairs, blocked compositions
+    (ö + macron has no precomposed form), and algorithmic Hangul LV
+    composition all land in the digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    sample = F.element_at(
+        F.array(*[F.lit(s) for s in _NFC_SAMPLES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    raw = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 20), F.lit(" "), sample).alias("nfc_text"),
+    ).withColumn("raw_len", F.length("nfc_text")).withColumn(
+        "raw_copy", F.col("nfc_text")
+    )
+    out = X.normalize_text(raw, "nfc_text", form="NFC")
+    return out.select(
+        "doc_id",
+        "raw_len",
+        "nfc_text",
+        F.length("nfc_text").alias("nfc_len"),
+        (F.col("nfc_text") != F.col("raw_copy")).alias("changed"),
+    ).orderBy("doc_id")

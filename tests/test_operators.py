@@ -1631,3 +1631,37 @@ def test_bloom_auto_sizing_bounds_fp_rate(spark):
     assert bloom_size_for(tiny, "g") == BLOOM_MIN_BITS
     # empty key set → floor, no crash
     assert bloom_size_for(tiny.where("g = 'zz'"), "g") == BLOOM_MIN_BITS
+
+
+def test_normalize_text_forms_match_unicodedata(spark):
+    """normalize_text under all four forms is bit-identical to stdlib
+    unicodedata on composition, decomposition, compatibility folding
+    (ligature + fullwidth), Hangul jamo, and blocked compositions; NULLs
+    pass through and untouched columns survive byte-identical."""
+    import unicodedata
+
+    samples = [
+        "e" + chr(0x301) + "cole",          # decomposed -> composes under NFC
+        chr(0xE9) + " fixed",                # precomposed -> NFC identity
+        chr(0xFB01) + "n " + chr(0xFF28),    # fi ligature + fullwidth H (NFKC folds)
+        "o" + chr(0x308) + chr(0x304),       # composes then blocked macron
+        chr(0x1100) + chr(0x1161),           # Hangul jamo -> U+AC00 under NFC
+        None,
+    ]
+    rows = [(i, s, i * 10) for i, s in enumerate(samples)]
+    df = spark.createDataFrame(rows, "id long, text string, keep long")
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        got = {r.id: (r.text, r.keep) for r in X.normalize_text(df, "text", form).collect()}
+        for i, s in enumerate(samples):
+            want = None if s is None else unicodedata.normalize(form, s)
+            assert got[i] == (want, i * 10), (form, i)
+    # NFC really composed (not an identity pass)
+    nfc = {r.id: r.text for r in X.normalize_text(df, "text", "NFC").collect()}
+    assert nfc[0] == chr(0xE9) + "cole" and nfc[4] == chr(0xAC00)
+    # error paths
+    with pytest.raises(ValueError, match="unknown normalization"):
+        X.normalize_text(df, "text", "NFX")
+    with pytest.raises(ValueError, match="not in frame"):
+        X.normalize_text(df, "body")
+    with pytest.raises(ValueError, match="must be string"):
+        X.normalize_text(df, "id")
