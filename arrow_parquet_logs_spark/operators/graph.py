@@ -169,3 +169,90 @@ def pagerank(
     nodes.unpersist()
     base.unpersist()
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    degree_ordered: bool = True) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Input is any edge list — direction, duplicates, and self-loops are
+    normalized away first (least/greatest + distinct). Algorithm is the
+    MapReduce-classic oriented wedge join (Suri–Vassilvitskii): orient
+    every undirected edge from its ≺-smaller endpoint to its ≺-larger
+    one; wedges are pairs of out-edges at a common source; a wedge
+    (v, w) closes a triangle iff the oriented edge v→w exists — so every
+    triangle is generated exactly once, at its ≺-minimal vertex.
+
+    ``degree_ordered=True`` (production default) uses ≺ = (degree, id):
+    out-degrees are then bounded by O(√m), capping total wedge volume at
+    O(m^1.5) regardless of skew — a celebrity node of degree 10⁶ fans out
+    ZERO wedges because every edge orients *into* it. ``False`` uses
+    ≺ = id, whose wedge volume is quadratic in hub degree but which a SQL
+    oracle can restate directly; the two orderings count identical
+    triangles (any total order works), pinned by tests.
+
+    Returns ``(node, triangles)`` for nodes on ≥1 triangle. Shuffle plan:
+    one self-join keyed on wedge source + one join keyed on the closing
+    edge + one count aggregation — no collect, no iteration.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    if degree_ordered:
+        deg = (
+            und.select(F.col("u").alias("n"))
+            .unionAll(und.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        g = (
+            und.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+            .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+        )
+        fwd = (
+            F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+            < F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+        )
+        oriented = g.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+            .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+            .alias("t"),
+        )
+        # wedge (t1 ≺ t2) compares the (degree, id) struct, matching the
+        # orientation key exactly — required so the closing edge exists
+        # in oriented form.
+        w = (
+            oriented.alias("e1")
+            .join(oriented.alias("e2"), on=F.col("e1.s") == F.col("e2.s"))
+            .where(F.col("e1.t") < F.col("e2.t"))
+            .select(
+                F.col("e1.s").alias("x"),
+                F.col("e1.t.n").alias("y"),
+                F.col("e2.t.n").alias("z"),
+            )
+        )
+        closing = oriented.select(F.col("s").alias("y"), F.col("t.n").alias("z"))
+    else:
+        oriented = und  # least/greatest already oriented by id
+        w = (
+            oriented.alias("e1")
+            .join(oriented.alias("e2"), on=F.col("e1.u") == F.col("e2.u"))
+            .where(F.col("e1.v") < F.col("e2.v"))
+            .select(
+                F.col("e1.u").alias("x"),
+                F.col("e1.v").alias("y"),
+                F.col("e2.v").alias("z"),
+            )
+        )
+        closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = w.join(closing, on=["y", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

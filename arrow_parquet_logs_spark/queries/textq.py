@@ -2266,3 +2266,44 @@ def docs_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("nfc_text").alias("nfc_len"),
         (F.col("nfc_text") != F.col("raw_copy")).alias("changed"),
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_orc_ingest",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE doc_id >= 200 AND doc_id < 600 AND lang IN ('en', 'de')
+    ORDER BY doc_id
+    """,
+    tags=("text", "source", "orc", "partition-pruning"),
+)
+def docs_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the remaining columnar format in the source matrix
+    (parquet / Arrow IPC / gzip-JSONL / CSV / ORC), read the 100 TB way:
+
+    - **hive-partitioned write** (``partitionBy(lang)``): the read-back
+      filter ``lang IN ('en','de')`` resolves at PLANNING time against
+      directory names — non-matching partitions are never opened;
+    - **explicit schema on read** (no footer-sampling inference pass);
+    - zlib compression (the ORC default most lakes carry).
+
+    The query returns the slice itself, ordered — so any round-trip drift
+    (string encoding, NULL handling, long overflow, partition-column
+    type coercion back from directory keys) is a hash mismatch against
+    the parquet-sourced oracle, which never touches ORC at all."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 600)
+    )
+    path = tempfile.mkdtemp(prefix="orc_ingest_") + "/corpus"
+    docs.write.mode("overwrite").option("compression", "zlib").partitionBy(
+        "lang"
+    ).orc(path)
+    back = (
+        spark.read.schema("doc_id long, text string, source string, n_chars long, lang string")
+        .orc(path)
+        .where(F.col("lang").isin("en", "de"))
+    )
+    return back.select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")

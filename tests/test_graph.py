@@ -116,3 +116,39 @@ def test_personalized_no_graph_seed_raises(spark, edge_df):
     seeds = spark.createDataFrame([("zzz",)], "node string")
     with pytest.raises(ValueError, match="no seed appears"):
         pagerank(edge_df, seeds=seeds)
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node on 3 triangles), C5 (none), two triangles sharing an
+    edge, and a dirty edge list (duplicates, reversed copies, self-loops)
+    — both orientation regimes, identical results."""
+    from arrow_parquet_logs_spark.operators.graph import triangle_counts
+
+    def counts(edges, **kw):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r.node: r.triangles for r in triangle_counts(df, **kw).collect()}
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert counts(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert counts(k4, degree_ordered=False) == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert counts([(i, (i + 1) % 5) for i in range(5)]) == {}
+    share = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
+    assert counts(share) == {1: 1, 2: 2, 3: 2, 4: 1}
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 3), (3, 4), (1, 2)]
+    assert counts(messy) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_regimes_agree_on_skewed_graph(spark):
+    """Degree-ordered and id-ordered orientations count identical triangles
+    on a hub-skewed graph (a star core + random chords) — the case where
+    the id ordering's wedge volume explodes but the count must not change."""
+    from arrow_parquet_logs_spark.operators.graph import triangle_counts
+
+    edges = [(0, i) for i in range(1, 40)]                 # hub 0
+    edges += [(i, i + 1) for i in range(1, 39)]            # chords close triangles
+    edges += [(i, i + 7) for i in range(1, 33, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {(r.node, r.triangles) for r in triangle_counts(df).collect()}
+    slow = {(r.node, r.triangles)
+            for r in triangle_counts(df, degree_ordered=False).collect()}
+    assert fast == slow and len(fast) > 10

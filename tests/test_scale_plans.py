@@ -232,3 +232,22 @@ def test_span_dedup_partition_invariant(spark, sf_dir):
     a = sorted(map(tuple, X.span_dedup(docs).collect()))
     b = sorted(map(tuple, X.span_dedup(docs.repartition(16)).collect()))
     assert a == b
+
+
+def test_orc_partitioned_read_prunes(spark, sf_dir, tmp_path):
+    """The ORC ingest path (docs_orc_ingest) prunes hive partitions at
+    planning time just like parquet — the lang IN (...) filter appears as
+    a PartitionFilter on the ORC scan, and only matching directories are
+    listed into the scan."""
+    out = str(tmp_path / "orc_docs")
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    docs.write.partitionBy("lang").orc(out)
+    q = (
+        spark.read.schema("doc_id long, text string, source string, n_chars long, lang string")
+        .orc(out)
+        .where(F.col("lang").isin("en", "de"))
+        .select("doc_id")
+    )
+    plan = explain_str(q)
+    pf = [ln.strip() for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0], plan
