@@ -539,3 +539,95 @@ def normalize_text(df: DataFrame, text_col: str = "text", form: str = "NFC") -> 
             yield pa.RecordBatch.from_arrays(cols, schema=rb.schema)
 
     return df.mapInArrow(norm, df.schema)
+
+
+#: symbol delimiter + end-of-word marker for BPE training — non-printing
+#: sentinels that cannot occur in whitespace-tokenized corpus words, so
+#: substring merge patterns can never false-match across symbol boundaries.
+BPE_SEP = "\x1f"
+BPE_EOW = "\x1e"
+
+
+def bpe_encode_expr(word: Column) -> Column:
+    """``word`` → its initial BPE symbol string: every character a symbol,
+    plus the end-of-word marker, all SEP-delimited (``\\x1fh\\x1fi\\x1f\\x1e\\x1f``
+    for "hi"). Pure Catalyst (sequence/transform/substr)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substr(word, i, F.lit(1)),
+    )
+    return F.concat(
+        F.lit(BPE_SEP),
+        F.array_join(F.concat(chars, F.array(F.lit(BPE_EOW))), BPE_SEP),
+        F.lit(BPE_SEP),
+    )
+
+
+def bpe_train(words: DataFrame, n_merges: int, word_col: str = "word",
+              freq_col: str = "f") -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` byte-pair-encoding merges from a (word, frequency)
+    table — classic Sennrich BPE: pair statistics count every adjacent
+    symbol pair (overlapping included) weighted by word frequency; the
+    best pair (count desc, then lexicographic left/right for a
+    deterministic tie-break) merges leftmost-non-overlapping in every
+    word; repeat. Returns [(left, right, pair_count), ...] in merge order.
+
+    One documented variant vs the classic greedy scan: the merge pattern
+    includes BOTH flanking symbol delimiters, so consecutive occurrences
+    of the same pair share a delimiter and a run like ``a a a a`` merges
+    alternate occurrences per round (``aa a a``), converging over later
+    rounds rather than in one pass. Pair *statistics* are classic
+    (every adjacent occurrence counted, overlap included); only the
+    within-run replacement order differs, identically in both engines —
+    the oracle replays the same replace(), so the semantics are pinned,
+    not accidental.
+
+    Scale shape: the corpus collapses to DISTINCT words with counts
+    before any pair work — pair statistics then scale with *vocabulary*
+    size, not corpus size (the standard trick that makes BPE training
+    feasible at all; a 100 TB corpus has a few tens of millions of
+    distinct words). Each round is one explode + one aggregation; the
+    only driver traffic is the single argmax row per round. Encoding
+    state is a narrow projection chain (string replace), never a join.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    enc = words.select(
+        F.col(freq_col).cast("long").alias("f"),
+        bpe_encode_expr(F.col(word_col)).alias("s"),
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split(F.col("s"), BPE_SEP)  # ['', s1, ..., sk, '']
+        pairs = enc.select(
+            "f",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size(syms) - 2),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("l"),
+                        F.element_at(syms, i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((l, r, cnt))
+        enc = enc.select(
+            "f",
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + l + BPE_SEP + r + BPE_SEP),
+                F.lit(BPE_SEP + l + r + BPE_SEP),
+            ).alias("s"),
+        )
+    return merges

@@ -2307,3 +2307,170 @@ def docs_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lang").isin("en", "de"))
     )
     return back.select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB replay of the BPE training loop: same initial encoding
+    (chr(31)-delimited chars + chr(30) end-of-word), same overlapping pair
+    statistics weighted by word frequency, same (count desc, left, right)
+    tie-break, same leftmost-non-overlapping replace() merge — both
+    engines' replace() resumes scanning after each replacement, so even
+    self-overlapping runs (a a a) merge identically."""
+    cte = f"""
+    w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    e0 AS MATERIALIZED (
+      SELECT f,
+             chr(31) || array_to_string(
+               list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+               chr(31)) || chr(31) || chr(30) || chr(31) AS s
+      FROM w
+    )"""
+    for k in range(1, n_merges + 1):
+        prev = f"e{k - 1}"
+        cte += f""",
+    p{k} AS MATERIALIZED (
+      SELECT sym[CAST(i AS INT)] AS l, sym[CAST(i AS INT) + 1] AS r,
+             CAST(sum(f) AS BIGINT) AS cnt
+      FROM (SELECT f, string_split(s, chr(31)) AS sym FROM {prev}),
+           unnest(range(2, len(sym) - 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    e{k} AS MATERIALIZED (
+      SELECT f, replace(s, chr(31) || b.l || chr(31) || b.r || chr(31),
+                           chr(31) || b.l || b.r || chr(31)) AS s
+      FROM {prev}, b{k} b
+    )"""
+    picks = "\n      UNION ALL ".join(
+        f'SELECT {k} AS rank, l, r, cnt AS pair_count FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        f"WITH {cte}\n"
+        f"SELECT CAST(rank AS INTEGER) AS rank,"
+        f" replace(l, chr(30), '</w>') AS \"left\","
+        f" replace(r, chr(30), '</w>') AS \"right\","
+        f" pair_count\n"
+        f"FROM ({picks})\nORDER BY rank"
+    )
+
+
+@register(
+    "docs_bpe_train",
+    oracle=_bpe_oracle(5),
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding TOKENIZER TRAINING (operators.text.bpe_train) —
+    the corpus collapses to distinct words with frequencies, then five
+    rounds of: overlapping adjacent-pair statistics (frequency-weighted),
+    deterministic argmax (count desc, lexicographic tie-break), and a
+    leftmost-non-overlapping merge applied to every word's symbol string.
+    Returns the learned merge table in rank order — exactly what a
+    tokenizer build step persists.
+
+    The oracle replays all five rounds in chained DuckDB CTEs over the
+    identical sentinel-delimited encoding, so pair statistics, tie-breaks,
+    and replace() merge semantics are cross-engine-pinned bit-for-bit.
+    Scale: pair work is O(vocabulary), never O(corpus); per round one
+    explode + one aggregation + a single-row argmax to the driver."""
+    from arrow_parquet_logs_spark.operators.text import BPE_EOW, bpe_train, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    merges = bpe_train(words, n_merges=5)
+    rows = [
+        (k + 1, l.replace(BPE_EOW, "</w>"), r.replace(BPE_EOW, "</w>"), c)
+        for k, (l, r, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    ).orderBy("rank")
+
+
+@register(
+    "docs_bpe_tokenize",
+    oracle=(
+        # reuse the 5-round training replay, then apply the learned merges
+        # to every word of the sliced docs and count resulting BPE symbols
+        _bpe_oracle(5)
+        .split("\nSELECT CAST(rank AS INTEGER)")[0]
+        + """,
+    docw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents WHERE doc_id < 300
+      ) WHERE word <> ''
+    ),
+    a0 AS (
+      SELECT doc_id,
+             chr(31) || array_to_string(
+               list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+               chr(31)) || chr(31) || chr(30) || chr(31) AS s
+      FROM docw
+    ),
+    a1 AS (SELECT doc_id, replace(s, chr(31)||b.l||chr(31)||b.r||chr(31), chr(31)||b.l||b.r||chr(31)) AS s FROM a0, b1 b),
+    a2 AS (SELECT doc_id, replace(s, chr(31)||b.l||chr(31)||b.r||chr(31), chr(31)||b.l||b.r||chr(31)) AS s FROM a1, b2 b),
+    a3 AS (SELECT doc_id, replace(s, chr(31)||b.l||chr(31)||b.r||chr(31), chr(31)||b.l||b.r||chr(31)) AS s FROM a2, b3 b),
+    a4 AS (SELECT doc_id, replace(s, chr(31)||b.l||chr(31)||b.r||chr(31), chr(31)||b.l||b.r||chr(31)) AS s FROM a3, b4 b),
+    a5 AS (SELECT doc_id, replace(s, chr(31)||b.l||chr(31)||b.r||chr(31), chr(31)||b.l||b.r||chr(31)) AS s FROM a4, b5 b)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(s, chr(31))) - 2) AS BIGINT) AS n_bpe_tokens
+    FROM a5 GROUP BY doc_id ORDER BY doc_id"""
+    ),
+    tags=("text", "tokenizer", "bpe"),
+)
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: the merges learned by `docs_bpe_train` (same
+    corpus, same 5 rounds) applied in rank order to every word of a
+    document slice; output is per-document word and BPE-token counts
+    (end-of-word symbols included — one per word at minimum). Both the
+    training AND the application replay in the oracle, so a drift in
+    either stage lands as a hash mismatch. Application is a narrow
+    projection (chained literal replaces, whole-stage codegen), no
+    Python, no shuffle beyond the final per-doc count."""
+    from arrow_parquet_logs_spark.operators.text import (
+        BPE_SEP,
+        bpe_encode_expr,
+        bpe_train,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    merges = bpe_train(words, n_merges=5)
+    docw = (
+        docs.where(F.col("doc_id") < 300)
+        .select("doc_id", F.explode(tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    s = bpe_encode_expr(F.col("word"))
+    for l, r, _ in merges:
+        s = F.replace(s, F.lit(BPE_SEP + l + BPE_SEP + r + BPE_SEP),
+                      F.lit(BPE_SEP + l + r + BPE_SEP))
+    return (
+        docw.select("doc_id", (F.size(F.split(s, BPE_SEP)) - 2).cast("long").alias("nt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1665,3 +1665,45 @@ def test_normalize_text_forms_match_unicodedata(spark):
         X.normalize_text(df, "body")
     with pytest.raises(ValueError, match="must be string"):
         X.normalize_text(df, "id")
+
+
+def test_bpe_train_sennrich_example(spark):
+    """The canonical BPE walkthrough (Sennrich et al. 2016 §3.2 corpus):
+    low×5, lower×2, newest×6, widest×3 — merge order and counts are fully
+    determined: es(9), est(9), est</w>(9), lo(7), low(7), then the 6-way
+    tie at count 6 breaks lexicographically to (e, w)."""
+    from arrow_parquet_logs_spark.operators.text import BPE_EOW, bpe_train
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, f long",
+    )
+    assert bpe_train(words, 6) == [
+        ("e", "s", 9), ("es", "t", 9), ("est", BPE_EOW, 9),
+        ("l", "o", 7), ("lo", "w", 7), ("e", "w", 6),
+    ]
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(words, 0)
+
+
+def test_bpe_train_overlapping_runs(spark):
+    """Self-overlapping pairs: 'aaaa' contributes THREE (a,a) pair
+    occurrences to the statistics (overlap counted, per classic BPE).
+    The merge pass shares flanking delimiters between adjacent run
+    occurrences (the documented variant), so one round yields
+    [aa, a, a, EOW]; round 2's statistics are then the 1-count pairs
+    (aa,a), (a,a), (a,EOW) and the lexicographic tie-break picks
+    (a, EOW) — 0x1e sorts before 'a'."""
+    from arrow_parquet_logs_spark.operators.text import (
+        BPE_EOW, BPE_SEP, bpe_encode_expr, bpe_train,
+    )
+    from pyspark.sql import functions as F
+
+    words = spark.createDataFrame([("aaaa", 1)], "word string, f long")
+    merges = bpe_train(words, 2)
+    assert merges[0] == ("a", "a", 3)
+    assert merges[1] == ("a", BPE_EOW, 1)
+    # and the encoding helper round-trips the segmentation count
+    enc = words.select(bpe_encode_expr(F.col("word")).alias("s"))
+    s = enc.collect()[0].s
+    assert s == BPE_SEP + BPE_SEP.join(list("aaaa") + [BPE_EOW]) + BPE_SEP
