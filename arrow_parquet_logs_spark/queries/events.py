@@ -1548,3 +1548,76 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id bigint, n_pairs bigint, total_value double"
     ).orderBy("user_id")
+
+
+@register(
+    "events_countmin_user_counts",
+    oracle="""
+    WITH c AS MATERIALIZED (
+      SELECT r,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '#'
+                  || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events, unnest([0, 1, 2, 3]) AS t(r)
+      GROUP BY 1, 2
+    ),
+    p AS (SELECT DISTINCT user_id FROM events WHERE user_id < 25),
+    px AS (
+      SELECT user_id, i AS r,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '#'
+                  || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM p, unnest([0, 1, 2, 3]) AS t(i)
+    ),
+    e AS (
+      SELECT user_id, min(coalesce(cnt, 0)) AS cms_estimate
+      FROM px LEFT JOIN c USING (r, bucket) GROUP BY user_id
+    ),
+    tr AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+      FROM events WHERE user_id < 25 GROUP BY user_id
+    )
+    SELECT p.user_id, coalesce(tr.true_count, 0) AS true_count,
+           e.cms_estimate,
+           e.cms_estimate - coalesce(tr.true_count, 0) AS overestimate
+    FROM p JOIN e USING (user_id) LEFT JOIN tr USING (user_id)
+    ORDER BY user_id
+    """,
+    tags=("sketch", "count-min", "approx"),
+)
+def events_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketch.py): per-user event frequencies
+    estimated from a 4×256 counter table built in one explode+aggregate
+    pass — fixed-size and cell-wise mergeable, the shape that summarizes a
+    100 TB keyspace where an exact per-key count is an unbounded shuffle.
+    Point estimates (min over the key's four row-seeded counters) are
+    compared against exact counts: the overestimate column is provably
+    ≥ 0 and the whole sketch — md5-derived hashes included — replays
+    bit-for-bit in the oracle, so this pins estimator correctness, not
+    just plumbing."""
+    from arrow_parquet_logs_spark.operators.sketch import (
+        count_min_counters,
+        count_min_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counters = count_min_counters(ev, "user_id", depth=4, width=256)
+    probes = ev.select("user_id").where(F.col("user_id") < 25).distinct()
+    est = count_min_estimate(probes, counters, "user_id", depth=4, width=256)
+    true = (
+        ev.where(F.col("user_id") < 25)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        probes.join(est, "user_id")
+        .join(true, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.coalesce("true_count", F.lit(0))).alias(
+                "overestimate"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -654,3 +654,65 @@ def agg_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "lineitem_ols_regression",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000) / 1000000
+               AS slope,
+           floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                 * 1000000) / 1000000 AS intercept,
+           floor((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000) / 1000000
+               AS r2
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("stats", "agg", "regression"),
+)
+def lineitem_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS (price regressed on quantity, per return flag):
+    slope, intercept, and R² from the SAME decimal-exact raw-moment sums
+    as `lineitem_price_quantity_corr` — a linear model fit is one
+    aggregation pass at any scale when expressed through Σx/Σy/Σxy/Σx²/Σy²
+    (the moments are partition-mergeable, which is the whole trick; no
+    gradient loop, no collect). Every double op evaluates in one pinned
+    order on order-independent inputs, so both engines produce identical
+    bits before the qfloor quantization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity", 12, 2), dec("l_extendedprice", 12, 2)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_items"),
+        qfloor(slope).alias("slope"),
+        qfloor((sy - slope * sx) / n).alias("intercept"),
+        qfloor(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -1707,3 +1707,35 @@ def test_bpe_train_overlapping_runs(spark):
     enc = words.select(bpe_encode_expr(F.col("word")).alias("s"))
     s = enc.collect()[0].s
     assert s == BPE_SEP + BPE_SEP.join(list("aaaa") + [BPE_EOW]) + BPE_SEP
+
+
+def test_count_min_merge_equals_rebuild_and_bounds(spark):
+    """CMS counter tables from two disjoint halves merge (cell-wise sum)
+    into exactly the whole-stream table; estimates are always >= the true
+    count; a never-seen key with untouched buckets estimates 0; parameter
+    validation raises."""
+    from arrow_parquet_logs_spark.operators.sketch import (
+        count_min_counters, count_min_estimate,
+    )
+
+    rows = [(i % 7,) for i in range(300)] + [(99,)] * 5
+    df = spark.createDataFrame(rows, "uid long")
+    half1, half2 = df.where("uid % 2 = 0"), df.where("uid % 2 = 1")
+    whole = {(r.row, r.bucket): r.cnt
+             for r in count_min_counters(df, "uid").collect()}
+    c1 = count_min_counters(half1, "uid")
+    c2 = count_min_counters(half2, "uid")
+    merged = {(r.row, r.bucket): r.cnt
+              for r in c1.unionAll(c2).groupBy("row", "bucket")
+                         .agg(F.sum("cnt").alias("cnt")).collect()}
+    assert merged == whole
+    probes = spark.createDataFrame([(0,), (3,), (99,), (12345,)], "uid long")
+    est = {r.uid: r.cms_estimate
+           for r in count_min_estimate(probes, count_min_counters(df, "uid"),
+                                       "uid").collect()}
+    true = {uid: sum(1 for (u,) in rows if u == uid) for uid in (0, 3, 99, 12345)}
+    for uid in (0, 3, 99):
+        assert est[uid] >= true[uid] > 0
+    assert est[12345] >= 0  # may collide; never negative
+    with pytest.raises(ValueError, match="depth"):
+        count_min_counters(df, "uid", depth=0)
