@@ -317,8 +317,8 @@ class VersionedTable:
             from pyspark.sql import types as T
 
             st = T.StructType.fromJson(man["schema"])
-            return self.spark.read.schema(st).parquet(*files)
-        return self.spark.read.parquet(*files)
+            return self._with_dv_filter(self.spark.read.schema(st).parquet(*files), man)
+        return self._with_dv_filter(self.spark.read.parquet(*files), man)
 
     def _manifest_at(self, version: int | None) -> dict:
         if version is None:
@@ -360,7 +360,10 @@ class VersionedTable:
         partitions to files, so an upsert/delete/optimize that rewrites K
         partitions opens exactly K partitions' files instead of scanning
         the whole table and filtering (at 100 TB the difference is the
-        whole job)."""
+        whole job). Deletion vectors apply here too, so every consumer —
+        read, CDF diff, upsert/optimize rewrite scans — sees the same
+        post-delete rows and a rewrite can never resurrect a DV-deleted
+        row."""
         from pyspark.sql import types as T
 
         st = T.StructType.fromJson(man["schema"]) if man.get("schema") else None
@@ -369,9 +372,120 @@ class VersionedTable:
                 [], "dummy string"
             )
         files = [os.path.join(self.path, f) for f in files_rel]
-        if st is not None:
-            return self.spark.read.schema(st).parquet(*files)
-        return self.spark.read.parquet(*files)
+        df = (
+            self.spark.read.schema(st).parquet(*files)
+            if st is not None
+            else self.spark.read.parquet(*files)
+        )
+        return self._with_dv_filter(df, man)
+
+    # ---- deletion vectors (merge-on-read deletes) --------------------------
+
+    @staticmethod
+    def _dv_carry(man: dict) -> dict:
+        """Manifest fragment carrying the previous version's deletion
+        vector forward. Entries naming files absent from the new manifest
+        are inert (the read-side anti-join simply never matches them), so
+        partial rewrites carry the whole DV verbatim — correctness never
+        depends on trimming it, only broadcast size does, and OPTIMIZE
+        re-materializes files which retires their tombstones."""
+        if not man.get("dv"):
+            return {}
+        return {"dv": man["dv"], "dv_files": man.get("dv_files", [])}
+
+    def _file_rel_expr(self):
+        """Table-relative path of the scanned file, from the parquet scan's
+        ``_metadata.file_path`` (a ``file:`` URI over this local store)."""
+        prefix = "file:" + os.path.abspath(self.path) + "/"
+        return F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit(""))
+
+    def _with_dv_filter(self, scan: DataFrame, man: dict) -> DataFrame:
+        """Apply the manifest's deletion vector, if any: anti-join the scan
+        on (table-relative file path, parquet row index). The DV set is the
+        deleted-row count in size — broadcast by construction. Must run on
+        the raw scan DataFrame (``_metadata`` is only resolvable there)."""
+        if not man.get("dv"):
+            return scan
+        dv = self.spark.read.parquet(os.path.join(self.path, man["dv"]))
+        cols = scan.columns
+        keyed = scan.select(
+            "*",
+            self._file_rel_expr().alias("__dv_f"),
+            F.col("_metadata.row_index").alias("__dv_ri"),
+        )
+        return (
+            keyed.join(
+                F.broadcast(dv),
+                (keyed["__dv_f"] == dv["file"]) & (keyed["__dv_ri"] == dv["ri"]),
+                "left_anti",
+            ).select(*cols)
+        )
+
+    def delete_where_dv(self, condition: Any) -> dict:
+        """Merge-on-read delete: rows matching ``condition`` are recorded in
+        a DELETION VECTOR — (file, row_index) tombstones the read path
+        anti-joins away — instead of rewriting their files. On a 100 TB
+        table, deleting three rows from a 1 GB file costs a few KB of
+        tombstones here versus a 1 GB rewrite in `delete_where`; the trade
+        is a broadcast anti-join on every read until OPTIMIZE or a
+        partition rewrite re-materializes the files (both of which read
+        through the DV filter, so compaction naturally erases the debt for
+        the files it touches). Data files are untouched; old versions stay
+        time-travelable; `changes()` reads through DVs on both sides so the
+        CDF emits the deletes. Delta Lake ships the same mechanism under
+        the same name (public docs); the parquet row-index comes from
+        Spark's ``_metadata.row_index``."""
+        with self._mutate_lock():
+            return self._delete_dv_locked(condition)
+
+    def _delete_dv_locked(self, condition: Any) -> dict:
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        man = self._current()
+        if man["version"] == 0:
+            raise ValueError("empty table")
+        from pyspark.sql import types as T
+
+        st = T.StructType.fromJson(man["schema"]) if man.get("schema") else None
+        files = [os.path.join(self.path, f) for f in man["files"]]
+        scan = (
+            self.spark.read.schema(st).parquet(*files)
+            if st is not None
+            else self.spark.read.parquet(*files)
+        )
+        keyed = scan.select(
+            "*",
+            self._file_rel_expr().alias("file"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        matched = keyed.where(cond).select("file", "ri")
+        if man.get("dv"):
+            old = self.spark.read.parquet(os.path.join(self.path, man["dv"]))
+            # rows already dead must not be re-counted as newly deleted
+            matched = matched.join(F.broadcast(old), ["file", "ri"], "left_anti")
+            merged = old.unionByName(matched).distinct()
+        else:
+            merged = matched.distinct()
+        n_new = matched.count()
+        new_v = man["version"] + 1
+        dv_rel = f"v{new_v}/dv"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, dv_rel))
+        dv_files = []
+        for root, _, fs in os.walk(os.path.join(self.path, dv_rel)):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, f), self.path)
+                    dv_files.append(rel.replace(os.sep, "/"))
+        self._commit(
+            {
+                "version": new_v,
+                "files": man["files"],
+                "schema": man.get("schema"),
+                "stats": man.get("stats", {}),
+                "dv": dv_rel,
+                "dv_files": sorted(dv_files),
+            }
+        )
+        return {"version": new_v, "rows_deleted": n_new, "rewritten_files": 0}
 
     def upsert(self, updates: DataFrame, max_retries: int = 3) -> dict:
         """MERGE with OPTIMISTIC concurrency (Delta-style): the data write
@@ -515,6 +629,7 @@ class VersionedTable:
                 "files": sorted(keep_files) + plan["files"],
                 "schema": plan["schema"],
                 "stats": stats,
+                **self._dv_carry(man1),
             }
         )
         return {
@@ -569,6 +684,7 @@ class VersionedTable:
                 "files": sorted(keep_files) + new_files,
                 "schema": target.schema.jsonValue(),
                 "stats": stats,
+                **self._dv_carry(man),
             }
         )
         return {
@@ -758,6 +874,7 @@ class VersionedTable:
                 "files": sorted(keep_files) + new_files,
                 "schema": man.get("schema") or self.read().schema.jsonValue(),
                 "stats": stats,
+                **self._dv_carry(man),
             }
         )
         return {
@@ -823,6 +940,7 @@ class VersionedTable:
                     "files": target["files"],
                     "schema": target.get("schema"),
                     "stats": target.get("stats", {}),
+                    **self._dv_carry(target),
                 }
             )
             return {
@@ -854,7 +972,12 @@ class VersionedTable:
         live: set[str] = set()
         for v in survivors:
             with open(os.path.join(self.path, f"v{v}", "MANIFEST.json")) as fh:
-                live.update(json.load(fh)["files"])
+                m = json.load(fh)
+            live.update(m["files"])
+            # deletion-vector parquet files are as load-bearing as data
+            # files: a surviving manifest that references a carried DV dir
+            # must keep those tombstones alive or deleted rows resurrect.
+            live.update(m.get("dv_files", []))
         removed = []
         for v in doomed:
             vdir = os.path.join(self.path, f"v{v}")

@@ -184,16 +184,23 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
     triangle is generated exactly once, at its ≺-minimal vertex.
 
     ``degree_ordered=True`` (production default) uses ≺ = (degree, id):
-    out-degrees are then bounded by O(√m), capping total wedge volume at
+    out-degrees are then bounded by O(√m), capping total wedge work at
     O(m^1.5) regardless of skew — a celebrity node of degree 10⁶ fans out
-    ZERO wedges because every edge orients *into* it. ``False`` uses
-    ≺ = id, whose wedge volume is quadratic in hub degree but which a SQL
-    oracle can restate directly; the two orderings count identical
-    triangles (any total order works), pinned by tests.
+    ZERO wedges because every edge orients *into* it. On top of the
+    orientation, wedges are never materialized as shuffle rows: each
+    vertex's successor set ships as ONE packed array per incident edge and
+    the triangle test is a per-edge array intersection, so the only
+    explode is the intersection itself — exactly the triangle list. (The
+    first form of this operator shuffled every wedge as a row; the sf1
+    empirical probe measured ~7.5·10⁸ wedge rows on the 12M-edge
+    co-occurrence graph and OOMed small drivers — see SCALING.md.)
+    ``False`` uses ≺ = id with the literal wedge-join plan a SQL oracle
+    can restate directly; the two regimes count identical triangles (any
+    total order works), pinned by tests.
 
-    Returns ``(node, triangles)`` for nodes on ≥1 triangle. Shuffle plan:
-    one self-join keyed on wedge source + one join keyed on the closing
-    edge + one count aggregation — no collect, no iteration.
+    Returns ``(node, triangles)`` for nodes on ≥1 triangle. Shuffle plan
+    (degree path): one adjacency aggregation + two array-carrying joins
+    + one count aggregation — no collect, no iteration.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
@@ -218,24 +225,34 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
         oriented = g.select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(fwd, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
-            .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
-            .alias("t"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("d"),
         )
-        # wedge (t1 ≺ t2) compares the (degree, id) struct, matching the
-        # orientation key exactly — required so the closing edge exists
-        # in oriented form.
-        w = (
-            oriented.alias("e1")
-            .join(oriented.alias("e2"), on=F.col("e1.s") == F.col("e2.s"))
-            .where(F.col("e1.t") < F.col("e2.t"))
-            .select(
-                F.col("e1.s").alias("x"),
-                F.col("e1.t.n").alias("y"),
-                F.col("e2.t.n").alias("z"),
-            )
+        # Adjacency-intersection form: instead of materializing every wedge
+        # as a shuffle row (Σ C(outdeg,2) rows — the 10×-probe bottleneck:
+        # ~7.5·10⁸ rows on the sf1 co-occurrence graph), ship each vertex's
+        # successor SET once per incident edge as a packed array and
+        # intersect per edge. Same asymptotic element volume, but as
+        # 8-byte array entries in m rows instead of per-wedge shuffle rows
+        # + a second m-row closing join — and the only explode is the
+        # intersection itself, which is exactly the triangle list.
+        adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nb"))
+        e2 = (
+            oriented
+            .join(adj.select(F.col("s"), F.col("nb").alias("nu")), "s")
+            .join(adj.select(F.col("s").alias("d"), F.col("nb").alias("nv")), "d")
+            .select("s", "d", F.array_intersect("nu", "nv").alias("common"))
+            .where(F.size("common") > 0)
         )
-        closing = oriented.select(F.col("s").alias("y"), F.col("t.n").alias("z"))
+        contrib = (
+            e2.select(F.col("s").alias("node"), F.size("common").cast("long").alias("c"))
+            .unionAll(e2.select(F.col("d").alias("node"),
+                                F.size("common").cast("long").alias("c")))
+            .unionAll(e2.select(F.explode("common").alias("node"),
+                                F.lit(1).cast("long").alias("c")))
+        )
+        return (
+            contrib.groupBy("node").agg(F.sum("c").alias("triangles"))
+        )
     else:
         oriented = und  # least/greatest already oriented by id
         w = (

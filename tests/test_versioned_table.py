@@ -783,3 +783,66 @@ def test_optimize_zorder_tightens_stats_pruning(spark, tmp_path):
     rng_files = t._prune_files(man2, [("k", ">=", 3500)])
     assert len(rng_files) < len(man2["files"])
     assert t.read_where([("k", ">=", 3500)]).count() == 500
+
+
+# ---- deletion vectors (merge-on-read deletes) -------------------------------
+
+
+def test_dv_delete_no_rewrite_and_read_paths(table):
+    """delete_where_dv removes rows from read()/read_where() WITHOUT
+    touching any data file (manifest file list identical, 0 rewrites);
+    a second DV delete merges; already-dead rows are not re-counted."""
+    files_before = table._current()["files"]
+    r = table.delete_where_dv(F.col("k").isin(3, 6, 100))  # 100 absent
+    assert r == {"version": 2, "rows_deleted": 2, "rewritten_files": 0}
+    assert table._current()["files"] == files_before
+    got = _as_dict(table.read())
+    assert 3 not in got and 6 not in got and len(got) == 28
+    # read_where (stats-pruned path) honors the DV too
+    keyed = table.read_where([("k", "=", 3)])
+    assert keyed.count() == 0
+    # second delete merges with the first; re-deleting k=3 adds nothing
+    r2 = table.delete_where_dv(F.col("k").isin(3, 9))
+    assert r2["rows_deleted"] == 1
+    got = _as_dict(table.read())
+    assert {3, 6, 9}.isdisjoint(got) and len(got) == 27
+    # time travel: v1 has all rows, v2 is missing exactly {3, 6}
+    assert len(_as_dict(table.read(version=1))) == 30
+    assert set(_as_dict(table.read(version=2))) == set(range(30)) - {3, 6}
+
+
+def test_dv_delete_cdf_and_upsert_no_resurrect(table, spark):
+    """changes() emits the DV-deleted rows as deletes; a later upsert that
+    rewrites the affected partition does NOT resurrect them (the rewrite
+    scan reads through the DV), and carried partitions keep tombstones."""
+    table.delete_where_dv(F.col("k").isin(3, 4))  # seg0 and seg1
+    ch = {(r.k, r._change_type) for r in table.changes(1, 2).collect()}
+    assert ch == {(3, "delete"), (4, "delete")}
+    # upsert rewrites seg0 only; k=3 (seg0) must stay dead post-rewrite,
+    # k=4 (seg1, carried file + carried DV) must stay dead too
+    table.upsert(spark.createDataFrame([(0, "seg0", -1)], "k long, seg string, val long"))
+    got = _as_dict(table.read())
+    assert 3 not in got and 4 not in got and got[0] == ("seg0", -1)
+    assert len(got) == 28
+
+
+def test_dv_optimize_retires_tombstones_and_vacuum_keeps_dv(table, spark):
+    """OPTIMIZE materializes the post-DV rows into fresh files (the DV rows
+    for rewritten files become inert); vacuum keeps carried DV parquet
+    files alive while any surviving manifest references them; restore
+    re-attaches the DV of the restored version."""
+    table.delete_where_dv(F.col("k") < 6)
+    before = set(_as_dict(table.read()))
+    table.optimize(target_file_bytes=1 << 30, min_files=1)
+    assert set(_as_dict(table.read())) == before
+    # restore back to the DV version: tombstones still apply
+    table.restore(2)
+    assert set(_as_dict(table.read())) == before
+    # vacuum down to the last version; the carried DV files must survive
+    # while the manifest references them
+    man = table._current()
+    assert man.get("dv"), man
+    table.vacuum(keep_versions=1)
+    for f in man.get("dv_files", []):
+        assert os.path.exists(os.path.join(table.path, f)), f
+    assert set(_as_dict(table.read())) == before
