@@ -481,6 +481,84 @@ def table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_dv_delete",
+    oracle="""
+    WITH surv AS (  -- two DV waves: takedown of negatives, then key purge
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE NOT (c_acctbal < 0.0) AND c_custkey % 13 != 0
+    ),
+    merged AS (  -- partition-scoped MERGE over the tombstoned table
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM surv
+        WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0)
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 1000.0, c_mktsegment FROM surv
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("versioned-table", "deletion-vector", "merge-on-read"),
+)
+def table_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes under the hash gate: snapshot customer into a
+    segment-partitioned VersionedTable, run TWO deletion-vector waves
+    (negative-balance takedown, then a key purge — the second wave merges
+    into the first's tombstone set without re-counting already-dead rows),
+    then MERGE an update set into ONE partition. The upsert rewrites only
+    BUILDING's files (reading through the DV, so a tombstoned row can't
+    resurrect into the rewrite), while every other partition carries its
+    original files PLUS live tombstones into the final manifest — the read
+    must apply them. Physically the two deletes rewrite zero data files
+    (asserted here, not just in pytest); the oracle replays the same edit
+    script as pure SQL, where tombstones are invisible by construction."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
+    )
+    root = tempfile.mkdtemp(prefix="table_dv_")
+    try:
+        t = VersionedTable(
+            spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        t.write(cust)
+        files_v1 = t._current()["files"]
+        r1 = t.delete_where_dv(F.col("c_acctbal") < 0.0)
+        r2 = t.delete_where_dv(F.col("c_custkey") % 13 == 0)
+        assert r1["rewritten_files"] == 0 and r2["rewritten_files"] == 0
+        assert t._current()["files"] == files_v1  # zero data files touched
+        updates = (
+            t.read()
+            .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 10 == 0))
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+        )
+        t.upsert(updates)
+        rows = (
+            t.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_balance"),
+            )
+            .orderBy("c_mktsegment")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_customers bigint, total_balance double"
+    ).orderBy("c_mktsegment")
+
+
+@register(
     "table_stream_cdc_cdf",
     oracle="""
     WITH b1 AS (  -- batch 1: raise balances for custkey % 50 = 0
