@@ -2309,6 +2309,54 @@ def docs_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")
 
 
+@register(
+    "docs_xml_ingest",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE doc_id >= 300 AND doc_id < 700 AND lang IN ('en', 'fr')
+    ORDER BY doc_id
+    """,
+    tags=("text", "source", "xml", "partition-pruning"),
+)
+def docs_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip through Spark 4's NATIVE xml data source (spark-xml
+    graduated into core in 4.0 — no external package), completing the
+    source matrix: parquet / Arrow IPC / gzip-JSONL / CSV / ORC / XML.
+
+    Read the 100 TB way even though XML is the interchange laggard:
+
+    - **hive-partitioned write** (``partitionBy(lang)``) so the read-back
+      ``lang IN ('en','fr')`` prunes whole directories at planning time;
+    - **explicit schema on read** — XML inference is a full extra pass
+      that also widens everything it can't prove, so production readers
+      must pin the schema;
+    - ``rowTag`` framing (one ``<doc>`` element per row).
+
+    The hash gate is the XML-specific trap coverage: document text is
+    free-form prose, so entity escaping (& < > quotes), whitespace
+    preservation inside element bodies, and long/partition-key type
+    round-trips all have to survive writer→parser→DataFrame intact to
+    match the parquet-sourced oracle, which never touches XML."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 700)
+    )
+    path = tempfile.mkdtemp(prefix="xml_ingest_") + "/corpus"
+    docs.write.mode("overwrite").format("xml").option("rowTag", "doc").partitionBy(
+        "lang"
+    ).save(path)
+    back = (
+        spark.read.schema("doc_id long, text string, source string, n_chars long, lang string")
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(path)
+        .where(F.col("lang").isin("en", "fr"))
+    )
+    return back.select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")
+
+
 def _bpe_oracle(n_merges: int) -> str:
     """DuckDB replay of the BPE training loop: same initial encoding
     (chr(31)-delimited chars + chr(30) end-of-word), same overlapping pair
