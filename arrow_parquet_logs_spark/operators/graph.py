@@ -273,3 +273,71 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed, plus
+    NEAREST-SEED ATTRIBUTION — ``(node, dist, root)`` where ``root`` is
+    the lexicographically smallest seed among those reaching ``node`` at
+    its minimum distance. The attribution form is what pipelines actually
+    want from BFS: assign every entity to its closest exemplar/region/
+    cluster representative, not just report a number.
+
+    Level-synchronous frontier expansion (the Pregel/GraphX BFS): per
+    round, one join of the frontier onto the edge list keyed on the
+    source endpoint, one min-root aggregation keyed on the destination,
+    and one anti-join against the settled set; the loop exits early the
+    round the frontier empties (the round count — bounded by
+    ``max_hops`` — is the only driver-side signal). Every predecessor on
+    a shortest path settles exactly one level earlier, so propagating
+    each settled node's single (dist, root) is lossless: the propagated
+    min equals the min over ALL shortest walks (the recursive-CTE oracle
+    form), not just over remembered ones.
+
+    Determinism: distances are integers and roots resolve by ``min`` —
+    bit-stable under any partitioning, no floats anywhere (catalog.py
+    contract). Scale shape: state is one row per reached node (16-ish
+    bytes + root id); per-round shuffle volume is frontier-adjacent
+    edges, never the settled set; generations persist so lineage stays
+    linear across rounds, mirroring ``pagerank``'s loop hygiene.
+
+    ``edges`` is treated as DIRECTED — union the reversed frame upstream
+    for undirected reachability. Seeds absent from the graph still settle
+    at distance 0 (they are their own nearest seed).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().persist()
+    settled = (
+        sources.select(F.col("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"), F.col("node").alias("root"))
+        .persist()
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        grown = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"), F.col("root"))
+        )
+        new = (
+            grown.groupBy("node")
+            .agg(F.min("root").alias("root"))
+            .join(settled.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"), "root")
+            .persist()
+        )
+        if not new.take(1):  # frontier exhausted — reachable set closed
+            new.unpersist()
+            break
+        nxt = settled.unionAll(new).persist()
+        settled.unpersist()
+        settled = nxt
+        frontier = new
+    e.unpersist()
+    # settled stays persisted: the returned frame reads it directly
+    return settled

@@ -216,3 +216,80 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("triangles"), "node")
         .limit(_TOPK)
     )
+
+
+@register(
+    "graph_shortest_hops",
+    oracle="""
+    WITH RECURSIVE
+    und AS MATERIALIZED (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+             's' || CAST(l_suppkey AS VARCHAR) AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT s, d FROM und UNION SELECT d, s FROM und
+    ),
+    seeds AS MATERIALIZED (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'
+    ),
+    walk(node, dist, root) AS (
+      SELECT node, 0, node FROM seeds
+      UNION
+      SELECT e.d, w.dist + 1, w.root
+      FROM walk w JOIN edges e ON e.s = w.node
+      WHERE w.dist < 3
+    ),
+    best AS (
+      SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    )
+    SELECT b.node, CAST(b.dist AS INTEGER) AS dist, min(w.root) AS root
+    FROM best b JOIN walk w ON w.node = b.node AND w.dist = b.dist
+    GROUP BY b.node, b.dist
+    ORDER BY b.node
+    """,
+    tags=("graph", "bfs", "shortest-path", "iterative"),
+)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the undirected customer↔supplier trade graph
+    (operators/graph.py:shortest_paths): hop distance from the nearest
+    NATION_2 customer, with nearest-seed ATTRIBUTION — every reached node
+    reports which seed owns it under the (dist, root) lexicographic-min
+    rule. The bipartite structure makes distances interpretable (odd =
+    supplier, even = customer) and the 3-hop horizon covers the trade
+    neighborhood any market-proximity feature would use.
+
+    The oracle replays the BFS as a recursive CTE carrying (node, dist,
+    root) walks and re-derives min-dist + min-root-at-min-dist from the
+    full walk set — so the engine's one-root-per-node frontier
+    propagation is checked against the exhaustive-walk definition, not
+    against itself. Integer distances and min-string roots keep the hash
+    gate float-free."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    und = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seeds = (
+        cust.join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_2")),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    from arrow_parquet_logs_spark.operators.graph import shortest_paths
+
+    return shortest_paths(edges, seeds, max_hops=3).orderBy("node")

@@ -152,3 +152,68 @@ def test_triangle_counts_regimes_agree_on_skewed_graph(spark):
     slow = {(r.node, r.triangles)
             for r in triangle_counts(df, degree_ordered=False).collect()}
     assert fast == slow and len(fast) > 10
+
+
+# ---- shortest_paths (multi-source BFS + nearest-seed attribution) ----------
+
+
+def _sp(spark, edges, seeds, max_hops=6, undirected=True):
+    from arrow_parquet_logs_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    return {
+        r.node: (r.dist, r.root)
+        for r in shortest_paths(e, s, max_hops=max_hops).collect()
+    }
+
+
+def test_bfs_known_graph_distances_and_attribution(spark):
+    # path a-b-c-d plus branch c-e; seeds {a, e}
+    got = _sp(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("c", "e")], ["a", "e"], max_hops=3)
+    assert got == {
+        "a": (0, "a"),
+        "e": (0, "e"),
+        "b": (1, "a"),
+        "c": (1, "e"),  # e-c edge beats the a-b-c walk
+        "d": (2, "e"),  # via c, whose nearest seed is e
+    }
+
+
+def test_bfs_unreachable_nodes_absent_and_max_hops_truncates(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]  # {x,y} disconnected from seed
+    got = _sp(spark, edges, ["a"], max_hops=3)
+    assert got == {"a": (0, "a"), "b": (1, "a"), "c": (2, "a")}
+    got1 = _sp(spark, edges, ["a"], max_hops=1)
+    assert got1 == {"a": (0, "a"), "b": (1, "a")}
+
+
+def test_bfs_equal_distance_ties_pick_min_root(spark):
+    # m is 1 hop from both seeds z and a -> root must be 'a'
+    got = _sp(spark, [("z", "m"), ("a", "m")], ["z", "a"], max_hops=2)
+    assert got["m"] == (1, "a")
+
+
+def test_bfs_directed_vs_undirected(spark):
+    got = _sp(spark, [("a", "b"), ("c", "b")], ["a"], max_hops=3, undirected=False)
+    assert got == {"a": (0, "a"), "b": (1, "a")}  # cannot climb c->b backwards
+    got_u = _sp(spark, [("a", "b"), ("c", "b")], ["a"], max_hops=3, undirected=True)
+    assert got_u == {"a": (0, "a"), "b": (1, "a"), "c": (2, "a")}
+
+
+def test_bfs_seed_outside_graph_settles_at_zero(spark):
+    got = _sp(spark, [("a", "b")], ["a", "ghost"], max_hops=2)
+    assert got["ghost"] == (0, "ghost")
+
+
+def test_bfs_partition_invariance(spark):
+    edges = [(f"n{i}", f"n{i+1}") for i in range(20)] + [("n5", "n15"), ("hub", "n0")]
+    base = _sp(spark, edges, ["n0", "n18"], max_hops=4)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert _sp(spark, edges, ["n0", "n18"], max_hops=4) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
