@@ -1,0 +1,149 @@
+"""Skyline (Pareto frontier) — the rows no other row dominates.
+
+A row dominates another when it is at-least-as-good on EVERY criterion and
+strictly better on at least one (criteria are per-column ``max``/``min``
+senses). The skyline is the classic multi-criteria shortlist: cheapest-vs-
+best tradeoff curves, price/quality frontiers, model checkpoints on a
+loss-vs-size curve. The naive definition is an O(n²) self-join — the whole
+point of this operator is to never run one.
+
+Two physical strategies behind one API, chosen by criterion count:
+
+- **2 criteria — fully declarative, zero Python** (`_skyline_2d`): reduce
+  to one row per distinct first-criterion value (``groupBy`` keeps only
+  that group's best second value — anything else is dominated within the
+  group), then a running-best window ordered by the first criterion tells
+  each group whether some strictly-better-on-1 group already beats it on
+  2. One partial-agg shuffle + one window over the *distinct-value* frame
+  (≪ input), and the input rows are filtered by a broadcast-joinable
+  frontier — Catalyst codegen end to end.
+
+- **d criteria — two-phase SFS** (sort-filter-skyline, Chomicki et al.,
+  public algorithm): within each partition, sort by a monotone preference
+  score (the sum of normalized criteria — any point's dominator must
+  score at least as high, so a scan need only compare against the
+  *running skyline*, making work n·|frontier| instead of n²); the union
+  of local skylines provably contains the global skyline (dominance is
+  transitive and partition-blind), so phase two re-runs SFS on the
+  gathered candidates. Phase-1 output is frontier-sized per partition —
+  at 100 TB the gather is the tiny set, never the data. Arrow-batched
+  ``mapInPandas`` both phases, no row-at-a-time Python.
+
+Ties and duplicates: rows equal on ALL criteria dominate nothing and are
+dominated by nothing between themselves — every copy stays, matching the
+SQL ``NOT EXISTS`` dominance oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _senses(maximize: Sequence[str], minimize: Sequence[str]) -> list[tuple[str, int]]:
+    crit = [(c, 1) for c in maximize] + [(c, -1) for c in minimize]
+    if len(crit) < 2:
+        raise ValueError("skyline needs at least 2 criteria")
+    names = [c for c, _ in crit]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate criterion column: {names}")
+    return crit
+
+
+def skyline(
+    df: DataFrame,
+    maximize: Iterable[str] = (),
+    minimize: Iterable[str] = (),
+) -> DataFrame:
+    """All rows of ``df`` not dominated under the given senses.
+
+    Preserves every input column and every tied/duplicate frontier row.
+    Criteria columns must be orderable numerics; NULL criteria rows are
+    excluded (NULL compares as dominated-by-everything under ANSI
+    semantics, which no caller ever means).
+    """
+    crit = _senses(list(maximize), list(minimize))
+    clean = df.where(
+        F.expr(" AND ".join(f"{c} IS NOT NULL" for c, _ in crit))
+    )
+    if len(crit) == 2:
+        return _skyline_2d(clean, crit)
+    return _skyline_sfs(clean, crit)
+
+
+def _skyline_2d(df: DataFrame, crit: list[tuple[str, int]]) -> DataFrame:
+    (c1, s1), (c2, s2) = crit
+    # best second-criterion value attained at each distinct first value —
+    # within a first-value group everything below that best is dominated
+    # (equal on 1, strictly worse on 2)
+    g2 = (F.max if s2 > 0 else F.min)(c2).alias("__g2")
+    groups = df.groupBy(F.col(c1).alias("__g1")).agg(g2)
+    # running best of __g2 over groups STRICTLY better on criterion 1:
+    # if that best is >= our __g2, a strictly-better-on-1 row ties-or-beats
+    # us on 2 -> dominated. The window's frame is the distinct-__g1 frame,
+    # orders of magnitude smaller than the input.
+    order = F.desc("__g1") if s1 > 0 else F.asc("__g1")
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    run = (F.max if s2 > 0 else F.min)("__g2").over(w)
+    beaten = (run >= F.col("__g2")) if s2 > 0 else (run <= F.col("__g2"))
+    frontier = (
+        groups.withColumn("__beaten", F.coalesce(beaten, F.lit(False)))
+        .where(~F.col("__beaten"))
+        .select("__g1", "__g2")
+    )
+    # frontier is skyline-sized: broadcast it back onto the input rows
+    return (
+        df.join(
+            F.broadcast(frontier),
+            (F.col(c1) == F.col("__g1")) & (F.col(c2) == F.col("__g2")),
+        )
+        .drop("__g1", "__g2")
+    )
+
+
+def _sfs_block(rows, senses):
+    """Sort-filter-skyline over one in-memory block (numpy): returns a
+    boolean keep-mask. Work is n·|frontier| — the sort guarantees no
+    later row can dominate an earlier one."""
+    import numpy as np
+
+    vals = rows * senses  # flip min-sense columns so dominance is all->=
+    order = np.argsort(-vals.sum(axis=1), kind="stable")
+    sky: list[int] = []
+    keep = np.zeros(len(vals), dtype=bool)
+    for i in order:
+        v = vals[i]
+        dominated = False
+        for j in sky:
+            u = vals[j]
+            if (u >= v).all() and (u > v).any():
+                dominated = True
+                break
+        if not dominated:
+            sky.append(i)
+            keep[i] = True
+    return keep
+
+
+def _skyline_sfs(df: DataFrame, crit: list[tuple[str, int]]) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    cols = [c for c, _ in crit]
+    senses = [float(s) for _, s in crit]
+    schema = df.schema
+
+    def local(its: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        sense_row = np.asarray(senses, dtype=np.float64)
+        for pdf in its:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[cols].to_numpy(dtype=np.float64)
+            yield pdf[_sfs_block(vals, sense_row)]
+
+    # phase 1: per-partition frontier (superset-safe: a global skyline row
+    # is undominated everywhere, so it survives its own partition's pass)
+    local_sky = df.mapInPandas(local, schema=schema)
+    # phase 2: the candidates are frontier-sized; one task finishes exactly
+    return local_sky.repartition(1).mapInPandas(local, schema=schema)

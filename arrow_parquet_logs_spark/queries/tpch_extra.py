@@ -1183,3 +1183,90 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "customer")
     return spark.sql(_RCTE_SQL)
+
+
+@register(
+    "part_skyline_price_size",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, CAST(p.p_size AS INTEGER) AS p_size,
+           p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    ORDER BY p.p_partkey
+    """,
+    tags=("skyline", "pareto", "multi-criteria"),
+)
+def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the part catalog — biggest-for-the-money parts
+    (maximize p_size, minimize p_retailprice), the multi-criteria
+    shortlist every procurement/ranking surface wants without scoring
+    weights. Runs the operator's 2-criteria DECLARATIVE plan
+    (operators/skyline.py:_skyline_2d): one partial-agg shuffle to a
+    distinct-size frame, one running-best window over that frame (never
+    the input), and a broadcast of the frontier back onto the rows —
+    Catalyst codegen throughout, nothing quadratic anywhere. The oracle
+    IS the quadratic NOT EXISTS dominance definition, so the reduction's
+    correctness (ties kept, duplicates kept, strictness on at least one
+    criterion) is hash-gated against the textbook semantics."""
+    from arrow_parquet_logs_spark.operators.skyline import skyline
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.col("p_size").cast("int").alias("p_size"), "p_retailprice",
+    )
+    return skyline(part, maximize=["p_size"], minimize=["p_retailprice"]).orderBy(
+        "p_partkey"
+    )
+
+
+@register(
+    "lineitem_skyline_3d",
+    oracle="""
+    WITH sub AS MATERIALIZED (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
+      FROM lineitem WHERE l_suppkey <= 5
+    )
+    SELECT p.l_orderkey, CAST(p.l_linenumber AS INTEGER) AS l_linenumber,
+           p.l_quantity, p.l_discount, p.l_extendedprice
+    FROM sub p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sub q
+      WHERE q.l_quantity >= p.l_quantity AND q.l_discount >= p.l_discount
+        AND q.l_extendedprice <= p.l_extendedprice
+        AND (q.l_quantity > p.l_quantity OR q.l_discount > p.l_discount
+             OR q.l_extendedprice < p.l_extendedprice)
+    )
+    ORDER BY p.l_orderkey, l_linenumber
+    """,
+    tags=("skyline", "pareto", "multi-criteria", "pandas"),
+)
+def lineitem_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-criteria skyline (maximize quantity AND discount, minimize
+    price) over one supplier group's lineitems — the d>2 regime where no
+    window reduction exists, exercising the operator's two-phase
+    SORT-FILTER-SKYLINE path: each partition prunes itself to its local
+    frontier with a monotone-score scan (work n·|frontier|, never n²),
+    and only the frontier-sized survivors gather for the exact second
+    pass. The oracle replays the quadratic dominance definition over the
+    same subset; Arrow float64 carries the double criteria exactly, so
+    the hash gate is strict."""
+    from arrow_parquet_logs_spark.operators.skyline import skyline
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey") <= 5)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            "l_quantity", "l_discount", "l_extendedprice",
+        )
+    )
+    return skyline(
+        li,
+        maximize=["l_quantity", "l_discount"],
+        minimize=["l_extendedprice"],
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -1,0 +1,88 @@
+"""Skyline operator: both physical strategies vs a brute-force oracle."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from arrow_parquet_logs_spark.operators.skyline import skyline
+
+
+def _brute(rows, senses):
+    """O(n²) dominance oracle over tuples of criteria values."""
+    def dominates(u, v):
+        ge = all(s * a >= s * b for (a, b, s) in zip(u, v, senses))
+        gt = any(s * a > s * b for (a, b, s) in zip(u, v, senses))
+        return ge and gt
+
+    return [v for v in rows if not any(dominates(u, v) for u in rows)]
+
+
+def test_2d_known_frontier_ties_and_duplicates(spark):
+    # maximize x, maximize y; (3,3) dominates (3,2) and (2,3); the two
+    # (1,5) duplicates both stay; (5,1) stays (best x).
+    data = [(3, 3), (3, 2), (2, 3), (1, 5), (1, 5), (5, 1), (0, 0)]
+    df = spark.createDataFrame(data, "x long, y long")
+    got = sorted((r.x, r.y) for r in skyline(df, maximize=["x", "y"]).collect())
+    assert got == [(1, 5), (1, 5), (3, 3), (5, 1)]
+
+
+def test_2d_min_max_senses(spark):
+    # minimize price, maximize size: classic cheap-but-big frontier
+    data = [(10.0, 5), (10.0, 7), (8.0, 3), (12.0, 9), (8.0, 7)]
+    df = spark.createDataFrame(data, "price double, size long")
+    got = sorted(
+        (r.price, r.size)
+        for r in skyline(df, maximize=["size"], minimize=["price"]).collect()
+    )
+    # (8,7) dominates (8,3), (10,5), (10,7); (12,9) survives on size
+    assert got == [(8.0, 7), (12.0, 9)]
+
+
+def test_2d_matches_brute_force_random(spark):
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = sorted((r.x, r.y) for r in skyline(df, maximize=["x"], minimize=["y"]).collect())
+    want = sorted(_brute(rows, [1, -1]))
+    assert got == want
+
+
+def test_3d_sfs_matches_brute_force_random(spark):
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 12), rng.randint(0, 12), rng.randint(0, 12))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, z long").repartition(8)
+    got = sorted(
+        (r.x, r.y, r.z)
+        for r in skyline(df, maximize=["x", "y"], minimize=["z"]).collect()
+    )
+    want = sorted(_brute(rows, [1, 1, -1]))
+    assert got == want
+
+
+def test_3d_partition_invariance(spark):
+    rng = random.Random(23)
+    rows = [(rng.random(), rng.random(), rng.random()) for _ in range(300)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    a = sorted(map(tuple, skyline(df.repartition(1), maximize=["x", "y", "z"]).collect()))
+    b = sorted(map(tuple, skyline(df.repartition(13), maximize=["x", "y", "z"]).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_extra_columns_preserved_and_nulls_excluded(spark):
+    data = [(1, 10, 2, "keep"), (2, 5, 1, "dom"), (3, None, 9, "null")]
+    df = spark.createDataFrame(data, "id long, x long, y long, tag string")
+    got = {r.id: r.tag for r in skyline(df, maximize=["x", "y"]).collect()}
+    assert got == {1: "keep"}
+
+
+def test_input_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="at least 2"):
+        skyline(df, maximize=["x"])
+    with pytest.raises(ValueError, match="duplicate"):
+        skyline(df, maximize=["x"], minimize=["x"])
