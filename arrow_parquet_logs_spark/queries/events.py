@@ -1621,3 +1621,88 @@ def events_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_chisq_independence",
+    oracle="""
+    WITH ev AS MATERIALIZED (
+      SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS band FROM events
+    ),
+    o AS MATERIALIZED (
+      SELECT event_type, band, CAST(count(*) AS HUGEINT) AS o
+      FROM ev GROUP BY 1, 2
+    ),
+    r AS MATERIALIZED (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS r FROM ev GROUP BY 1
+    ),
+    c AS MATERIALIZED (
+      SELECT band, CAST(count(*) AS HUGEINT) AS c FROM ev GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM ev),
+    cells AS (
+      SELECT r.event_type, r.r, c.band, c.c, COALESCE(o.o, 0) AS o
+      FROM r CROSS JOIN c
+      LEFT JOIN o ON o.event_type = r.event_type AND o.band = c.band
+    )
+    SELECT event_type, CAST(r AS BIGINT) AS n_type,
+           CAST(sum(
+             (((o * (SELECT n FROM n) - r * c) * 1000)
+              * ((o * (SELECT n FROM n) - r * c) * 1000))
+             // ((SELECT n FROM n) * r * c)
+           ) AS DOUBLE) / 1000000.0 AS chi2_contrib
+    FROM cells GROUP BY 1, 2 ORDER BY event_type
+    """,
+    tags=("stats", "chi-square", "independence", "contingency"),
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence screen: is event_type independent
+    of value band (floor(value/50))? The per-type CONTRIBUTIONS to the
+    statistic are returned (their sum is the chi-square; the per-type
+    split says which behavior deviates most from independence) — the
+    standard drift/association screen a feature-validation pipeline runs
+    between a categorical and a bucketed numeric column.
+
+    Scale shape: the observed table is one groupBy over the events scan;
+    margins are two more tiny aggregations; the FULL R×C cell grid
+    (including zero-observation cells, which contribute r·c/N and which
+    a naive observed-only sum silently drops) is the margins' cross
+    product — R and C frames are statistics-sized, so the cross is a
+    broadcast of bounded frames, never data×data.
+
+    Determinism: each cell term evaluates as the integer rational
+    ((o·N − r·c)·1000)² DIV (N·r·c) in DECIMAL(38,0) — Spark's DIV and
+    DuckDB's HUGEINT // truncate identically on non-negative operands
+    (the pagerank contract) — so the per-type sums are exact integers,
+    order-independent under any partitioning, and the only float op is
+    one final division by 10⁶."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("band")
+    )
+    o = ev.groupBy("event_type", "band").agg(F.count(F.lit(1)).alias("o"))
+    r = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("r"))
+    c = ev.groupBy("band").agg(F.count(F.lit(1)).alias("c"))
+    n = ev.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["event_type", "band"], "left")
+        .select(
+            "event_type", "r",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            "c", "n",
+        )
+    )
+    # ((o·N − r·c)·1000)² DIV (N·r·c): numerator ≤ ~10²⁶ at sf1 — inside
+    # DECIMAL(37,0) from the 18×18 product; DIV truncates like DuckDB //
+    term = F.expr(
+        "CAST((CAST((o * n - r * c) * 1000 AS DECIMAL(18,0))"
+        "      * CAST((o * n - r * c) * 1000 AS DECIMAL(18,0))) AS DECIMAL(38,0))"
+        " DIV CAST(n * r * c AS DECIMAL(18,0))"
+    )
+    return (
+        cells.withColumn("term", term)
+        .groupBy("event_type", F.col("r").cast("long").alias("n_type"))
+        .agg((F.sum("term").cast("double") / F.lit(1000000.0)).alias("chi2_contrib"))
+        .orderBy("event_type")
+    )

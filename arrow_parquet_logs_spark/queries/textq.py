@@ -2522,3 +2522,83 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_token_lift",
+    oracle=r"""
+    WITH dt AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    dfc AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY t
+    ),
+    p AS (
+      SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2 HAVING count(*) >= 20
+    )
+    SELECT p.t1, p.t2, p.n_xy, d1.df AS df1, d2.df AS df2,
+           floor((CAST(p.n_xy AS DOUBLE) * (SELECT n_docs FROM n))
+                 / (CAST(d1.df AS DOUBLE) * CAST(d2.df AS DOUBLE))
+                 * 1000000) / 1000000 AS lift
+    FROM p JOIN dfc d1 ON d1.t = p.t1 JOIN dfc d2 ON d2.t = p.t2
+    ORDER BY lift DESC, t1, t2 LIMIT 30
+    """,
+    tags=("text", "association", "market-basket", "pmi"),
+)
+def docs_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association LIFT over document token sets — for each
+    co-occurring token pair, observed-co-occurrence over
+    independence-expected co-occurrence (lift = n_xy·N / (n_x·n_y), the
+    exponential of PMI, same ranking): the corpus-statistics primitive
+    behind collocation extraction, topic seeding, and "frequently appear
+    together" features. Shape at scale: one explode→distinct to (doc,
+    token) rows, a doc-keyed self-join whose fan-out is C(k,2) per doc on
+    the DISTINCT token set (bounded by doc length, and in production by a
+    df-cap that drops stopword-grade tokens before the join — the same
+    defense as the shingle index), document frequencies broadcast back
+    onto the support-filtered pairs, a top-30 TakeOrdered. No vocabulary-
+    sized shuffle anywhere.
+
+    Determinism: lift is integer-exact double math — all three factors
+    are integers below 2⁵³ (exact in double), one multiply each side, one
+    IEEE division identical bit-for-bit across engines — then
+    qfloor-quantized, with a (t1, t2) tie-break. min-support 20 keeps the
+    pair frame stable under any partitioning."""
+    from arrow_parquet_logs_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfc = dt.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("t1"), F.col("b.t").alias("t2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .where(F.col("n_xy") >= 20)
+    )
+    d1 = dfc.select(F.col("t").alias("t1"), F.col("df").alias("df1"))
+    d2 = dfc.select(F.col("t").alias("t2"), F.col("df").alias("df2"))
+    out = (
+        pairs.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1", "t2", "n_xy", "df1", "df2",
+            qfloor(
+                (F.col("n_xy").cast("double") * F.col("n_docs"))
+                / (F.col("df1").cast("double") * F.col("df2").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "t1", "t2").limit(30)

@@ -55,6 +55,8 @@ _BROADCAST_NL_OK = {
     "docs_importance_weights",          # 1-row corpus stats combine
     "docs_top_terms_approx",            # 1-row approx_top_k result explode
     "docs_unigram_lm_score",            # 1-row vocabulary stats combine
+    "docs_token_lift",                  # 1-row corpus doc-count combine
+    "events_chisq_independence",        # margins cross: stat-sized R×C grid
     "graph_pagerank_trade",             # 1-row N / dangling-mass scalar combine
     "graph_pagerank_personalized",      # same + 1-row seed-count combine
     "ann_cosine_topk",                  # broadcast query set × corpus
