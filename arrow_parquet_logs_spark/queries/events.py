@@ -1706,3 +1706,120 @@ def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("term").cast("double") / F.lit(1000000.0)).alias("chi2_contrib"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_key_skew_gini",
+    oracle="""
+    WITH uc AS MATERIALIZED (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+      FROM uc
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six,
+             CAST(max(x) AS BIGINT) AS mx
+      FROM rk GROUP BY 1
+    )
+    SELECT event_type, n AS n_users, sx AS n_events,
+           floor((CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000) / 1000000 AS gini,
+           floor((CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE)) * 1000000) / 1000000 AS hot_share
+    FROM g ORDER BY event_type
+    """,
+    tags=("stats", "skew", "gini", "diagnostics"),
+)
+def events_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis — the screen you run BEFORE keying a 100 TB
+    join or aggregation: per event type, the Gini coefficient of the
+    per-user event-count distribution plus the hottest key's share.
+    Gini ≈ 0 means uniform keys (hash partitioning will balance);
+    Gini → 1 / a fat hot_share means a celebrity key that needs salting
+    or an AQE skew split. Cost shape: one map-side-combined groupBy to
+    the (type, user) count frame, then a window and an aggregation over
+    that KEYS-SIZED frame — diagnosis never reshuffles the event data.
+
+    Determinism: the rank form G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) is
+    integer except the final division (ties contribute identically under
+    any tie order, and the (x, user_id) order is total anyway); products
+    stay below 2⁵³ so the doubles are exact and the one division is
+    IEEE-identical cross-engine, then qfloor-quantized."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = W.partitionBy("event_type").orderBy("x", "user_id")
+    rk = uc.select("event_type", "x", F.row_number().over(w).alias("i"))
+    g = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        F.max("x").cast("long").alias("mx"),
+    )
+    gini = (
+        (F.lit(2) * F.col("six") - (F.col("n") + F.lit(1)) * F.col("sx")).cast("double")
+        / (F.col("n").cast("double") * F.col("sx").cast("double"))
+    )
+    hot = F.col("mx").cast("double") / F.col("sx").cast("double")
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("n_events"),
+        qfloor(gini).alias("gini"),
+        qfloor(hot).alias("hot_share"),
+    ).orderBy("event_type")
+
+
+@register(
+    "events_value_equidepth",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM t GROUP BY 1, 2 ORDER BY event_type, bucket
+    """,
+    tags=("stats", "histogram", "equi-depth", "quantile"),
+)
+def events_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count per event
+    type) — the complement of the fixed-width `events_value_histogram`:
+    bucket BOUNDARIES adapt to the data, so heavy tails get resolution
+    where the mass is. This is the exact form of what
+    `percentile_approx` sketches; the exact twin verifies semantics at
+    test SF while the sketch is the single-pass plan at 100 TB (the
+    repo's standard exact/approx pairing). ntile's remainder rule —
+    earlier buckets take one extra row — is SQL-standard in both
+    engines, and the (value, event_id) total order makes bucket
+    membership deterministic under ties. Bucket min/max pass through
+    untouched (no float arithmetic), so the hash gate is exact.
+
+    Scale: one window partitioned by type (state = one pass over each
+    type's sorted run) and one bucket-keyed aggregation; nothing global,
+    nothing quadratic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.select("event_type", "value", F.ntile(10).over(w).alias("bucket"))
+    return (
+        t.groupBy("event_type", F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

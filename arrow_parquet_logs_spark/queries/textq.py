@@ -2602,3 +2602,84 @@ def docs_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lift"), "t1", "t2").limit(30)
+
+
+@register(
+    "docs_split_drift_tvd",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT lang,
+             CASE WHEN {_H64.format(x="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+                  WHEN {_H64.format(x="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    a AS (SELECT lang, CAST(count(*) AS BIGINT) AS a FROM s WHERE split = 'train' GROUP BY lang),
+    b AS (SELECT lang, CAST(count(*) AS BIGINT) AS b FROM s WHERE split = 'test' GROUP BY lang),
+    ta AS (SELECT CAST(count(*) AS BIGINT) AS ta FROM s WHERE split = 'train'),
+    tb AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM s WHERE split = 'test')
+    SELECT COALESCE(a.lang, b.lang) AS lang,
+           COALESCE(a.a, 0) AS n_train, COALESCE(b.b, 0) AS n_test,
+           floor((CAST(abs(COALESCE(a.a, 0) * (SELECT tb FROM tb)
+                           - COALESCE(b.b, 0) * (SELECT ta FROM ta)) AS DOUBLE)
+                  / (2.0 * CAST((SELECT ta FROM ta) AS DOUBLE)
+                         * CAST((SELECT tb FROM tb) AS DOUBLE)))
+                 * 1000000) / 1000000 AS tvd_contrib
+    FROM a FULL OUTER JOIN b ON a.lang = b.lang
+    ORDER BY lang
+    """,
+    tags=("text", "split", "drift", "tvd"),
+)
+def docs_split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen between the hash-assigned train and test
+    splits: per-language contribution to the TOTAL VARIATION DISTANCE
+    (½·Σ|p−q|; the contributions sum to the TVD). The production gate a
+    data pipeline runs before shipping a split — a language (or domain,
+    or source) whose share shifted between splits shows up as a fat
+    contribution row; languages present in only ONE split are the acute
+    failure and come from the full-outer margin join, not silently
+    dropped.
+
+    Chosen over KL for the same reason the engine's money math is
+    decimal: TVD is RATIONAL in the counts — |a·B − b·A| / (2·A·B) with
+    every product an exact-in-double integer and one final IEEE division
+    — so the gate needs no cross-engine transcendental (ln) agreement.
+    Scale: two count aggregations keyed on the category, two 1-row
+    totals broadcast back, a category-sized outer join. Nothing scans
+    text; nothing is corpus-sized past the first groupBy."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    s = docs.select(
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    a = s.where(F.col("split") == "train").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    b = s.where(F.col("split") == "test").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test")
+    )
+    ta = s.where(F.col("split") == "train").agg(F.count(F.lit(1)).alias("ta"))
+    tb = s.where(F.col("split") == "test").agg(F.count(F.lit(1)).alias("tb"))
+    joined = (
+        a.join(b, "lang", "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "lang",
+            F.coalesce(F.col("n_train"), F.lit(0)).alias("n_train"),
+            F.coalesce(F.col("n_test"), F.lit(0)).alias("n_test"),
+            "ta", "tb",
+        )
+    )
+    contrib = F.abs(
+        F.col("n_train") * F.col("tb") - F.col("n_test") * F.col("ta")
+    ).cast("double") / (
+        F.lit(2.0) * F.col("ta").cast("double") * F.col("tb").cast("double")
+    )
+    return (
+        joined.select("lang", "n_train", "n_test", qfloor(contrib).alias("tvd_contrib"))
+        .orderBy("lang")
+    )
