@@ -1823,3 +1823,161 @@ def events_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH hc AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, h, x,
+             CAST(row_number() OVER w AS BIGINT) AS k,
+             CAST(sum(x) OVER w AS BIGINT) AS pk
+      FROM hc WINDOW w AS (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM hc GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.event_type, p.h, t.n, (t.n * p.pk - p.k * t.s) AS score,
+             row_number() OVER (PARTITION BY p.event_type
+                                ORDER BY abs(t.n * p.pk - p.k * t.s) DESC, p.h) AS rk
+      FROM pre p JOIN tot t ON t.event_type = p.event_type
+    )
+    SELECT event_type, h AS change_hour, CAST(n AS BIGINT) AS n_hours,
+           floor((CAST(score AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) / 1000000
+               AS cusum_peak
+    FROM scored WHERE rk = 1 ORDER BY event_type
+    """,
+    tags=("stats", "timeseries", "changepoint", "cusum"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on each event type's hourly count
+    series: the hour where the cumulative deviation from the series mean
+    peaks — the classic screen for "when did this metric's level shift",
+    run by every pipeline that monitors ingest volumes. The textbook
+    statistic Σ(xᵢ−μ) is float (μ = S/n); multiplying through by n gives
+    the INTEGER form n·Pₖ − k·S (Pₖ the prefix sum), so the argmax —
+    and therefore the reported change point — is exact integer
+    arithmetic with an earliest-hour tie-break; only the final
+    normalization back to CUSUM units divides (one IEEE op on exact-in-
+    double integers, then qfloor).
+
+    Scale: the hourly rollup is the only pass over the data; everything
+    after runs on the HOURS-SIZED frame (two windows and a type-keyed
+    join), the same diagnosis-is-cheap shape as the Gini screen."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    run = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    pre = hc.select(
+        "event_type", "h", "x",
+        F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        .cast("long").alias("k"),
+        F.sum("x").over(run).cast("long").alias("pk"),
+    )
+    tot = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    scored = pre.join(F.broadcast(tot), "event_type").select(
+        "event_type", "h", "n",
+        (F.col("n") * F.col("pk") - F.col("k") * F.col("s")).alias("score"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.abs(F.col("score")).desc(), "h")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            F.col("n").alias("n_hours"),
+            qfloor(F.col("score").cast("double") / F.col("n").cast("double"))
+            .alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_hourly_autocorrelation",
+    oracle="""
+    WITH hc AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagd AS (
+      SELECT event_type, x,
+             lead(x) OVER (PARTITION BY event_type ORDER BY h) AS y
+      FROM hc
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM lagd WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf_lag1
+    FROM s ORDER BY event_type
+    """,
+    tags=("stats", "timeseries", "autocorrelation"),
+)
+def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's hourly count series —
+    the burstiness/persistence screen (acf≈0: Poisson-ish arrivals;
+    acf→1: load trends that capacity planning must model; acf<0:
+    oscillation, usually a retry loop). Pairs are consecutive rows of
+    the observed hourly series (lead over the hour order); Pearson r
+    comes from the same exact-integer raw moments as the corr/OLS
+    family — sums of integer counts are order-independent, the moment
+    identity evaluates in one pinned double-op sequence, and sqrt is
+    IEEE correctly-rounded in both engines.
+
+    Scale: the rollup is the only data-sized pass; the lag window and
+    moment aggregation run on the hours-sized frame."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .select("event_type", F.col("w.start").alias("h"), "x")
+    )
+    lagd = hc.select(
+        "event_type", "x",
+        F.lead("x").over(W.partitionBy("event_type").orderBy("h")).alias("y"),
+    ).where(F.col("y").isNotNull())
+    s = lagd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    acf = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_pairs"),
+        F.round(acf, 6).alias("acf_lag1"),
+    ).orderBy("event_type")
