@@ -71,3 +71,156 @@ def count_min_estimate(probes: DataFrame, counters: DataFrame, key_col: str,
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+# ---- portable HyperLogLog ---------------------------------------------------
+# Spark's approx_count_distinct is a real HLL but its registers and estimator
+# are engine-internal — unverifiable by an external oracle and not mergeable
+# with sketches built elsewhere. This one is PORTABLE: registers derive from
+# the md5 hex digest with pure string/CASE expressions, and the estimator is
+# an exact integer rational (the raw HLL harmonic mean with the alpha bias
+# constant as a fraction), so engine and oracle produce the SAME BITS — the
+# determinism contract extended to a cardinality sketch. Registers are one
+# byte per bucket and merge by per-bucket max (associative, order-free):
+# per hour / shard / source sketches combine without re-scanning data.
+#
+# Spec (p = 8 -> m = 256 buckets; raw estimator + Flajolet's small-range
+# linear-counting correction via a precomputed integer table — the oracle
+# replays the identical spec so the gate is exact):
+#   bucket = first p/4 hex nibbles of md5(key)
+#   rho    = leading-zero bits of the next 13 nibbles (52 bits) + 1  (<= 53)
+#   M_j    = max rho per bucket (0 for untouched buckets)
+#   E      = alpha_m * m^2 / sum_j 2^(-M_j)
+#          = (7213*m * m^2 * 2^60 * 10^6) DIV (10*(1000m+1079) * sum_j 2^(60-M_j))
+#            / 10^6    [all-integer: alpha = 0.7213/(1+1.079/m) as a fraction,
+#                       the harmonic sum scaled by 2^60 stays integral]
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_NIBBLES = _HLL_P // 4
+#: extra leading-zero bits inside the first non-zero hex nibble
+_HLL_NIBBLE_LZ = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the 256-bucket register table ``(bucket, m_rho)`` for
+    ``key_col``. One map-side pass + one 256-row aggregation; registers
+    from disjoint substreams merge by ``groupBy(bucket).max(m_rho)``
+    (merge ≡ rebuild is test-pinned)."""
+    hexd = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(hexd, 1, _HLL_NIBBLES), 16, 10).cast("int")
+    region = F.substring(hexd, _HLL_NIBBLES + 1, 13)
+    z = F.length(F.regexp_extract(region, "^0*", 0))
+    first_nz = F.substring(region, z + 1, 1)
+    extra = F.coalesce(
+        *[F.when(first_nz == k, F.lit(v)) for k, v in _HLL_NIBBLE_LZ.items()],
+        F.lit(0),
+    )
+    rho = F.when(z == 13, F.lit(53)).otherwise(z * 4 + extra + 1)
+    return (
+        df.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
+_HLL_ALPHA_NUM = 7213 * _HLL_M          # alpha numerator (x10000 x(1000m+1079)/1000m)
+_HLL_ALPHA_DEN = 10 * (1000 * _HLL_M + 1079)
+#: full integer numerator of E_micro: alpha_num * m^2 * 2^60 * 10^6
+_HLL_E_NUM = _HLL_ALPHA_NUM * _HLL_M * _HLL_M * (1 << 60) * 10**6
+
+
+#: linear-counting micro-unit table: lc[V] = round(10^6 * m * ln(m/V)) for
+#: V = 1..m zero registers — ln evaluated ONCE here (Python) and embedded as
+#: integer literals in both engines, so the small-range correction costs no
+#: cross-engine transcendental agreement. Flajolet's rule: use linear
+#: counting when E <= 2.5m and any register is still zero.
+import math as _math
+
+_HLL_LC_MICRO = [
+    round(10**6 * _HLL_M * _math.log(_HLL_M / V)) for V in range(1, _HLL_M + 1)
+]
+_HLL_LC_CUT_MICRO = 25 * _HLL_M * 10**5  # 2.5 * m in micro-units
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row ``(hll_estimate double)`` from a register table: untouched
+    buckets re-enter as rho=0 via the full 256-bucket grid (dropping them
+    silently inflates the estimate), the harmonic sum aggregates the
+    EXACT integers 2^(60-M_j) in DECIMAL(38,0), and the raw estimate is
+    one integral DIV (truncation identical to DuckDB's //) in micro-
+    units. Flajolet's small-range correction applies below 2.5m when
+    zero registers remain — linear counting m·ln(m/V) — via the
+    precomputed integer literal table, so the WHOLE estimator (both
+    regimes and the regime switch itself) is integer-exact cross-engine;
+    the only float op is the final /10^6."""
+    spark = registers.sparkSession
+    grid = spark.range(_HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    full = grid.join(registers, "bucket", "left").select(
+        F.coalesce(F.col("m_rho"), F.lit(0)).alias("m")
+    )
+    s = full.agg(
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - m) AS DECIMAL(38,0))"))
+        .alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("int").alias("v"),
+    )
+    e_raw = F.expr(
+        f"CAST('{_HLL_E_NUM}' AS DECIMAL(38,0)) DIV (CAST({_HLL_ALPHA_DEN} AS DECIMAL(38,0)) * s)"
+    ).cast("bigint")
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LC_MICRO]), F.col("v")
+    )
+    e_micro = F.when(
+        (F.col("v") > 0) & (e_raw <= F.lit(_HLL_LC_CUT_MICRO)), lc
+    ).otherwise(e_raw)
+    return s.select(
+        (e_micro.cast("double") / F.lit(1000000.0)).alias("hll_estimate")
+    )
+
+
+def hll_oracle_sql(key_expr: str, from_clause: str) -> str:
+    """DuckDB replay of the identical register + estimator spec."""
+    _lc_list = "[" + ", ".join(str(x) for x in _HLL_LC_MICRO) + "]"
+    return f"""
+    WITH h AS (
+      SELECT md5(CAST({key_expr} AS VARCHAR)) AS hx FROM {from_clause}
+    ),
+    rr AS (
+      SELECT CAST(concat('0x', substr(hx, 1, {_HLL_NIBBLES})) AS INTEGER) AS bucket,
+             length(regexp_extract(substr(hx, {_HLL_NIBBLES + 1}, 13), '^0*')) AS z,
+             substr(substr(hx, {_HLL_NIBBLES + 1}, 13),
+                    length(regexp_extract(substr(hx, {_HLL_NIBBLES + 1}, 13), '^0*')) + 1,
+                    1) AS fnz
+      FROM h
+    ),
+    reg AS (
+      SELECT bucket,
+             max(CASE WHEN z = 13 THEN 53
+                      ELSE z * 4 + (CASE fnz WHEN '1' THEN 3 WHEN '2' THEN 2
+                                             WHEN '3' THEN 2 WHEN '4' THEN 1
+                                             WHEN '5' THEN 1 WHEN '6' THEN 1
+                                             WHEN '7' THEN 1 ELSE 0 END) + 1
+                 END) AS m_rho
+      FROM rr GROUP BY bucket
+    ),
+    full_grid AS (
+      SELECT t.b AS bucket, COALESCE(reg.m_rho, 0) AS m
+      FROM (SELECT unnest(range({_HLL_M})) AS b) t
+      LEFT JOIN reg ON reg.bucket = t.b
+    ),
+    s AS (
+      SELECT sum(CAST(1 AS HUGEINT) << (60 - m)) AS s,
+             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v
+      FROM full_grid
+    ),
+    e AS (
+      SELECT v,
+             CAST(CAST('{_HLL_E_NUM}' AS HUGEINT)
+                  // (CAST({_HLL_ALPHA_DEN} AS HUGEINT) * s) AS BIGINT) AS e_raw
+      FROM s
+    )
+    SELECT CAST(CASE WHEN v > 0 AND e_raw <= {_HLL_LC_CUT_MICRO}
+                     THEN {_lc_list}[v] ELSE e_raw END AS DOUBLE)
+           / 1000000.0 AS hll_estimate
+    FROM e
+    """

@@ -1981,3 +1981,36 @@ def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
         n.cast("bigint").alias("n_pairs"),
         F.round(acf, 6).alias("acf_lag1"),
     ).orderBy("event_type")
+
+
+from arrow_parquet_logs_spark.operators.sketch import hll_oracle_sql as _hll_sql  # noqa: E402
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+    WITH est AS ({_hll_sql("user_id", "events")}),
+    ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+    SELECT ex.n_exact, est.hll_estimate FROM ex CROSS JOIN est
+    """,
+    tags=("sketch", "hll", "approx", "portable"),
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-user estimate next to the exact
+    count (operators/sketch.py): registers derive from the md5 digest
+    with pure string/CASE expressions and the raw-HLL estimator is one
+    integral DIV — so unlike ``approx_count_distinct`` (a real HLL whose
+    registers and float estimator live inside the engine), this sketch
+    replays BIT-FOR-BIT in the DuckDB oracle: the hash gate pins the
+    estimate itself, not a tolerance band around it. Registers are 256
+    bytes, merge by per-bucket max (hour/shard/source sketches combine
+    without rescanning — the mergeability CMS has for frequencies,
+    extended to cardinality), and the one data-sized pass is map-side.
+    Accuracy (~6.5% typical at m=256) is pinned separately in pytest;
+    this gate pins cross-engine equality of the whole spec."""
+    from arrow_parquet_logs_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_registers(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select("n_exact", "hll_estimate")

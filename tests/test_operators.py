@@ -1739,3 +1739,50 @@ def test_count_min_merge_equals_rebuild_and_bounds(spark):
     assert est[12345] >= 0  # may collide; never negative
     with pytest.raises(ValueError, match="depth"):
         count_min_counters(df, "uid", depth=0)
+
+
+def test_hll_merge_equals_rebuild_and_accuracy(spark):
+    """Portable HLL: (a) registers from two halves merged by per-bucket max
+    equal the full rebuild, (b) the raw-regime estimate (n >> 2.5m) lands
+    within 3 standard errors (1.04/sqrt(256) ~ 6.5%) of the truth and the
+    linear-counting regime (n = 500 < 2.5m) within the same bound, (c) a
+    10x-larger distinct set estimates strictly larger."""
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.operators.sketch import hll_estimate, hll_registers
+
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("user_"), F.col("id")).alias("k"))
+    full = {(r.bucket, r.m_rho) for r in hll_registers(df, "k").collect()}
+    h1 = hll_registers(df.where(F.col("k") < "user_5"), "k")  # string-order split
+    h2 = hll_registers(df.where(~(F.col("k") < "user_5")), "k")
+    merged = {
+        (r.bucket, r.m_rho)
+        for r in h1.unionByName(h2).groupBy("bucket").agg(
+            F.max("m_rho").alias("m_rho")
+        ).collect()
+    }
+    assert merged == full
+    est = hll_estimate(hll_registers(df, "k")).collect()[0].hll_estimate
+    assert abs(est - n) / n < 3 * 1.04 / 16, est
+    small = hll_estimate(
+        hll_registers(spark.range(500).select(F.col("id").cast("string").alias("k")), "k")
+    ).collect()[0].hll_estimate
+    assert small < est
+    assert abs(small - 500) / 500 < 3 * 1.04 / 16, small
+
+
+def test_hll_empty_and_duplicate_insensitivity(spark):
+    """All-duplicate input estimates ~1 (registers see one key); the
+    estimator never divides by zero on an empty register table (full-grid
+    zeros give the maximal harmonic sum)."""
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.operators.sketch import hll_estimate, hll_registers
+
+    dup = spark.range(1000).select(F.lit("same").alias("k"))
+    est = hll_estimate(hll_registers(dup, "k")).collect()[0].hll_estimate
+    assert 0.5 < est < 2, est  # linear counting: ~m*ln(m/(m-1)) ~ 1.002
+    empty = hll_registers(dup.where(F.lit(False)), "k")
+    e0 = hll_estimate(empty).collect()[0].hll_estimate
+    assert e0 == 0.0, e0  # V = m -> ln(1) = 0, no crash, no divide-by-zero
