@@ -102,10 +102,11 @@ _HLL_NIBBLES = _HLL_P // 4
 _HLL_NIBBLE_LZ = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
 
 
-def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
-    """Build the 256-bucket register table ``(bucket, m_rho)`` for
-    ``key_col``. One map-side pass + one 256-row aggregation; registers
-    from disjoint substreams merge by ``groupBy(bucket).max(m_rho)``
+def hll_registers(df: DataFrame, key_col: str, group_cols: tuple = ()) -> DataFrame:
+    """Build the 256-bucket register table ``(*group_cols, bucket, m_rho)``
+    for ``key_col`` — one sketch per group in ONE map-side pass + one
+    aggregation of at most 256 rows per group. Registers from disjoint
+    substreams merge by ``groupBy(*group_cols, bucket).max(m_rho)``
     (merge ≡ rebuild is test-pinned)."""
     hexd = F.md5(F.col(key_col).cast("string"))
     bucket = F.conv(F.substring(hexd, 1, _HLL_NIBBLES), 16, 10).cast("int")
@@ -117,9 +118,10 @@ def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
         F.lit(0),
     )
     rho = F.when(z == 13, F.lit(53)).otherwise(z * 4 + extra + 1)
+    gb = [F.col(c) for c in group_cols]
     return (
-        df.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
-        .groupBy("bucket")
+        df.select(*gb, bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("m_rho"))
     )
 
@@ -143,38 +145,39 @@ _HLL_LC_MICRO = [
 _HLL_LC_CUT_MICRO = 25 * _HLL_M * 10**5  # 2.5 * m in micro-units
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
-    """One-row ``(hll_estimate double)`` from a register table: untouched
-    buckets re-enter as rho=0 via the full 256-bucket grid (dropping them
-    silently inflates the estimate), the harmonic sum aggregates the
-    EXACT integers 2^(60-M_j) in DECIMAL(38,0), and the raw estimate is
-    one integral DIV (truncation identical to DuckDB's //) in micro-
-    units. Flajolet's small-range correction applies below 2.5m when
-    zero registers remain — linear counting m·ln(m/V) — via the
-    precomputed integer literal table, so the WHOLE estimator (both
-    regimes and the regime switch itself) is integer-exact cross-engine;
-    the only float op is the final /10^6."""
-    spark = registers.sparkSession
-    grid = spark.range(_HLL_M).select(F.col("id").cast("int").alias("bucket"))
-    full = grid.join(registers, "bucket", "left").select(
-        F.coalesce(F.col("m_rho"), F.lit(0)).alias("m")
+def hll_estimate(registers: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """``(*group_cols, hll_estimate double)`` from a register table.
+
+    Untouched buckets never need materializing: an absent register is
+    rho = 0 by definition, so V = m − observed_buckets and the harmonic
+    sum is S = Σ 2^(60−M_j) + V·2⁶⁰ in closed form — the estimator is a
+    pure aggregation (no grid frame, no join), which is what lets one
+    pass serve thousands of groups. Arithmetic is EXACT integers in
+    DECIMAL(38,0); the raw estimate is one integral DIV (truncation
+    identical to DuckDB's //) in micro-units; Flajolet's small-range
+    linear-counting correction comes from the precomputed integer
+    literal table — both regimes and the regime switch replay bit-for-
+    bit in the oracle, and the only float op is the final /10^6."""
+    two60 = f"CAST({1 << 60} AS DECIMAL(38,0))"
+    agg = registers.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - m_rho) AS DECIMAL(38,0))")),
+            F.expr("CAST(0 AS DECIMAL(38,0))"),
+        ).alias("s_obs"),
+        F.count(F.lit(1)).cast("int").alias("n_obs"),
     )
-    s = full.agg(
-        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - m) AS DECIMAL(38,0))"))
-        .alias("s"),
-        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("int").alias("v"),
-    )
+    v = (F.lit(_HLL_M) - F.col("n_obs")).cast("int")
     e_raw = F.expr(
-        f"CAST('{_HLL_E_NUM}' AS DECIMAL(38,0)) DIV (CAST({_HLL_ALPHA_DEN} AS DECIMAL(38,0)) * s)"
-    ).cast("bigint")
-    lc = F.element_at(
-        F.array(*[F.lit(x) for x in _HLL_LC_MICRO]), F.col("v")
+        f"CAST(CAST('{_HLL_E_NUM}' AS DECIMAL(38,0))"
+        f" DIV (CAST({_HLL_ALPHA_DEN} AS DECIMAL(38,0))"
+        f"      * (s_obs + CAST({_HLL_M} - n_obs AS DECIMAL(38,0)) * {two60}))"
+        f" AS BIGINT)"
     )
-    e_micro = F.when(
-        (F.col("v") > 0) & (e_raw <= F.lit(_HLL_LC_CUT_MICRO)), lc
-    ).otherwise(e_raw)
-    return s.select(
-        (e_micro.cast("double") / F.lit(1000000.0)).alias("hll_estimate")
+    lc = F.element_at(F.array(*[F.lit(x) for x in _HLL_LC_MICRO]), v)
+    e_micro = F.when((v > 0) & (e_raw <= F.lit(_HLL_LC_CUT_MICRO)), lc).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        (e_micro.cast("double") / F.lit(1000000.0)).alias("hll_estimate"),
     )
 
 
@@ -203,20 +206,17 @@ def hll_oracle_sql(key_expr: str, from_clause: str) -> str:
                  END) AS m_rho
       FROM rr GROUP BY bucket
     ),
-    full_grid AS (
-      SELECT t.b AS bucket, COALESCE(reg.m_rho, 0) AS m
-      FROM (SELECT unnest(range({_HLL_M})) AS b) t
-      LEFT JOIN reg ON reg.bucket = t.b
-    ),
     s AS (
-      SELECT sum(CAST(1 AS HUGEINT) << (60 - m)) AS s,
-             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v
-      FROM full_grid
+      SELECT COALESCE(sum(CAST(1 AS HUGEINT) << (60 - m_rho)), CAST(0 AS HUGEINT)) AS s_obs,
+             CAST(count(*) AS INTEGER) AS n_obs
+      FROM reg
     ),
     e AS (
-      SELECT v,
+      SELECT ({_HLL_M} - n_obs) AS v,
              CAST(CAST('{_HLL_E_NUM}' AS HUGEINT)
-                  // (CAST({_HLL_ALPHA_DEN} AS HUGEINT) * s) AS BIGINT) AS e_raw
+                  // (CAST({_HLL_ALPHA_DEN} AS HUGEINT)
+                      * (s_obs + CAST({_HLL_M} - n_obs AS HUGEINT)
+                                 * (CAST(1 AS HUGEINT) << 60))) AS BIGINT) AS e_raw
       FROM s
     )
     SELECT CAST(CASE WHEN v > 0 AND e_raw <= {_HLL_LC_CUT_MICRO}

@@ -1786,3 +1786,25 @@ def test_hll_empty_and_duplicate_insensitivity(spark):
     empty = hll_registers(dup.where(F.lit(False)), "k")
     e0 = hll_estimate(empty).collect()[0].hll_estimate
     assert e0 == 0.0, e0  # V = m -> ln(1) = 0, no crash, no divide-by-zero
+
+
+def test_hll_grouped_matches_per_group_rebuild(spark):
+    """Grouped sketches from one pass equal independently built per-group
+    sketches — the thousands-of-groups production shape."""
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("k"), (F.col("id") * 7 % 1100).cast("string")).alias("k"),
+    )
+    grouped = {
+        r.g: r.hll_estimate
+        for r in hll_estimate(hll_registers(df, "k", ("g",)), ("g",)).collect()
+    }
+    for g in ("0", "1", "2"):
+        solo = hll_estimate(
+            hll_registers(df.where(F.col("g") == g), "k")
+        ).collect()[0].hll_estimate
+        assert grouped[g] == solo, (g, grouped[g], solo)

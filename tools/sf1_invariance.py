@@ -45,6 +45,13 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",
     "docs_substring_dedup",
+    # round-5 session 3: rows whose ORACLES are quadratic at sf1 — the
+    # recursive-CTE walk replay (carries every (node, dist, root) triple)
+    # and the NOT EXISTS dominance self-join. The engine sides are
+    # frontier-sized BFS and n·|frontier| SFS respectively; invariance at
+    # 10x is their beyond-oracle gate.
+    "graph_shortest_hops",
+    "lineitem_skyline_3d",
 ]
 
 
