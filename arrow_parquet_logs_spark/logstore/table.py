@@ -101,6 +101,17 @@ class VersionedTable:
             return json.load(fh)
 
     def _commit(self, manifest: dict) -> None:
+        # Commit wall-clock (µs UTC) for AS-OF-timestamp time travel.
+        # Clamped strictly above the previous commit so version order and
+        # timestamp order can never disagree (a stepped-back clock would
+        # otherwise make `read(as_of=...)` resolve a later version than a
+        # re-read of the same instant did before).
+        import time as _time
+
+        prev_us = self._current().get("committed_at_us", 0)
+        manifest.setdefault(
+            "committed_at_us", max(_time.time_ns() // 1000, prev_us + 1)
+        )
         vdir = os.path.join(self.path, f"v{manifest['version']}")
         os.makedirs(vdir, exist_ok=True)
         mtmp = os.path.join(vdir, f".MANIFEST.{uuid.uuid4().hex}")
@@ -296,7 +307,75 @@ class VersionedTable:
         )
         return {"version": new_v, "files": len(files)}
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def history(self) -> list[dict]:
+        """Commit log of the SURVIVING versions (vacuum prunes old ones),
+        oldest first: version, commit wall-clock (ISO-8601 UTC µs), live
+        file and tombstone-set presence — the DESCRIBE HISTORY surface a
+        table format owes its operators. Reads only manifests, never data."""
+        from datetime import datetime, timezone
+
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith("v") or not name[1:].isdigit():
+                continue
+            mpath = os.path.join(self.path, name, "MANIFEST.json")
+            if not os.path.exists(mpath):
+                continue
+            with open(mpath) as fh:
+                man = json.load(fh)
+            ts = man.get("committed_at_us")
+            out.append(
+                {
+                    "version": man["version"],
+                    "committed_at": (
+                        datetime.fromtimestamp(ts / 1e6, tz=timezone.utc).isoformat()
+                        if ts is not None
+                        else None
+                    ),
+                    "n_files": len(man.get("files", [])),
+                    "has_dv": bool(man.get("dv")),
+                }
+            )
+        return sorted(out, key=lambda d: d["version"])
+
+    def version_as_of(self, ts: Any) -> int:
+        """Latest surviving version committed at-or-before ``ts`` (ISO-8601
+        string or datetime) — Delta's timestamp time travel, resolved from
+        commit timestamps the manifests carry. Raises if ``ts`` predates
+        every surviving commit (vacuum may have pruned the one that was
+        live then) or if no surviving manifest carries a timestamp (tables
+        written before this feature)."""
+        from datetime import datetime, timezone
+
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        want_us = int(ts.timestamp() * 1_000_000)
+        best = None
+        stamped = 0
+        for h in self.history():
+            if h["committed_at"] is None:
+                continue
+            stamped += 1
+            at_us = int(
+                datetime.fromisoformat(h["committed_at"]).timestamp() * 1_000_000
+            )
+            if at_us <= want_us and (best is None or h["version"] > best):
+                best = h["version"]
+        if stamped == 0:
+            raise ValueError(f"no commit timestamps recorded at {self.path}")
+        if best is None:
+            raise ValueError(
+                f"no surviving version at or before {ts.isoformat()} at {self.path}"
+            )
+        return best
+
+    def read(self, version: int | None = None, as_of: Any = None) -> DataFrame:
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         if version is None:
             man = self._current()
         else:

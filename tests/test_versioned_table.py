@@ -846,3 +846,55 @@ def test_dv_optimize_retires_tombstones_and_vacuum_keeps_dv(table, spark):
     for f in man.get("dv_files", []):
         assert os.path.exists(os.path.join(table.path, f)), f
     assert set(_as_dict(table.read())) == before
+
+
+# ---- commit timestamps: history() and AS-OF time travel ---------------------
+
+
+def test_history_and_as_of_timestamp(table, spark):
+    """Every commit carries a strictly increasing wall-clock; read(as_of=)
+    resolves the version live at that instant; boundary semantics are
+    at-or-before; pre-first-commit instants raise; version+as_of together
+    raise."""
+    import datetime
+
+    import pytest as _pytest
+
+    table.delete_where_dv(F.col("k") < 3)          # v2
+    table.upsert(spark.createDataFrame([(0, "seg0", -5)], "k long, seg string, val long"))  # v3
+    hist = table.history()
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    stamps = [h["committed_at"] for h in hist]
+    assert all(s is not None for s in stamps) and stamps == sorted(stamps)
+    assert hist[1]["has_dv"] and not hist[0]["has_dv"]
+    # as_of exactly at v2's commit -> v2 (at-or-before); just before -> v1
+    assert table.version_as_of(stamps[1]) == 2
+    t1 = datetime.datetime.fromisoformat(stamps[1]) - datetime.timedelta(microseconds=1)
+    assert table.version_as_of(t1) == 1
+    assert table.read(as_of=stamps[0]).count() == 30           # v1: all rows
+    assert table.read(as_of=stamps[1]).count() == 27           # v2: DV-deleted 3
+    # far future -> CURRENT
+    assert table.version_as_of("2999-01-01T00:00:00+00:00") == 3
+    with _pytest.raises(ValueError, match="at or before"):
+        table.version_as_of("1999-01-01T00:00:00+00:00")
+    with _pytest.raises(ValueError, match="not both"):
+        table.read(version=1, as_of=stamps[0])
+
+
+def test_as_of_survives_vacuum_and_restore(table, spark):
+    """vacuum prunes history (as_of to a pruned instant raises, never
+    silently resolves wrong); restore commits a NEW version with a NEW
+    timestamp, so as_of just before the restore still sees the pre-restore
+    state."""
+    import pytest as _pytest
+
+    table.delete_where(F.col("k") < 10)   # v2 (rewrite delete)
+    table.upsert(spark.createDataFrame([(29, "seg9", 0)], "k long, seg string, val long"))  # v3
+    pre = [h["committed_at"] for h in table.history()]
+    table.restore(1)                      # v4 = content of v1
+    assert table.version_as_of(pre[2]) == 3
+    assert table.read(as_of=pre[2]).count() == 20
+    assert table.read().count() == 30
+    table.vacuum(keep_versions=1)
+    with _pytest.raises(ValueError, match="at or before"):
+        table.version_as_of(pre[0])
