@@ -2550,6 +2550,7 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lift DESC, t1, t2 LIMIT 30
     """,
     tags=("text", "association", "market-basket", "pmi"),
+    bench=True,
 )
 def docs_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association LIFT over document token sets — for each

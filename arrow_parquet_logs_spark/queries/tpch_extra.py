@@ -1199,6 +1199,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY p.p_partkey
     """,
     tags=("skyline", "pareto", "multi-criteria"),
+    bench=True,
 )
 def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier of the part catalog — biggest-for-the-money parts
