@@ -353,3 +353,60 @@ def centroid_outliers(
         (F.col("dist2_num") > F.lit(d_k))
         | ((F.col("dist2_num") == F.lit(d_k)) & (F.col(id_col) <= F.lit(id_k))),
     )
+
+
+def filtered_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    predicate,
+    k: int = 5,
+    brute_cap: int = 200_000,
+    centroids: list | None = None,
+    nprobe: int = 4,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """METADATA-FILTERED vector search: top-k cosine among the vectors
+    satisfying ``predicate`` — the production form of ANN (search within a
+    language / license / tenant / date slice), where the classic mistake
+    is running the unfiltered index and discovering the filter emptied
+    the result.
+
+    Size-gated strategy (the connected-components pattern — one cheap
+    probe action picks the physical plan, results stay contract-equal):
+
+    - **Selective predicate** (survivors ≤ ``brute_cap``): EXACT search
+      over the filtered scan — the predicate pushes into the parquet read
+      and the BLAS ``mapInPandas`` block scores only survivors. At k·d
+      flops/vector a 200k-survivor brute pass is cheaper than index
+      maintenance for every possible predicate, and the answer is exact
+      whatever the filter's correlation with the index geometry.
+    - **Unselective predicate**: probe the IVF index with ``k·overfetch``
+      then post-filter and re-rank to k. Post-filtering an index loses
+      recall when the filter anti-correlates with cells (the over-fetch
+      is the standard mitigation, and the pytest gate measures it);
+      fewer than k survivors after the filter is returned honestly, not
+      padded.
+
+    The selective path is the oracle-gated one (exact, SQL-replayable);
+    the IVF path inherits the recall-gate testing style of
+    ``ann_ivf_kmeans``."""
+    filtered = emb.where(predicate)
+    n = filtered.count()  # the strategy probe — one count against the pushed-down scan
+    if n <= brute_cap:
+        return brute_force_topk_pandas(filtered, queries, k, id_col, vec_col)
+    if centroids is None:
+        raise ValueError(
+            f"{n} survivors exceed brute_cap={brute_cap}: the IVF path needs centroids"
+        )
+    from arrow_parquet_logs_spark.operators.ivf import ivf_search
+
+    cand = ivf_search(
+        emb, queries, centroids, k=k * overfetch, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    keep = cand.join(
+        filtered.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+    )
+    return _ranked(keep.select("q_id", "vec_id", "cosine"), k)

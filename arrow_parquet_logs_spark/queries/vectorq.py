@@ -803,3 +803,44 @@ def embeddings_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("dist2_num").cast("long").alias("dist2_num"), "is_outlier"
     ).orderBy("vec_id")
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    surv AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE label IN (2, 5) AND vec_id % 3 != 0
+    ),
+    p AS (
+        SELECT q.q_id, c.vec_id, {_COS.format(a='q.qv', b='c.embedding')} AS cosine
+        FROM q JOIN surv c ON c.vec_id != q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """,
+    tags=("similarity", "ann", "filtered"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (operators/similarity.py:
+    filtered_topk): top-5 cosine among vectors in labels {2,5} with
+    vec_id % 3 != 0 — the search-within-a-slice form every production
+    vector store actually serves. The predicate is selective, so the
+    size gate picks the EXACT regime: the filter pushes into the parquet
+    scan, the BLAS block scores survivors only, and the oracle replays
+    the whole thing as SQL over the same filter — results are exact
+    regardless of how the filter correlates with any index geometry
+    (the failure mode of post-filtered ANN, which the operator's
+    unselective regime mitigates with over-fetch and pytest recall-
+    gates). Queries ride along even when they fail the filter
+    themselves: filtering applies to CANDIDATES, not to who may ask."""
+    from arrow_parquet_logs_spark.operators.similarity import filtered_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("label").isin(2, 5) & (F.col("vec_id") % 3 != 0)
+    return filtered_topk(emb, emb.where(F.col("vec_id") < 10), pred, k=5)
