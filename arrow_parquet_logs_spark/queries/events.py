@@ -2014,3 +2014,106 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(hll_registers(ev, "user_id"))
     exact = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
     return exact.crossJoin(F.broadcast(est)).select("n_exact", "hll_estimate")
+
+
+@register(
+    "events_robust_outliers",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events
+    ),
+    med AS MATERIALIZED (
+      SELECT event_type, sum(value) / count(*) AS med
+      FROM v WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY event_type
+    ),
+    d AS MATERIALIZED (
+      SELECT v.event_type, abs(v.value - med.med) AS dev,
+             row_number() OVER (PARTITION BY v.event_type
+                                ORDER BY abs(v.value - med.med), v.rn) AS rn,
+             CAST(count(*) OVER (PARTITION BY v.event_type) AS BIGINT) AS n
+      FROM v JOIN med ON med.event_type = v.event_type
+    ),
+    mad AS MATERIALIZED (
+      SELECT event_type, sum(dev) / count(*) AS mad
+      FROM d WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY event_type
+    )
+    SELECT m.event_type,
+           floor(m.med * 1000000) / 1000000 AS median_value,
+           floor(a.mad * 1000000) / 1000000 AS mad_value,
+           CAST((SELECT count(*) FROM d
+                 WHERE d.event_type = m.event_type
+                   AND d.dev > 3.5 * 1.4826 * a.mad) AS BIGINT) AS n_outliers
+    FROM med m JOIN mad a ON a.event_type = m.event_type
+    ORDER BY m.event_type
+    """,
+    tags=("stats", "robust", "median", "mad", "outliers"),
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type — median/MAD instead of
+    mean/stddev, the form that doesn't let the outliers you're hunting
+    contaminate the threshold that's supposed to catch them (one 10⁶
+    spike moves a mean-based z-score's own yardstick; it moves the
+    median by one rank). Flags |x − median| > 3.5·1.4826·MAD (the
+    standard consistency-scaled cutoff).
+
+    Medians are EXPLICIT ORDER STATISTICS, not percentile_approx and not
+    the engines' interpolating percentile builtins (whose interpolation
+    op order differs between engines in the last ulp): rank the values,
+    take the middle one or two, average — the average of exactly two
+    doubles is a single commutative IEEE add and one halving, identical
+    everywhere. MAD = 0 (over half the values identical) degenerates to
+    flagging every deviation, the documented MAD caveat, and is still
+    deterministic. Scale: two rank windows partitioned by type + one
+    count — no global sort, no collect, threshold math on the TYPES-
+    sized frame."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wv = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    v = ev.select(
+        "event_type", "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    med = (
+        v.where(F.expr("rn = (n + 1) DIV 2 OR rn = (n + 2) DIV 2"))
+        .groupBy("event_type")
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("med"))
+    )
+    d = v.join(med, "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        F.col("rn").alias("orig_rn"),
+    )
+    wd = W.partitionBy("event_type").orderBy("dev", "orig_rn")
+    d2 = d.select(
+        "event_type", "dev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    mad = (
+        d2.where(F.expr("rn = (n + 1) DIV 2 OR rn = (n + 2) DIV 2"))
+        .groupBy("event_type")
+        .agg((F.sum("dev") / F.count(F.lit(1))).alias("mad"))
+    )
+    flagged = (
+        d.join(mad, "event_type")
+        .where(F.col("dev") > F.lit(3.5) * F.lit(1.4826) * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            qfloor(F.col("med")).alias("median_value"),
+            qfloor(F.col("mad")).alias("mad_value"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
