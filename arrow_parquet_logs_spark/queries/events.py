@@ -2117,3 +2117,98 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_rolling_trend",
+    oracle="""
+    WITH hc AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, h, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS x
+      FROM hc
+    ),
+    w AS (
+      SELECT event_type, h,
+             CAST(count(*) OVER win AS DOUBLE) AS n,
+             CAST(sum(x) OVER win AS DOUBLE) AS sx,
+             CAST(sum(y) OVER win AS DOUBLE) AS sy,
+             CAST(sum(x * y) OVER win AS DOUBLE) AS sxy,
+             CAST(sum(x * x) OVER win AS DOUBLE) AS sxx
+      FROM idx
+      WINDOW win AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT event_type, h, n,
+             floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000) / 1000000
+                 AS slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs((n * sxy - sx * sy) / (n * sxx - sx * sx)) DESC, h) AS rk
+      FROM w WHERE n >= 24
+    )
+    SELECT event_type, h AS window_end, CAST(n AS BIGINT) AS n_hours, slope
+    FROM s WHERE rk = 1 ORDER BY event_type
+    """,
+    tags=("stats", "timeseries", "regression", "window"),
+)
+def events_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING regression: per event type, the trailing-24h OLS slope of
+    the hourly count series at every hour, reporting the steepest window
+    — "when was this metric ramping hardest, and how fast". Where
+    `lineitem_ols_regression` fits one line per group, this slides the
+    same closed-form fit along event time: the five raw moments (n, Σx,
+    Σy, Σxy, Σx²) are WINDOW sums over a 24-row frame, so a full trend
+    scan costs one rollup pass plus one window pass — no per-window
+    refit, no loop.
+
+    Determinism: x is the hour's rank (small integers), y an hourly
+    count; every windowed sum is an exact integer; the slope identity
+    evaluates in one pinned double-op order and the steepest-window
+    argmax tie-breaks on the hour. Windows shorter than 24 hours are
+    excluded (a 2-point 'trend' is noise, and inclusion would make the
+    argmax depend on series edges)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .select("event_type", F.col("w.start").alias("h"), "y")
+    )
+    idx = hc.select(
+        "event_type", "h", "y",
+        F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        .cast("long").alias("x"),
+    )
+    win = W.partitionBy("event_type").orderBy("h").rowsBetween(-23, 0)
+    w = idx.select(
+        "event_type", "h",
+        F.count(F.lit(1)).over(win).cast("double").alias("n"),
+        F.sum("x").over(win).cast("double").alias("sx"),
+        F.sum("y").over(win).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("double").alias("sxx"),
+    ).where(F.col("n") >= 24)
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.abs(slope).desc(), "h")
+    )
+    return (
+        w.withColumn("slope", qfloor(slope))
+        .withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("window_end"),
+            F.col("n").cast("long").alias("n_hours"),
+            "slope",
+        )
+        .orderBy("event_type")
+    )

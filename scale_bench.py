@@ -52,6 +52,20 @@ QUERIES = [
     "docs_token_freq",
     "dedup_edit_distance",
     "graph_pagerank_trade",
+    # round-5 third pass: the new operator families' risk classes —
+    # adjacency-intersection triangles (the rewritten wedge bottleneck),
+    # frontier BFS (settled-set growth), the declarative 2-criteria
+    # skyline and the SFS d-criteria regime (frontier-bounded work),
+    # filtered ANN (predicate-pushed exact regime), association lift
+    # (per-doc pair fan-out), and the screen suite's shared shape (one
+    # rollup + keys-sized math) via its heaviest member.
+    "graph_triangle_count",
+    "graph_shortest_hops",
+    "part_skyline_price_size",
+    "lineitem_skyline_3d",
+    "ann_filtered_topk",
+    "docs_token_lift",
+    "events_robust_outliers",
 ]
 
 
