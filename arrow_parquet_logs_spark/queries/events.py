@@ -2212,3 +2212,53 @@ def events_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_stream_hll",
+    oracle=f"""
+    WITH est AS ({_hll_sql("user_id", "events")}),
+    ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+    SELECT ex.n_exact, est.hll_estimate FROM ex CROSS JOIN est
+    """,
+    tags=("streaming", "sketch", "hll", "portable"),
+)
+def events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable HLL as a STREAMING aggregation: per-bucket max-rho is
+    an associative, order-free fold, so the register table maintains
+    itself as 256 rows of state under any micro-batch arrival order —
+    sketches are streaming-native in a way exact distinct counts are not
+    (state 256 bytes vs one entry per user, forever). availableNow drain
+    over the same parquet, then the estimator runs on the final streamed
+    registers — and must hash-match the SAME oracle as the batch
+    `agg_hll_portable`: the shared oracle pins stream-built ≡ batch-built
+    down to the estimate's bits (the IVF-PQ streaming-ingest pattern,
+    applied to a sketch). Complete-mode memory sink is the oracle twin —
+    256 rows; a production stream would checkpoint the same tiny state."""
+    from arrow_parquet_logs_spark.operators.sketch import hll_estimate, hll_registers
+    from arrow_parquet_logs_spark.sources.tables import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    regs = hll_registers(stream, "user_id")
+    name = f"stream_hll_{next(_STREAM_SEQ)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    reg_rows = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    regs_df = spark.createDataFrame(reg_rows, "bucket int, m_rho int")
+    est = hll_estimate(regs_df)
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(F.broadcast(est)).select("n_exact", "hll_estimate")
