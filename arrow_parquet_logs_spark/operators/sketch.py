@@ -181,15 +181,20 @@ def hll_estimate(registers: DataFrame, group_cols: tuple = ()) -> DataFrame:
     )
 
 
-def hll_oracle_sql(key_expr: str, from_clause: str) -> str:
-    """DuckDB replay of the identical register + estimator spec."""
+def hll_oracle_sql(key_expr: str, from_clause: str, group_expr: str | None = None) -> str:
+    """DuckDB replay of the identical register + estimator spec; with
+    ``group_expr``, one estimate row per group (column named ``g``)."""
     _lc_list = "[" + ", ".join(str(x) for x in _HLL_LC_MICRO) + "]"
+    g_sel = f"{group_expr} AS g, " if group_expr else ""
+    g_col = "g, " if group_expr else ""
+    g_by = "GROUP BY g" if group_expr else ""
+    g_by_bucket = "GROUP BY g, bucket" if group_expr else "GROUP BY bucket"
     return f"""
     WITH h AS (
-      SELECT md5(CAST({key_expr} AS VARCHAR)) AS hx FROM {from_clause}
+      SELECT {g_sel}md5(CAST({key_expr} AS VARCHAR)) AS hx FROM {from_clause}
     ),
     rr AS (
-      SELECT CAST(concat('0x', substr(hx, 1, {_HLL_NIBBLES})) AS INTEGER) AS bucket,
+      SELECT {g_col}CAST(concat('0x', substr(hx, 1, {_HLL_NIBBLES})) AS INTEGER) AS bucket,
              length(regexp_extract(substr(hx, {_HLL_NIBBLES + 1}, 13), '^0*')) AS z,
              substr(substr(hx, {_HLL_NIBBLES + 1}, 13),
                     length(regexp_extract(substr(hx, {_HLL_NIBBLES + 1}, 13), '^0*')) + 1,
@@ -197,29 +202,29 @@ def hll_oracle_sql(key_expr: str, from_clause: str) -> str:
       FROM h
     ),
     reg AS (
-      SELECT bucket,
+      SELECT {g_col}bucket,
              max(CASE WHEN z = 13 THEN 53
                       ELSE z * 4 + (CASE fnz WHEN '1' THEN 3 WHEN '2' THEN 2
                                              WHEN '3' THEN 2 WHEN '4' THEN 1
                                              WHEN '5' THEN 1 WHEN '6' THEN 1
                                              WHEN '7' THEN 1 ELSE 0 END) + 1
                  END) AS m_rho
-      FROM rr GROUP BY bucket
+      FROM rr {g_by_bucket}
     ),
     s AS (
-      SELECT COALESCE(sum(CAST(1 AS HUGEINT) << (60 - m_rho)), CAST(0 AS HUGEINT)) AS s_obs,
+      SELECT {g_col}COALESCE(sum(CAST(1 AS HUGEINT) << (60 - m_rho)), CAST(0 AS HUGEINT)) AS s_obs,
              CAST(count(*) AS INTEGER) AS n_obs
-      FROM reg
+      FROM reg {g_by}
     ),
     e AS (
-      SELECT ({_HLL_M} - n_obs) AS v,
+      SELECT {g_col}({_HLL_M} - n_obs) AS v,
              CAST(CAST('{_HLL_E_NUM}' AS HUGEINT)
                   // (CAST({_HLL_ALPHA_DEN} AS HUGEINT)
                       * (s_obs + CAST({_HLL_M} - n_obs AS HUGEINT)
                                  * (CAST(1 AS HUGEINT) << 60))) AS BIGINT) AS e_raw
       FROM s
     )
-    SELECT CAST(CASE WHEN v > 0 AND e_raw <= {_HLL_LC_CUT_MICRO}
+    SELECT {g_col}CAST(CASE WHEN v > 0 AND e_raw <= {_HLL_LC_CUT_MICRO}
                      THEN {_lc_list}[v] ELSE e_raw END AS DOUBLE)
            / 1000000.0 AS hll_estimate
     FROM e

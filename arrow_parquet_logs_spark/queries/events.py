@@ -2262,3 +2262,39 @@ def events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_exact")
     )
     return exact.crossJoin(F.broadcast(est)).select("n_exact", "hll_estimate")
+
+
+@register(
+    "agg_hll_portable_by_type",
+    oracle=f"""
+    WITH est AS ({_hll_sql("user_id", "events", group_expr="event_type")}),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.n_exact, est.hll_estimate
+    FROM ex JOIN est ON est.g = ex.event_type
+    ORDER BY ex.event_type
+    """,
+    tags=("sketch", "hll", "approx", "portable", "grouped"),
+)
+def agg_hll_portable_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED portable HLL — one distinct-user sketch per event type from
+    a single pass (the production shape: per-segment cardinalities for
+    thousands of segments, 256 bytes of state each). The closed-form
+    estimator (V = m − observed buckets, no register-grid join) is what
+    makes per-group estimation a pure aggregation; each group's estimate
+    hash-matches the same DuckDB spec replay as the global sketch, next
+    to its exact count."""
+    from arrow_parquet_logs_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_registers(ev, "user_id", ("event_type",)), ("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_exact", "hll_estimate")
+        .orderBy("event_type")
+    )
