@@ -716,3 +716,86 @@ def lineitem_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+# round(1e6*log10(1+1/d)) for d=1..9 — sums to exactly 1,000,000, so the
+# expected counts partition n exactly in ppm arithmetic.
+
+
+@register(
+    "lineitem_benford_screen",
+    oracle=f"""
+    WITH fd AS MATERIALIZED (
+      SELECT CAST(regexp_extract(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR),
+                                 '[1-9]') AS INTEGER) AS digit
+      FROM lineitem
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM fd GROUP BY digit),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fd),
+    grid AS (
+      SELECT CAST(t.d AS INTEGER) AS digit,
+             ([{", ".join(str(x) for x in _BENFORD_PPM)}])[CAST(t.d AS INTEGER)] AS ppm
+      FROM (SELECT unnest(range(1, 10)) AS d) t
+    )
+    SELECT g.digit,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           floor((CAST((SELECT n FROM n) AS DOUBLE) * g.ppm / 1000000.0) * 1000000)
+               / 1000000 AS expected,
+           CAST(CAST((COALESCE(o.n_obs, 0) * 1000000 - (SELECT n FROM n) * g.ppm)
+                     AS HUGEINT)
+                * CAST((COALESCE(o.n_obs, 0) * 1000000 - (SELECT n FROM n) * g.ppm)
+                       AS HUGEINT)
+                // (CAST((SELECT n FROM n) AS HUGEINT) * g.ppm) AS DOUBLE)
+           / 1000000.0 AS chi2_contrib
+    FROM grid g LEFT JOIN obs o ON o.digit = g.digit
+    ORDER BY g.digit
+    """,
+    tags=("stats", "benford", "data-quality", "screen"),
+)
+def lineitem_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over extended prices — the fraud/
+    synthetic-data smell test: natural multiplicative quantities put
+    ~30.1% of first significant digits at 1, and a flat or spiky digit
+    histogram (this synthetic corpus fails loudly, which is the point of
+    a screen) shows up as fat chi-square contributions. Expected shares
+    are ppm INTEGER LITERALS (they sum to exactly 10⁶), the first digit
+    comes from the DECIMAL(12,2) string rendering (exact and identical
+    in both engines — never from float log10, whose boundary cells
+    misclassify powers of ten), and each contribution is the integer
+    rational (obs·10⁶ − n·ppm)² DIV (n·ppm) in DECIMAL(38,0). Missing
+    digits enter from the 1..9 grid with obs=0 rather than vanishing.
+    One scan, then digit-sized math — the screen-suite cost shape."""
+    ev = load_table(spark, sf_dir, "lineitem")
+    fd = ev.select(
+        F.regexp_extract(
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string"), "[1-9]", 0
+        ).cast("int").alias("digit")
+    )
+    obs = fd.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    n = fd.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(F.array(*[F.lit(x) for x in _BENFORD_PPM]), F.col("id").cast("int"))
+        .cast("long").alias("ppm"),
+    )
+    full = (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            "ppm", "n",
+        )
+    )
+    expected = qfloor(F.col("n").cast("double") * F.col("ppm") / F.lit(1000000.0))
+    term = F.expr(
+        "CAST(CAST(n_obs * 1000000 - n * ppm AS DECIMAL(18,0))"
+        "     * CAST(n_obs * 1000000 - n * ppm AS DECIMAL(18,0)) AS DECIMAL(38,0))"
+        " DIV CAST(n * ppm AS DECIMAL(18,0))"
+    )
+    return full.select(
+        "digit", "n_obs",
+        expected.alias("expected"),
+        (term.cast("double") / F.lit(1000000.0)).alias("chi2_contrib"),
+    ).orderBy("digit")

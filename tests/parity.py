@@ -60,6 +60,7 @@ _BROADCAST_NL_OK = {
     "docs_split_drift_tvd",             # 1-row split-total combines
     "agg_hll_portable",                 # 1-row exact x 1-row sketch combine
     "events_stream_hll",                # same combine, streamed registers
+    "lineitem_benford_screen",          # 1-row total onto the 9-digit grid
     "graph_pagerank_trade",             # 1-row N / dangling-mass scalar combine
     "graph_pagerank_personalized",      # same + 1-row seed-count combine
     "ann_cosine_topk",                  # broadcast query set × corpus
