@@ -2298,3 +2298,77 @@ def agg_hll_portable_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_exact", "hll_estimate")
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_type_correlation_matrix",
+    oracle="""
+    WITH hc AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.y AS x, b.y AS y
+      FROM hc a JOIN hc b ON a.h = b.h AND a.event_type < b.event_type
+    ),
+    s AS (
+      SELECT type_a, type_b,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+    FROM s ORDER BY type_a, type_b
+    """,
+    tags=("stats", "correlation", "timeseries", "matrix"),
+)
+def events_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix between event types' hourly count
+    series (upper triangle) — do checkouts move with errors, do views
+    lead purchases: the co-movement screen behind alert grouping and
+    metric clustering. Pairs come from an HOUR-keyed self-join of the
+    rollup (each hour contributes its type pairs; hours where either
+    series is absent drop out pairwise, the standard pairwise-complete
+    convention), then Pearson r via the exact-integer raw moments. With
+    T types the matrix is T·(T−1)/2 rows of keys-sized math; the data is
+    scanned once by the rollup. Determinism: integer sums, one pinned
+    double-op sequence, IEEE sqrt."""
+    from pyspark.sql import functions as _F
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .select("event_type", F.col("w.start").alias("h"), "y")
+    )
+    a, b = hc.alias("a"), hc.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.y").alias("x"),
+        F.col("b.y").alias("y"),
+    )
+    s = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        "type_a", "type_b",
+        n.cast("bigint").alias("n_hours"),
+        F.round(corr, 6).alias("corr"),
+    ).orderBy("type_a", "type_b")

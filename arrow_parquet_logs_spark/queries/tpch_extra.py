@@ -1271,3 +1271,49 @@ def lineitem_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         maximize=["l_quantity", "l_discount"],
         minimize=["l_extendedprice"],
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "linkage_customer_names",
+    oracle="""
+    WITH r AS MATERIALIZED (
+      SELECT c_custkey, c_name,
+             row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS key_a, b.c_name AS key_b,
+           jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+    WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
+    ORDER BY id_a, id_b
+    """,
+    tags=("linkage", "jaro-winkler", "sorted-neighborhood", "pandas"),
+)
+def linkage_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over customer names (operators/linkage.py): sorted-
+    neighborhood candidate generation — O(n·w) pairs, never the n² cross
+    join — scored with Jaro-Winkler and thresholded at 0.97. The query
+    runs the RANGE-PARTITIONED exact regime (per-bucket lead windows +
+    boundary-bridging tail×head pairs), the form that parallelizes at
+    corpus scale; its pair set is pinned identical to the single-window
+    spec form by tests.
+
+    The oracle is the strongest kind available: DuckDB's BUILT-IN
+    ``jaro_winkler_similarity`` versus this engine's from-scratch
+    implementation — an independent implementation of the public
+    definition, matched BIT-FOR-BIT (standard Winkler: p=0.1, 4-char
+    prefix cap, 0.7 boost threshold, empty-vs-empty = 0), with no
+    quantization hiding drift. Scoring runs Arrow-batched (pandas UDF);
+    the matching-window scan has no Catalyst form."""
+    from arrow_parquet_logs_spark.operators.linkage import link_sorted_neighborhood
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = link_sorted_neighborhood(
+        cust, key_col="c_name", id_col="c_custkey",
+        window=3, threshold=0.97, partitions=8,
+    )
+    return out.select(
+        F.col("id_a"), F.col("id_b"),
+        F.col("key_a"), F.col("key_b"), F.col("jw"),
+    ).orderBy("id_a", "id_b")
