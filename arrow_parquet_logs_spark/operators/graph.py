@@ -341,3 +341,76 @@ def shortest_paths(
     e.unpersist()
     # settled stays persisted: the returned frame reads it directly
     return settled
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove nodes
+    with fewer than ``k`` surviving neighbors until the graph stabilizes.
+    Returns ``(node, peel_round int)`` — the round (1-based) a node fell
+    out, or 0 for members of the k-core. The peel layer is the standard
+    cohesion coordinate (spam rings and dense communities live deep; the
+    round-1 shell is the periphery), and unlike a raw degree cut it is
+    CLOSED under its own definition: every core member keeps ≥ k
+    neighbors *inside the core*.
+
+    Per round: one degree aggregation over the surviving induced
+    subgraph (edges semi-joined to the alive set on both endpoints) and
+    one anti-join to split peeled from survivors — the Pregel cost
+    shape, rounds bounded by the peel depth (typically a handful: each
+    round must remove at least one node or the loop exits). The alive
+    set persists per generation with the same linear-lineage hygiene as
+    ``pagerank``/``shortest_paths``. Determinism: degrees are integers
+    and rounds are synchronous, so the peel layer of every node is
+    partition-invariant by construction.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    mirrored = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    alive = (
+        mirrored.select(F.col("u").alias("node")).distinct().persist()
+    )
+    spark = edges.sparkSession
+    peeled_frames: list[DataFrame] = []
+    for r in range(1, max_rounds + 1):
+        deg = (
+            mirrored.join(alive.select(F.col("node").alias("u")), "u")
+            .join(alive.select(F.col("node").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = (
+            alive.join(deg.select(F.col("u").alias("node"), "deg"), "node", "left")
+            .where(F.coalesce(F.col("deg"), F.lit(0)) >= k)
+            .select("node")
+            .persist()
+        )
+        dropped = alive.join(keep, "node", "left_anti").select(
+            "node", F.lit(r).cast("int").alias("peel_round")
+        )
+        if not dropped.take(1):  # fixpoint: the k-core
+            keep.unpersist()
+            break
+        peeled_frames.append(dropped.persist())
+        dropped.count()  # materialize before the parent generation unpersists
+        alive.unpersist()
+        alive = keep
+    core = alive.select("node", F.lit(0).cast("int").alias("peel_round"))
+    out = core
+    for f in peeled_frames:
+        out = out.unionByName(f)
+    mirrored.unpersist()
+    return out

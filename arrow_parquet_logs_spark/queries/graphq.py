@@ -293,3 +293,80 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_parquet_logs_spark.operators.graph import shortest_paths
 
     return shortest_paths(edges, seeds, max_hops=3).orderBy("node")
+
+
+def _kcore_oracle(k: int, rounds: int = 10) -> str:
+    """Chained-CTE replay of synchronous k-core peeling: n_i = nodes of
+    n_{i-1} with ≥ k neighbors inside n_{i-1}; peel layer = first round a
+    node drops; survivors of round `rounds` are the core (layer 0). The
+    engine peels to FIXPOINT, so `rounds` only needs to exceed the real
+    peel depth (measured: 3 at sf0.01 and sf1; 10 leaves margin — extra
+    rounds are no-ops on a converged set and cost one shrinking join
+    each)."""
+    cte = """
+    me0 AS MATERIALIZED (
+      SELECT DISTINCT least('c' || CAST(o_custkey AS VARCHAR),
+                            's' || CAST(l_suppkey AS VARCHAR)) AS u,
+                      greatest('c' || CAST(o_custkey AS VARCHAR),
+                               's' || CAST(l_suppkey AS VARCHAR)) AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    me AS MATERIALIZED (
+      SELECT u, v FROM me0 UNION ALL SELECT v, u FROM me0
+    ),
+    n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM me)"""
+    for i in range(1, rounds + 1):
+        prev = f"n{i - 1}"
+        cte += f""",
+    n{i} AS MATERIALIZED (
+      SELECT me.u AS node FROM me
+      JOIN {prev} a ON me.u = a.node
+      JOIN {prev} b ON me.v = b.node
+      GROUP BY me.u HAVING count(*) >= {k}
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT a.node, {i} AS peel_round FROM {prev} a
+      LEFT JOIN n{i} s ON s.node = a.node WHERE s.node IS NULL
+    )"""
+    peeled = "\n      UNION ALL ".join(
+        f"SELECT node, peel_round FROM p{i}" for i in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {cte}\n"
+        f"SELECT node, CAST(peel_round AS INTEGER) AS peel_round FROM (\n"
+        f"      {peeled}\n"
+        f"      UNION ALL SELECT node, 0 FROM n{rounds}\n"
+        f") ORDER BY node"
+    )
+
+
+@register(
+    "graph_kcore_trade",
+    oracle=_kcore_oracle(k=60),
+    tags=("graph", "k-core", "iterative", "cohesion"),
+)
+def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the trade graph at k=60
+    (operators/graph.py:k_core_peel): every node labeled with its peel
+    layer — the cohesion coordinate community/anomaly pipelines use
+    (deep layers = densely mutually-connected trade neighborhoods;
+    layer 1 = periphery). Peeling is genuinely ITERATIVE (a node's fate
+    depends on whether its neighbors survive the previous round — no
+    single-pass form exists), so this pins the engine's fixpoint loop
+    against a 10-round chained-CTE replay: a node peeled one round
+    early, or a survivor mislabeled, breaks the hash. At this k the
+    graph peels in 3 synchronous rounds at sf0.01 AND sf1 (probed), so
+    the 10-round oracle has margin; the engine iterates to fixpoint
+    regardless of depth."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    from arrow_parquet_logs_spark.operators.graph import k_core_peel
+
+    return k_core_peel(edges, k=60).orderBy("node")

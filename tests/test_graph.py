@@ -217,3 +217,49 @@ def test_bfs_partition_invariance(spark):
         assert _sp(spark, edges, ["n0", "n18"], max_hops=4) == base
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# ---- k_core_peel ------------------------------------------------------------
+
+
+def _kcore(spark, edges, k, **kw):
+    from arrow_parquet_logs_spark.operators.graph import k_core_peel
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.peel_round for r in k_core_peel(df, k, **kw).collect()}
+
+
+def test_kcore_known_graphs(spark):
+    # K4 plus a pendant chain: K4 is the 3-core; chain peels outside-in.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    chain = [("d", "e"), ("e", "f")]
+    got = _kcore(spark, k4 + chain, 3)
+    # f and e have degree <3 -> round 1; then all of K4 still has deg>=3 -> core
+    assert got == {"a": 0, "b": 0, "c": 0, "d": 0, "e": 1, "f": 1}
+    # k=2 on a triangle with a tail: tail peels in 2 rounds (cascade)
+    tri = [("x", "y"), ("y", "z"), ("x", "z"), ("z", "t1"), ("t1", "t2")]
+    got2 = _kcore(spark, tri, 2)
+    assert got2 == {"x": 0, "y": 0, "z": 0, "t2": 1, "t1": 2}
+    # k above max degree: everything peels round 1
+    assert set(_kcore(spark, k4, 5).values()) == {1}
+    # dirty input: self-loops and duplicate/reversed edges ignored
+    messy = k4 + [("a", "a"), ("b", "a"), ("a", "b")]
+    assert _kcore(spark, messy, 3) == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+def test_kcore_partition_invariance_and_validation(spark):
+    import pytest as _pytest
+
+    edges = [(f"n{i}", f"n{(i + j) % 30}") for i in range(30) for j in (1, 2, 3)]
+    base = _kcore(spark, edges, 4)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert _kcore(spark, edges, 4) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    from arrow_parquet_logs_spark.operators.graph import k_core_peel
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with _pytest.raises(ValueError, match="k must be"):
+        k_core_peel(df, 0)
