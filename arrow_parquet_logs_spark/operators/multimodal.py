@@ -81,7 +81,7 @@ _DECODE_SCHEMA = (
 #: uncompressed TIFF), PNG (stdlib zlib inflate + numpy unfilter), GIF
 #: (hand-rolled LZW + palettes + interlace), and baseline JPEG (hand-rolled
 #: Huffman + dequant + IDCT + chroma upsample, ITU T.81 sequential DCT).
-RAW_DECODABLE = ("ppm", "bmp", "png", "tiff", "gif", "jpeg", "webp", "avi")
+RAW_DECODABLE = ("ppm", "bmp", "png", "tiff", "gif", "jpeg", "webp", "avi", "tga")
 
 
 def _decode_ppm(buf: bytes):
@@ -1210,6 +1210,59 @@ def _jpeg_ac_refine_block(bits, table, coef, ss, se, al, eobrun):
     return eobrun
 
 
+
+
+def _decode_tga(buf: bytes):
+    """Truevision TGA → (width, height, HxWx3 uint8 RGB array). Types 2
+    (uncompressed true-color) and 10 (RLE true-color), 24/32 bpp.
+    18-byte header: id-length, colormap-type, image-type, 5-byte colormap
+    spec, x/y origin, width/height (uint16 LE), bpp, descriptor (bit 5:
+    top-to-bottom row order; default bottom-up). Pixels are BGR(A); RLE
+    packets carry a 1+count header byte — high bit set repeats one pixel
+    count+1 times, clear copies count+1 literal pixels (public spec:
+    Truevision TGA File Format Specification v2.0)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(buf) < 18:
+        raise ValueError("not a TGA: short header")
+    id_len, cmap_type, itype = buf[0], buf[1], buf[2]
+    if cmap_type != 0 or itype not in (2, 10):
+        raise ValueError(f"unsupported TGA (cmap={cmap_type}, type={itype})")
+    w, h = _struct.unpack_from("<HH", buf, 12)
+    bpp, desc = buf[16], buf[17]
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported TGA bpp {bpp}")
+    nch = bpp // 8
+    i = 18 + id_len
+    need = w * h * nch
+    if itype == 2:
+        px = np.frombuffer(buf, dtype=np.uint8, count=need, offset=i)
+    else:  # RLE
+        out = np.empty(need, dtype=np.uint8)
+        o = 0
+        while o < need:
+            hdr = buf[i]
+            i += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                pix = np.frombuffer(buf, dtype=np.uint8, count=nch, offset=i)
+                i += nch
+                out[o : o + count * nch] = np.tile(pix, count)
+            else:  # raw packet
+                out[o : o + count * nch] = np.frombuffer(
+                    buf, dtype=np.uint8, count=count * nch, offset=i
+                )
+                i += count * nch
+            o += count * nch
+        px = out
+    px = px.reshape(h, w, nch)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    if not desc & 0x20:  # bottom-up storage (the TGA default)
+        rgb = rgb[::-1]
+    return w, h, np.ascontiguousarray(rgb)
+
 def _decode_raw(fmt: str, buf: bytes):
     if fmt == "ppm":
         return _decode_ppm(buf)
@@ -1227,6 +1280,8 @@ def _decode_raw(fmt: str, buf: bytes):
         return _decode_webp(buf)
     if fmt == "avi":
         return _decode_avi(buf)
+    if fmt == "tga":
+        return _decode_tga(buf)
     raise ValueError(f"format {fmt!r} is not raw-decodable")
 
 

@@ -1848,3 +1848,59 @@ def multimodal_real_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "flac")
     return audio_features(media, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "multimodal_real_tga_decode",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               -- run pixel (bottom row, stored BGR): B=7d G=11d R=13d
+               (doc_id * 7) % 256 AS rb, (doc_id * 11) % 256 AS rg, (doc_id * 13) % 256 AS rr,
+               -- raw pixels (top row): BGR triples
+               (doc_id * 17) % 256 AS p1b, (doc_id * 19) % 256 AS p1g, (doc_id * 23) % 256 AS p1r,
+               (doc_id * 29) % 256 AS p2b, (doc_id * 31) % 256 AS p2g, (doc_id * 37) % 256 AS p2r
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS id, 'image' AS media_type,
+           CAST(29 AS BIGINT) AS byte_len,
+           CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           (  299*(p1r + p2r + rr + rr) + 587*(p1g + p2g + rg + rg)
+            + 114*(p1b + p2b + rb + rb)
+           ) / (1000.0 * 255 * 4) AS mean_luma
+    FROM px ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "tga", "rle"),
+)
+def multimodal_real_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Truevision TGA decoding under the hash gate — the RLE
+    (type-10) form, so the packet machinery is exercised, not just a
+    header parse: per document a valid 2×2 24-bpp TGA is synthesized
+    JVM-side (18-byte header; one RUN packet covering the bottom row —
+    TGA stores bottom-up by default, which the decoder must flip — and
+    one RAW packet for the top row; pixels BGR), decoded by the
+    pure-numpy ``_decode_tga``, and the oracle recomputes dimensions and
+    the exact Rec.601 mean luma from the same doc_id arithmetic. A wrong
+    channel order, an unflipped raster, or an off-by-one in RLE packet
+    accounting is a hash mismatch."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def byte(mult: int):
+        return F.unhex(F.lpad(F.hex((F.col("doc_id") * mult) % 256), 2, "0"))
+
+    header = F.lit(bytes([0, 0, 10]) + b"\x00" * 5
+                   + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+                   + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+                   + bytes([24, 0]))
+    run_packet = F.concat(F.lit(b"\x81"), byte(7), byte(11), byte(13))
+    raw_packet = F.concat(
+        F.lit(b"\x01"),
+        byte(17), byte(19), byte(23),
+        byte(29), byte(31), byte(37),
+    )
+    payload = F.concat(header, run_packet, raw_packet)
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "tga")
+    return decode_media(media, id_col="doc_id").orderBy("id")

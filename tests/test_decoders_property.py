@@ -1915,3 +1915,87 @@ def test_avi_through_spark_pipeline(spark):
     gif = M.attach_media(df, "raw", "video", "gif")
     with pytest.raises(NotImplementedError, match="AVI"):
         M.video_frame_features(gif, every_ms=100).collect()
+
+
+# ---- TGA (type 2 + type 10 RLE) ---------------------------------------------
+
+
+def _tga_bytes(arr, rle=False, top_down=False, bpp=24):
+    """Reference TGA writer for tests: arr is HxWx3 uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    desc = 0x20 if top_down else 0
+    hdr = bytes([0, 0, 10 if rle else 2]) + b"\x00" * 5 + struct.pack(
+        "<HHHH", 0, 0, w, h
+    ) + bytes([bpp, desc])
+    rows = arr if top_down else arr[::-1]
+    nch = bpp // 8
+    px = []
+    for r in rows:
+        for p in r:
+            bgr = bytes([int(p[2]), int(p[1]), int(p[0])])
+            px.append(bgr + (b"\xff" if nch == 4 else b""))
+    if not rle:
+        return hdr + b"".join(px)
+    # simple RLE: greedy runs within the flat pixel stream
+    out = bytearray()
+    i = 0
+    flat = px
+    while i < len(flat):
+        j = i
+        while j + 1 < len(flat) and flat[j + 1] == flat[i] and j - i < 127:
+            j += 1
+        if j > i:  # run
+            out.append(0x80 | (j - i))
+            out += flat[i]
+            i = j + 1
+        else:  # literal stretch
+            k = i
+            while (
+                k + 1 < len(flat) and flat[k + 1] != flat[k] and k - i < 127
+            ):
+                k += 1
+            out.append(k - i)
+            out += b"".join(flat[i : k + 1])
+            i = k + 1
+    return hdr + bytes(out)
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    rle=st.booleans(),
+    top_down=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_tga_roundtrip_property(w, h, seed, rle, top_down):
+    import numpy as np
+
+    from arrow_parquet_logs_spark.operators.multimodal import _decode_tga
+
+    rng = np.random.RandomState(seed)
+    # low-cardinality palette provokes RLE runs
+    arr = rng.randint(0, 4, size=(h, w, 3)).astype(np.uint8) * 80
+    got_w, got_h, got = _decode_tga(_tga_bytes(arr, rle=rle, top_down=top_down))
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, arr)
+
+
+def test_tga_32bpp_and_rejects():
+    import numpy as np
+    import pytest
+
+    from arrow_parquet_logs_spark.operators.multimodal import _decode_tga
+
+    arr = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    buf = _tga_bytes(arr, rle=False, bpp=32)
+    w, h, got = _decode_tga(buf)
+    assert (w, h) == (2, 2) and np.array_equal(got, arr)  # alpha dropped
+    with pytest.raises(ValueError, match="unsupported TGA"):
+        _decode_tga(bytes([0, 1, 1]) + b"\x00" * 15)  # colormapped
+    with pytest.raises(ValueError, match="short header"):
+        _decode_tga(b"\x00\x00")
