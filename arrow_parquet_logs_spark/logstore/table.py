@@ -470,7 +470,11 @@ class VersionedTable:
         re-materializes files which retires their tombstones."""
         if not man.get("dv"):
             return {}
-        return {"dv": man["dv"], "dv_files": man.get("dv_files", [])}
+        return {
+            "dv": man["dv"],
+            "dv_files": man.get("dv_files", []),
+            "dv_rows": man.get("dv_rows", 0),
+        }
 
     def _file_rel_expr(self):
         """Table-relative path of the scanned file, from the parquet scan's
@@ -478,14 +482,24 @@ class VersionedTable:
         prefix = "file:" + os.path.abspath(self.path) + "/"
         return F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit(""))
 
+    #: DVs at or under this many tombstones broadcast in the read-side
+    #: anti-join; above it (a mass delete that really belonged in
+    #: `delete_where`) the join is left to the planner rather than forcing
+    #: a driver-sized broadcast. The manifest carries the count (`dv_rows`)
+    #: so the decision never costs a scan.
+    DV_BROADCAST_MAX_ROWS = 5_000_000
+
     def _with_dv_filter(self, scan: DataFrame, man: dict) -> DataFrame:
         """Apply the manifest's deletion vector, if any: anti-join the scan
         on (table-relative file path, parquet row index). The DV set is the
-        deleted-row count in size — broadcast by construction. Must run on
+        deleted-row count in size — broadcast while that stays under
+        DV_BROADCAST_MAX_ROWS, a shuffle anti-join beyond. Must run on
         the raw scan DataFrame (``_metadata`` is only resolvable there)."""
         if not man.get("dv"):
             return scan
         dv = self.spark.read.parquet(os.path.join(self.path, man["dv"]))
+        if man.get("dv_rows", 0) <= self.DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
         cols = scan.columns
         keyed = scan.select(
             "*",
@@ -494,7 +508,7 @@ class VersionedTable:
         )
         return (
             keyed.join(
-                F.broadcast(dv),
+                dv,
                 (keyed["__dv_f"] == dv["file"]) & (keyed["__dv_ri"] == dv["ri"]),
                 "left_anti",
             ).select(*cols)
@@ -545,6 +559,7 @@ class VersionedTable:
         else:
             merged = matched.distinct()
         n_new = matched.count()
+        dv_rows = man.get("dv_rows", 0) + n_new
         new_v = man["version"] + 1
         dv_rel = f"v{new_v}/dv"
         merged.write.mode("overwrite").parquet(os.path.join(self.path, dv_rel))
@@ -562,6 +577,7 @@ class VersionedTable:
                 "stats": man.get("stats", {}),
                 "dv": dv_rel,
                 "dv_files": sorted(dv_files),
+                "dv_rows": dv_rows,
             }
         )
         return {"version": new_v, "rows_deleted": n_new, "rewritten_files": 0}

@@ -898,3 +898,20 @@ def test_as_of_survives_vacuum_and_restore(table, spark):
     table.vacuum(keep_versions=1)
     with _pytest.raises(ValueError, match="at or before"):
         table.version_as_of(pre[0])
+
+
+def test_dv_rows_tracked_and_broadcast_gate(table):
+    """Manifests carry the cumulative tombstone count; shrinking the
+    broadcast cap flips the read-side anti-join to the planner-chosen
+    form with identical results (the mass-delete safety valve)."""
+    table.delete_where_dv(F.col("k") < 4)
+    table.delete_where_dv(F.col("k").isin(4, 5))
+    man = table._current()
+    assert man["dv_rows"] == 6
+    want = set(_as_dict(table.read()))
+    old = type(table).DV_BROADCAST_MAX_ROWS
+    try:
+        type(table).DV_BROADCAST_MAX_ROWS = 0  # force the non-broadcast regime
+        assert set(_as_dict(table.read())) == want
+    finally:
+        type(table).DV_BROADCAST_MAX_ROWS = old
