@@ -414,3 +414,66 @@ def k_core_peel(
         out = out.unionByName(f)
     mirrored.unpersist()
     return out
+
+
+def cheapest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths (the Bellman-Ford recurrence,
+    run synchronously for ``max_hops`` rounds): minimum total integer
+    edge cost from any seed over paths of at most ``max_hops`` edges.
+    Returns ``(node, dist bigint)`` for reached nodes. The hop bound is
+    part of the SPEC, not a truncation apology — "best within H hops" is
+    what routing/attribution features actually consume, it is exactly
+    replayable by a chained-CTE oracle, and it sidesteps negative-cycle
+    pathology by construction (weights must be positive anyway).
+
+    Per round: one dist⋈edges join keyed on the source endpoint and one
+    min aggregation keyed on the destination — the same Pregel shape as
+    ``pagerank``/``shortest_paths``, rounds fixed at ``max_hops``
+    (a converged round is one no-op join, and H is small by contract).
+    Integer weights make every distance exact: min over integers is
+    order-free, so results are partition-invariant bit-for-bit.
+
+    ``edges`` is directed (union the reversed frame upstream for
+    undirected); multi-edges collapse to their cheapest parallel edge
+    before the loop, which never changes any path cost.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    dist = (
+        sources.select(F.col("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    for _ in range(max_hops):
+        step = (
+            dist.join(e, dist["node"] == e["s"])
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        nxt = (
+            dist.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the parent generation
+        dist.unpersist()
+        dist = nxt
+    e.unpersist()
+    return dist

@@ -370,3 +370,85 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_parquet_logs_spark.operators.graph import k_core_peel
 
     return k_core_peel(edges, k=60).orderBy("node")
+
+
+def _cheapest_oracle(max_hops: int = 3) -> str:
+    """Chained-CTE replay of the synchronous Bellman-Ford recurrence:
+    d_h = per-node min over d_{h-1} ∪ (d_{h-1} relaxed across one edge) —
+    node-sized per round, so the oracle never materializes the weighted
+    walk explosion a recursive CTE would."""
+    cte = """
+    und AS MATERIALIZED (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+             's' || CAST(l_suppkey AS VARCHAR) AS d,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+      SELECT s, d, w FROM und UNION ALL SELECT d, s, w FROM und
+    ),
+    d0 AS MATERIALIZED (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'
+    )"""
+    for h in range(1, max_hops + 1):
+        prev = f"d{h - 1}"
+        cte += f""",
+    d{h} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.d AS node, p.dist + e.w AS dist
+        FROM {prev} p JOIN e ON e.s = p.node
+      ) GROUP BY node
+    )"""
+    return (
+        f"WITH {cte}\n"
+        f"SELECT node, dist FROM d{max_hops} ORDER BY node"
+    )
+
+
+@register(
+    "graph_cheapest_hops",
+    oracle=_cheapest_oracle(3),
+    tags=("graph", "bellman-ford", "weighted", "shortest-path", "iterative"),
+)
+def graph_cheapest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cheapest paths within 3 hops of NATION_2's customers over
+    the undirected trade graph, edge cost = that pair's lineitem count
+    (operators/graph.py:cheapest_paths — the Bellman-Ford recurrence run
+    synchronously). Complements `graph_shortest_hops`: hop-BFS answers
+    "how FAR", this answers "how CHEAP", and unlike hop distance the
+    weighted optimum routinely takes MORE hops than the direct edge — a
+    relaxation bug that only re-checks settled nodes once would pass BFS
+    and fail here. Integer weights keep every distance exact, and the
+    oracle replays the identical recurrence as chained per-round min
+    CTEs (node-sized — never the weighted-walk explosion a recursive
+    CTE would build)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    und = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seeds = (
+        cust.join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_2")),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    from arrow_parquet_logs_spark.operators.graph import cheapest_paths
+
+    return cheapest_paths(edges, seeds, max_hops=3).orderBy("node")

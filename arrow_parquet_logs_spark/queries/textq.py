@@ -2684,3 +2684,78 @@ def docs_split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("lang", "n_train", "n_test", qfloor(contrib).alias("tvd_contrib"))
         .orderBy("lang")
     )
+
+
+@register(
+    "docs_langid_confusion",
+    oracle=f"""
+    WITH profiles(plang, marker) AS (VALUES
+        ('en','the'),('en','and'),('en','of'),
+        ('de','der'),('de','und'),('de','nicht'),
+        ('es','de'),('es','la'),('es','que'),
+        ('fr','le'),('fr','et'),('fr','les'),
+        ('it','di'),('it','che'),('it','la'),
+        ('pt','de'),('pt','que'),('pt','um')),
+    toks AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents),
+    scores AS (
+        SELECT doc_id, plang, CAST(count(*) AS BIGINT) AS score
+        FROM toks JOIN profiles ON token = marker GROUP BY doc_id, plang
+    ),
+    best AS (
+        SELECT doc_id, plang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+        FROM scores
+    ),
+    pred AS (
+        SELECT d.doc_id, d.lang AS gold, COALESCE(b.plang, 'und') AS pred
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+    ),
+    cells AS (
+        SELECT gold, pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2
+    ),
+    gold_tot AS (SELECT gold, CAST(sum(n) AS BIGINT) AS gt FROM cells GROUP BY gold),
+    pred_tot AS (SELECT pred, CAST(sum(n) AS BIGINT) AS pt FROM cells GROUP BY pred)
+    SELECT c.gold, c.pred, c.n,
+           floor((CAST(c.n AS DOUBLE) / g.gt) * 1000000) / 1000000 AS recall_share,
+           floor((CAST(c.n AS DOUBLE) / p.pt) * 1000000) / 1000000 AS precision_share
+    FROM cells c
+    JOIN gold_tot g ON g.gold = c.gold
+    JOIN pred_tot p ON p.pred = c.pred
+    ORDER BY c.gold, c.pred
+    """,
+    tags=("text", "langid", "evaluation", "confusion-matrix"),
+)
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION under the hash gate: the confusion matrix of
+    the marker-profile language-ID heuristic against the corpus's gold
+    ``lang`` labels, each cell annotated with its row-normalized share
+    (recall direction) and column-normalized share (precision direction)
+    — the quality scorecard any pipeline owes a heuristic before
+    trusting it to route documents. One prediction pass (the same
+    broadcast-profile join as `docs_lang_id`), then all math on the
+    CLASSES² frame; shares are single IEEE divisions of exact integer
+    counts under qfloor. The gate catches both classifier drift AND
+    evaluation-logic bugs (a swapped precision/recall denominator is a
+    hash mismatch)."""
+    from arrow_parquet_logs_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = (
+        lang_id(docs, spark)
+        .select("doc_id", F.col("pred_lang").alias("pred"))
+        .join(docs.select("doc_id", F.col("lang").alias("gold")), "doc_id")
+    )
+    cells = pred.groupBy("gold", "pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    gold_tot = cells.groupBy("gold").agg(F.sum("n").cast("long").alias("gt"))
+    pred_tot = cells.groupBy("pred").agg(F.sum("n").cast("long").alias("pt"))
+    return (
+        cells.join(F.broadcast(gold_tot), "gold")
+        .join(F.broadcast(pred_tot), "pred")
+        .select(
+            "gold", "pred", "n",
+            qfloor(F.col("n").cast("double") / F.col("gt")).alias("recall_share"),
+            qfloor(F.col("n").cast("double") / F.col("pt")).alias("precision_share"),
+        )
+        .orderBy("gold", "pred")
+    )

@@ -263,3 +263,44 @@ def test_kcore_partition_invariance_and_validation(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     with _pytest.raises(ValueError, match="k must be"):
         k_core_peel(df, 0)
+
+
+# ---- cheapest_paths (bounded-hop Bellman-Ford) -------------------------------
+
+
+def _cp(spark, edges, seeds, max_hops=4):
+    from arrow_parquet_logs_spark.operators.graph import cheapest_paths
+
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    return {r.node: r.dist for r in cheapest_paths(e, s, max_hops=max_hops).collect()}
+
+
+def test_cheapest_weighted_beats_direct_edge(spark):
+    # direct a->c costs 10; a->b->c costs 2+3=5: the 2-hop path must win
+    edges = [("a", "c", 10), ("a", "b", 2), ("b", "c", 3)]
+    got = _cp(spark, edges, ["a"], max_hops=2)
+    assert got == {"a": 0, "b": 2, "c": 5}
+    # with only 1 hop allowed, the direct edge is the best available
+    assert _cp(spark, edges, ["a"], max_hops=1)["c"] == 10
+
+
+def test_cheapest_multi_seed_multi_edge_and_invariance(spark):
+    import pytest as _pytest
+
+    # parallel edges collapse to the cheapest; two seeds compete
+    edges = [("s1", "m", 5), ("s1", "m", 2), ("s2", "m", 3), ("m", "t", 1)]
+    got = _cp(spark, edges, ["s1", "s2"], max_hops=3)
+    assert got["m"] == 2 and got["t"] == 3
+    base = got
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert _cp(spark, edges, ["s1", "s2"], max_hops=3) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    from arrow_parquet_logs_spark.operators.graph import cheapest_paths
+
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    with _pytest.raises(ValueError, match="max_hops"):
+        cheapest_paths(df, spark.createDataFrame([("s1",)], "node string"), max_hops=0)
