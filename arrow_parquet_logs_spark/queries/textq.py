@@ -2759,3 +2759,66 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gold", "pred")
     )
+
+
+@register(
+    "docs_phrase_search",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS p, toks[CAST(u.i AS INT)] AS token
+      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+      WHERE toks[CAST(u.i AS INT)] IN ('slow', 'hash', 'batch')
+    ),
+    hits AS (
+      SELECT a.doc_id, a.p
+      FROM pos a
+      JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.token = 'hash'
+      JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2 AND c.token = 'batch'
+      WHERE a.token = 'slow'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(p) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "search", "phrase", "positional-index"),
+)
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("slow hash batch") through a positional
+    inverted index — the search-engine primitive BM25 ranking cannot
+    express (bag-of-words scoring finds the words, not the adjacency).
+    The index rows are (doc, position, token) from one posexplode,
+    FILTERED TO THE PHRASE'S TERMS before any join — the pushdown that
+    makes phrase queries cheap: the joins see only the three terms'
+    postings, never the corpus. Adjacency is two self-equi-joins on
+    (doc, position±1) — at 100 TB these are co-partitioned by doc_id
+    (one exchange shared across all three sides). Returns per-document
+    match count and first occurrence (1-based positions); a boundary
+    bug (off-by-one adjacency, phrase crossing a document edge) breaks
+    the hash against DuckDB's list-indexed replay."""
+    from arrow_parquet_logs_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w1, w2, w3 = "slow", "hash", "batch"
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(tokens("text")).alias("p0", "token"),
+        )
+        .where(F.col("token").isin(w1, w2, w3))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "token")
+    )
+    a = pos.where(F.col("token") == w1).select("doc_id", F.col("p"))
+    b = pos.where(F.col("token") == w2).select("doc_id", (F.col("p") - 1).alias("p"))
+    c = pos.where(F.col("token") == w3).select("doc_id", (F.col("p") - 2).alias("p"))
+    hits = a.join(b, ["doc_id", "p"]).join(c, ["doc_id", "p"])
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("p").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
