@@ -1317,3 +1317,67 @@ def linkage_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a"), F.col("id_b"),
         F.col("key_a"), F.col("key_b"), F.col("jw"),
     ).orderBy("id_a", "id_b")
+
+
+_FK_RELS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "tpch_fk_integrity_audit",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}.{ck}' AS fk, '{p}.{pk}' AS refs,
+           (SELECT CAST(count(*) AS BIGINT) FROM {c}) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM {c}
+            WHERE {ck} IS NOT NULL
+              AND {ck} NOT IN (SELECT {pk} FROM {p})) AS n_orphans,
+           (SELECT CAST(count(*) AS BIGINT) FROM {c} WHERE {ck} IS NULL) AS n_nulls
+        """
+        for c, ck, p, pk in _FK_RELS
+    )
+    + "\n    ORDER BY fk, refs",
+    tags=("data-quality", "audit", "referential-integrity", "anti-join"),
+)
+def tpch_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema in one
+    result: for each of the seven FK relationships, total child rows,
+    ORPHANS (non-null keys with no parent — the load-order/partial-
+    ingest smell), and NULL keys, via broadcast/shuffle anti-joins. The
+    audit any warehouse runs after a backfill; here it also pins the
+    test generator's own integrity (every count must be exactly
+    reproduced by the oracle's NOT IN replay, so a generator regression
+    that orphans keys fails the round loudly). Each relationship is one
+    anti-join + counts; dimensions broadcast, the three lineitem-side
+    audits share the fact scan cost shape."""
+    out = None
+    for child, ck, parent, pk in _FK_RELS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk))
+        orphans = (
+            c.where(F.col(ck).isNotNull())
+            .join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        row = (
+            c.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
+                .cast("long").alias("n_nulls"),
+            )
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(f"{child}.{ck}").alias("fk"),
+                F.lit(f"{parent}.{pk}").alias("refs"),
+                "n_rows", "n_orphans", "n_nulls",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk", "refs")

@@ -61,6 +61,7 @@ _BROADCAST_NL_OK = {
     "agg_hll_portable",                 # 1-row exact x 1-row sketch combine
     "events_stream_hll",                # same combine, streamed registers
     "lineitem_benford_screen",          # 1-row total onto the 9-digit grid
+    "tpch_fk_integrity_audit",          # 1-row count x 1-row orphan combines
     "graph_pagerank_trade",             # 1-row N / dangling-mass scalar combine
     "graph_pagerank_personalized",      # same + 1-row seed-count combine
     "ann_cosine_topk",                  # broadcast query set × corpus
