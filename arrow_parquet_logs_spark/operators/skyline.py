@@ -32,6 +32,12 @@ Two physical strategies behind one API, chosen by criterion count:
 Ties and duplicates: rows equal on ALL criteria dominate nothing and are
 dominated by nothing between themselves — every copy stays, matching the
 SQL ``NOT EXISTS`` dominance oracle bit-for-bit.
+
+Numeric domain: the 2-criteria plan compares native column values
+(exact for any orderable type); the SFS path compares through float64,
+exact for integers up to 2⁵³ and all practical doubles/decimals(≤15
+digits) — criteria with wider integer significands belong in the
+2-criteria plan or need a scale-down upstream.
 """
 
 from __future__ import annotations

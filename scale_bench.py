@@ -66,6 +66,10 @@ QUERIES = [
     "ann_filtered_topk",
     "docs_token_lift",
     "events_robust_outliers",
+    "graph_kcore_trade",
+    "graph_cheapest_hops",
+    "docs_phrase_search",
+    "linkage_customer_names",
 ]
 
 
