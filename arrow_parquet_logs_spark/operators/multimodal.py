@@ -1905,6 +1905,245 @@ def _mean_luma(px) -> float:
     return total / (1000 * 255 * px.shape[0] * px.shape[1])
 
 
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+
+
+def _mp4_boxes(buf: bytes, i: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the ISO-BMFF boxes in
+    ``buf[i:end]`` (ISO/IEC 14496-12 §4.2): 32-bit size, size==1 →
+    64-bit largesize follows the type, size==0 → box runs to ``end``."""
+    import struct as _struct
+
+    while i + 8 <= end:
+        (size,) = _struct.unpack_from(">I", buf, i)
+        tag = buf[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError("mp4 largesize overruns file")
+            (size,) = _struct.unpack_from(">Q", buf, body)
+            body += 8
+            box_end = i + size
+        elif size == 0:
+            box_end = end
+        else:
+            box_end = i + size
+        if box_end > end or box_end < body:
+            raise ValueError("mp4 box overruns its parent")
+        yield tag, body, box_end
+        i = box_end
+
+
+def _mp4_fullbox(buf: bytes, body: int):
+    """(version, flags, first-field offset) of a FullBox body."""
+    return buf[body], int.from_bytes(buf[body + 1 : body + 4], "big"), body + 4
+
+
+def _mp4_index(buf: bytes):
+    """ISO-BMFF (MP4/MOV) container walk → per-track index dicts.
+
+    Parses the public ISO/IEC 14496-12 structure only — ftyp brand, mvhd
+    movie timescale, and per trak: tkhd (track id, 16.16 dims), mdhd
+    (media timescale/duration), hdlr (handler type), stsd (codec fourcc),
+    and the full sample tables (stts, stsc, stsz/stz2 uniform+table,
+    stco/co64). Sample table resolution reproduces §8.7: stsc runs map
+    chunks to per-chunk sample counts; a sample's file offset is its
+    chunk's stco offset plus the sizes of the samples before it in that
+    chunk. The first payload byte of every sample is read (bounds-checked
+    against the file), proving the offset arithmetic lands on real bytes
+    — the index a 100 TB video pipeline builds to slice sample ranges
+    WITHOUT decoding: codec payloads stay opaque (decode stays behind the
+    codec gate), while duration/timing/size/offset metadata becomes
+    queryable columns."""
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (missing leading ftyp)")
+    brand = buf[8:12].decode("latin-1")
+    movie_timescale = 0
+    tracks: list[dict] = []
+
+    def walk_trak(body: int, end: int) -> dict:
+        import struct as _struct
+
+        tr: dict = {"track_id": 0, "width": 0, "height": 0, "handler": "",
+                    "codec": "", "media_timescale": 0, "media_duration": 0,
+                    "stts": [], "stsc": [], "stsz": (0, 0, []), "stco": []}
+
+        def walk(i: int, end: int) -> None:
+            for tag, b0, b1 in _mp4_boxes(buf, i, end):
+                if tag in _MP4_CONTAINERS:
+                    walk(b0, b1)
+                elif tag == b"tkhd":
+                    v, _, p = _mp4_fullbox(buf, b0)
+                    tr["track_id"] = int.from_bytes(
+                        buf[p + (16 if v else 8) : p + (16 if v else 8) + 4], "big"
+                    )
+                    # width/height: the last 8 bytes of the body, 16.16 fixed
+                    (wfx, hfx) = _struct.unpack_from(">II", buf, b1 - 8)
+                    tr["width"], tr["height"] = wfx >> 16, hfx >> 16
+                elif tag == b"mdhd":
+                    v, _, p = _mp4_fullbox(buf, b0)
+                    if v:
+                        tr["media_timescale"] = int.from_bytes(buf[p + 16 : p + 20], "big")
+                        tr["media_duration"] = int.from_bytes(buf[p + 20 : p + 28], "big")
+                    else:
+                        tr["media_timescale"] = int.from_bytes(buf[p + 8 : p + 12], "big")
+                        tr["media_duration"] = int.from_bytes(buf[p + 12 : p + 16], "big")
+                elif tag == b"hdlr":
+                    _, _, p = _mp4_fullbox(buf, b0)
+                    tr["handler"] = buf[p + 4 : p + 8].decode("latin-1")
+                elif tag == b"stsd":
+                    _, _, p = _mp4_fullbox(buf, b0)
+                    n = int.from_bytes(buf[p : p + 4], "big")
+                    if n >= 1:
+                        tr["codec"] = buf[p + 8 : p + 12].decode("latin-1")
+                elif tag == b"stts":
+                    _, _, p = _mp4_fullbox(buf, b0)
+                    n = int.from_bytes(buf[p : p + 4], "big")
+                    tr["stts"] = [
+                        _struct.unpack_from(">II", buf, p + 4 + 8 * j) for j in range(n)
+                    ]
+                elif tag == b"stsc":
+                    _, _, p = _mp4_fullbox(buf, b0)
+                    n = int.from_bytes(buf[p : p + 4], "big")
+                    tr["stsc"] = [
+                        _struct.unpack_from(">III", buf, p + 4 + 12 * j) for j in range(n)
+                    ]
+                elif tag in (b"stsz", b"stz2"):
+                    _, _, p = _mp4_fullbox(buf, b0)
+                    uniform = int.from_bytes(buf[p : p + 4], "big") if tag == b"stsz" else 0
+                    n = int.from_bytes(buf[p + 4 : p + 8], "big")
+                    sizes = []
+                    if tag == b"stsz" and uniform == 0:
+                        sizes = [
+                            int.from_bytes(buf[p + 8 + 4 * j : p + 12 + 4 * j], "big")
+                            for j in range(n)
+                        ]
+                    elif tag == b"stz2":
+                        fs = buf[p + 3]  # field size in bits: 4/8/16
+                        if fs == 8:
+                            sizes = list(buf[p + 8 : p + 8 + n])
+                        elif fs == 16:
+                            sizes = [
+                                int.from_bytes(buf[p + 8 + 2 * j : p + 10 + 2 * j], "big")
+                                for j in range(n)
+                            ]
+                        else:
+                            raise ValueError("stz2 4-bit field size unsupported")
+                    tr["stsz"] = (uniform, n, sizes)
+                elif tag in (b"stco", b"co64"):
+                    _, _, p = _mp4_fullbox(buf, b0)
+                    n = int.from_bytes(buf[p : p + 4], "big")
+                    w = 8 if tag == b"co64" else 4
+                    tr["stco"] = [
+                        int.from_bytes(buf[p + 4 + w * j : p + 4 + w * (j + 1)], "big")
+                        for j in range(n)
+                    ]
+
+        walk(body, end)
+        return tr
+
+    def walk_top(i: int, end: int) -> None:
+        nonlocal movie_timescale
+        for tag, b0, b1 in _mp4_boxes(buf, i, end):
+            if tag == b"moov":
+                for t2, c0, c1 in _mp4_boxes(buf, b0, b1):
+                    if t2 == b"mvhd":
+                        v, _, p = _mp4_fullbox(buf, c0)
+                        movie_timescale = int.from_bytes(
+                            buf[p + (16 if v else 8) : p + (16 if v else 8) + 4], "big"
+                        )
+                    elif t2 == b"trak":
+                        tracks.append(walk_trak(c0, c1))
+
+    walk_top(0, len(buf))
+    if not tracks:
+        raise ValueError("ISO-BMFF file without a moov/trak")
+
+    out = []
+    for tr in tracks:
+        uniform, n, sizes = tr["stsz"]
+        n_samples = n
+        if uniform:
+            sizes = [uniform] * n
+        if len(sizes) != n_samples:
+            raise ValueError("stsz table shorter than its declared count")
+        # §8.7.4 stsc runs → samples per chunk, then offsets within chunks
+        per_chunk: list[int] = []
+        runs, n_chunks = tr["stsc"], len(tr["stco"])
+        for j, (first, spc, _desc) in enumerate(runs):
+            last = runs[j + 1][0] - 1 if j + 1 < len(runs) else n_chunks
+            per_chunk.extend([spc] * (last - first + 1))
+        if sum(per_chunk) != n_samples:
+            raise ValueError("stsc/stco chunk map disagrees with stsz count")
+        first_bytes, s = [], 0
+        for ci, spc in enumerate(per_chunk):
+            off = tr["stco"][ci]
+            for _ in range(spc):
+                if off + sizes[s] > len(buf):
+                    raise ValueError("sample extends past end of file")
+                first_bytes.append(buf[off] if sizes[s] else 0)
+                off += sizes[s]
+                s += 1
+        dur_ms = (
+            tr["media_duration"] * 1000 // tr["media_timescale"]
+            if tr["media_timescale"]
+            else 0
+        )
+        out.append(
+            {
+                "track_id": tr["track_id"],
+                "handler": tr["handler"],
+                "codec": tr["codec"],
+                "n_samples": n_samples,
+                "duration_ms": dur_ms,
+                "width": tr["width"],
+                "height": tr["height"],
+                "sample_bytes": sum(sizes),
+                "sample_byte_sum": sum(first_bytes),
+                "brand": brand,
+            }
+        )
+    return out
+
+
+def mp4_track_index(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Per-track MP4/ISO-BMFF container index via Arrow-batched
+    ``mapInPandas`` — one row per track with handler, codec fourcc, sample
+    count, duration, dims, total sample bytes, and the sum of each
+    sample's first payload byte (the offset-arithmetic proof: it requires
+    resolving stsc/stsz/stco to exact file positions). This is the
+    indexing stage video training pipelines run across the whole corpus —
+    pure container math on the public ISO/IEC 14496-12 layout, no codec
+    libraries — and its output is what a downstream (codec-gated) decode
+    stage consumes to slice sample ranges without re-walking containers."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, track_id int, handler string, codec string, "
+        "n_samples int, duration_ms long, width int, height int, "
+        "sample_bytes long, sample_byte_sum long, brand string"
+    )
+
+    def index(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf["payload"]):
+                for tr in _mp4_index(bytes(b) if b is not None else b""):
+                    rows.append({id_col: rid, **tr})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "track_id", "handler", "codec", "n_samples",
+                    "duration_ms", "width", "height", "sample_bytes",
+                    "sample_byte_sum", "brand",
+                ],
+            )
+
+    flat = df.select(F.col(id_col), F.col("media.payload").alias("payload"))
+    return spread_for_python(flat).mapInPandas(index, schema)
+
+
 def decode_media(df: DataFrame, id_col: str = "id", allow_fake: bool = False) -> DataFrame:
     """Decode/feature-extract payloads via Arrow-batched ``mapInPandas``.
 

@@ -1904,3 +1904,124 @@ def multimodal_real_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.concat(header, run_packet, raw_packet)
     media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "tga")
     return decode_media(media, id_col="doc_id").orderBy("id")
+
+
+def _mp4_parts() -> list:
+    """Constant byte segments of a valid single-track ISO-BMFF (MP4) file
+    whose only per-document variation is the FIRST byte of each of its
+    three 4-byte samples: payload = c0 + v0 + c1 + v1 + c2 + v2 + c3.
+    The container is built strictly from the public ISO/IEC 14496-12
+    layout — ftyp(isom), moov(mvhd ts=1000 / trak(tkhd 8x8 16.16 dims,
+    mdia(mdhd dur=300, hdlr vide, minf(vmhd, dinf/dref,
+    stbl(stsd 'mp4v', stts 3x100, stsc 1 run, stsz uniform 4,
+    stco -> mdat payload))))) then mdat. The stco offset is resolved by
+    building moov twice (the offset field is fixed-width, so lengths
+    don't change)."""
+    import struct as _struct
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(body)) + tag + body
+
+    def full(tag: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+        return box(tag, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    matrix = _struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+    def moov_bytes(mdat_payload_off: int) -> bytes:
+        vse = box(
+            b"mp4v",
+            b"\x00" * 6 + _struct.pack(">H", 1)          # reserved + dref idx
+            + b"\x00" * 16                                # predefined/reserved
+            + _struct.pack(">HH", 8, 8)                   # width, height
+            + _struct.pack(">II", 0x00480000, 0x00480000) # 72 dpi
+            + b"\x00" * 4 + _struct.pack(">H", 1)         # reserved + frame_count
+            + b"\x00" * 32 + _struct.pack(">Hh", 24, -1), # compressor + depth
+        )
+        stbl = box(
+            b"stbl",
+            full(b"stsd", _struct.pack(">I", 1) + vse)
+            + full(b"stts", _struct.pack(">III", 1, 3, 100))
+            + full(b"stsc", _struct.pack(">IIII", 1, 1, 3, 1))
+            + full(b"stsz", _struct.pack(">II", 4, 3))
+            + full(b"stco", _struct.pack(">II", 1, mdat_payload_off)),
+        )
+        minf = box(
+            b"minf",
+            full(b"vmhd", _struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+            + box(b"dinf", full(b"dref", _struct.pack(">I", 1) + full(b"url ", b"", flags=1)))
+            + stbl,
+        )
+        mdia = box(
+            b"mdia",
+            full(b"mdhd", _struct.pack(">IIIIHH", 0, 0, 1000, 300, 0x55C4, 0))
+            + full(b"hdlr", _struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"v\x00")
+            + minf,
+        )
+        tkhd = full(
+            b"tkhd",
+            _struct.pack(">IIIII", 0, 0, 1, 0, 300) + b"\x00" * 8
+            + _struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+            + _struct.pack(">II", 8 << 16, 8 << 16),
+            flags=7,
+        )
+        mvhd = full(
+            b"mvhd",
+            _struct.pack(">IIIII", 0, 0, 1000, 300, 0x00010000)
+            + _struct.pack(">H", 0x0100) + b"\x00" * 10 + matrix
+            + b"\x00" * 24 + _struct.pack(">I", 2),
+        )
+        return box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+
+    probe = moov_bytes(0)
+    moov = moov_bytes(len(ftyp) + len(probe) + 8)  # mdat payload starts past its header
+    assert len(moov) == len(probe)
+    head = ftyp + moov + _struct.pack(">I", 8 + 12) + b"mdat"
+    return [head, bytes([0, 0, 0]), bytes([1, 0, 0]), bytes([2, 0, 0])]
+
+
+@register(
+    "multimodal_real_mp4_index",
+    oracle="""
+    SELECT doc_id AS id, CAST(1 AS INTEGER) AS track_id, 'vide' AS handler,
+           'mp4v' AS codec, CAST(3 AS INTEGER) AS n_samples,
+           CAST(300 AS BIGINT) AS duration_ms,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(12 AS BIGINT) AS sample_bytes,
+           CAST(3 * doc_id + 3 AS BIGINT) AS sample_byte_sum,
+           'isom' AS brand
+    FROM documents WHERE doc_id < 200 ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "video", "mp4", "container-index"),
+)
+def multimodal_real_mp4_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF container indexing under the driver's hash gate:
+    each document gets a fully valid single-track MP4 (ftyp/moov/mdat with
+    complete stts/stsc/stsz/stco sample tables) whose three samples' first
+    bytes are doc_id, doc_id+1, doc_id+2. mp4_track_index
+    (operators/multimodal.py) walks the box tree and RESOLVES the sample
+    tables to exact file offsets, reading each sample's first payload byte
+    — so sample_byte_sum = 3*doc_id + 3 proves the stsc run expansion and
+    stco+stsz offset arithmetic land on the right bytes, and duration/dims
+    prove mdhd/tkhd parsing (16.16 fixed-point dims, media-timescale ms
+    conversion). This is the indexing stage a video corpus runs at 100 TB:
+    pure container math, Arrow-batched, no codec libraries — decode of the
+    codec payloads themselves stays behind the honesty gate."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, mp4_track_index
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    parts = _mp4_parts()
+
+    def byte(k: int):
+        return F.unhex(F.lpad(F.hex((F.col("doc_id") + k) % 256), 2, "0"))
+
+    payload = F.concat(
+        F.lit(parts[0]), byte(0), F.lit(parts[1]), byte(1), F.lit(parts[2]),
+        byte(2), F.lit(parts[3]),
+    )
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "video", "mp4")
+    return (
+        mp4_track_index(media, id_col="doc_id")
+        .withColumnRenamed("doc_id", "id")
+        .orderBy("id")
+    )

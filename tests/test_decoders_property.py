@@ -1999,3 +1999,132 @@ def test_tga_32bpp_and_rejects():
         _decode_tga(bytes([0, 1, 1]) + b"\x00" * 15)  # colormapped
     with pytest.raises(ValueError, match="short header"):
         _decode_tga(b"\x00\x00")
+
+
+# ---- MP4 / ISO-BMFF container index ----------------------------------------
+
+def _mp4_bytes(doc: int = 5) -> bytes:
+    from arrow_parquet_logs_spark.queries.multimodalq import _mp4_parts
+
+    p = _mp4_parts()
+    return p[0] + bytes([doc]) + p[1] + bytes([doc + 1]) + p[2] + bytes([doc + 2]) + p[3]
+
+
+def test_mp4_index_baseline():
+    from arrow_parquet_logs_spark.operators.multimodal import _mp4_index
+
+    (tr,) = _mp4_index(_mp4_bytes(7))
+    assert tr == {
+        "track_id": 1, "handler": "vide", "codec": "mp4v", "n_samples": 3,
+        "duration_ms": 300, "width": 8, "height": 8, "sample_bytes": 12,
+        "sample_byte_sum": 7 + 8 + 9, "brand": "isom",
+    }
+
+
+def test_mp4_index_co64_largesize_stz2_multichunk():
+    """Hand-built variant exercising the 64-bit paths and non-uniform
+    tables the fixture query doesn't: co64 chunk offsets, a largesize
+    (size==1) mdat, an stz2 8-bit size table, and a 2-run stsc mapping
+    (chunk 1 holds two samples, chunk 2 one)."""
+    import struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import _mp4_index
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    def full(tag, body, version=0, flags=0):
+        return box(tag, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+    def large_box(tag, body):  # size==1 -> 64-bit largesize after the type
+        return struct.pack(">I", 1) + tag + struct.pack(">Q", 16 + len(body)) + body
+
+    samples = [b"\x0a\x00", b"\x14\x00\x00", b"\x1e"]  # sizes 2, 3, 1
+    matrix = struct.pack(">9I", 1 << 16, 0, 0, 0, 1 << 16, 0, 0, 0, 1 << 30)
+
+    def moov(off1, off2):
+        vse = box(b"avc1", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                  + struct.pack(">HH", 16, 16) + struct.pack(">II", 1 << 16, 1 << 16)
+                  + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+                  + struct.pack(">Hh", 24, -1))
+        stbl = box(
+            b"stbl",
+            full(b"stsd", struct.pack(">I", 1) + vse)
+            + full(b"stts", struct.pack(">III", 1, 3, 200))
+            # runs: chunk 1 -> 2 samples, chunks >= 2 -> 1 sample
+            + full(b"stsc", struct.pack(">I", 2)
+                   + struct.pack(">III", 1, 2, 1) + struct.pack(">III", 2, 1, 1))
+            + full(b"stz2", struct.pack(">I", 8)[:3] + bytes([8])
+                   + struct.pack(">I", 3) + bytes([2, 3, 1]))
+            + full(b"co64", struct.pack(">I", 2) + struct.pack(">QQ", off1, off2)),
+        )
+        mdia = box(
+            b"mdia",
+            full(b"mdhd", struct.pack(">IIIIHH", 0, 0, 600, 600, 0, 0))
+            + full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+            + box(b"minf", stbl),
+        )
+        tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 9, 0, 600) + b"\x00" * 8
+                    + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+                    + struct.pack(">II", 16 << 16, 16 << 16), flags=7)
+        mvhd = full(b"mvhd", struct.pack(">IIIII", 0, 0, 600, 600, 1 << 16)
+                    + struct.pack(">H", 0x0100) + b"\x00" * 10 + matrix
+                    + b"\x00" * 24 + struct.pack(">I", 10))
+        return box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+
+    ftyp = box(b"ftyp", b"mp42" + b"\x00" * 4 + b"mp42")
+    probe = moov(0, 0)
+    # mdat payload starts after the 16-byte largesize header; chunk 2
+    # starts after chunk 1's two samples (2 + 3 bytes)
+    base = len(ftyp) + len(probe) + 16
+    m = moov(base, base + 5)
+    assert len(m) == len(probe)
+    buf = ftyp + m + large_box(b"mdat", b"".join(samples))
+
+    (tr,) = _mp4_index(buf)
+    assert tr["brand"] == "mp42" and tr["codec"] == "avc1" and tr["track_id"] == 9
+    assert tr["n_samples"] == 3 and tr["sample_bytes"] == 6
+    assert tr["duration_ms"] == 1000  # 600 ticks at timescale 600
+    assert tr["width"] == tr["height"] == 16
+    assert tr["sample_byte_sum"] == 0x0A + 0x14 + 0x1E
+
+
+def test_mp4_index_error_paths():
+    import pytest as _pytest
+    import struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import _mp4_index
+
+    with _pytest.raises(ValueError, match="ftyp"):
+        _mp4_index(b"\x00\x00\x00\x08free")
+    with _pytest.raises(ValueError, match="moov"):
+        _mp4_index(b"\x00\x00\x00\x14ftypisom\x00\x00\x00\x00isom")
+    good = _mp4_bytes(3)
+    # truncation makes the mdat box overrun the file
+    with _pytest.raises(ValueError, match="overruns"):
+        _mp4_index(good[:-2])
+    # an stco offset past EOF must be caught by the sample bounds check
+    past = bytearray(good)
+    struct.pack_into(">I", past, good.index(b"stco") + 4 + 4 + 4, len(good))
+    with _pytest.raises(ValueError, match="past end"):
+        _mp4_index(bytes(past))
+    # a box whose declared size overruns its parent
+    bad = bytearray(good)
+    off = good.index(b"moov") - 4
+    struct.pack_into(">I", bad, off, len(good) + 50)
+    with _pytest.raises(ValueError, match="overruns"):
+        _mp4_index(bytes(bad))
+
+
+def test_mp4_index_through_spark_pipeline(spark):
+    """The mapInPandas op end-to-end: ids and per-track rows survive the
+    Arrow round-trip; two docs -> two rows with doc-dependent sums."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, mp4_track_index
+
+    df = spark.createDataFrame(
+        [(1, _mp4_bytes(1)), (2, _mp4_bytes(2))], "id long, raw binary"
+    )
+    media = attach_media(df, "raw", "video", "mp4")
+    rows = {r.id: r for r in mp4_track_index(media).collect()}
+    assert rows[1].sample_byte_sum == 6 and rows[2].sample_byte_sum == 9
+    assert rows[1].codec == "mp4v" and rows[1].duration_ms == 300
