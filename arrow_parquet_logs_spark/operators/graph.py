@@ -182,6 +182,99 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 10**12,
+    broadcast_nodes_cap: int = 5_000_000,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg's hubs & authorities) over
+    ``edges(src, dst, w)`` with positive integer weights. Returns
+    ``(node, hub_scaled bigint, auth_scaled bigint)``.
+
+    The classic recurrence with L1 (sum) normalization instead of L2 —
+    sum normalization keeps every quantity a non-negative integer under
+    the same fixed-point discipline as :func:`pagerank`, so scores are
+    bit-exact across engines and partitionings (module determinism
+    contract; L2 would force a square root and floats):
+
+        h0(v)    = SCALE
+        araw(v)  = Σ_{u→v} h(u)·w(u,v)     a(v) = (araw(v)·SCALE) div Σaraw
+        hraw(v)  = Σ_{v→w} a(w)·w(v,w)     h(v) = (hraw(v)·SCALE) div Σhraw
+
+    Products run as DECIMAL(38,0): with SCALE 10¹² and ≤10⁶-weight
+    edges, Σaraw stays under 10³⁷ — headroom pinned by the HUGEINT
+    oracle replay. A node with no in-edges has authority exactly 0, no
+    out-edges hub exactly 0 (dangling nodes don't need the mass
+    recycling PageRank does — HITS renormalizes every half-step).
+
+    Cost shape per iteration: two score-onto-edges joins + two keyed
+    aggregations (the Pregel shape, twice), plus two one-row broadcast
+    sums; the same size-gated broadcast strategy and per-generation
+    eager-checkpoint hygiene as :func:`pagerank`. Requires a non-empty
+    edge list (the normalizing sums are its invariant)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_val = nodes.count()  # bounded: one long; also materializes the cache
+    small = n_val <= broadcast_nodes_cap
+    bc = F.broadcast if small else (lambda df: df)
+    h = nodes.select(
+        "node", F.lit(scale).cast("long").alias("s")
+    ).localCheckpoint(eager=True)
+    a = None
+    for _ in range(iterations):
+        araw = (
+            e.join(bc(h.select(F.col("node").alias("src"), "s")), "src")
+            .groupBy("dst")
+            .agg(F.expr("sum(CAST(s AS DECIMAL(38,0)) * w)").alias("raw"))
+        )
+        asum = araw.agg(F.sum("raw").alias("total"))
+        a = (
+            nodes.join(bc(araw.select(F.col("dst").alias("node"), "raw")), "node", "left")
+            .join(F.broadcast(asum))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((coalesce(raw, CAST(0 AS DECIMAL(38,0))) * {scale})"
+                    " DIV total AS BIGINT)"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            e.join(bc(a.select(F.col("node").alias("dst"), "s")), "dst")
+            .groupBy("src")
+            .agg(F.expr("sum(CAST(s AS DECIMAL(38,0)) * w)").alias("raw"))
+        )
+        hsum = hraw.agg(F.sum("raw").alias("total"))
+        h = (
+            nodes.join(bc(hraw.select(F.col("src").alias("node"), "raw")), "node", "left")
+            .join(F.broadcast(hsum))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((coalesce(raw, CAST(0 AS DECIMAL(38,0))) * {scale})"
+                    " DIV total AS BIGINT)"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        h.select("node", F.col("s").alias("hub_scaled"))
+        .join(a.select("node", F.col("s").alias("auth_scaled")), "node")
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
                     degree_ordered: bool = True) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.

@@ -452,3 +452,87 @@ def graph_cheapest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_parquet_logs_spark.operators.graph import cheapest_paths
 
     return cheapest_paths(edges, seeds, max_hops=3).orderBy("node")
+
+
+def _hits_oracle(iterations: int = 2) -> str:
+    """Chained-CTE HUGEINT replay of the integer HITS recurrence
+    (operators/graph.py:hits): sum-normalized hubs & authorities, DIV
+    truncation identical to Spark's DECIMAL(38,0) DIV."""
+    cte = f"""
+    edges AS MATERIALIZED (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges
+        UNION
+        SELECT DISTINCT dst FROM edges
+    ),
+    h0 AS MATERIALIZED (SELECT node, CAST({_SCALE} AS HUGEINT) AS s FROM nodes)"""
+    for k in range(1, iterations + 1):
+        prev = f"h{k - 1}"
+        cte += f""",
+    ar{k} AS MATERIALIZED (
+        SELECT e.dst AS node, sum(CAST(p.s AS HUGEINT) * e.w) AS raw
+        FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst
+    ),
+    a{k} AS MATERIALIZED (
+        SELECT n.node,
+               (COALESCE(c.raw, 0) * CAST({_SCALE} AS HUGEINT))
+                 // (SELECT sum(raw) FROM ar{k}) AS s
+        FROM nodes n LEFT JOIN ar{k} c ON c.node = n.node
+    ),
+    hr{k} AS MATERIALIZED (
+        SELECT e.src AS node, sum(CAST(p.s AS HUGEINT) * e.w) AS raw
+        FROM edges e JOIN a{k} p ON p.node = e.dst GROUP BY e.src
+    ),
+    h{k} AS MATERIALIZED (
+        SELECT n.node,
+               (COALESCE(c.raw, 0) * CAST({_SCALE} AS HUGEINT))
+                 // (SELECT sum(raw) FROM hr{k}) AS s
+        FROM nodes n LEFT JOIN hr{k} c ON c.node = n.node
+    )"""
+    return (
+        f"WITH {cte}\n"
+        f"SELECT h.node, CAST(h.s AS BIGINT) AS hub_scaled,\n"
+        f"       CAST(a.s AS BIGINT) AS auth_scaled\n"
+        f"FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node\n"
+        f"ORDER BY hub_scaled DESC, auth_scaled DESC, h.node LIMIT 25"
+    )
+
+
+@register(
+    "graph_hits_trade",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "hubs-authorities", "iterative"),
+)
+def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the customer→supplier trade graph
+    (operators/graph.py:hits) — the link-analysis complement to PageRank:
+    on this bipartite graph a customer's HUB score concentrates on buyers
+    whose spend flows to high-authority suppliers, and a supplier's
+    AUTHORITY on those bought by high-hub customers — the
+    mutually-recursive importance prior recommendation/curation pipelines
+    use. Two sum-normalized integer iterations; the oracle replays the
+    identical HUGEINT recurrence, so a float sneaking into either
+    half-step, a dropped zero-degree node, or a mis-ordered floor breaks
+    the hash bit-for-bit. Top 25 under a total order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    from arrow_parquet_logs_spark.operators.graph import hits
+
+    scores = hits(edges, iterations=2, scale=_SCALE)
+    return scores.orderBy(
+        F.desc("hub_scaled"), F.desc("auth_scaled"), "node"
+    ).limit(25)

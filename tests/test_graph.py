@@ -304,3 +304,53 @@ def test_cheapest_multi_seed_multi_edge_and_invariance(spark):
     df = spark.createDataFrame(edges, "src string, dst string, w long")
     with _pytest.raises(ValueError, match="max_hops"):
         cheapest_paths(df, spark.createDataFrame([("s1",)], "node string"), max_hops=0)
+
+
+# ---- HITS hubs & authorities ----------------------------------------------
+
+def _reference_hits(edges, iterations=2, scale=SCALE):
+    """Pure-Python integer replay of the sum-normalized HITS recurrence."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    h = {v: scale for v in nodes}
+    a = {}
+    for _ in range(iterations):
+        araw = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            araw[d] += h[s] * w
+        tot = sum(araw.values())
+        a = {v: (araw[v] * scale) // tot for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            hraw[s] += a[d] * w
+        tot = sum(hraw.values())
+        h = {v: (hraw[v] * scale) // tot for v in nodes}
+    return h, a
+
+
+def test_hits_matches_python_reference(spark, edge_df):
+    from arrow_parquet_logs_spark.operators.graph import hits
+
+    got = {r.node: (r.hub_scaled, r.auth_scaled) for r in hits(edge_df).collect()}
+    h, a = _reference_hits(EDGES)
+    assert got == {v: (h[v], a[v]) for v in h}
+
+
+def test_hits_zero_degree_scores_and_validation(spark):
+    from arrow_parquet_logs_spark.operators.graph import hits
+
+    # x -> y only: x is a pure hub (auth 0), y a pure authority (hub 0)
+    df = spark.createDataFrame([("x", "y", 1)], "src string, dst string, w long")
+    rows = {r.node: r for r in hits(df, iterations=3).collect()}
+    assert rows["x"].auth_scaled == 0 and rows["y"].hub_scaled == 0
+    assert rows["x"].hub_scaled == SCALE and rows["y"].auth_scaled == SCALE
+    with pytest.raises(ValueError, match="iterations"):
+        hits(df, iterations=0)
+
+
+def test_hits_partition_and_regime_invariance(spark, edge_df):
+    from arrow_parquet_logs_spark.operators.graph import hits
+
+    base = sorted(map(tuple, hits(edge_df).collect()))
+    repart = sorted(map(tuple, hits(edge_df.repartition(7)).collect()))
+    shuffle_regime = sorted(map(tuple, hits(edge_df, broadcast_nodes_cap=0).collect()))
+    assert base == repart == shuffle_regime
