@@ -525,6 +525,79 @@ def k_core_peel(
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Synchronous label propagation community detection (the GraphFrames
+    ``labelPropagation`` semantics, made deterministic): labels start as
+    node ids; each round every node adopts the label with the largest
+    total (edge-weighted) neighbor vote, ties broken by the SMALLEST
+    label. Returns ``(node, label)`` after exactly ``rounds`` synchronous
+    rounds — the fixed round count is part of the spec (like
+    :func:`cheapest_paths`' hop bound): pure synchronous LPA may oscillate
+    on bipartite structure rather than converge, so "the state after R
+    rounds" is the well-defined, replayable contract (GraphFrames
+    documents the same caveat).
+
+    Determinism: votes are integer weight sums and the argmax resolves
+    through ``min(struct(-votes, label))`` — a total order, so the label
+    of every node is partition-invariant bit-for-bit and a chained-CTE
+    ``row_number`` oracle replays it exactly.
+
+    The graph is treated as UNDIRECTED (edges mirrored, multi-edges
+    collapsed by weight sum); a node with no neighbors keeps its own
+    label. Per round: one labels-onto-edges join + two aggregations
+    (vote count, then argmin-struct — both with map-side partial
+    aggregation, cheaper than a row_number window shuffle), with the
+    module's eager-checkpoint lineage hygiene."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    und = e.where(F.col("a") != F.col("b"))
+    mirrored = (
+        und.select("a", "b", "w")
+        .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy(F.col("a").alias("u"), F.col("b").alias("v"))
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    labels = (
+        mirrored.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            mirrored.join(labels.select(F.col("node").alias("v"), "label"), "v")
+            .groupBy("u", "label")
+            .agg(F.sum("w").alias("cnt"))
+        )
+        nxt = (
+            votes.groupBy("u")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+                ).alias("m")
+            )
+            .select(F.col("u").alias("node"), F.col("m.l").alias("new_label"))
+        )
+        labels = (
+            labels.join(nxt, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    mirrored.unpersist()
+    return labels
+
+
 def cheapest_paths(
     edges: DataFrame,
     sources: DataFrame,

@@ -536,3 +536,77 @@ def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.orderBy(
         F.desc("hub_scaled"), F.desc("auth_scaled"), "node"
     ).limit(25)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Chained-CTE replay of synchronous weighted label propagation: per
+    round, weighted neighbor votes then row_number argmax with
+    (votes DESC, label ASC) — the same total order as the operator's
+    min(struct(-votes, label))."""
+    cte = """
+    und AS MATERIALIZED (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+               's' || CAST(l_suppkey AS VARCHAR) AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    me AS MATERIALIZED (
+        SELECT a AS u, b AS v, w FROM und
+        UNION ALL SELECT b, a, w FROM und
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM me)"""
+    for k in range(1, rounds + 1):
+        prev = f"l{k - 1}"
+        cte += f""",
+    v{k} AS MATERIALIZED (
+        SELECT me.u, p.label, sum(me.w) AS cnt
+        FROM me JOIN {prev} p ON p.node = me.v
+        GROUP BY me.u, p.label
+    ),
+    n{k} AS MATERIALIZED (
+        SELECT u AS node, label FROM (
+            SELECT u, label,
+                   row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rn
+            FROM v{k}
+        ) WHERE rn = 1
+    ),
+    l{k} AS MATERIALIZED (
+        SELECT p.node, COALESCE(n.label, p.label) AS label
+        FROM {prev} p LEFT JOIN n{k} n ON n.node = p.node
+    )"""
+    return (
+        f"WITH {cte}\n"
+        f"SELECT node, label FROM l{rounds} ORDER BY node"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "label-propagation", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation over
+    the undirected trade graph (operators/graph.py:label_propagation) —
+    the massive-graph community algorithm (GraphFrames parity): three
+    deterministic rounds of take-the-heaviest-neighbor-label with a
+    (votes DESC, label ASC) tie-break. Every node's final label is pinned
+    against a chained-CTE row_number replay — a mis-ordered tie-break, a
+    dropped isolated node, or an asynchronous update (the classic LPA
+    implementation hazard) breaks the hash. Labels after fixed rounds are
+    the contract; the operator docstring records the bipartite
+    oscillation caveat this shares with GraphFrames."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    from arrow_parquet_logs_spark.operators.graph import label_propagation
+
+    return label_propagation(edges, rounds=3, weight="w").orderBy("node")

@@ -354,3 +354,50 @@ def test_hits_partition_and_regime_invariance(spark, edge_df):
     repart = sorted(map(tuple, hits(edge_df.repartition(7)).collect()))
     shuffle_regime = sorted(map(tuple, hits(edge_df, broadcast_nodes_cap=0).collect()))
     assert base == repart == shuffle_regime
+
+
+# ---- label propagation ------------------------------------------------------
+
+def test_lpa_two_cliques_converge_to_two_communities(spark):
+    from arrow_parquet_logs_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one weak edge: LPA separates them
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    df = spark.createDataFrame(
+        [(s, d, 1) for s, d in tri1 + tri2 + bridge], "src string, dst string, w long"
+    )
+    got = {r.node: r.label for r in label_propagation(df, rounds=4, weight="w").collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]
+
+
+def test_lpa_weighted_vote_beats_count_and_tie_breaks_min(spark):
+    from arrow_parquet_logs_spark.operators.graph import label_propagation
+
+    # m has two unit-weight neighbors labeled p,q and one weight-3
+    # neighbor labeled h: the weighted vote wins round 1
+    df = spark.createDataFrame(
+        [("m", "p", 1), ("m", "q", 1), ("m", "h", 3)], "src string, dst string, w long"
+    )
+    got = {r.node: r.label for r in label_propagation(df, rounds=1, weight="w").collect()}
+    assert got["m"] == "h"
+    # unweighted: p, q, h all tie at 1 vote -> smallest label wins
+    got = {r.node: r.label for r in label_propagation(df, rounds=1).collect()}
+    assert got["m"] == "h"  # h < p < q lexicographically
+
+
+def test_lpa_partition_invariance_and_validation(spark):
+    from arrow_parquet_logs_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 5), ("d", "a", 1)],
+        "src string, dst string, w long",
+    )
+    base = sorted(map(tuple, label_propagation(df, rounds=3, weight="w").collect()))
+    rep = sorted(map(tuple, label_propagation(df.repartition(5), rounds=3, weight="w").collect()))
+    assert base == rep
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(df, rounds=0)
