@@ -2106,6 +2106,139 @@ def _mp4_index(buf: bytes):
     return out
 
 
+#: ISO 11172-3 / 13818-3 bitrate tables (kbps), indexed [1..14]
+_MP3_BITRATES = {
+    ("MPEG1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("MPEG1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("MPEG1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("MPEG2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("MPEG2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("MPEG2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {"MPEG1": (44100, 48000, 32000), "MPEG2": (22050, 24000, 16000),
+              "MPEG2.5": (11025, 12000, 8000)}
+
+
+def _mp3_frame_index(buf: bytes):
+    """MPEG audio frame-header walk → stream index dict, no decode.
+
+    Skips a leading ID3v2 tag (10-byte header + syncsafe size) and a
+    trailing 128-byte ID3v1 'TAG' block, then walks frame headers
+    (11-bit sync, version/layer/bitrate/samplerate/padding fields per the
+    public ISO 11172-3 §2.4.1.3 / 13818-3 layout), stepping exactly each
+    frame's computed byte length: layer I `(12·br/sr + pad)·4`, layers
+    II/III `N·br/sr + pad` with N = 144 (or 72 for MPEG2/2.5 layer III).
+    Every frame must land flush on the next sync or EOF — a wrong length
+    table or a missed padding bit surfaces as a hard error, not a
+    silently short count. Returns frame count, exact sample-derived
+    duration, bitrate stats (CBR/VBR detection), sample rate, channel
+    mode, and tag byte counts — the metadata an audio corpus indexes at
+    scale while the actual synthesis stays codec-gated."""
+    i, id3v2 = 0, 0
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        size = 0
+        for b in buf[6:10]:
+            if b & 0x80:
+                raise ValueError("ID3v2 size bytes must be syncsafe")
+            size = (size << 7) | b
+        id3v2 = 10 + size
+        i = id3v2
+    end, id3v1 = len(buf), 0
+    if end - i >= 128 and buf[end - 128 : end - 125] == b"TAG":
+        id3v1, end = 128, end - 128
+    frames, bitrates, rate, mode, samples = 0, set(), 0, "", 0
+    version = layer = None
+    while i < end:
+        if i + 4 > end or buf[i] != 0xFF or (buf[i + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"lost MPEG frame sync at byte {i}")
+        vbits = (buf[i + 1] >> 3) & 0x3
+        ver = {0: "MPEG2.5", 2: "MPEG2", 3: "MPEG1"}.get(vbits)
+        if ver is None:
+            raise ValueError("reserved MPEG version id")
+        lay = {1: 3, 2: 2, 3: 1}.get((buf[i + 1] >> 1) & 0x3)
+        if lay is None:
+            raise ValueError("reserved MPEG layer")
+        if version is None:
+            version, layer = ver, lay
+        elif (ver, lay) != (version, layer):
+            raise ValueError("mixed MPEG version/layer mid-stream")
+        bi = (buf[i + 2] >> 4) & 0xF
+        if bi in (0, 15):
+            raise ValueError("free-format/bad bitrate index unsupported")
+        ri = (buf[i + 2] >> 2) & 0x3
+        if ri == 3:
+            raise ValueError("reserved sample-rate index")
+        pad = (buf[i + 2] >> 1) & 1
+        br = _MP3_BITRATES[("MPEG1" if ver == "MPEG1" else "MPEG2", lay)][bi - 1] * 1000
+        sr = _MP3_RATES[ver][ri]
+        if rate and sr != rate:
+            raise ValueError("mixed sample rates mid-stream")
+        rate = sr
+        mode = ("stereo", "joint_stereo", "dual_channel", "mono")[(buf[i + 3] >> 6) & 0x3]
+        if lay == 1:
+            flen = (12 * br // sr + pad) * 4
+            samples += 384
+        else:
+            factor = 72 if (lay == 3 and ver != "MPEG1") else 144
+            flen = factor * br // sr + pad
+            samples += 576 if (lay == 3 and ver != "MPEG1") else 1152
+        bitrates.add(br // 1000)
+        frames += 1
+        i += flen
+    if frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    if i != end:
+        raise ValueError("final frame overruns the stream")
+    return {
+        "version": version,
+        "layer": layer,
+        "n_frames": frames,
+        "sample_rate": rate,
+        "duration_ms": samples * 1000 // rate,
+        "bitrate_kbps": max(bitrates),
+        "vbr": len(bitrates) > 1,
+        "channel_mode": mode,
+        "id3v2_bytes": id3v2,
+        "id3v1_bytes": id3v1,
+    }
+
+
+def mp3_stream_index(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """MPEG-audio stream index via Arrow-batched ``mapInPandas`` — one row
+    per payload with version/layer, frame count, sample-exact duration,
+    bitrate (and VBR detection), sample rate, channel mode, and ID3 tag
+    sizes, from frame headers alone (``_mp3_frame_index``). The audio
+    counterpart of :func:`mp4_track_index`: pure public-spec container
+    math that a 100 TB audio corpus runs as its first indexing pass;
+    actual MP3 synthesis (subband filterbank + IMDCT) stays behind the
+    codec gate."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, version string, layer int, n_frames int, "
+        "sample_rate int, duration_ms long, bitrate_kbps int, vbr boolean, "
+        "channel_mode string, id3v2_bytes int, id3v1_bytes int"
+    )
+
+    def index(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf["payload"]):
+                rows.append({id_col: rid, **_mp3_frame_index(bytes(b) if b is not None else b"")})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "version", "layer", "n_frames", "sample_rate",
+                    "duration_ms", "bitrate_kbps", "vbr", "channel_mode",
+                    "id3v2_bytes", "id3v1_bytes",
+                ],
+            )
+
+    flat = df.select(F.col(id_col), F.col("media.payload").alias("payload"))
+    return spread_for_python(flat).mapInPandas(index, schema)
+
+
 def mp4_track_index(df: DataFrame, id_col: str = "id") -> DataFrame:
     """Per-track MP4/ISO-BMFF container index via Arrow-batched
     ``mapInPandas`` — one row per track with handler, codec fourcc, sample

@@ -2025,3 +2025,50 @@ def multimodal_real_mp4_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "id")
         .orderBy("id")
     )
+
+
+@register(
+    "multimodal_real_mp3_index",
+    oracle="""
+    SELECT doc_id AS id, 'MPEG1' AS version, CAST(3 AS INTEGER) AS layer,
+           CAST(3 + doc_id % 5 AS INTEGER) AS n_frames,
+           CAST(48000 AS INTEGER) AS sample_rate,
+           CAST(24 * (3 + doc_id % 5) AS BIGINT) AS duration_ms,
+           CAST(64 AS INTEGER) AS bitrate_kbps, FALSE AS vbr,
+           'mono' AS channel_mode, CAST(32 AS INTEGER) AS id3v2_bytes,
+           CAST(128 AS INTEGER) AS id3v1_bytes
+    FROM documents WHERE doc_id < 200 ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "audio", "mp3", "container-index"),
+)
+def multimodal_real_mp3_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio stream indexing under the driver's hash gate: each
+    document gets a valid MP3 stream — an ID3v2 tag (syncsafe size), then
+    3 + doc_id%5 frames of MPEG1 Layer III at 64 kbps / 48 kHz mono
+    (192-byte frames, header fields per the public ISO 11172-3 layout),
+    then an ID3v1 trailer. mp3_stream_index
+    (operators/multimodal.py:_mp3_frame_index) must skip both tags, walk
+    the frame chain by COMPUTED frame lengths (144·br/sr + padding — a
+    wrong table or missed padding bit derails the sync and errors), and
+    reconstruct the frame count and sample-exact duration
+    (1152 samples/frame → exactly 24 ms at 48 kHz). The first indexing
+    pass an audio corpus runs at 100 TB — frame-header math only, no
+    synthesis, which stays codec-gated."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, mp3_stream_index
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    frame = bytes([0xFF, 0xFB, 0x54, 0xC0]) + b"\x00" * 188  # MPEG1 L3 64k/48k mono
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 22]) + b"\x00" * 22  # 10+22
+    id3v1 = b"TAG" + b"\x00" * 125
+    n_frames = F.lit(3) + F.col("doc_id") % 5
+    payload = F.concat(
+        F.lit(id3v2),
+        F.lit(frame * 8).substr(F.lit(1), n_frames * len(frame)),
+        F.lit(id3v1),
+    )
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "audio", "mp3")
+    return (
+        mp3_stream_index(media, id_col="doc_id")
+        .withColumnRenamed("doc_id", "id")
+        .orderBy("id")
+    )

@@ -2128,3 +2128,73 @@ def test_mp4_index_through_spark_pipeline(spark):
     rows = {r.id: r for r in mp4_track_index(media).collect()}
     assert rows[1].sample_byte_sum == 6 and rows[2].sample_byte_sum == 9
     assert rows[1].codec == "mp4v" and rows[1].duration_ms == 300
+
+
+# ---- MP3 / MPEG-audio frame index ------------------------------------------
+
+def _mp3_frame(byte1=0xFB, byte2=0x54, byte3=0xC0, fill=188):
+    return bytes([0xFF, byte1, byte2, byte3]) + b"\x00" * fill
+
+
+def test_mp3_index_padding_vbr_and_layers():
+    from arrow_parquet_logs_spark.operators.multimodal import _mp3_frame_index
+
+    # padding bit: 64kbps/48kHz MPEG1 L3 -> 192, padded -> 193
+    padded = bytes([0xFF, 0xFB, 0x56, 0xC0]) + b"\x00" * 189
+    idx = _mp3_frame_index(_mp3_frame() + padded)
+    assert idx["n_frames"] == 2 and idx["duration_ms"] == 48
+    # VBR: a 128kbps frame (idx 9 -> 0x94) is 384 bytes at 48kHz
+    f128 = bytes([0xFF, 0xFB, 0x94, 0xC0]) + b"\x00" * 380
+    idx = _mp3_frame_index(_mp3_frame() + f128)
+    assert idx["vbr"] is True and idx["bitrate_kbps"] == 128
+    # MPEG2 layer III: 72-factor lengths, 576 samples/frame.
+    # version bits 10 -> byte1 0xF3; 64kbps is MPEG2-L3 index 8 -> 0x80|rate
+    # 24kHz idx 1 -> byte2 0x84; len = 72*64000/24000 = 192
+    m2 = bytes([0xFF, 0xF3, 0x84, 0xC0]) + b"\x00" * 188
+    idx = _mp3_frame_index(m2 * 3)
+    assert idx == {
+        "version": "MPEG2", "layer": 3, "n_frames": 3, "sample_rate": 24000,
+        "duration_ms": 576 * 3 * 1000 // 24000, "bitrate_kbps": 64,
+        "vbr": False, "channel_mode": "mono", "id3v2_bytes": 0, "id3v1_bytes": 0,
+    }
+    # layer I: ((12*br/sr)+pad)*4; 256kbps@44.1k idx... use 448kbps/44100
+    # L1 MPEG1 byte1 0xFF layer bits 11 -> 0xFF; bitrate idx 14 -> 0xE0,
+    # 44.1 idx 0 -> byte2 0xE0; len = (12*448000//44100)*4 = 484
+    l1 = bytes([0xFF, 0xFF, 0xE0, 0x00]) + b"\x00" * 480
+    idx = _mp3_frame_index(l1 * 2)
+    assert idx["layer"] == 1 and idx["n_frames"] == 2
+    assert idx["duration_ms"] == 384 * 2 * 1000 // 44100
+    assert idx["channel_mode"] == "stereo"
+
+
+def test_mp3_index_error_paths():
+    import pytest as _pytest
+
+    from arrow_parquet_logs_spark.operators.multimodal import _mp3_frame_index
+
+    with _pytest.raises(ValueError, match="sync"):
+        _mp3_frame_index(b"\x00" * 16)
+    with _pytest.raises(ValueError, match="no MPEG audio frames"):
+        _mp3_frame_index(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+    # truncated final frame: walk overruns -> lost sync inside zeros
+    with _pytest.raises(ValueError, match="sync|overruns"):
+        _mp3_frame_index(_mp3_frame() + _mp3_frame()[:100])
+    with _pytest.raises(ValueError, match="syncsafe"):
+        _mp3_frame_index(b"ID3\x04\x00\x00\xff\x00\x00\x00" + _mp3_frame())
+    with _pytest.raises(ValueError, match="bitrate"):
+        _mp3_frame_index(bytes([0xFF, 0xFB, 0xF4, 0xC0]) + b"\x00" * 188)
+    with _pytest.raises(ValueError, match="mixed sample"):
+        bad = bytes([0xFF, 0xFB, 0x50, 0xC0]) + b"\x00" * 204  # 44.1kHz len 208
+        _mp3_frame_index(bad + _mp3_frame())
+
+
+def test_mp3_index_through_spark_pipeline(spark):
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, mp3_stream_index
+
+    df = spark.createDataFrame(
+        [(1, _mp3_frame() * 2), (2, _mp3_frame() * 5)], "id long, raw binary"
+    )
+    media = attach_media(df, "raw", "audio", "mp3")
+    rows = {r.id: r for r in mp3_stream_index(media).collect()}
+    assert rows[1].n_frames == 2 and rows[2].n_frames == 5
+    assert rows[2].duration_ms == 120 and rows[2].vbr is False
