@@ -307,6 +307,73 @@ class VersionedTable:
         )
         return {"version": new_v, "files": len(files)}
 
+    def clone_to(self, dest_path: str) -> "VersionedTable":
+        """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a new
+        independent table whose v1 manifest references this table's CURRENT
+        data files by absolute path — zero data copied, metadata only.
+        Writes to either table never touch the other: the clone's upserts
+        copy-on-write only the partitions they change into clone-local
+        version dirs (untouched partitions stay absolute references), and
+        the source keeps evolving underneath without the clone seeing it —
+        the clone is pinned to the source SNAPSHOT it was taken from.
+
+        A source deletion vector is carried by REWRITING its keys: source
+        DV entries are source-relative paths, but the clone's scans key
+        those files by absolute path (``_file_rel_expr``), so the clone
+        materializes a remapped DV under its own root — without this,
+        soft-deleted rows would silently resurrect in the clone.
+
+        Caveat (same as Delta's): ``vacuum`` on the SOURCE can remove
+        files the clone still references once the source's kept-version
+        window slides past the cloned snapshot. Clones are for cheap
+        experiments/branching, not archival independence; ``write`` a
+        full snapshot to sever the dependency. The clone's own vacuum is
+        safe — its liveness sweep only ever deletes under its own root.
+        The manifest records ``cloned_from`` provenance for ``history()``."""
+        man = self._current()
+        dst = VersionedTable(
+            self.spark, dest_path, self.key_cols, self.partition_col,
+            self.lock_stale_after,
+        )
+        if os.path.abspath(dest_path) == os.path.abspath(self.path):
+            raise ValueError("clone destination is the source table itself")
+        with dst._mutate_lock():
+            if dst._current()["version"] != 0:
+                raise ValueError(f"clone destination {dest_path} is not an empty table")
+            if man["version"] == 0:
+                return dst  # cloning an empty table: an empty table
+            src_abs = os.path.abspath(self.path)
+            manifest = {
+                "version": 1,
+                "files": [os.path.join(src_abs, f) for f in man["files"]],
+                "schema": man.get("schema"),
+                "stats": {
+                    os.path.join(src_abs, f): s
+                    for f, s in man.get("stats", {}).items()
+                },
+                "cloned_from": {"path": src_abs, "version": man["version"]},
+            }
+            if man.get("dv"):
+                dv = self.spark.read.parquet(os.path.join(self.path, man["dv"]))
+                remapped = dv.select(
+                    F.concat(F.lit(src_abs + "/"), F.col("file")).alias("file"), "ri"
+                )
+                dv_rel = "v1/dv"
+                remapped.write.mode("overwrite").parquet(
+                    os.path.join(dest_path, dv_rel)
+                )
+                dv_files = []
+                for root, _, fs in os.walk(os.path.join(dest_path, dv_rel)):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            rel = os.path.relpath(os.path.join(root, f), dest_path)
+                            dv_files.append(rel.replace(os.sep, "/"))
+                manifest["dv"] = dv_rel
+                manifest["dv_files"] = sorted(dv_files)
+                manifest["dv_rows"] = man.get("dv_rows", 0)
+            dst._commit(manifest)
+        return dst
+
     def history(self) -> list[dict]:
         """Commit log of the SURVIVING versions (vacuum prunes old ones),
         oldest first: version, commit wall-clock (ISO-8601 UTC µs), live
@@ -477,10 +544,16 @@ class VersionedTable:
         }
 
     def _file_rel_expr(self):
-        """Table-relative path of the scanned file, from the parquet scan's
-        ``_metadata.file_path`` (a ``file:`` URI over this local store)."""
+        """Canonical manifest key of the scanned file, from the parquet
+        scan's ``_metadata.file_path`` (a ``file:`` URI over this local
+        store): table-relative for files under this table's root, plain
+        absolute path for files outside it (shallow-clone references) —
+        exactly the forms ``files``/DV entries use."""
         prefix = "file:" + os.path.abspath(self.path) + "/"
-        return F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit(""))
+        return F.regexp_replace(
+            F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")),
+            "^file:", "",
+        )
 
     #: DVs at or under this many tombstones broadcast in the read-side
     #: anti-join; above it (a mass delete that really belonged in

@@ -924,3 +924,90 @@ def table_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         rows, "c_mktsegment string, n_customers bigint, total_balance double"
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "table_shallow_clone",
+    oracle="""
+    WITH clone_rows AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                    ELSE c_acctbal END AS bal
+        FROM customer WHERE c_custkey % 13 != 0
+    ),
+    source_rows AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500.0
+                    ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT side, n_rows, total_balance FROM (
+        SELECT 'clone' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+        FROM clone_rows
+        UNION ALL
+        SELECT 'source', CAST(count(*) AS BIGINT),
+               CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE)
+        FROM source_rows
+    ) ORDER BY side
+    """,
+    tags=("versioned-table", "clone", "deletion-vector"),
+)
+def table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE under the hash gate
+    (logstore/table.py:clone_to): snapshot customer into a
+    segment-partitioned VersionedTable, clone it (metadata only — the
+    clone's manifest references the source files by absolute path), then
+    diverge BOTH sides: the clone takes an upsert (+1000 on every 10th
+    key) and a deletion-vector delete (every 13th key, remapped
+    tombstones); the source takes its own upsert (+500 on every 7th key)
+    AFTER the clone. The aggregate over each side proves four things at
+    once — the clone read plan resolves absolute file references, the
+    remapped DV keys match them, clone copy-on-write never leaks into the
+    source, and the clone is pinned to its snapshot (the source's later
+    upsert is invisible to it)."""
+    import os
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
+    )
+    root = tempfile.mkdtemp(prefix="shallow_clone_")
+    try:
+        t = VersionedTable(
+            spark, os.path.join(root, "src"), key_cols=["c_custkey"],
+            partition_col="c_mktsegment",
+        )
+        t.write(cust)
+        clone = t.clone_to(os.path.join(root, "clone"))
+        clone.upsert(
+            cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+            )
+        )
+        clone.delete_where_dv("c_custkey % 13 = 0")
+        # source keeps evolving AFTER the clone; the clone must not see it
+        t.upsert(
+            cust.where(F.col("c_custkey") % 7 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + F.lit(500.0)
+            )
+        )
+
+        def side(tab, name):
+            return tab.read().agg(
+                F.lit(name).alias("side"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_balance"),
+            ).select("side", "n_rows", "total_balance")
+
+        rows = side(clone, "clone").unionByName(side(t, "source")).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "side string, n_rows bigint, total_balance double"
+    ).orderBy("side")

@@ -915,3 +915,63 @@ def test_dv_rows_tracked_and_broadcast_gate(table):
         assert set(_as_dict(table.read())) == want
     finally:
         type(table).DV_BROADCAST_MAX_ROWS = old
+
+
+# ---- shallow clone ---------------------------------------------------------
+
+def _parquet_bytes_under(root):
+    total = 0
+    for dirpath, _, fs in os.walk(root):
+        for f in fs:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def test_clone_is_zero_copy_and_reads_identically(table, spark, tmp_path):
+    clone = table.clone_to(str(tmp_path / "c"))
+    assert _as_dict(clone.read()) == _as_dict(table.read())
+    # zero data copied: no parquet under the clone root (no DV here)
+    assert _parquet_bytes_under(str(tmp_path / "c")) == 0
+    assert clone._current()["cloned_from"]["version"] == 1
+
+
+def test_clone_mutations_are_independent_both_ways(table, spark, tmp_path):
+    clone = table.clone_to(str(tmp_path / "c"))
+    # clone-side upsert copy-on-writes only the touched partition
+    clone.upsert(spark.createDataFrame([(3, "seg0", 777)], "k long, seg string, val long"))
+    assert _as_dict(clone.read())[3] == ("seg0", 777)
+    assert _as_dict(table.read())[3] == ("seg0", 30)  # source untouched
+    man = clone._current()
+    carried = [f for f in man["files"] if os.path.isabs(f)]
+    local = [f for f in man["files"] if not os.path.isabs(f)]
+    assert carried and local  # untouched partitions stay absolute refs
+    # source-side evolution is invisible to the clone (snapshot pinning)
+    table.upsert(spark.createDataFrame([(4, "seg1", 888)], "k long, seg string, val long"))
+    assert _as_dict(clone.read())[4] == ("seg1", 40)
+
+
+def test_clone_carries_deletion_vector_remapped(table, spark, tmp_path):
+    table.delete_where_dv("k = 7")
+    clone = table.clone_to(str(tmp_path / "c"))
+    got = _as_dict(clone.read())
+    assert 7 not in got and len(got) == 29
+    # and the clone can stack its own DV deletes on top
+    clone.delete_where_dv("k = 8")
+    assert 8 not in _as_dict(clone.read())
+    assert 8 in _as_dict(table.read())  # source unaffected
+
+
+def test_clone_validation_and_vacuum_safety(table, spark, tmp_path):
+    with pytest.raises(ValueError, match="itself"):
+        table.clone_to(table.path)
+    clone = table.clone_to(str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="not an empty table"):
+        table.clone_to(str(tmp_path / "c"))
+    # clone's vacuum must never delete under the source root
+    clone.upsert(spark.createDataFrame([(3, "seg0", 1)], "k long, seg string, val long"))
+    clone.upsert(spark.createDataFrame([(3, "seg0", 2)], "k long, seg string, val long"))
+    before = _parquet_bytes_under(table.path)
+    clone.vacuum(keep_versions=1)
+    assert _parquet_bytes_under(table.path) == before
+    assert _as_dict(clone.read())[3] == ("seg0", 2)
