@@ -50,6 +50,12 @@ from arrow_parquet_logs_spark.logstore.locks import DEFAULT_STALE_AFTER, file_lo
 from arrow_parquet_logs_spark.session import ensure_runtime_confs
 
 
+class ConstraintViolation(ValueError):
+    """A write/upsert input failed a table CHECK constraint; nothing was
+    committed (and for ``write``/``upsert`` nothing was staged either —
+    validation runs before any data lands)."""
+
+
 class VersionedTable:
     def __init__(
         self,
@@ -108,10 +114,16 @@ class VersionedTable:
         # re-read of the same instant did before).
         import time as _time
 
-        prev_us = self._current().get("committed_at_us", 0)
+        prev = self._current()
+        prev_us = prev.get("committed_at_us", 0)
         manifest.setdefault(
             "committed_at_us", max(_time.time_ns() // 1000, prev_us + 1)
         )
+        # CHECK constraints ride every commit unless the committer sets
+        # them explicitly (add_constraint / drop_constraint) — a MERGE or
+        # OPTIMIZE must never silently shed the table's invariants.
+        if prev.get("constraints"):
+            manifest.setdefault("constraints", prev["constraints"])
         vdir = os.path.join(self.path, f"v{manifest['version']}")
         os.makedirs(vdir, exist_ok=True)
         mtmp = os.path.join(vdir, f".MANIFEST.{uuid.uuid4().hex}")
@@ -295,6 +307,7 @@ class VersionedTable:
 
     def _write_locked(self, df: DataFrame) -> dict:
         man = self._current()
+        self._enforce_constraints(df, man.get("constraints", {}))
         new_v = man["version"] + 1
         files = self._write_version_files(df, new_v)
         self._commit(
@@ -306,6 +319,84 @@ class VersionedTable:
             }
         )
         return {"version": new_v, "files": len(files)}
+
+    # ---- CHECK constraints ------------------------------------------------
+    def _enforce_constraints(self, df: DataFrame, cons: dict | None = None) -> None:
+        """Validate ``df`` against the table's CHECK constraints in ONE
+        aggregation pass (the Deequ/expectations shape — one job however
+        many constraints). SQL CHECK semantics: a row violates only when
+        the expression evaluates to definite FALSE; NULL passes."""
+        cons = self._current().get("constraints", {}) if cons is None else cons
+        if not cons:
+            return
+        aggs = [
+            F.sum(F.when(~F.expr(e), 1).otherwise(0)).cast("long").alias(n)
+            for n, e in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]  # bounded: one row, one long per constraint
+        bad = {n: row[n] for n in cons if row[n]}
+        if bad:
+            detail = ", ".join(
+                f"{n} ({cons[n]}): {c} row(s)" for n, c in sorted(bad.items())
+            )
+            raise ConstraintViolation(
+                f"CHECK constraint violation at {self.path} — {detail}; "
+                "no data was written"
+            )
+
+    def add_constraint(self, name: str, expr: str) -> dict:
+        """Add a named CHECK constraint (Delta's ``ADD CONSTRAINT``):
+        ``expr`` is a SQL boolean over the table's columns, enforced on
+        every subsequent ``write``/``upsert`` input BEFORE any data lands.
+        Existing data is validated first (one aggregation pass over
+        CURRENT) — a constraint the table already violates is refused, so
+        a green ``add_constraint`` certifies the whole table, past and
+        future (the Delta semantics). Commits a metadata-only version;
+        constraints persist in the manifest and survive every commit,
+        clone included."""
+        if not name or not name.isidentifier():
+            raise ValueError(f"constraint name {name!r} must be an identifier")
+        with self._mutate_lock():
+            man = self._current()
+            cons = dict(man.get("constraints", {}))
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+            if man["version"] > 0:
+                self._enforce_constraints(self.read(), {name: expr})
+            cons[name] = expr
+            new_v = man["version"] + 1
+            self._commit(
+                {
+                    "version": new_v,
+                    "files": man["files"],
+                    "schema": man.get("schema"),
+                    "stats": man.get("stats", {}),
+                    "constraints": cons,
+                    **self._dv_carry(man),
+                }
+            )
+            return {"version": new_v, "constraints": sorted(cons)}
+
+    def drop_constraint(self, name: str) -> dict:
+        """Remove a named CHECK constraint (metadata-only commit)."""
+        with self._mutate_lock():
+            man = self._current()
+            cons = dict(man.get("constraints", {}))
+            if name not in cons:
+                raise ValueError(f"no constraint named {name!r}")
+            del cons[name]
+            new_v = man["version"] + 1
+            self._commit(
+                {
+                    "version": new_v,
+                    "files": man["files"],
+                    "schema": man.get("schema"),
+                    "stats": man.get("stats", {}),
+                    "constraints": cons,
+                    **self._dv_carry(man),
+                }
+            )
+            return {"version": new_v, "constraints": sorted(cons)}
 
     def clone_to(self, dest_path: str) -> "VersionedTable":
         """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a new
@@ -353,6 +444,8 @@ class VersionedTable:
                 },
                 "cloned_from": {"path": src_abs, "version": man["version"]},
             }
+            if man.get("constraints"):
+                manifest["constraints"] = man["constraints"]
             if man.get("dv"):
                 dv = self.spark.read.parquet(os.path.join(self.path, man["dv"]))
                 remapped = dv.select(
@@ -678,6 +771,10 @@ class VersionedTable:
         Crash-safety is unchanged: nothing becomes visible before the
         CURRENT swap; abandoned staged directories age out via vacuum's
         staged-orphan sweep."""
+        # constraints gate the merge INPUT before anything stages; existing
+        # rows were validated when each constraint was added, so input-only
+        # validation keeps the whole table certified
+        self._enforce_constraints(updates)
         for _ in range(1 + max_retries):
             man0 = self._current()
             if man0["version"] == 0:

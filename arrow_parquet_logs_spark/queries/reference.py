@@ -1011,3 +1011,82 @@ def table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "side string, n_rows bigint, total_balance double"
     ).orderBy("side")
+
+
+@register(
+    "table_check_constraints",
+    oracle="""
+    WITH merged AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 250.0
+                    ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("versioned-table", "constraints", "data-quality"),
+)
+def table_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraint enforcement through the commit protocol
+    (logstore/table.py:add_constraint): snapshot customer, add a balance
+    floor the data satisfies (add_constraint validates EXISTING rows
+    first — a one-pass certification), then attempt an upsert that
+    violates it — the merge must be refused with NOTHING staged or
+    committed — then apply a valid upsert and aggregate. The oracle is
+    the base data plus only the VALID upsert: if the violating merge
+    leaked any rows, versions, or partial files into the table, the hash
+    breaks. This is the write-path data-quality gate a 100 TB CDC
+    pipeline needs: malformed batches bounce atomically at one
+    aggregation pass of cost, not after a cleanup job."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.functions.numeric import dec
+    from arrow_parquet_logs_spark.logstore.table import (
+        ConstraintViolation,
+        VersionedTable,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
+    )
+    root = tempfile.mkdtemp(prefix="check_cons_")
+    try:
+        t = VersionedTable(
+            spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        t.write(cust)
+        t.add_constraint("bal_floor", "c_acctbal >= -1000.0")
+        try:
+            t.upsert(
+                cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+                    "c_acctbal", F.lit(-99999.0)
+                )
+            )
+            raise AssertionError("violating upsert was not refused")
+        except ConstraintViolation:
+            pass
+        t.upsert(
+            cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + F.lit(250.0)
+            )
+        )
+        rows = (
+            t.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_balance"),
+            )
+            .orderBy("c_mktsegment")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_rows bigint, total_balance double"
+    ).orderBy("c_mktsegment")

@@ -975,3 +975,52 @@ def test_clone_validation_and_vacuum_safety(table, spark, tmp_path):
     clone.vacuum(keep_versions=1)
     assert _parquet_bytes_under(table.path) == before
     assert _as_dict(clone.read())[3] == ("seg0", 2)
+
+
+# ---- CHECK constraints -----------------------------------------------------
+
+def test_constraint_blocks_bad_writes_and_certifies_existing(table, spark):
+    from arrow_parquet_logs_spark.logstore.table import ConstraintViolation
+
+    table.add_constraint("val_nonneg", "val >= 0")
+    man = table._current()
+    assert man["constraints"] == {"val_nonneg": "val >= 0"}
+    # violating upsert: refused before anything stages, table unchanged
+    v_before = man["version"]
+    with pytest.raises(ConstraintViolation, match="val_nonneg"):
+        table.upsert(spark.createDataFrame([(3, "seg0", -1)], "k long, seg string, val long"))
+    assert table._current()["version"] == v_before
+    assert _as_dict(table.read())[3] == ("seg0", 30)
+    # valid upsert passes, and the constraint survives the commit
+    table.upsert(spark.createDataFrame([(3, "seg0", 5)], "k long, seg string, val long"))
+    assert table._current()["constraints"] == {"val_nonneg": "val >= 0"}
+    # adding a constraint the EXISTING data violates is refused
+    with pytest.raises(ConstraintViolation, match="val_small"):
+        table.add_constraint("val_small", "val < 100")
+    # NULL passes (SQL CHECK semantics): val IS NULL is not FALSE
+    table.add_constraint("seg_known", "seg LIKE 'seg%'")
+    table.upsert(
+        spark.createDataFrame([(200, "seg1", None)], "k long, seg string, val long")
+    )
+    assert _as_dict(table.read())[200] == ("seg1", None)
+
+
+def test_constraint_drop_and_clone_carry(table, spark, tmp_path):
+    from arrow_parquet_logs_spark.logstore.table import ConstraintViolation
+
+    table.add_constraint("val_nonneg", "val >= 0")
+    clone = table.clone_to(str(tmp_path / "c"))
+    with pytest.raises(ConstraintViolation):
+        clone.upsert(spark.createDataFrame([(1, "seg1", -5)], "k long, seg string, val long"))
+    clone.drop_constraint("val_nonneg")
+    clone.upsert(spark.createDataFrame([(1, "seg1", -5)], "k long, seg string, val long"))
+    assert _as_dict(clone.read())[1] == ("seg1", -5)
+    # dropping on the clone never affects the source
+    with pytest.raises(ConstraintViolation):
+        table.upsert(spark.createDataFrame([(1, "seg1", -5)], "k long, seg string, val long"))
+    with pytest.raises(ValueError, match="no constraint"):
+        table.drop_constraint("nope")
+    with pytest.raises(ValueError, match="identifier"):
+        table.add_constraint("bad name", "val >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_constraint("val_nonneg", "val >= 1")
