@@ -320,6 +320,65 @@ class VersionedTable:
         )
         return {"version": new_v, "files": len(files)}
 
+    def verify(self, version: int | None = None) -> dict:
+        """Integrity audit of a version's manifest against the bytes on
+        disk — the table-level counterpart of the training-shard export
+        manifest (operators/text.py): run it before trusting a table
+        handed across team/pipeline boundaries, after a restore from
+        backup, or on a shallow clone whose source may have been vacuumed.
+
+        Checks, driver-side over footers only (no data scan):
+        - every manifest data file EXISTS and parses as parquet;
+        - re-harvested footer stats agree with the manifest's per-file
+          stats index (a silently modified/bit-rotted file whose values
+          drifted outside the recorded min/max would poison pruned reads
+          — exactly the corruption data skipping can't survive);
+        - DV parquet files exist and their tombstone count equals the
+          manifest's ``dv_rows`` (the broadcast-sizing contract).
+
+        Returns ``{"ok": bool, "files_checked": n, "missing": [...],
+        "unreadable": [...], "stats_mismatch": [...], "dv_ok": bool}``.
+        Never raises on findings — callers gate on ``ok`` (a monitoring
+        probe must report, not crash)."""
+        import pyarrow.parquet as papq
+
+        man = self._manifest_at(version)
+        missing, unreadable, mismatch = [], [], []
+        stats = man.get("stats", {})
+        for rel in man["files"]:
+            p = os.path.join(self.path, rel)
+            if not os.path.exists(p):
+                missing.append(rel)
+                continue
+            try:
+                papq.ParquetFile(p)
+            except Exception:
+                unreadable.append(rel)
+                continue
+            fresh = self._harvest_stats([rel])
+            if rel in stats and fresh.get(rel) != stats[rel]:
+                mismatch.append(rel)
+        dv_ok = True
+        if man.get("dv"):
+            for rel in man.get("dv_files", []):
+                if not os.path.exists(os.path.join(self.path, rel)):
+                    dv_ok = False
+            if dv_ok:
+                n = 0
+                for rel in man.get("dv_files", []):
+                    n += papq.ParquetFile(os.path.join(self.path, rel)).metadata.num_rows
+                dv_ok = n == man.get("dv_rows", 0)
+        ok = not missing and not unreadable and not mismatch and dv_ok
+        return {
+            "ok": ok,
+            "version": man["version"],
+            "files_checked": len(man["files"]),
+            "missing": sorted(missing),
+            "unreadable": sorted(unreadable),
+            "stats_mismatch": sorted(mismatch),
+            "dv_ok": dv_ok,
+        }
+
     # ---- CHECK constraints ------------------------------------------------
     def _enforce_constraints(self, df: DataFrame, cons: dict | None = None) -> None:
         """Validate ``df`` against the table's CHECK constraints in ONE

@@ -1024,3 +1024,64 @@ def test_constraint_drop_and_clone_carry(table, spark, tmp_path):
         table.add_constraint("bad name", "val >= 0")
     with pytest.raises(ValueError, match="already exists"):
         table.add_constraint("val_nonneg", "val >= 1")
+
+
+# ---- integrity verify ------------------------------------------------------
+
+def test_verify_clean_tampered_and_missing(table, spark):
+    assert table.verify() == {
+        "ok": True, "version": 1, "files_checked": len(table._current()["files"]),
+        "missing": [], "unreadable": [], "stats_mismatch": [], "dv_ok": True,
+    }
+    table.delete_where_dv("k = 5")
+    assert table.verify()["ok"] is True and table.verify()["dv_ok"] is True
+    man = table._current()
+    # tamper: truncate one data file -> unreadable (parquet magic gone)
+    victim = os.path.join(table.path, man["files"][0])
+    orig = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(orig[: len(orig) // 2])
+    r = table.verify()
+    assert r["ok"] is False and r["unreadable"] == [man["files"][0]]
+    # remove it entirely -> missing
+    os.remove(victim)
+    r = table.verify()
+    assert r["ok"] is False and r["missing"] == [man["files"][0]]
+    with open(victim, "wb") as fh:
+        fh.write(orig)  # restore
+    assert table.verify()["ok"] is True
+    # dv accounting: a vanished DV file flips dv_ok
+    dvf = os.path.join(table.path, man["dv_files"][0])
+    dv_orig = open(dvf, "rb").read()
+    os.remove(dvf)
+    assert table.verify()["dv_ok"] is False
+    with open(dvf, "wb") as fh:
+        fh.write(dv_orig)
+    assert table.verify()["ok"] is True
+    # historic versions are auditable too
+    assert table.verify(version=1)["ok"] is True
+
+
+def test_verify_catches_stats_drift(table, spark):
+    """A file swapped for a VALID parquet with different contents must
+    surface as stats_mismatch — the corruption pruned reads can't survive."""
+    man = table._current()
+    victim = next(f for f in man["files"] if f in man.get("stats", {}))
+    other = spark.createDataFrame(
+        [(99999, "seg0", 1)], "k long, seg string, val long"
+    )
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    other.coalesce(1).write.mode("overwrite").parquet(tmp)
+    swapped = next(
+        os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    dst = os.path.join(table.path, victim)
+    orig = open(dst, "rb").read()
+    with open(dst, "wb") as fh:
+        fh.write(open(swapped, "rb").read())
+    r = table.verify()
+    assert r["ok"] is False and victim in r["stats_mismatch"]
+    with open(dst, "wb") as fh:
+        fh.write(orig)
+    assert table.verify()["ok"] is True
