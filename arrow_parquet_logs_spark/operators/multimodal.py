@@ -2203,6 +2203,133 @@ def _mp3_frame_index(buf: bytes):
     }
 
 
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+_EXIF_TAGS_IFD0 = {0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+                   0x0132: "datetime"}
+_EXIF_TAGS_SUB = {0xA002: "pixel_x", 0xA003: "pixel_y", 0x8827: "iso"}
+
+
+def _jpeg_exif(buf: bytes):
+    """JPEG marker walk → EXIF metadata dict (no pixel decode).
+
+    Walks the marker stream from SOI for an APP1 segment carrying
+    ``Exif\\0\\0``, then parses the embedded TIFF structure per the public
+    EXIF/TIFF 6.0 layout: byte-order mark (II/MM) + magic 42, IFD0's
+    12-byte entries (tag, type, count, inline-or-offset value — values
+    whose ``size·count`` ≤ 4 live left-justified in the field, larger
+    ones at an offset from the TIFF header), and the 0x8769 Exif sub-IFD.
+    Extracts Make/Model/Orientation/DateTime and
+    PixelXDimension/PixelYDimension/ISO — the camera-metadata index an
+    image corpus builds across billions of files without ever decoding a
+    pixel. All offsets are bounds-checked; a JPEG without EXIF raises
+    (callers filter upstream; silence would be indistinguishable from a
+    parse bug)."""
+    import struct as _struct
+
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i, app1 = 2, None
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError(f"lost JPEG marker sync at byte {i}")
+        marker = buf[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # SOS: entropy data follows, no EXIF past here
+            break
+        (seglen,) = _struct.unpack_from(">H", buf, i + 2)
+        if marker == 0xE1 and buf[i + 4 : i + 10] == b"Exif\x00\x00":
+            app1 = buf[i + 10 : i + 2 + seglen]
+            break
+        i += 2 + seglen
+    if app1 is None:
+        raise ValueError("JPEG carries no EXIF APP1 segment")
+
+    if app1[:2] == b"II":
+        e = "<"
+    elif app1[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("EXIF TIFF header has bad byte-order mark")
+    if _struct.unpack_from(e + "H", app1, 2)[0] != 42:
+        raise ValueError("EXIF TIFF header magic != 42")
+    (ifd0_off,) = _struct.unpack_from(e + "I", app1, 4)
+    out = {"byte_order": app1[:2].decode("ascii"), "make": None, "model": None,
+           "orientation": None, "datetime": None, "pixel_x": None,
+           "pixel_y": None, "iso": None}
+
+    def read_value(typ: int, cnt: int, field_off: int):
+        size = _EXIF_TYPE_SIZES.get(typ)
+        if size is None:
+            return None
+        total = size * cnt
+        if total <= 4:
+            off = field_off
+        else:
+            (off,) = _struct.unpack_from(e + "I", app1, field_off)
+        if off + total > len(app1):
+            raise ValueError("EXIF value runs past the APP1 segment")
+        if typ == 2:  # ASCII, NUL-terminated
+            return app1[off : off + cnt].split(b"\x00")[0].decode("ascii", "replace")
+        if typ == 3:
+            return _struct.unpack_from(e + "H", app1, off)[0]
+        if typ == 4:
+            return _struct.unpack_from(e + "I", app1, off)[0]
+        return None
+
+    def walk_ifd(ifd_off: int, tags: dict) -> None:
+        if ifd_off + 2 > len(app1):
+            raise ValueError("EXIF IFD offset past the APP1 segment")
+        (n,) = _struct.unpack_from(e + "H", app1, ifd_off)
+        if ifd_off + 2 + 12 * n > len(app1):
+            raise ValueError("EXIF IFD entries run past the APP1 segment")
+        for j in range(n):
+            base = ifd_off + 2 + 12 * j
+            tag, typ = _struct.unpack_from(e + "HH", app1, base)
+            (cnt,) = _struct.unpack_from(e + "I", app1, base + 4)
+            if tag == 0x8769:  # Exif sub-IFD pointer
+                (sub,) = _struct.unpack_from(e + "I", app1, base + 8)
+                walk_ifd(sub, _EXIF_TAGS_SUB)
+            elif tag in tags:
+                out[tags[tag]] = read_value(typ, cnt, base + 8)
+
+    walk_ifd(ifd0_off, _EXIF_TAGS_IFD0)
+    return out
+
+
+def jpeg_exif_index(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Camera-metadata index over JPEG payloads via Arrow-batched
+    ``mapInPandas`` — byte order, Make/Model, orientation, capture
+    datetime, pixel dimensions, ISO, from the EXIF APP1 TIFF structure
+    alone (``_jpeg_exif``): the third member of the container-index trio
+    (MP4 sample tables, MPEG-audio frames, EXIF) — corpus-wide metadata
+    without decoding a single pixel."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, byte_order string, make string, model string, "
+        "orientation int, datetime string, pixel_x long, pixel_y long, iso int"
+    )
+
+    def index(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf["payload"]):
+                rows.append({id_col: rid, **_jpeg_exif(bytes(b) if b is not None else b"")})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "byte_order", "make", "model", "orientation",
+                    "datetime", "pixel_x", "pixel_y", "iso",
+                ],
+            )
+
+    flat = df.select(F.col(id_col), F.col("media.payload").alias("payload"))
+    return spread_for_python(flat).mapInPandas(index, schema)
+
+
 def mp3_stream_index(df: DataFrame, id_col: str = "id") -> DataFrame:
     """MPEG-audio stream index via Arrow-batched ``mapInPandas`` — one row
     per payload with version/layer, frame count, sample-exact duration,

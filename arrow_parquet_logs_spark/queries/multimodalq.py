@@ -2072,3 +2072,87 @@ def multimodal_real_mp3_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "id")
         .orderBy("id")
     )
+
+
+def _exif_parts():
+    """Constant byte segments of a big-endian EXIF APP1 block (TIFF 6.0
+    layout built field-by-field: IFD0 with Make/Model/Orientation/
+    DateTime/ExifIFD-pointer, sub-IFD with ISO and pixel dims, string
+    values in the trailing data area). The per-document variables are the
+    orientation low byte and the 2-byte ISO: payload-prefix = c0 +
+    orient(1B) + c1 + iso(2B) + c2. Returns (parts, app1_prefix)."""
+    import struct as _struct
+
+    make, model, dt = b"SparkCam\x00", b"GraftShooter\x00", b"2026:01:02 03:04:05\x00"
+    sub_off, data_off = 74, 116
+
+    def entry(tag, typ, cnt, val4):
+        return _struct.pack(">HHI", tag, typ, cnt) + val4
+
+    ifd0 = _struct.pack(">H", 5)
+    ifd0 += entry(0x010F, 2, len(make), _struct.pack(">I", data_off))
+    ifd0 += entry(0x0110, 2, len(model), _struct.pack(">I", data_off + len(make)))
+    ifd0 += entry(0x0112, 3, 1, b"\x00\x00\x00\x00")  # orientation: byte 1 varies
+    ifd0 += entry(0x0132, 2, len(dt), _struct.pack(">I", data_off + len(make) + len(model)))
+    ifd0 += entry(0x8769, 4, 1, _struct.pack(">I", sub_off))
+    ifd0 += _struct.pack(">I", 0)  # next-IFD: none
+    sub = _struct.pack(">H", 3)
+    sub += entry(0x8827, 3, 1, b"\x00\x00\x00\x00")  # ISO: bytes 0-1 vary
+    sub += entry(0xA002, 4, 1, _struct.pack(">I", 8))
+    sub += entry(0xA003, 4, 1, _struct.pack(">I", 8))
+    sub += _struct.pack(">I", 0)
+    tiff = b"MM" + _struct.pack(">HI", 42, 8) + ifd0 + sub + make + model + dt
+    assert len(ifd0) == sub_off - 8 and 8 + len(ifd0) + len(sub) == data_off
+    # variable positions (TIFF-relative): orientation lo byte at 43,
+    # ISO 2 bytes at 84-85
+    assert tiff[43] == 0 and tiff[84:86] == b"\x00\x00"
+    app1 = b"\xff\xe1" + _struct.pack(">H", 2 + 6 + len(tiff)) + b"Exif\x00\x00"
+    return [app1 + tiff[:43], tiff[44:84], tiff[86:]]
+
+
+@register(
+    "multimodal_real_jpeg_exif",
+    oracle="""
+    SELECT doc_id AS id, 'MM' AS byte_order, 'SparkCam' AS make,
+           'GraftShooter' AS model,
+           CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+           '2026:01:02 03:04:05' AS datetime,
+           CAST(8 AS BIGINT) AS pixel_x, CAST(8 AS BIGINT) AS pixel_y,
+           CAST(100 + (doc_id % 4) * 100 AS INTEGER) AS iso
+    FROM documents WHERE doc_id < 200 ORDER BY id
+    """,
+    tags=("multimodal", "pandas-udf", "image", "exif", "container-index"),
+)
+def multimodal_real_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF extraction under the driver's hash gate: each document's
+    payload is a valid JPEG (the 8x8 baseline fixture of
+    `multimodal_real_jpeg_decode`) carrying a hand-built big-endian EXIF
+    APP1 — IFD0 string values in the offset-addressed data area, an
+    inline SHORT orientation (1 + doc_id%8), a 0x8769 sub-IFD with
+    inline ISO (100 + 100·(doc_id%4)) and LONG pixel dims.
+    jpeg_exif_index (operators/multimodal.py:_jpeg_exif) must walk the
+    marker stream, honor the TIFF byte-order mark, distinguish
+    inline-vs-offset values by size·count, and chase the sub-IFD pointer
+    — each a classic EXIF parser bug surfaced as a hash mismatch. The
+    third container indexer (MP4, MPEG-audio, EXIF): corpus metadata
+    with zero pixel decode."""
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, jpeg_exif_index
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    p = _exif_parts()
+    orient = F.unhex(F.lpad(F.hex(F.lit(1) + F.col("doc_id") % 8), 2, "0"))
+    iso = F.unhex(F.lpad(F.hex(F.lit(100) + F.col("doc_id") % 4 * 100), 4, "0"))
+    d = F.col("doc_id") % 16 * 8 + 129
+    payload = F.concat(
+        F.lit(b"\xff\xd8"), F.lit(p[0]), orient, F.lit(p[1]), iso, F.lit(p[2]),
+        F.lit(_jpeg_8x8_head()[2:]),
+        F.unhex(F.lpad(F.hex(F.shiftright(d, 6) + 0xF8), 2, "0")),
+        F.unhex(F.lpad(F.hex(d % 64 * 4 + 2), 2, "0")),
+        F.lit(b"\xbf\xff\xd9"),
+    )
+    media = attach_media(docs.select("doc_id", payload.alias("raw")), "raw", "image", "jpeg")
+    return (
+        jpeg_exif_index(media, id_col="doc_id")
+        .withColumnRenamed("doc_id", "id")
+        .orderBy("id")
+    )

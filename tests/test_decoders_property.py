@@ -2198,3 +2198,81 @@ def test_mp3_index_through_spark_pipeline(spark):
     rows = {r.id: r for r in mp3_stream_index(media).collect()}
     assert rows[1].n_frames == 2 and rows[2].n_frames == 5
     assert rows[2].duration_ms == 120 and rows[2].vbr is False
+
+
+# ---- JPEG EXIF index -------------------------------------------------------
+
+def _exif_jpeg(doc=5):
+    from arrow_parquet_logs_spark.queries.multimodalq import _exif_parts, _jpeg_8x8_head
+
+    p = _exif_parts()
+    orient = bytes([1 + doc % 8])
+    iso = (100 + doc % 4 * 100).to_bytes(2, "big")
+    d = doc % 16 * 8 + 129
+    return (b"\xff\xd8" + p[0] + orient + p[1] + iso + p[2] + _jpeg_8x8_head()[2:]
+            + bytes([(d >> 6) + 0xF8, d % 64 * 4 + 2]) + b"\xbf\xff\xd9")
+
+
+def test_exif_baseline_and_still_decodable():
+    from arrow_parquet_logs_spark.operators.multimodal import _decode_jpeg, _jpeg_exif
+
+    got = _jpeg_exif(_exif_jpeg(7))
+    assert got == {
+        "byte_order": "MM", "make": "SparkCam", "model": "GraftShooter",
+        "orientation": 8, "datetime": "2026:01:02 03:04:05",
+        "pixel_x": 8, "pixel_y": 8, "iso": 400,
+    }
+    # the APP1 segment must not break the actual pixel decoder
+    w, h, px = _decode_jpeg(_exif_jpeg(7))
+    assert (w, h) == (8, 8)
+
+
+def test_exif_little_endian_variant():
+    """II byte order: same fields, every multi-byte value flipped."""
+    import struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import _jpeg_exif
+
+    make = b"LECam\x00"
+    ifd0 = struct.pack("<H", 2)
+    ifd0 += struct.pack("<HHI", 0x010F, 2, len(make)) + struct.pack("<I", 38)
+    ifd0 += struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", 5, 0)
+    ifd0 += struct.pack("<I", 0)
+    tiff = b"II" + struct.pack("<HI", 42, 8) + ifd0 + make
+    assert len(b"II" + struct.pack("<HI", 42, 8) + ifd0) == 38
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(tiff)) + b"Exif\x00\x00" + tiff
+    got = _jpeg_exif(b"\xff\xd8" + app1 + b"\xff\xda\x00\x02")
+    assert got["byte_order"] == "II" and got["make"] == "LECam"
+    assert got["orientation"] == 5 and got["iso"] is None
+
+
+def test_exif_error_paths():
+    import pytest as _pytest
+    import struct
+
+    from arrow_parquet_logs_spark.operators.multimodal import _jpeg_exif
+
+    with _pytest.raises(ValueError, match="SOI"):
+        _jpeg_exif(b"nope")
+    with _pytest.raises(ValueError, match="no EXIF"):
+        _jpeg_exif(b"\xff\xd8\xff\xda\x00\x02")
+    bad = b"XX" + struct.pack(">HI", 42, 8)
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(bad)) + b"Exif\x00\x00" + bad
+    with _pytest.raises(ValueError, match="byte-order"):
+        _jpeg_exif(b"\xff\xd8" + app1)
+    # IFD offset pointing past the segment
+    runaway = b"MM" + struct.pack(">HI", 42, 9999)
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(runaway)) + b"Exif\x00\x00" + runaway
+    with _pytest.raises(ValueError, match="past the APP1"):
+        _jpeg_exif(b"\xff\xd8" + app1)
+
+
+def test_exif_through_spark_pipeline(spark):
+    from arrow_parquet_logs_spark.operators.multimodal import attach_media, jpeg_exif_index
+
+    df = spark.createDataFrame(
+        [(1, _exif_jpeg(1)), (2, _exif_jpeg(2))], "id long, raw binary"
+    )
+    rows = {r.id: r for r in jpeg_exif_index(attach_media(df, "raw", "image", "jpeg")).collect()}
+    assert rows[1].orientation == 2 and rows[1].iso == 200
+    assert rows[2].orientation == 3 and rows[2].iso == 300
