@@ -117,3 +117,52 @@ def maintain_count_sum_rollup(
     """``apply_rollup_delta(view, rollup_delta(changes, ...))`` in one call."""
     delta = rollup_delta(changes, group_cols, count_alias, sums, precision, scale)
     return apply_rollup_delta(view, delta, group_cols, count_alias, sums, precision, scale)
+
+
+def maintain_equijoin_view(
+    view: DataFrame,
+    a_now: DataFrame,
+    b_now: DataFrame,
+    join_cols: list[str],
+    a_changes: DataFrame,
+    b_changes: DataFrame,
+) -> DataFrame:
+    """Maintain a materialized INNER equi-join ``V = A ⋈ B`` from the two
+    sides' change feeds — the join tier of incremental view maintenance.
+
+    Strategy: AFFECTED-KEY RECOMPUTE. The join keys touched by either
+    delta (every CDF row, pre- and post-image alike — a row that LEFT a
+    key must invalidate that key's slice) form the affected set K; the
+    new view is
+
+        V' = (V anti⋈ K)  ∪  (A semi⋈ K) ⋈ (B semi⋈ K)
+
+    one anti-join over the stored view plus a join restricted to the
+    affected key slices of the CURRENT snapshots — cost
+    O(|V| + |K-slices|), never a full A ⋈ B. Chosen over the classic
+    counting algorithm (ΔV = ΔA⋈B ∪ A⋈ΔB − ΔA⋈ΔB) deliberately: keyed
+    recompute is multiplicity-safe by construction — duplicate join keys,
+    updates that move a row between keys, and delete/re-insert churn all
+    collapse into "this key's slice is rebuilt from current truth",
+    where the counting form must track per-row derivation counts to
+    survive the same cases. The cost class is the same when deltas are
+    key-local (the CDC norm); the contract (maintained ≡ recomputed,
+    pinned by oracle and tests) is far harder to hold wrong.
+
+    ``a_changes``/``b_changes`` need only the ``join_cols`` of their CDF
+    rows (any ``_change_type``); ``a_now``/``b_now`` are the post-change
+    snapshots — pass ``read_where``-pruned frames where key predicates
+    allow and the slice reads skip files entirely. ``view`` and the
+    returned frame share the inner-join schema (join cols + A's other
+    columns + B's other columns)."""
+    keys = (
+        a_changes.select(*join_cols)
+        .unionByName(b_changes.select(*join_cols))
+        .distinct()
+    )
+    kept = view.join(keys, join_cols, "left_anti")
+    rebuilt = (
+        a_now.join(keys, join_cols, "left_semi")
+        .join(b_now.join(keys, join_cols, "left_semi"), join_cols)
+    )
+    return kept.unionByName(rebuilt)

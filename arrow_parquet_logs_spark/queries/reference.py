@@ -1090,3 +1090,90 @@ def table_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "c_mktsegment string, n_rows bigint, total_balance double"
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "table_incremental_join",
+    oracle="""
+    WITH a_final AS (
+        SELECT o_custkey AS custkey, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= 1000.0
+        UNION ALL
+        SELECT o_custkey, 9123.45 FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    b_final AS (
+        SELECT c_custkey AS custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS segment
+        FROM customer
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM a_final JOIN b_final USING (custkey)
+    GROUP BY segment ORDER BY segment
+    """,
+    tags=("versioned-table", "cdc", "materialized-view", "incremental", "join"),
+)
+def table_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN — the join tier of
+    IVM (operators/mv.py:maintain_equijoin_view), completing the
+    aggregate tier `table_incremental_rollup` pins. An orders⋈customer
+    view is materialized at v1; BOTH base tables then mutate (orders:
+    insert + delete through separate commits; customer: a segment-moving
+    update — the value-change case that invalidates every joined order of
+    the moved customers), and the view is brought current by
+    affected-key recompute over the two change feeds: one anti-join on
+    the stored view plus a join of the affected-key SLICES — never a full
+    rejoin. The oracle recomputes the final join from scratch, so the
+    gate is maintained ≡ recomputed across inserts, deletes, duplicate
+    join keys (customers with many orders), and both-sides churn."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+    from arrow_parquet_logs_spark.operators.mv import maintain_equijoin_view
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    root = tempfile.mkdtemp(prefix="join_mv_")
+    try:
+        ta = VersionedTable(spark, root + "/a", key_cols=["o_orderkey"])
+        tb = VersionedTable(spark, root + "/b", key_cols=["custkey"])
+        ta.write(orders)
+        tb.write(cust)
+        view0 = ta.read(version=1).join(tb.read(version=1), "custkey")
+        ta.upsert(
+            orders.where(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "custkey", F.lit(9123.45).alias("price"),
+            )
+        )
+        ta.delete_where(F.col("price") < 1000.0)
+        tb.upsert(
+            cust.where(F.col("custkey") % 7 == 0).withColumn("segment", F.lit("MOVED"))
+        )
+        maintained = maintain_equijoin_view(
+            view0,
+            ta.read(), tb.read(), ["custkey"],
+            ta.changes(1, 3).select("custkey"),
+            tb.changes(1, 2).select("custkey"),
+        )
+        rows = (
+            maintained.groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(14,2)")).cast("double")
+                .alias("total_price"),
+            )
+            .orderBy("segment")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "segment string, n_rows bigint, total_price double"
+    ).orderBy("segment")

@@ -89,3 +89,64 @@ def test_unknown_change_type_fails_loudly(spark):
     bad = maintain_count_sum_rollup(_rollup(base), changes, ["g"], "n", {"total": "v"})
     with _pt.raises(Exception, match="unknown _change_type"):
         bad.collect()
+
+
+# ---- equi-join view maintenance --------------------------------------------
+
+def _jrows(df):
+    return sorted(map(tuple, (r for r in df.collect())))
+
+
+def test_join_view_maintained_equals_recompute(spark):
+    """Inserts, deletes, a value update, and a KEY-CHANGE update (a row
+    moving between join keys — the case the pre-image must invalidate),
+    against duplicate join keys on the A side."""
+    from arrow_parquet_logs_spark.operators.mv import maintain_equijoin_view
+
+    a0 = spark.createDataFrame(
+        [(1, "k1", 10), (2, "k1", 20), (3, "k2", 30), (4, "k3", 40)],
+        "id long, k string, val long",
+    )
+    b0 = spark.createDataFrame(
+        [("k1", "x"), ("k2", "y"), ("k3", "z"), ("k4", "w")], "k string, attr string"
+    )
+    view0 = a0.join(b0, "k")
+    # edits: delete id=3 (k2); insert id=5 on k4; move id=4 from k3 -> k1;
+    # b-side: k1 attr changes
+    a1 = spark.createDataFrame(
+        [(1, "k1", 10), (2, "k1", 20), (4, "k1", 40), (5, "k4", 50)],
+        "id long, k string, val long",
+    )
+    b1 = spark.createDataFrame(
+        [("k1", "X"), ("k2", "y"), ("k3", "z"), ("k4", "w")], "k string, attr string"
+    )
+    # CDF key frames: pre- AND post-image keys of every touched row
+    a_ch = spark.createDataFrame(
+        [("k2",), ("k4",), ("k3",), ("k1",)], "k string"
+    )
+    b_ch = spark.createDataFrame([("k1",)], "k string")
+    got = maintain_equijoin_view(view0, a1, b1, ["k"], a_ch, b_ch)
+    assert _jrows(got) == _jrows(a1.join(b1, "k"))
+
+
+def test_join_view_untouched_keys_not_recomputed(spark):
+    """Keys outside both deltas must come from the stored view verbatim —
+    prove it by poisoning the 'current' snapshots outside the delta keys:
+    if the operator rejoined them, the poison would leak."""
+    from arrow_parquet_logs_spark.operators.mv import maintain_equijoin_view
+
+    a0 = spark.createDataFrame([(1, "k1", 10), (2, "k2", 20)], "id long, k string, val long")
+    b0 = spark.createDataFrame([("k1", "x"), ("k2", "y")], "k string, attr string")
+    view0 = a0.join(b0, "k")
+    a1 = spark.createDataFrame(
+        [(1, "k1", 999), (2, "k2", 21)], "id long, k string, val long"
+    )  # k1 poisoned, only k2 in the delta
+    b1 = b0
+    got = maintain_equijoin_view(
+        view0, a1, b1, ["k"],
+        spark.createDataFrame([("k2",)], "k string"),
+        spark.createDataFrame([], "k string"),
+    )
+    rows = {r.id: r.val for r in got.collect()}
+    assert rows[1] == 10  # stored view, not the poisoned snapshot
+    assert rows[2] == 21  # recomputed slice
