@@ -123,6 +123,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     pandas_shingles: bool = False,
     max_shingle_df: int | None = 1000,
+    join_work_budget: int = 1_000_000_000,
 ) -> DataFrame:
     """Exact near-dup pairs via inverted-index self-join on shingles.
 
@@ -136,6 +137,33 @@ def ngram_jaccard_pairs(
     Jaccard estimate only ever *under*-counts, so precision holds and only
     boilerplate-mediated recall is traded for survival. Set ``None`` to
     disable. At 100 TB ``minhash_lsh_pairs`` remains the sanctioned path.
+
+    Two defenses a fixed cap cannot provide (added after the sf10 scale
+    probe caught this operator grinding a 2·10¹⁰-row join — see SCALING.md
+    "shingle saturation"):
+
+    - **Adaptive work budget.** On a SATURATED shingle space — tiny
+      vocabulary, huge corpus — every shingle's df sits just under any
+      fixed cap (the probe corpus: 31-word vocab → ~30k distinct 3-grams →
+      df ≈ 840 each at 500k docs, cap 1000 drops nothing, join cost
+      Σ df² ≈ 2·10¹⁰). A cheap worst-case bound (Σ df² ≤ cap·Σ df) decides
+      from one sum over the cached shingle sets whether anything beyond
+      the original plan is needed; only when the bound busts the budget
+      does one histogram aggregation price Σ df² at each power-of-two cap
+      rung and tighten the cap to the largest rung whose join work fits
+      ``join_work_budget``. Deterministic (exact integer sums, no
+      sampling, no sort) — and every oracle-gated SF passes the cheap
+      bound, so gated plans and output are identical to the uncapped spec.
+    - **Exact-duplicate rescue** (budget branch only). When the ADAPTIVE
+      cap drops shingles, byte-identical pairs are the one class it must
+      never cost: an md5 self-join emits every within-group pair at
+      jaccard = 1.0 (identical text ⇒ identical shingle set ⇒ exactly the
+      value the verifier computes); the content hash rides the per-side
+      size joins, so capped-index finds are excluded by ``ha != hb`` and
+      the union stays a set. Even a cap that drops EVERY shingle finds
+      every exact duplicate. The FIXED user cap's long-documented
+      under-count contract (above) is unchanged — floods of identical
+      boilerplate remain `minhash_lsh_pairs` + exact-collapse territory.
 
     The df filter is a map-side-combined ``groupBy(g).count()`` kept to the
     over-cap shingles — by construction a tiny set (pathological corpora
@@ -156,14 +184,52 @@ def ngram_jaccard_pairs(
     # persisted: feeds the inverted index and the per-doc sizes
     sets = shingler(src, id_col, text_col, n).persist()
     inv = sets.select("sid", F.explode("sh").alias("g"))
+    dropped = 0
     if max_shingle_df is not None:
-        hot = (
-            inv.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_shingle_df)
-            .select("g")
-        )
-        inv = inv.join(F.broadcast(hot), "g", "left_anti")
+        dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+        # one CHEAP action on the cached sets decides whether the full df
+        # histogram is needed at all: Σ df² <= max_df · Σ df <= cap · rows,
+        # so cap·rows <= budget proves the capped join fits no matter how
+        # the frequencies are distributed — every oracle-gated SF lands
+        # here and runs the ORIGINAL single-job plan (lazy fused hot set,
+        # forced broadcast: |hot| <= rows/cap <= budget/cap² by the same
+        # bound — a few thousand rows at most).
+        n_rows = sets.agg(F.sum(F.size("sh"))).collect()[0][0] or 0
+        if max_shingle_df * n_rows <= join_work_budget:
+            hot = dfreq.where(F.col("_df") > max_shingle_df).select("g")
+            inv = inv.join(F.broadcast(hot), "g", "left_anti")
+        else:
+            # the worst case busts the budget: pay one histogram pass.
+            # cap rungs are powers of two up to the user cap; one
+            # aggregation prices the join work (Σ df²) each rung would
+            # leave in the index, plus each rung's hot-set size.
+            rungs = [r for r in (2 ** i for i in range(4, 31)) if r < max_shingle_df]
+            rungs.append(max_shingle_df)
+            stats = dfreq.agg(
+                *[
+                    F.sum(F.when(F.col("_df") <= r, F.col("_df") * F.col("_df"))
+                          .otherwise(F.lit(0))).alias(f"w{i}")
+                    for i, r in enumerate(rungs)
+                ],
+                *[
+                    F.sum(F.when(F.col("_df") > r, 1).otherwise(F.lit(0))).alias(f"h{i}")
+                    for i, r in enumerate(rungs)
+                ],
+            ).collect()[0]
+            cap_i = 0  # tightest rung whose remaining join work fits
+            for i in reversed(range(len(rungs))):
+                if (stats[f"w{i}"] or 0) <= join_work_budget:
+                    cap_i = i
+                    break
+            cap = rungs[cap_i]
+            hot = dfreq.where(F.col("_df") > cap).select("g")
+            # the hot set can be the WHOLE shingle space on saturated
+            # corpora — size-gate the broadcast hint, AQE decides above it
+            dropped = int(stats[f"h{cap_i}"] or 0)
+            if dropped:
+                if dropped <= 1_000_000:
+                    hot = F.broadcast(hot)
+                inv = inv.join(hot, "g", "left_anti")
     sizes = sets.select("sid", F.size("sh").alias("n_sh"))
     a = inv.select(F.col("sid").alias("a_id"), "g")
     b = inv.select(F.col("sid").alias("b_id"), "g")
@@ -175,15 +241,46 @@ def ngram_jaccard_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.select(F.col("sid").alias("a_id"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("sid").alias("b_id"), F.col("n_sh").alias("nb"))
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
+    if not dropped:
+        # complete index: exact pairs already surface at jaccard exactly
+        # 1.0 — the original minimal plan, zero rescue overhead. This is
+        # the branch every oracle-gated SF takes (their corpora cap
+        # nothing), so gated output is bit-identical to the uncapped spec.
+        sa = sizes.select(F.col("sid").alias("a_id"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col("sid").alias("b_id"), F.col("n_sh").alias("nb"))
+        return (
+            common.join(sa, "a_id")
+            .join(sb, "b_id")
+            .select("a_id", "b_id", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
+    # survival mode — shingles were dropped: exact-duplicate rescue
+    # (docstring). Identical text ⇒ jaccard exactly 1.0 regardless of what
+    # the cap dropped. The content hash rides the per-side size joins the
+    # verifier pays anyway, so exact pairs the capped index still finds are
+    # excluded by a per-candidate `ha != hb` predicate — no pair-keyed
+    # anti-join, no broadcast-size question on flood corpora.
+    hsh = df.select(F.col(id_col).alias("sid"), F.md5(F.col(text_col)).alias("_h"))
+    sized = sizes.join(hsh, "sid")
+    sa = sized.select(F.col("sid").alias("a_id"), F.col("n_sh").alias("na"),
+                      F.col("_h").alias("ha"))
+    sb = sized.select(F.col("sid").alias("b_id"), F.col("n_sh").alias("nb"),
+                      F.col("_h").alias("hb"))
+    near = (
         common.join(sa, "a_id")
         .join(sb, "b_id")
+        .where(F.col("ha") != F.col("hb"))
         .select("a_id", "b_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    rescue = (
+        hsh.select(F.col("sid").alias("a_id"), "_h")
+        .join(hsh.select(F.col("sid").alias("b_id"), "_h"), "_h")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.lit(1.0).alias("jaccard"))
+    )
+    return near.unionByName(rescue)
 
 
 # -------------------------------------------------------- MinHash-LSH ----
@@ -741,7 +838,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     cell_col: str | None = None,
     threshold: float = 0.4,
-    k_cells: int = 16,
+    k_cells: int | None = None,
     kmeans_iters: int = 5,
 ) -> DataFrame:
     """Near-dup vector pairs (rounded cosine ≥ ``threshold``) via learned
@@ -762,8 +859,13 @@ def embedding_dup_pairs(
     Cost adapts to the threshold: near-dup thresholds (t→1) shrink ε so the
     expanded set collapses to the primary cell and work is Σ|cell|²; loose
     thresholds widen the expansion toward brute force — as they must, since
-    exactness at low t *is* near-quadratic. At 100 TB run with t ≥ 0.85 and
-    ``k_cells ∝ √N`` (standard IVF sizing).
+    exactness at low t *is* near-quadratic. At 100 TB run with t ≥ 0.85.
+    ``k_cells=None`` (default) sizes cells as ``max(16, ⌊√N⌋)`` from one
+    count — the standard IVF sizing the earlier fixed default of 16 only
+    *documented*: with c ∝ √N the tight-threshold work Σ|cell|² is
+    Θ(N^1.5) instead of Θ(N²/16). Cell count never changes the OUTPUT
+    (the ε-complete theorem is about which cells are probed), so the
+    oracle is unaffected by the sizing.
 
     ``cell_col`` given: legacy pre-assigned-cell mode — pairwise only within
     the provided cell (approximate: cross-cell pairs are not compared)."""
@@ -807,6 +909,12 @@ def embedding_dup_pairs(
         )
         .drop("_n")
     )
+    if k_cells is None:
+        n_emb = emb.count()
+        # √N IVF sizing, floored at 16 and capped at n/32 so small
+        # corpora keep the compact fit (≤512 vectors ⇒ 16 cells, the
+        # historical default) while large ones scale — Θ(N^1.5) work
+        k_cells = max(16, min(math.isqrt(n_emb), n_emb // 32))
     cents = ivf.fit_kmeans(base.where(F.col("uv").isNotNull()), k=k_cells,
                            iters=kmeans_iters, id_col="sid", vec_col="uv")
     # tiny margin: a true cosine of t−1e-6 can round UP to t; widen ε to
@@ -845,7 +953,7 @@ def embedding_dup_pairs_fast(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    k_cells: int = 16,
+    k_cells: int | None = None,
     kmeans_iters: int = 5,
 ) -> DataFrame:
     """`embedding_dup_pairs` with the per-vector math in Arrow-batched BLAS.
@@ -888,6 +996,12 @@ def embedding_dup_pairs_fast(
 
     from arrow_parquet_logs_spark.operators import ivf
 
+    if k_cells is None:
+        n_emb = emb.count()
+        # √N IVF sizing, floored at 16 and capped at n/32 so small
+        # corpora keep the compact fit (≤512 vectors ⇒ 16 cells, the
+        # historical default) while large ones scale — Θ(N^1.5) work
+        k_cells = max(16, min(math.isqrt(n_emb), n_emb // 32))
     cents = ivf.fit_kmeans_unit(
         emb, k=k_cells, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
@@ -995,7 +1109,14 @@ def jaccard_prefix_pairs(
     frequency instead puts the RAREST shingles in prefixes and minimizes
     candidate counts (one extra df-aggregate pass, unchanged guarantees);
     at 100 TB that is the tuning knob, `minhash_lsh_pairs` the sanctioned
-    approximate path when even prefixes run hot."""
+    approximate path when even prefixes run hot.
+
+    Scale caveat (measured, SCALING.md "shingle saturation"): on a
+    SATURATED shingle space the prefix shrink is a constant factor on a
+    quadratic join (~(1-t)² · Σ df² — still 10⁹-row at the sf10 probe
+    corpus). This form stays the LOSSLESS spec; survival-grade capping
+    with an exact-duplicate floor lives in `ngram_jaccard_pairs`
+    (join_work_budget), and recall-at-scale in `minhash_lsh_pairs`."""
     shingler = _shingle_sets_pandas if pandas_shingles else _shingle_sets
     src = df if pandas_shingles else spread(df, id_col)  # see ngram note
     sets = (

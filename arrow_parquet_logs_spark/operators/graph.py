@@ -659,3 +659,75 @@ def cheapest_paths(
         )
     e.unpersist()
     return dist
+
+
+def functional_scc(succ: DataFrame, node: str = "node", nxt: str = "succ") -> DataFrame:
+    """Cycle decomposition of a FUNCTIONAL graph (every node has exactly
+    one out-edge): which nodes lie on a cycle, and which cycle.
+
+    In a functional graph the strongly connected components are precisely
+    its cycles (every other node is a singleton on a rho-tail), so this is
+    SCC for the next-pointer graph class — ownership chains, symlink/alias
+    tables, "superseded-by" dedup pointers, workflow next-state tables —
+    where a cycle is usually a data bug worth finding at scale.
+
+    Algorithm — successor DOUBLING with a min-label semigroup, not
+    step-by-step propagation: round k holds, per node v,
+
+        jump_k(v)   = succ^(2^k)(v)
+        minlab_k(v) = min label on the walk  v, succ(v), …, succ^(2^k-1)(v)
+
+    and composes (jump, minlab) with itself:  jump_{k+1} = jump_k∘jump_k,
+    minlab_{k+1}(v) = min(minlab_k(v), minlab_k(jump_k(v))).  After
+    ceil(log2 n) rounds the walk length N = 2^ceil(log2 n) >= n, whence
+
+    - jump(v) is ALWAYS a cycle node (any >= n-step walk has entered its
+      cycle), and on cycle nodes jump is a rotation — so the cycle-node
+      set is exactly the image of jump;
+    - for a cycle node c, the N-step walk from c wraps its whole cycle, so
+      minlab(c) is the cycle minimum — a canonical, partitioning-
+      independent SCC label.
+
+    O(log n) self-joins of n rows each (vs O(cycle+tail length) rounds for
+    naive propagation — the same doubling-vs-walking trade as the
+    pointer-jumping in connected_components); each generation is cut from
+    its lineage with an eager local checkpoint (module docstring).
+
+    Returns ``(node, scc bigint)`` for CYCLE nodes only — callers treat
+    absent nodes as singleton SCCs. Labels are the node ids themselves
+    (``node``/``nxt`` must be integer-typed).
+    """
+    cur = (
+        succ.select(
+            F.col(node).cast("bigint").alias("v"),
+            F.col(nxt).cast("bigint").alias("jump"),
+            F.least(F.col(node).cast("bigint"), F.col(nxt).cast("bigint")).alias("minlab"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # after this loop the walk length is 2^rounds >= n
+    n = cur.count()
+    rounds = max(1, (n - 1).bit_length())
+    for _ in range(rounds):
+        nxt_half = cur.select(
+            F.col("v").alias("jv"),
+            F.col("jump").alias("jump2"),
+            F.col("minlab").alias("minlab2"),
+        )
+        cur = (
+            cur.join(nxt_half, on=F.col("jump") == F.col("jv"), how="inner")
+            .select(
+                "v",
+                F.col("jump2").alias("jump"),
+                F.least(F.col("minlab"), F.col("minlab2")).alias("minlab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # cycle nodes = image of jump; their label = min over their own cycle.
+    # minlab_N(v) for the IMAGE node jump(v) is not what we want — we need
+    # minlab at the cycle node itself, so semi-join cur onto the image set.
+    cycle_nodes = cur.select(F.col("jump").alias("v")).distinct()
+    return (
+        cur.join(cycle_nodes, on="v", how="leftsemi")
+        .select(F.col("v").alias(node), F.col("minlab").alias("scc"))
+    )

@@ -48,12 +48,24 @@ def fit_kmeans(
 
 
 def _lloyd(x, k: int, iters: int) -> list[list[float]]:
-    """Deterministic Lloyd's iterations on an (n, d) float64 matrix."""
+    """Deterministic Lloyd's iterations on an (n, d) float64 matrix.
+
+    Distances use the BLAS form ‖x‖² + ‖c‖² − 2·x·cᵀ — an (n, k) matrix per
+    iteration. The earlier broadcast form ``((x[:,None,:]-cent[None,:,:])**2)``
+    materializes (n, k, d): at the √N cell sizing a 100k-row sample with
+    k=447, d=64 is a 23 GB single-threaded allocation that pinned the sf10
+    probe's driver for 10+ minutes; the BLAS form is 357 MB and one dgemm.
+    Same argmin tie-break (first minimum); distances differ from the
+    broadcast form only in ulps, which every consumer tolerates by
+    construction — dedup's ε-complete candidates are output-invariant to
+    cell shape, and the ANN oracles gate RECALL, not centroid bits."""
     if len(x) < k:
         raise ValueError(f"need ≥{k} vectors to fit {k} cells, got {len(x)}")
     cent = x[:k].copy()  # id-ordered prefix init — deterministic
+    x_sq = (x * x).sum(axis=1)  # (n,)
     for _ in range(iters):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        c_sq = (cent * cent).sum(axis=1)  # (k,)
+        d = x_sq[:, None] + c_sq[None, :] - 2.0 * (x @ cent.T)  # (n, k)
         assign = d.argmin(axis=1)  # numpy argmin takes first minimum → idx tie-break
         for c in range(k):
             members = x[assign == c]

@@ -2,6 +2,7 @@
 
 from arrow_parquet_logs_spark.queries import (  # noqa: F401
     events,
+    geoq,
     graphq,
     multimodalq,
     reference,

@@ -610,3 +610,98 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_parquet_logs_spark.operators.graph import label_propagation
 
     return label_propagation(edges, rounds=3, weight="w").orderBy("node")
+
+
+_H64D = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "graph_doc_cycles",
+    oracle=f"""
+    WITH RECURSIVE idx AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) - 1 AS i,
+               count(*) OVER () AS n
+        FROM documents
+    ),
+    succ AS (
+        SELECT a.doc_id AS v, b.doc_id AS s
+        FROM idx a JOIN idx b
+          ON b.i = {_H64D.format(x="concat('succ:', CAST(a.doc_id AS VARCHAR))")} % a.n
+    ),
+    walk(src, cur) AS (
+        SELECT v, s FROM succ
+        UNION
+        SELECT w.src, sc.s FROM walk w JOIN succ sc ON sc.v = w.cur
+    ),
+    cyc AS (SELECT DISTINCT src AS v FROM walk WHERE cur = src),
+    lab AS (
+        SELECT w.src AS v, min(w.cur) AS scc
+        FROM walk w JOIN cyc c ON c.v = w.src
+        GROUP BY w.src
+    )
+    SELECT scc, CAST(count(*) AS BIGINT) AS cycle_len,
+           min(v) AS first_member, max(v) AS last_member
+    FROM lab
+    GROUP BY scc
+    ORDER BY cycle_len DESC, scc
+    LIMIT 25
+    """,
+    tags=("graph", "scc", "cycles"),
+)
+def graph_doc_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle decomposition (= SCC) of a functional "superseded-by" graph
+    over the corpus: every document points at one successor (derived from
+    the portable hash of its id — deterministic in both engines), and the
+    query reports each cycle with its length — the structure a dedup
+    keep-pointer or alias chain must NOT contain at publish time.
+
+    Spark side: operators/graph.py:functional_scc — successor DOUBLING
+    with a min-label semigroup, O(log n) self-joins instead of
+    O(path-length) propagation rounds. Oracle: a recursive-CTE transitive
+    closure + mutual-reachability labeling — the definitional form. The
+    dense index that turns hashes into graph edges avoids a global
+    single-partition window: range-partition by doc_id, rank within each
+    bucket, add broadcast cumulative bucket offsets (linkage.py pattern).
+    """
+    from arrow_parquet_logs_spark.operators.graph import functional_scc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    nparts = max(1, min(32, n // 1000 + 1))
+    rr = docs.repartitionByRange(nparts, "doc_id").select(
+        "doc_id", F.spark_partition_id().alias("_b")
+    )
+    counts = rr.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    from pyspark.sql import Window
+
+    offsets = counts.select(
+        "_b",
+        (F.sum("_n").over(Window.orderBy("_b")) - F.col("_n")).alias("_off"),
+    )
+    wb = Window.partitionBy("_b").orderBy("doc_id")
+    idx = (
+        rr.join(F.broadcast(offsets), "_b")
+        .select(
+            "doc_id",
+            (F.row_number().over(wb) - 1 + F.col("_off")).alias("i"),
+        )
+    )
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
+    tgt = idx.select(
+        F.col("doc_id").alias("v"),
+        (hash64(F.concat(F.lit("succ:"), F.col("doc_id").cast("string"))) % F.lit(n)).alias("ti"),
+    )
+    succ = tgt.join(idx.select(F.col("i").alias("ti"), F.col("doc_id").alias("s")), "ti")
+    scc = functional_scc(succ.select("v", "s"), node="v", nxt="s")
+    return (
+        scc.groupBy("scc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cycle_len"),
+            F.min("v").alias("first_member"),
+            F.max("v").alias("last_member"),
+        )
+        .orderBy(F.desc("cycle_len"), "scc")
+        .limit(25)
+    )

@@ -1177,3 +1177,130 @@ def table_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "segment string, n_rows bigint, total_price double"
     ).orderBy("segment")
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+           strftime(min(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS first_order,
+           strftime(max(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS last_order
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "orc", "reference-parity"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC joins the source matrix (parquet / Arrow IPC / CSV / JSON(L) /
+    XML): write ``orders`` out as snappy ORC partitioned by status, read it
+    back with a pushed-down priority filter, aggregate — the oracle runs
+    on the ORIGINAL parquet, so a green hash proves full type fidelity
+    (int64 / double / string / microsecond timestamps under the pinned UTC
+    session) through the ORC writer+reader and directory-partition
+    discovery. ORC ships in Spark's classpath (orc-core); at 100 TB it is
+    the interchange format Hive-era estates hand us, read with the same
+    vectorized scan + predicate pushdown + partition pruning as parquet
+    (tests/test_sources_and_relational.py pins the pushdown in the plan)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    try:
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).orc(root)
+        back = (
+            spark.read.orc(root)
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                .cast("double").alias("sum_price"),
+                F.date_format(F.min("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+                .alias("first_order"),
+                F.date_format(F.max("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+                .alias("last_order"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        back,
+        "o_orderstatus string, n_orders bigint, sum_price double, "
+        "first_order string, last_order string",
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "source_avro_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS last_ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("source", "avro", "reference-parity"),
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro joins the source matrix WITHOUT spark-avro (absent from the
+    sandbox classpath): sources/avro.py implements the public Object
+    Container File spec — zigzag varints, deflate blocks, sync markers —
+    as a distributed mapInPandas sink (one container per partition) and a
+    binaryFile + mapInPandas scan. This query writes a week of ``events``
+    out as deflate Avro, reads it back, aggregates; the oracle runs on the
+    ORIGINAL parquet, so a green hash certifies the whole encode→decode
+    chain (longs, doubles, strings, null unions, timestamp-micros under
+    the pinned UTC session)."""
+    import shutil
+    import tempfile
+
+    from arrow_parquet_logs_spark.sources.avro import read_avro, write_avro
+
+    root = tempfile.mkdtemp(prefix="avro_roundtrip_")
+    try:
+        week = (
+            load_table(spark, sf_dir, "events")
+            .where((F.col("ts") >= F.lit(_T0)) & (F.col("ts") < F.lit(_T1)))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .repartition(8)
+        )
+        wrote = write_avro(week, root).agg(F.sum("n_rows")).collect()[0][0]
+        back = read_avro(
+            spark, root,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        rows = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                .alias("sum_value"),
+                F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("first_ts"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("last_ts"),
+            )
+            .orderBy("event_type")
+            .collect()
+        )
+        n_back = sum(r["n_events"] for r in rows)
+        if wrote != n_back:
+            raise ValueError(f"avro roundtrip row loss: wrote {wrote}, read {n_back}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_events bigint, sum_value double, "
+        "first_ts string, last_ts string",
+    ).orderBy("event_type")

@@ -144,6 +144,25 @@ def run_sf(spark, sf_dir: str, reps: int, only: set[str] | None = None) -> dict[
         timings["ann_ivfpq_build"] = _time(build, reps)
         timings["ann_ivfpq_search_only"] = _time(search, reps)
         _settle()
+    if only and "embedding_cosine_tight" in only:
+        # embedding near-dup at the production threshold (t >= 0.85).
+        # CAVEAT (measured at sf10 — SCALING.md "isotropic noise"): this
+        # synthetic corpus is near-isotropic, so the ε-complete ring holds
+        # almost all √N cells and EXACT dedup stays near-quadratic no
+        # matter the sizing — prune-ability requires duplicate STRUCTURE,
+        # which real corpora have and this generator does not. Kept as an
+        # opt-in row for clustered data; not part of the standard sf10 set
+        # (the approximate IVF-PQ rows cover the vector path there).
+        from pyspark.sql import functions as _F
+
+        from arrow_parquet_logs_spark.operators.dedup import embedding_dup_pairs_fast
+        from arrow_parquet_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        timings["embedding_cosine_tight"] = _time(
+            lambda: _noop(embedding_dup_pairs_fast(emb, threshold=0.9)), reps
+        )
+        _settle()
     if not only or "logstore_cycle" in only:
         # ingest volume scales with the SF dir (20k rows at sf0.1)
         sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -302,11 +302,23 @@ def test_ngram_df_cap_is_sortless_broadcast_anti(spark):
     from arrow_parquet_logs_spark.operators.dedup import ngram_jaccard_pairs
     from arrow_parquet_logs_spark.plans.inspect import explain_str
 
+    # under the cheap worst-case bound (cap·rows <= budget — every gated
+    # SF): the ORIGINAL single-job plan with the fused broadcast anti
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
     plan = explain_str(ngram_jaccard_pairs(df, n=3, threshold=0.1))
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin LeftAnti" in plan, plan
     assert "SortMergeJoin LeftAnti" not in plan and "ShuffledHashJoin LeftAnti" not in plan, plan
+
+    # budget branch with drops: the cap still applies as a BROADCAST anti
+    # (small hot set), never a shuffled anti, never a window
+    hot_docs = [(i, f"x y z unique{i}") for i in range(30)]
+    dfh = spark.createDataFrame(hot_docs, "doc_id long, text string")
+    plan_h = explain_str(ngram_jaccard_pairs(
+        dfh, n=3, threshold=0.1, max_shingle_df=5, join_work_budget=10))
+    assert "Window" not in plan_h, plan_h
+    assert "BroadcastHashJoin LeftAnti" in plan_h, plan_h
+    assert "SortMergeJoin LeftAnti" not in plan_h and "ShuffledHashJoin LeftAnti" not in plan_h, plan_h
 
 
 def test_connected_components_regimes_agree(spark):
@@ -1808,3 +1820,50 @@ def test_hll_grouped_matches_per_group_rebuild(spark):
             hll_registers(df.where(F.col("g") == g), "k")
         ).collect()[0].hll_estimate
         assert grouped[g] == solo, (g, grouped[g], solo)
+
+
+def test_ngram_saturated_shingle_space_budget_and_rescue(spark):
+    """The sf10 scale-probe failure class: a SATURATED shingle space (tiny
+    vocabulary, every shingle's df just under any fixed cap) must (a) tighten
+    the cap via the join-work budget instead of grinding a quadratic join,
+    and (b) still find every byte-identical pair via the exact-duplicate
+    rescue — even when the budget drops every shingle from the index."""
+    import random
+
+    from arrow_parquet_logs_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(8)]  # 8 words -> <=512 distinct 3-grams
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(3000)
+    ]
+    # planted exact duplicates, including a size-3 group
+    docs.append((9001, docs[5][1]))
+    docs.append((9002, docs[5][1]))
+    docs.append((9003, docs[17][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # saturated: every 3-gram has df ~ 3000*28/512 ~ 165 — a fixed cap of
+    # 1000 drops nothing; the tiny budget must tighten it to a low rung
+    pairs = ngram_jaccard_pairs(
+        df, n=3, threshold=0.9, max_shingle_df=1000, join_work_budget=10_000
+    )
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert {(5, 9001), (5, 9002), (9001, 9002), (17, 9003)} <= got
+    for a, b in got:
+        assert a < b
+    # rescue pairs carry jaccard exactly 1.0
+    ones = {(r.a_id, r.b_id) for r in pairs.where("jaccard = 1.0").collect()}
+    assert {(5, 9001), (5, 9002), (9001, 9002), (17, 9003)} <= ones
+
+    # non-binding budget on the same corpus == uncapped spec, as a SET
+    # (no duplicate rows from the rescue union)
+    lo = ngram_jaccard_pairs(df, n=3, threshold=0.9, max_shingle_df=None)
+    hi = ngram_jaccard_pairs(
+        df, n=3, threshold=0.9, max_shingle_df=10_000,
+        join_work_budget=10**12,
+    )
+    lo_rows = sorted(map(tuple, lo.collect()))
+    hi_rows = sorted(map(tuple, hi.collect()))
+    assert lo_rows == hi_rows
+    assert len(hi_rows) == len(set(hi_rows))

@@ -50,6 +50,12 @@ SUBSET = [
     "docs_token_budget_selection",
     "sql_recursive_cte",
     "table_stats_pruned_read",
+    # round 5 fifth pass: cell-bucketed spatial joins (ring explode + mm-
+    # quantized rank), geohash bit codegen, doubling-based cycle labels
+    "geo_supplier_radius_join",
+    "geo_knn_suppliers",
+    "geo_customer_geohash",
+    "graph_doc_cycles",
 ]
 
 

