@@ -207,3 +207,58 @@ def asof_join(
         *[F.when(ok, F.col(f"__c_{c}")).alias(f"{c}{suffix}") for c in right_cols],
         F.when(ok, F.col("__c_match_ts")).alias(f"{left_ts}{suffix}"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str] = ("s", "e"),
+    right_cols: tuple[str, str] = ("s", "e"),
+    bucket_unit: str = "day",
+) -> DataFrame:
+    """Interval × interval OVERLAP join without a nested loop — completing
+    the range-join family (``interval_join_by_bucket`` above covers
+    point-in-interval; ``asof_join`` covers nearest-preceding).
+
+    Overlap is the symmetric predicate ``a.s <= b.e AND b.s <= a.e``.
+    Naively that plans as BroadcastNestedLoopJoin; instead BOTH sides
+    explode onto the time buckets they touch and equi-join on the bucket.
+    The classic problem — a pair overlapping several shared buckets would
+    emit several times — is solved without any distinct: a pair is kept
+    only in the bucket containing ``greatest(a.s, b.s)`` (the overlap's
+    first instant), which for any overlapping pair exists in exactly one
+    shared bucket. One hash shuffle per side; cost O(intervals ×
+    avg_span_buckets); pick ``bucket`` near the typical interval span so
+    the explode factor stays small while buckets stay selective.
+
+    Both timestamp columns must be TimestampType; columns are kept from
+    both sides with left's prefixed ``a_`` and right's ``b_``.
+    """
+    ls, le = left_cols
+    rs, re_ = right_cols
+    a = left.select([F.col(c).alias(f"a_{c}") for c in left.columns])
+    b = right.select([F.col(c).alias(f"b_{c}") for c in right.columns])
+    step = F.expr(f"INTERVAL 1 {bucket_unit}")
+
+    def cells(s: str, e: str) -> Column:
+        return F.explode(
+            F.sequence(
+                F.date_trunc(bucket_unit, F.col(s)),
+                F.date_trunc(bucket_unit, F.col(e)),
+                step,
+            )
+        )
+
+    ax = a.select("*", cells(f"a_{ls}", f"a_{le}").alias("__cell"))
+    bx = b.select("*", cells(f"b_{rs}", f"b_{re_}").alias("__cell"))
+    overlap = (F.col(f"a_{ls}") <= F.col(f"b_{re_}")) & (
+        F.col(f"b_{rs}") <= F.col(f"a_{le}")
+    )
+    first_cell = F.date_trunc(
+        bucket_unit, F.greatest(F.col(f"a_{ls}"), F.col(f"b_{rs}"))
+    )
+    return (
+        ax.join(bx, "__cell")
+        .where(overlap & (F.col("__cell") == first_cell))
+        .drop("__cell")
+    )

@@ -229,3 +229,99 @@ def hll_oracle_sql(key_expr: str, from_clause: str, group_expr: str | None = Non
            / 1000000.0 AS hll_estimate
     FROM e
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) sketch — mergeable distinct counts
+# WITH set intersection, the operation HLL cannot express
+# ---------------------------------------------------------------------------
+#
+# Sketch of a set S: the k smallest portable-hash values of S's elements —
+# a uniform bottom-k sample of the hashed universe (Bar-Yossef et al. 2002;
+# the Theta-sketch family in Apache DataSketches generalizes it). Everything
+# downstream is INTEGER arithmetic on those hashes, so a SQL oracle replays
+# the sketch, the merge, the estimator, and the intersection bit-for-bit —
+# unlike engine-native approx_count_distinct, whose HLL internals are a
+# black box, and unlike our portable HLL (above), which cannot intersect.
+#
+#   distinct estimate:  D̂ = (k-1) · M / h_(k)   (M = 2⁶⁰ hash domain,
+#                       h_(k) = k-th smallest hash; exact set size when
+#                       the set has < k members — the sketch IS the set)
+#   union:              merge hash arrays, keep k smallest (associative,
+#                       commutative — the property that lets sketches be
+#                       built per partition/day/shard and merged later,
+#                       which is the whole point at 100 TB)
+#   intersection:       θ = k-th smallest of the UNION sketch; count
+#                       hashes < θ present in both sketches = c; then
+#                       |A∩B| ≈ c/k · D̂_union  (standard theta estimator)
+#
+# The 100 TB shape: one shuffle to distinct the keys, one bounded per-group
+# top-k; sketches are k·8 bytes regardless of cardinality and FUSE across
+# any partitioning of the data.
+
+KMV_DOMAIN = 1 << 60  # hash64 is 60 bits (functions/hashing.py)
+
+
+def kmv_sketch(df: DataFrame, key_col: str, group_cols: tuple = (),
+               k: int = 256, salt: str = "kmv:") -> DataFrame:
+    """One ``kmv`` array column (the k smallest distinct key hashes,
+    ascending) per group. Distinct first (the only corpus-sized shuffle),
+    then a per-group bottom-k window over the distinct frame."""
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    hashed = (
+        df.select(*g, F.col(key_col).cast("string").alias("_k"))
+        .distinct()
+        .select(*g, hash64(F.concat(F.lit(salt), F.col("_k"))).alias("h"))
+    )
+    w = Window.partitionBy(*g).orderBy("h") if g else Window.orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*g)
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def kmv_merge(sk_col: Column, other: Column, k: int = 256) -> Column:
+    """Union of two sketches: k smallest of the merged hash arrays.
+    Pure Catalyst array ops — associative/commutative."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(sk_col, other))), 1, k)
+
+
+def kmv_estimate(sk_col: Column, k: int = 256) -> Column:
+    """Distinct-count estimate as BIGINT: exact |S| when |S| < k, else
+    floor((k-1)·M / h_(k)) computed in DOUBLE. Cross-engine determinism is
+    by IEEE identity, not tolerance: both engines convert the SAME integers
+    to double (one correctly-rounded conversion), one multiply and one
+    divide (correctly rounded) — bit-identical doubles, identical floor.
+    (The decimal-division alternative is NOT portable: engines disagree on
+    result scale, so rounding at the scale boundary can flip floor.)"""
+    kth = F.element_at(sk_col, k)
+    est = F.floor(
+        F.lit(float(k - 1)) * F.lit(float(KMV_DOMAIN)) / kth.cast("double")
+    ).cast("bigint")
+    return F.when(F.size(sk_col) < k, F.size(sk_col).cast("bigint")).otherwise(est)
+
+
+def kmv_intersect_estimate(a: Column, b: Column, k: int = 256) -> Column:
+    """|A ∩ B| estimate as BIGINT via the theta estimator (docstring above).
+    Exact when the union is smaller than k (the sketches ARE the sets).
+    Same IEEE-identity determinism stance as ``kmv_estimate``."""
+    u = kmv_merge(a, b, k)
+    theta_rank = F.least(F.size(u), F.lit(k))
+    theta = F.element_at(u, theta_rank)
+    below = F.filter(
+        F.array_intersect(a, b),
+        lambda h: F.when(F.size(u) < k, F.lit(True)).otherwise(h <= theta),
+    )
+    c = F.size(below)
+    u_est = kmv_estimate(u, k)
+    return F.when(
+        F.size(u) < k, c.cast("bigint")  # union tiny: exact
+    ).otherwise(
+        F.floor(
+            c.cast("double") * u_est.cast("double") / theta_rank.cast("double")
+        ).cast("bigint")
+    )

@@ -2372,3 +2372,314 @@ def events_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         n.cast("bigint").alias("n_hours"),
         F.round(corr, 6).alias("corr"),
     ).orderBy("type_a", "type_b")
+
+
+_KMV_K = 64
+_KMV_M = float(1 << 60)
+
+
+def _kmv_oracle() -> str:
+    """DuckDB replay of the KMV pipeline (operators/sketch.py) — sketch
+    construction, merge, theta, and both estimators, bit-for-bit. The
+    estimator arithmetic is IEEE-identical double math (see kmv_estimate)."""
+    k = _KMV_K
+    est = (
+        "CASE WHEN len({s}) < {k} THEN CAST(len({s}) AS BIGINT) "
+        "ELSE CAST(floor({km1}.0 * {M!r} / CAST({s}[{k}] AS DOUBLE)) AS BIGINT) END"
+    )
+    return f"""
+    WITH dk AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uk FROM events
+    ),
+    h AS (
+        SELECT event_type,
+               CAST(concat('0x', substr(md5(concat('kmv:', uk)), 1, 15)) AS BIGINT) AS h
+        FROM dk
+    ),
+    rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, list_sort(list(h)) AS kmv
+        FROM rk WHERE rn <= {k} GROUP BY event_type
+    ),
+    ex AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS true_common
+        FROM dk a JOIN dk b ON a.uk = b.uk AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.kmv AS ka, b.kmv AS kb,
+               list_slice(list_sort(list_distinct(list_concat(a.kmv, b.kmv))), 1, {k}) AS u
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    t AS (
+        SELECT *, least(len(u), {k}) AS tr, u[least(len(u), {k})] AS theta FROM pr
+    ),
+    c AS (
+        SELECT *,
+               CASE WHEN len(u) < {k} THEN len(list_intersect(ka, kb))
+                    ELSE len(list_filter(list_intersect(ka, kb), x -> x <= theta))
+               END AS cm,
+               {est.format(s='u', k=k, km1=k - 1, M=_KMV_M)} AS est_union
+        FROM t
+    )
+    SELECT c.type_a, c.type_b,
+           {est.format(s='ka', k=k, km1=k - 1, M=_KMV_M)} AS est_a,
+           {est.format(s='kb', k=k, km1=k - 1, M=_KMV_M)} AS est_b,
+           est_union,
+           CASE WHEN len(u) < {k} THEN CAST(cm AS BIGINT)
+                ELSE CAST(floor(CAST(cm AS DOUBLE) * CAST(est_union AS DOUBLE)
+                                / CAST(tr AS DOUBLE)) AS BIGINT)
+           END AS est_common,
+           COALESCE(ex.true_common, 0) AS true_common
+    FROM c LEFT JOIN ex ON ex.type_a = c.type_a AND ex.type_b = c.type_b
+    ORDER BY c.type_a, c.type_b
+    """
+
+
+@register(
+    "events_kmv_type_overlap",
+    oracle=_kmv_oracle(),
+    tags=("sketch", "kmv", "theta", "distinct", "intersection"),
+    bench=True,
+)
+def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user OVERLAP between every pair of event types via KMV
+    (bottom-k theta) sketches — the set operation HLL cannot express
+    (operators/sketch.py: mergeable k-smallest-hash sketches; union =
+    merge arrays, intersection = matching hashes below the union theta).
+    k = 64 so the gate SF exercises the ESTIMATOR branch (distinct users
+    per type exceed k at sf0.01), not just the exact small-set branch;
+    ``true_common`` rides along so the estimate is auditable in-row. At
+    100 TB the sketches build per shard/day and MERGE — the audience-
+    overlap query that otherwise needs a distinct self-join every time."""
+    from arrow_parquet_logs_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", group_cols=("event_type",), k=_KMV_K)
+    dk = ev.select("event_type", F.col("user_id").cast("string").alias("uk")).distinct()
+    exact = (
+        dk.alias("a")
+        .join(dk.alias("b"), (F.col("a.uk") == F.col("b.uk"))
+              & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_common"))
+    )
+    # the sketch frame is <= |event types| rows BY CONSTRUCTION, but its
+    # optimizer size estimate inherits the corpus scan upstream — at sf10
+    # Spark planned this pair grid as a CartesianProduct (caught by the
+    # plan audit's hard reject). Broadcast makes the guaranteed-tiny side
+    # explicit: always a BroadcastNestedLoopJoin, never Cartesian.
+    pairs = (
+        sk.alias("a")
+        .join(F.broadcast(sk.alias("b")), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.kmv").alias("ka"),
+            F.col("b.kmv").alias("kb"),
+        )
+    )
+    out = pairs.select(
+        "type_a",
+        "type_b",
+        kmv_estimate(F.col("ka"), _KMV_K).alias("est_a"),
+        kmv_estimate(F.col("kb"), _KMV_K).alias("est_b"),
+        kmv_estimate(
+            F.slice(F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, _KMV_K),
+            _KMV_K,
+        ).alias("est_union"),
+        kmv_intersect_estimate(F.col("ka"), F.col("kb"), _KMV_K).alias("est_common"),
+    )
+    return (
+        out.join(exact, ["type_a", "type_b"], "left")
+        .withColumn("true_common", F.coalesce("true_common", F.lit(0)))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "events_stream_kmv",
+    oracle=f"""
+    WITH dk AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uk FROM events
+    ),
+    h AS (
+        SELECT event_type,
+               CAST(concat('0x', substr(md5(concat('kmv:', uk)), 1, 15)) AS BIGINT) AS h
+        FROM dk
+    ),
+    rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, list_sort(list(h)) AS kmv, CAST(count(*) AS BIGINT) AS sz
+        FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM dk GROUP BY event_type
+    )
+    SELECT sk.event_type,
+           CASE WHEN sz < {_KMV_K} THEN sz
+                ELSE CAST(floor({_KMV_K - 1}.0 * {_KMV_M!r} / CAST(kmv[{_KMV_K}] AS DOUBLE)) AS BIGINT)
+           END AS kmv_estimate,
+           ex.n_exact
+    FROM sk JOIN ex ON ex.event_type = sk.event_type
+    ORDER BY sk.event_type
+    """,
+    tags=("sketch", "kmv", "streaming", "stateful"),
+)
+def events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch maintained as STREAMING STATE: ~k·8 bytes per event
+    type under any micro-batch arrival order (bottom-k union is commutative
+    — streaming/stateful.py:track_kmv), drained with availableNow, then the
+    estimator of events_kmv_type_overlap runs on the final streamed
+    sketches. The SAME batch-SQL oracle must hash-match — pinning
+    stream-built ≡ batch-built down to the estimate's bits, the
+    events_stream_hll pattern applied to the intersect-capable sketch.
+    Hashes are computed JVM-side before the stateful stage; python only
+    merges integers."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+    from arrow_parquet_logs_spark.operators.sketch import kmv_estimate
+    from arrow_parquet_logs_spark.sources.tables import read_events_stream
+    from arrow_parquet_logs_spark.streaming.stateful import track_kmv
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("event_type"),
+        hash64(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
+    )
+    snap = track_kmv(stream, "event_type", k=_KMV_K)
+    name = f"stream_kmv_{next(_STREAM_SEQ)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            snap.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    final = (
+        spark.createDataFrame(rows, "g string, kmv array<long>, version long")
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("g").orderBy(F.desc("version"))),
+        )
+        .where("_rn = 1")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return (
+        final.select(
+            F.col("g").alias("event_type"),
+            kmv_estimate(F.col("kmv"), _KMV_K).alias("kmv_estimate"),
+        )
+        .join(exact, "event_type")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_session_overlap",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WHERE user_id % 7 = 0 OR user_id % 11 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, min(ts) AS s, max(ts) + INTERVAL 6 HOUR AS e
+        FROM islands GROUP BY user_id, island
+    ),
+    p AS (
+        SELECT a.user_id AS a_user, b.user_id AS b_user,
+               (epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))) // 1000000 AS ov_s
+        FROM sess a JOIN sess b
+          ON a.user_id % 7 = 0 AND b.user_id % 11 = 0
+         AND a.user_id != b.user_id
+         AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT a_user, b_user,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(ov_s) AS BIGINT) AS total_overlap_s
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("join", "interval", "overlap", "sessionize"),
+)
+def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join — concurrent-session detection:
+    which pairs of users (one from each panel) had sessions live at the
+    same time, and for how long. Sessions come from the native
+    session_window operator (end = last event + gap); the overlap join is
+    the bucketized equi-join of operators/relational.py:
+    interval_overlap_join — each interval explodes onto the day cells it
+    touches, pairs meet on the cell, and the emit-once rule (keep the pair
+    only in the cell of the overlap's FIRST instant) replaces any
+    distinct. The oracle is the definitional theta-join over the
+    islands-replayed sessions. Closed-interval semantics on both sides;
+    overlap durations are integer-µs arithmetic floored to seconds."""
+    from arrow_parquet_logs_spark.operators.relational import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") % 7 == 0) | (F.col("user_id") % 11 == 0)
+    )
+    sess = session_windows(ev, gap="6 hours").select(
+        "user_id",
+        F.col("session_start").alias("s"),
+        F.col("session_end").alias("e"),
+    )
+    a = sess.where(F.col("user_id") % 7 == 0)
+    b = sess.where(F.col("user_id") % 11 == 0)
+    pairs = interval_overlap_join(a, b).where(
+        F.col("a_user_id") != F.col("b_user_id")
+    )
+    ov_s = F.expr(
+        "(unix_micros(least(a_e, b_e)) - unix_micros(greatest(a_s, b_s))) div 1000000"
+    )
+    return (
+        pairs.select(
+            F.col("a_user_id").alias("a_user"),
+            F.col("b_user_id").alias("b_user"),
+            ov_s.alias("ov_s"),
+        )
+        .groupBy("a_user", "b_user")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum("ov_s").cast("bigint").alias("total_overlap_s"),
+        )
+        .orderBy("a_user", "b_user")
+    )

@@ -126,6 +126,7 @@ _RADIUS_KM = 500.0
     ORDER BY c_custkey
     """,
     tags=("geo", "join", "radius"),
+    bench=True,
 )
 def geo_supplier_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers within 500 km of each customer: pair count + nearest

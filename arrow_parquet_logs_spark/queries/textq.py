@@ -2822,3 +2822,87 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_LEXICON = [
+    ("fast join", 3),
+    ("table scan", 2),
+    ("slow query", 5),
+    ("data stream", 2),
+    ("spark", 1),
+    ("merge", 1),
+]
+
+
+def _lexicon_oracle() -> str:
+    rows = ", ".join(f"('{kw}', {w})" for kw, w in _LEXICON)
+    return f"""
+    WITH lex(keyword, weight) AS (VALUES {rows}),
+    hits AS (
+        SELECT l.keyword, l.weight, d.doc_id,
+               len(string_split(d.text, l.keyword)) - 1 AS occ
+        FROM documents d CROSS JOIN lex l
+    )
+    SELECT keyword, CAST(weight AS BIGINT) AS weight,
+           CAST(count(*) FILTER (occ > 0) AS BIGINT) AS n_docs,
+           CAST(sum(occ) AS BIGINT) AS total_hits,
+           CAST(max(occ) AS BIGINT) AS max_in_doc,
+           CAST(weight * sum(occ) AS BIGINT) AS weighted_total
+    FROM hits
+    GROUP BY keyword, weight
+    ORDER BY keyword
+    """
+
+
+@register(
+    "docs_lexicon_tagging",
+    oracle=_lexicon_oracle(),
+    tags=("text", "lexicon", "tagging", "phrase"),
+)
+def docs_lexicon_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary/lexicon tagging: count occurrences of a weighted keyword
+    list — including MULTI-WORD phrases, which token-level indexes can't
+    answer without positions — across the corpus, entirely in Catalyst.
+
+    Occurrence counting is the split idiom: ``size(split(text, \\Qkw\\E)) -
+    1`` — literal (regex-quoted) match, non-overlapping, identical
+    semantics to the oracle's ``string_split``. The lexicon rides a
+    broadcast literal array (explode of |lexicon| structs per doc — one
+    corpus scan regardless of lexicon size); per-(doc, keyword) counts
+    partial-aggregate map-side, so the shuffle is |lexicon|-sized. The
+    100 TB form of PII-term screening, topic tagging, and blocklist
+    auditing; for thousands-of-patterns lexicons the same shape feeds one
+    compiled multi-pattern regex or an Aho-Corasick mapInPandas stage —
+    the per-keyword split is the exactness oracle either way."""
+    lex = F.array(*[
+        F.struct(F.lit(kw).alias("keyword"), F.lit(w).alias("weight"))
+        for kw, w in _LEXICON
+    ])
+    docs = load_table(spark, sf_dir, "documents")
+    hits = (
+        docs.select("doc_id", "text", F.explode(lex).alias("lx"))
+        .select(
+            F.col("lx.keyword").alias("keyword"),
+            F.col("lx.weight").alias("weight"),
+            (F.size(F.split(F.col("text"),
+                            F.concat(F.lit("\\Q"), F.col("lx.keyword"), F.lit("\\E")),
+                            -1)) - 1).alias("occ"),
+        )
+    )
+    return (
+        hits.groupBy("keyword", "weight")
+        .agg(
+            F.count(F.when(F.col("occ") > 0, 1)).cast("bigint").alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("total_hits"),
+            F.max("occ").cast("bigint").alias("max_in_doc"),
+        )
+        .select(
+            "keyword",
+            F.col("weight").cast("bigint").alias("weight"),
+            "n_docs",
+            "total_hits",
+            "max_in_doc",
+            (F.col("weight") * F.col("total_hits")).cast("bigint").alias("weighted_total"),
+        )
+        .orderBy("keyword")
+    )

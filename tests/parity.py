@@ -69,6 +69,9 @@ _BROADCAST_NL_OK = {
     "ann_ivfpq_search",                 # broadcast rerank query set
     "ann_pq_rerank",                    # broadcast rerank query set
     "knn_label_vote",                   # broadcast query set × corpus
+    "events_kmv_type_overlap",          # sketch × sketch pair grid (≤ |types|²
+                                        # rows of k-hash arrays — stat-sized,
+                                        # never corpus-sized)
 }
 
 

@@ -56,6 +56,7 @@ SUBSET = [
     "geo_knn_suppliers",
     "geo_customer_geohash",
     "graph_doc_cycles",
+    "events_kmv_type_overlap",
 ]
 
 

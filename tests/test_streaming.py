@@ -430,3 +430,58 @@ def test_rollup_upsert_materialized_view(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     assert t._current()["version"] == v_before
     assert {r.window_start: r.n_events for r in t.read().collect()} == exp
+
+
+def test_transform_with_state_tracker_or_loud_gate(spark, tmp_path):
+    """Spark 4 ``transformWithStateInPandas`` tracker: when the protobuf-6
+    worker runtime exists the streaming snapshot must equal the batch
+    aggregate under hostile micro-batch slicing; when it does not (this
+    sandbox), the operator must refuse LOUDLY — never a silent fallback."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.streaming.stateful import (
+        track_user_spend,
+        transform_with_state_available,
+    )
+
+    rows = [(1, "click", 150), (1, "view", 250), (2, "click", -50),
+            (1, "click", 100), (2, "buy", -999), (3, "view", 0)]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "user_id long, event_type string, cents long")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, cents long")
+        .option("maxFilesPerTrigger", 1)  # hostile slicing: one file per batch
+        .parquet(src)
+    )
+
+    if not transform_with_state_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            track_user_spend(stream)
+        return
+
+    out = track_user_spend(stream)
+    q = (
+        out.writeStream.format("memory").queryName("tws_pytest")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    snap = spark.table("tws_pytest")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {
+        r["user_id"]: (r["n_events"], r["total_cents"], r["max_cents"], r["n_types"])
+        for r in snap.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1").collect()
+    }
+    spark.catalog.dropTempView("tws_pytest")
+    want = {
+        r["user_id"]: (r["n"], r["t"], r["m"], r["k"])
+        for r in df.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("t"),
+            F.max("cents").alias("m"), F.countDistinct("event_type").alias("k"),
+        ).collect()
+    }
+    assert final == want

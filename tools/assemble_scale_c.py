@@ -32,13 +32,14 @@ def main(paths: list[str]) -> None:
         "unit": "sec",
         "reps": reps,
         "note": (
-            "sf1 -> sf10 (10x rows again; 100x the sf0.1 bench SF). reps=1 "
-            "cold per (query, sf) — ratios are cold-vs-cold comparable; "
-            "absolute sf1 times exceed SCALE_r05.json's warm reps=2 minima. "
-            "dedup_ngram_jaccard_fast / dedup_clusters INVERT (ratio < 1) "
-            "because the join-work budget caps the saturated shingle index "
-            "at sf10 while sf1 fits under budget and runs the full exact "
-            "join — see SCALING.md 'shingle saturation'."
+            "sf1 -> sf10 (10x rows again; 100x the sf0.1 bench SF). TPC-H "
+            "group: reps=2 warm minima (a cold reps=1 pair disagreed by 18x "
+            "on this shared box); other groups reps=1, self-consistent, read "
+            "for super-linearity not absolute time. dedup_ngram_jaccard_fast "
+            "/ dedup_clusters INVERT (ratio < 1) because the join-work "
+            "budget caps the saturated shingle index at sf10 while sf1 fits "
+            "under budget and runs the full exact join — see SCALING.md "
+            "'shingle saturation'."
         ),
         "sfs": sfs,
         "ratios": ratios,
