@@ -830,12 +830,16 @@ class VersionedTable:
         Crash-safety is unchanged: nothing becomes visible before the
         CURRENT swap; abandoned staged directories age out via vacuum's
         staged-orphan sweep."""
-        # constraints gate the merge INPUT before anything stages; existing
-        # rows were validated when each constraint was added, so input-only
-        # validation keeps the whole table certified
-        self._enforce_constraints(updates)
         for _ in range(1 + max_retries):
             man0 = self._current()
+            # constraints gate the merge INPUT before anything stages;
+            # existing rows were validated when each constraint was added,
+            # so input-only validation keeps the whole table certified.
+            # Validated per-attempt against THIS snapshot's constraint set:
+            # a conflict retry (including the constraints-changed conflict
+            # in _upsert_conflicts) re-validates against whatever
+            # constraints landed meanwhile.
+            self._enforce_constraints(updates, man0.get("constraints", {}))
             if man0["version"] == 0:
                 with self._mutate_lock():
                     if self._current()["version"] == 0:
@@ -926,6 +930,21 @@ class VersionedTable:
         if plan["affected"] is None:
             return True
         if man1.get("schema") != plan["base_schema"]:
+            return True
+        # a DV change (e.g. a concurrent delete_where_dv) moves no data
+        # files, so the partition map below can't see it — but the staged
+        # rewrite anti-joined only man0's DV, and the carried man1 DV
+        # entries point at files this commit drops (inert on read), so
+        # rebasing would silently resurrect the concurrently-tombstoned
+        # rows. Any DV delta therefore conflicts.
+        if man0.get("dv_files", []) != man1.get("dv_files", []):
+            return True
+        # constraint change: the merge input was validated against man0's
+        # constraint set; committing under a different set would carry a
+        # constraint the input was never checked against, breaking the
+        # "green add_constraint certifies the whole table" invariant. The
+        # retry path re-validates against the new snapshot's constraints.
+        if man0.get("constraints", {}) != man1.get("constraints", {}):
             return True
         a, b = self._partition_file_map(man0), self._partition_file_map(man1)
         changed = {p for p in set(a) | set(b) if a.get(p) != b.get(p)}

@@ -15,8 +15,10 @@ Entity resolution's two halves, each with its classic answer:
 
 Cross-engine contract: DuckDB ships ``jaro_winkler_similarity`` built in;
 this implementation reproduces it BIT-FOR-BIT (standard Winkler: p=0.1,
-prefix cap 4, no boost threshold; empty strings score 0 even against
-empty) — verified exact on 1,770 real name pairs with zero ulp drift, so
+prefix cap 4, and the standard 0.7 boost threshold — the prefix bonus
+applies only when the Jaro score exceeds 0.7, exactly as DuckDB/RapidFuzz
+do; empty strings score 0 even against empty) — verified exact on 1,770
+real name pairs with zero ulp drift, so
 linkage scores are hash-gateable like every other number in this engine.
 Python evaluates inside an Arrow-batched ``mapInPandas`` (the sanctioned
 vectorized path for per-string iterative algorithms — the matching-window

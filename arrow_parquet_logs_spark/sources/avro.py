@@ -334,50 +334,62 @@ def spark_schema_to_avro(df) -> dict:
 def write_avro(df, out_dir: str, codec: str = "deflate"):
     """Distributed Avro sink: each partition writes one container file.
     Returns a small manifest DataFrame (file, n_rows) — the action that
-    materializes it performs the writes."""
-    import pandas as pd
+    materializes it performs the writes.
+
+    Runs over ``mapInArrow``, not ``mapInPandas``: Arrow keeps SQL NULL
+    (validity bitmap) and IEEE NaN (value payload) distinct in float
+    columns, so ``to_pylist()`` yields ``None`` only for genuine nulls
+    and ``float('nan')`` for NaN — NaN round-trips as an encoded IEEE
+    NaN double (the spark-avro behavior) instead of being silently
+    mapped to the union's null branch, which a pandas float64 column
+    (where nulls and NaN are the same bit pattern) cannot express."""
+    import pyarrow as pa
 
     schema = spark_schema_to_avro(df)
-    cols = [f.name for f in df.schema.fields]
     os.makedirs(out_dir, exist_ok=True)
 
     def write_parts(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        rows_iter = (
-            {c: (None if pd.isna(row[c]) else row[c]) for c in cols}
-            for pdf in batches for _, row in pdf.iterrows()
-        )
+        rows_iter = (row for rb in batches for row in rb.to_pylist())
         path = os.path.join(out_dir, f"part-{pid:05d}.avro")
         n = write_container(path, schema, rows_iter, codec=codec)
         if n == 0:
             os.remove(path)  # spec-valid but pointless empty container
-        yield pd.DataFrame({"file": [path], "n_rows": [n]})
+        yield pa.RecordBatch.from_pydict({"file": [path], "n_rows": [n]})
 
-    return df.mapInPandas(write_parts, "file string, n_rows long")
+    return df.mapInArrow(write_parts, "file string, n_rows long")
 
 
 def read_avro(spark, path_glob: str, result_schema: str):
     """Distributed Avro scan: ``binaryFile`` lists + loads each container
     (one task per file — the same parallelism unit spark-avro has for
-    deflate files), mapInPandas decodes blocks into Arrow batches.
-    ``result_schema`` is the Spark DDL for the decoded columns."""
-    import pandas as pd
+    deflate files), mapInArrow decodes blocks into Arrow batches.
+    ``result_schema`` is the Spark DDL for the decoded columns.
 
-    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    Arrow batches (not pandas frames) on the way back for the same
+    reason write_avro uses them: a decoded IEEE NaN double must reach
+    Spark as a NaN VALUE, and the pandas→Arrow hop treats float64 NaN
+    as null — the Arrow path keeps validity and payload distinct."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    arrow_schema = to_arrow_schema(StructType.fromDDL(result_schema))
+    files = spark.read.format("binaryFile").load(path_glob).select("content")
 
     def decode(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                _, _, rows = parse_container(bytes(row["content"]))
+        for rb in batches:
+            for v in rb.column(0):
+                _, _, rows = parse_container(v.as_py())
                 chunk = []
                 for rec in rows:
                     chunk.append(rec)
                     if len(chunk) >= 8192:
-                        yield pd.DataFrame(chunk)
+                        yield pa.RecordBatch.from_pylist(chunk, schema=arrow_schema)
                         chunk = []
                 if chunk:
-                    yield pd.DataFrame(chunk)
+                    yield pa.RecordBatch.from_pylist(chunk, schema=arrow_schema)
 
-    return files.mapInPandas(decode, result_schema)
+    return files.mapInArrow(decode, result_schema)

@@ -97,3 +97,28 @@ def test_empty_container(tmp_path):
     assert write_container(p, SCHEMA, iter([])) == 0
     _, _, it = parse_container(open(p, "rb").read())
     assert list(it) == []
+
+
+def test_spark_write_avro_preserves_float_nan(tmp_path, request):
+    """Genuine IEEE NaN in a double column must round-trip as NaN (the
+    spark-avro behavior), NOT be silently mapped to the union's null
+    branch; genuine SQL NULL must stay null. Requires the Arrow-side
+    writer (mapInArrow) — a pandas float64 column cannot tell them apart."""
+    import math
+
+    spark = request.getfixturevalue("spark")
+    from arrow_parquet_logs_spark.sources.avro import read_avro, write_avro
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 2.5)], "id long, score double"
+    )
+    out = str(tmp_path / "nan_avro")
+    wrote = write_avro(df, out).agg({"n_rows": "sum"}).collect()[0][0]
+    assert wrote == 3
+    got = {
+        r["id"]: r["score"]
+        for r in read_avro(spark, out + "/*.avro", "id long, score double").collect()
+    }
+    assert math.isnan(got[1])          # NaN survived as IEEE NaN
+    assert got[2] is None              # NULL stayed null
+    assert got[3] == 2.5

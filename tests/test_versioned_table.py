@@ -668,6 +668,68 @@ def test_threaded_disjoint_upserts_both_succeed(table, spark):
         assert got[1000 + i] == (f"seg{i % 3}", i)
 
 
+def test_concurrent_dv_delete_conflicts_upsert_no_resurrect(table, spark):
+    """A delete_where_dv landing between an upsert's stage and its commit
+    moves NO data files — the partition map alone can't see it — but the
+    staged rewrite anti-joined only the old snapshot's DV, so a rebase
+    would resurrect the concurrently-tombstoned rows. The DV delta must
+    force a retry; after it, both the delete and the upsert hold."""
+    stage_calls = {"n": 0}
+    orig = table._stage_upsert
+
+    def hooked(updates, man):
+        plan = orig(updates, man)
+        if stage_calls["n"] == 0:
+            # concurrent DV delete of k=4 (seg1 — DISJOINT from the
+            # upsert's seg0, so the partition-map check alone passes)
+            t2 = VersionedTable(table.spark, table.path, key_cols=["k"], partition_col="seg")
+            t2.delete_where_dv(F.col("k") == 4)
+        stage_calls["n"] += 1
+        return plan
+
+    table._stage_upsert = hooked
+    base = table._current()["version"]
+    r = table.upsert(
+        spark.createDataFrame([(3, "seg0", 303)], "k long, seg string, val long")
+    )
+    assert stage_calls["n"] == 2          # DV delta conflicted: one retry
+    assert r["version"] == base + 2       # dv commit was base+1
+    got = _as_dict(table.read())
+    assert got[3] == ("seg0", 303)
+    assert 4 not in got                    # tombstoned row did NOT resurrect
+
+
+def test_concurrent_constraint_add_conflicts_upsert_revalidates(table, spark):
+    """An add_constraint landing between an upsert's stage and its commit
+    must conflict: the input was validated against the OLD constraint set,
+    and committing would carry the new constraint over unvalidated data.
+    The retry re-validates — a violating input now fails loudly instead of
+    landing under a constraint it breaks."""
+    stage_calls = {"n": 0}
+    orig = table._stage_upsert
+
+    def hooked(updates, man):
+        plan = orig(updates, man)
+        if stage_calls["n"] == 0:
+            t2 = VersionedTable(table.spark, table.path, key_cols=["k"], partition_col="seg")
+            t2.add_constraint("val_nonneg", "val >= 0")
+        stage_calls["n"] += 1
+        return plan
+
+    table._stage_upsert = hooked
+    with pytest.raises(ValueError, match="val_nonneg"):
+        table.upsert(
+            spark.createDataFrame([(3, "seg0", -5)], "k long, seg string, val long")
+        )
+    assert stage_calls["n"] == 1          # staged once; retry failed validation
+    got = _as_dict(table.read())
+    assert got[3] == ("seg0", 30)         # violating upsert never landed
+    # a clean input still commits under the new constraint
+    table._stage_upsert = orig
+    table.upsert(spark.createDataFrame([(3, "seg0", 7)], "k long, seg string, val long"))
+    assert _as_dict(table.read())[3] == ("seg0", 7)
+
+
 def test_conflict_loser_staged_files_cleaned_and_vacuumed(table, spark):
     """A staged dir abandoned by a crashed writer is swept by vacuum once
     aged past the staleness horizon — but never while referenced or young."""
