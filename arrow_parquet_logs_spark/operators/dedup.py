@@ -57,8 +57,21 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     and then grinds single-threaded (the defect class the sf1 probe caught
     on dedup_edit_distance). One bounded text shuffle; used by the exact
     audit-form operators only, whose SCALING.md contract already trades
-    shuffle volume for exactness (LSH is the no-text-shuffle path)."""
+    shuffle volume for exactness (LSH is the no-text-shuffle path).
+
+    No-op when the scan already carries ≥ shuffle-parallelism input
+    splits (the ``spread_for_python`` gate): at cluster scale a 100 TB
+    table arrives as tens of thousands of splits and repartitioning it
+    again would be a pure-loss text shuffle — the gate keeps the fix
+    scoped to the small-file case that actually grinds single-threaded.
+    ``inputFiles()`` walks the plan without executing it (``.rdd`` under
+    AQE would run the upstream stages at construction time)."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass
     return df.repartition(n, key)
 
 
@@ -187,14 +200,38 @@ def ngram_jaccard_pairs(
     dropped = 0
     if max_shingle_df is not None:
         dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
-        # one CHEAP action on the cached sets decides whether the full df
-        # histogram is needed at all: Σ df² <= max_df · Σ df <= cap · rows,
-        # so cap·rows <= budget proves the capped join fits no matter how
-        # the frequencies are distributed — every oracle-gated SF lands
-        # here and runs the ORIGINAL single-job plan (lazy fused hot set,
+        # TWO-TIER budget probe, cheapest first. Σ df² <= max_df · Σ df,
+        # so max_df · (any upper bound on Σ df = Σ|sh|) <= budget proves
+        # the capped join fits no matter how the frequencies are
+        # distributed — every oracle-gated SF lands in the cheap branch
+        # and runs the ORIGINAL single-job plan (lazy fused hot set,
         # forced broadcast: |hot| <= rows/cap <= budget/cap² by the same
         # bound — a few thousand rows at most).
-        n_rows = sets.agg(F.sum(F.size("sh"))).collect()[0][0] or 0
+        #
+        # Tier 1 bounds Σ|sh| by Σ tokens WITHOUT touching the shingler:
+        # per doc, distinct shingles <= max(tokens−n+1, 1) <= tokens (the
+        # shingler splits on the same ASCII whitespace; null text yields
+        # one whole-doc shingle and coalesce('') yields one token), so a
+        # Catalyst-only split+size aggregation over the raw text decides
+        # the common case — the shingle cache then materializes exactly
+        # once, FUSED into the downstream job, as the pre-budget plan
+        # did (the r5 probe ran the pandas shingler as a separate job:
+        # +0.5 s at sf0.1 for a decision the token sum makes for free).
+        # Tier 2 (tier-1 bound busts) pays the exact Σ|sh| probe on the
+        # cached sets; tier 3 (that busts too) prices the cap rungs.
+        tok_bound = (
+            df.agg(
+                F.sum(
+                    F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"))
+                ).cast("long")
+            ).collect()[0][0]
+            or 0
+        )
+        n_rows = (
+            tok_bound
+            if max_shingle_df * tok_bound <= join_work_budget
+            else (sets.agg(F.sum(F.size("sh"))).collect()[0][0] or 0)
+        )
         if max_shingle_df * n_rows <= join_work_budget:
             hot = dfreq.where(F.col("_df") > max_shingle_df).select("g")
             inv = inv.join(F.broadcast(hot), "g", "left_anti")
@@ -799,9 +836,13 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_
         # localCheckpoint each round: without lineage truncation the plan
         # doubles per iteration and the driver OOMs just *printing* it by
         # ~10 rounds (found by a 10-node path-graph probe). The convergence
-        # flag rides ALONG in the checkpointed rows (computed in the same
-        # pass), so detecting the fixpoint is a shuffle-free count over the
-        # materialized partitions — not an extra join + count job.
+        # signal rides THE SAME ACTION as an observed metric (Observation
+        # fires on the eager checkpoint's internal job), so detecting the
+        # fixpoint costs zero extra jobs — the r5 form still paid a
+        # scan-the-checkpoint count per round.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_r{_}")
         new_labels = (
             stepped.join(lab_map, stepped._cand == F.col("_pid"), "left")
             .select(
@@ -812,8 +853,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_
                     < F.col("_old")
                 ).alias("_moved"),
             )
+            .observe(obs, F.sum(F.when(F.col("_moved"), 1).otherwise(0)).alias("n_moved"))
         ).localCheckpoint(eager=True)
-        changed = new_labels.where("_moved").count()
+        changed = obs.get["n_moved"] or 0
         labels = new_labels.drop("_moved")
         if changed == 0:
             break
@@ -909,17 +951,20 @@ def embedding_dup_pairs(
         )
         .drop("_n")
     )
-    if k_cells is None:
-        n_emb = emb.count()
-        # √N IVF sizing, floored at 16 and capped at n/32 so small
-        # corpora keep the compact fit (≤512 vectors ⇒ 16 cells, the
-        # historical default) while large ones scale — Θ(N^1.5) work
-        k_cells = max(16, min(math.isqrt(n_emb), n_emb // 32))
-    cents = ivf.fit_kmeans(base.where(F.col("uv").isNotNull()), k=k_cells,
-                           iters=kmeans_iters, id_col="sid", vec_col="uv")
     # tiny margin: a true cosine of t−1e-6 can round UP to t; widen ε to
     # cover everything the rounded filter can admit
     eps = math.sqrt(max(2.0 - 2.0 * (threshold - 1e-6), 0.0))
+    # ONE planning job: the k-means fit sample doubles as the cell-sizing
+    # probe — only a sample-truncating corpus (> sample_rows) pays a
+    # separate count, and there the count is noise next to the fit.
+    # (n counts the non-null sample, vs the raw count the earlier
+    # two-job form used; cell count never changes the OUTPUT — the
+    # ε-complete theorem is about which cells are probed.)
+    x, truncated = ivf.kmeans_sample(base.where(F.col("uv").isNotNull()),
+                                     id_col="sid", vec_col="uv")
+    if k_cells is None:
+        k_cells = ivf.sized_cells(emb.count() if truncated else len(x), 2.0 * eps)
+    cents = ivf._lloyd(x, k_cells, kmeans_iters)
     assigned = ivf.expanded_cells(
         ivf.assign_cells(base, cents, vec_col="uv", out_col="cell"),
         cents, vec_col="uv", out_col="cells", slack=2.0 * eps,
@@ -996,17 +1041,15 @@ def embedding_dup_pairs_fast(
 
     from arrow_parquet_logs_spark.operators import ivf
 
-    if k_cells is None:
-        n_emb = emb.count()
-        # √N IVF sizing, floored at 16 and capped at n/32 so small
-        # corpora keep the compact fit (≤512 vectors ⇒ 16 cells, the
-        # historical default) while large ones scale — Θ(N^1.5) work
-        k_cells = max(16, min(math.isqrt(n_emb), n_emb // 32))
-    cents = ivf.fit_kmeans_unit(
-        emb, k=k_cells, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
-    )
+    # ONE planning job (see embedding_dup_pairs): the fit sample doubles
+    # as the √N sizing probe; a separate count only when the sample
+    # truncated, i.e. the corpus outgrew sample_rows.
     eps = math.sqrt(max(2.0 - 2.0 * (threshold - 1e-6), 0.0))
     slack = 2.0 * eps
+    x, truncated = ivf.kmeans_sample(emb, id_col=id_col, vec_col=vec_col)
+    if k_cells is None:
+        k_cells = ivf.sized_cells(emb.count() if truncated else len(x), slack)
+    cents = ivf._lloyd(ivf._unit_rows(x, vec_col), k_cells, kmeans_iters)
     id_type = dict(emb.dtypes)[id_col]
     C = np.array(cents, dtype=np.float64)  # (k, d)
     c_sq = (C * C).sum(axis=1)  # (k,)
