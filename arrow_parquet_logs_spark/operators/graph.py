@@ -99,7 +99,18 @@ def pagerank(
     # Out-degree rides with the edge list once; every iteration reuses it —
     # both persist for the loop (without the cache each iteration would
     # recompute the upstream edge build: measured 3x redundant work).
-    edges_w = edges.join(outd, "src").select("src", "dst", "w", "wout").persist()
+    # The cache is HASH-PARTITIONED BY src: in the non-broadcast regime
+    # every iteration's ranks⋈edges join then reuses this partitioning —
+    # the Exchange lands on the node-sized rank frame only, never on the
+    # edge list (the Pregel-on-Spark partitioning reuse; at 100 TB the
+    # edge re-shuffle per iteration IS the job).
+    shufn = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_w = (
+        edges.join(outd, "src")
+        .select("src", "dst", "w", "wout")
+        .repartition(shufn, "src")
+        .persist()
+    )
 
     # The node frame feeds every iteration's rebuild AND the n/r0 jobs —
     # uncached, its union+distinct shuffle re-runs once per iteration
@@ -122,11 +133,22 @@ def pagerank(
         ns_df = flagged.agg(F.sum("s").cast("long").alias("ns"))
         if ns_df.collect()[0]["ns"] == 0:  # bounded: one long
             raise ValueError("no seed appears in the graph")
+    # the DANGLING flag is static — resolve it ONCE into the node state
+    # instead of an (outd-sized, possibly broadcast) anti-join per
+    # iteration: the per-round dangling mass becomes a plain conditional
+    # sum over the checkpointed rank frame, zero joins.
     base = (
-        flagged.join(F.broadcast(n_df)).join(F.broadcast(ns_df))
-    ).persist()  # (node, s, n, ns)
+        flagged.join(
+            outd.select(F.col("src").alias("node"), F.lit(0).alias("dg")),
+            "node",
+            "left",
+        )
+        .select("node", "s", F.coalesce(F.col("dg"), F.lit(1)).alias("dg"))
+        .join(F.broadcast(n_df))
+        .join(F.broadcast(ns_df))
+    ).persist()  # (node, s, dg, n, ns)
     ranks = base.select(
-        "node", "s", "n", "ns",
+        "node", "s", "dg", "n", "ns",
         F.expr(f"s * (CAST({scale} AS BIGINT) DIV ns)").alias("r"),
     ).localCheckpoint(eager=True)
     p, q = damping_pct, 100 - damping_pct
@@ -142,20 +164,23 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        dm_df = (
-            ranks.join(
-                F.broadcast(outd) if small else outd,
-                ranks["node"] == outd["src"],
-                "left_anti",
-            )
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        dm_df = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("dg") == 1, F.col("r"))), F.lit(0))
+            .cast("long")
+            .alias("dm")
         )
         nxt = (
-            base.join(F.broadcast(contrib) if small else contrib, "node", "left")
+            # contrib is NEVER broadcast: its groupBy("node") output is
+            # already hash-partitioned on the join key, so the join with
+            # the node-partitioned base adds no Exchange — broadcasting a
+            # node-sized aggregate would route it through the driver for
+            # nothing, once per iteration.
+            base.join(contrib, "node", "left")
             .join(F.broadcast(dm_df))
             .select(
                 "node",
                 "s",
+                "dg",
                 "n",
                 "ns",
                 F.expr(
@@ -417,6 +442,8 @@ def shortest_paths(
     for undirected reachability. Seeds absent from the graph still settle
     at distance 0 (they are their own nearest seed).
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().persist()
     settled = (
         sources.select(F.col("node"))
@@ -431,15 +458,19 @@ def shortest_paths(
             .select(F.col("d").alias("node"), F.col("root"))
         )
         # Eager checkpoint cuts the round's lineage (module docstring);
-        # `settled` stays a flat union of checkpointed generations.
+        # `settled` stays a flat union of checkpointed generations. The
+        # frontier-exhausted signal rides the SAME action as an observed
+        # row count — no separate take(1) job per hop.
+        obs = Observation(f"bfs_h{hop}")
         new = (
             grown.groupBy("node")
             .agg(F.min("root").alias("root"))
             .join(settled.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).alias("dist"), "root")
+            .observe(obs, F.count(F.lit(1)).alias("n_new"))
             .localCheckpoint(eager=True)
         )
-        if not new.take(1):  # frontier exhausted — reachable set closed
+        if not obs.get["n_new"]:  # frontier exhausted — reachable set closed
             break
         settled = settled.unionAll(new)
         frontier = new
@@ -492,6 +523,8 @@ def k_core_peel(
         mirrored.select(F.col("u").alias("node")).distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     peeled_frames: list[DataFrame] = []
     for r in range(1, max_rounds + 1):
         deg = (
@@ -500,23 +533,34 @@ def k_core_peel(
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        # Both generations checkpoint eagerly: `keep` is next round's
-        # input (referenced three times), `dropped` is output state that
-        # must survive past this round — and the checkpoint doubles as
-        # the materialize-before-advance barrier.
-        keep = (
+        # ONE checkpoint per round: the alive set annotated with its
+        # survive/peel flag. `keep` and `dropped` are plain filters over
+        # the checkpointed leaf — referenced three times next round, the
+        # plan stays flat, and the old second (dropped-sized) checkpoint
+        # job disappears. The fixpoint signal RIDES THE SAME ACTION as an
+        # observed metric (Observation fires on the eager checkpoint's
+        # internal job), so the round costs exactly one job — the r5 form
+        # paid three (keep checkpoint, dropped checkpoint, take(1)).
+        obs = Observation(f"kcore_r{r}")
+        ann = (
             alive.join(deg.select(F.col("u").alias("node"), "deg"), "node", "left")
-            .where(F.coalesce(F.col("deg"), F.lit(0)) >= k)
-            .select("node")
+            .select(
+                "node",
+                (F.coalesce(F.col("deg"), F.lit(0)) >= k).alias("in_core"),
+            )
+            .observe(obs, F.sum(F.when(~F.col("in_core"), 1).otherwise(0)).alias("n_peeled"))
             .localCheckpoint(eager=True)
         )
-        dropped = alive.join(keep, "node", "left_anti").select(
-            "node", F.lit(r).cast("int").alias("peel_round")
-        ).localCheckpoint(eager=True)
-        if not dropped.take(1):  # fixpoint: the k-core
+        n_peeled = obs.get["n_peeled"] or 0
+        if n_peeled == 0:  # fixpoint: the k-core
+            alive = ann.select("node")
             break
-        peeled_frames.append(dropped)
-        alive = keep
+        peeled_frames.append(
+            ann.where(~F.col("in_core")).select(
+                "node", F.lit(r).cast("int").alias("peel_round")
+            )
+        )
+        alive = ann.where(F.col("in_core")).select("node")
     core = alive.select("node", F.lit(0).cast("int").alias("peel_round"))
     out = core
     for f in peeled_frames:
@@ -639,24 +683,46 @@ def cheapest_paths(
         .agg(F.min("w").alias("w"))
         .persist()
     )
+    from pyspark.sql import Observation
+
     dist = (
         sources.select(F.col("node"))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_hops):
+    for h in range(max_hops):
         step = (
             dist.join(e, dist["node"] == e["s"])
             .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
-        # eager checkpoint = materialize barrier + lineage cut per round
+        # eager checkpoint = materialize barrier + lineage cut per round.
+        # CONVERGENCE rides the same action: the relaxed frame left-joins
+        # the previous generation (both node-hash partitioned — no extra
+        # Exchange) and observes how many distances improved or appeared;
+        # zero means a fixpoint, and with positive weights a Bellman-Ford
+        # fixpoint is final — the remaining hops would be no-op rounds the
+        # r5 form still paid for (H is a spec bound, not a work quota).
+        obs = Observation(f"bf_h{h}")
+        prev = dist.select(F.col("node"), F.col("dist").alias("_pd"))
         dist = (
             dist.unionAll(step)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .join(prev, "node", "left")
+            .observe(
+                obs,
+                F.sum(
+                    F.when(
+                        F.col("_pd").isNull() | (F.col("dist") < F.col("_pd")), 1
+                    ).otherwise(0)
+                ).alias("n_relaxed"),
+            )
+            .select("node", "dist")
             .localCheckpoint(eager=True)
         )
+        if not (obs.get["n_relaxed"] or 0):
+            break
     e.unpersist()
     return dist
 
@@ -705,24 +771,44 @@ def functional_scc(succ: DataFrame, node: str = "node", nxt: str = "succ") -> Da
         )
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     # after this loop the walk length is 2^rounds >= n
     n = cur.count()
     rounds = max(1, (n - 1).bit_length())
-    for _ in range(rounds):
+    for r in range(rounds):
         nxt_half = cur.select(
             F.col("v").alias("jv"),
             F.col("jump").alias("jump2"),
             F.col("minlab").alias("minlab2"),
         )
+        # Early exit, observed on the same checkpoint action: once no
+        # node's (jump, minlab) moved, squaring is idempotent — the state
+        # is (rotation-)stable after ceil(log2(max tail+cycle)) rounds,
+        # usually far fewer than the worst-case ceil(log2 n) the bound
+        # prescribes. Composition with a fixed state changes nothing, so
+        # cutting the tail rounds is result-identical.
+        obs = Observation(f"scc_r{r}")
         cur = (
             cur.join(nxt_half, on=F.col("jump") == F.col("jv"), how="inner")
             .select(
                 "v",
                 F.col("jump2").alias("jump"),
                 F.least(F.col("minlab"), F.col("minlab2")).alias("minlab"),
+                F.when(
+                    (F.col("jump2") != F.col("jump"))
+                    | (F.col("minlab2") < F.col("minlab")),
+                    1,
+                )
+                .otherwise(0)
+                .alias("_moved"),
             )
+            .observe(obs, F.sum("_moved").alias("n_moved"))
+            .select("v", "jump", "minlab")
             .localCheckpoint(eager=True)
         )
+        if not (obs.get["n_moved"] or 0):
+            break
     # cycle nodes = image of jump; their label = min over their own cycle.
     # minlab_N(v) for the IMAGE node jump(v) is not what we want — we need
     # minlab at the cycle node itself, so semi-join cur onto the image set.
