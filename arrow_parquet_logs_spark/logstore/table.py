@@ -97,14 +97,58 @@ class VersionedTable:
             stale_after=self.lock_stale_after,
         )
 
+    #: every Nth commit writes a FULL manifest (a checkpoint); the commits
+    #: between write INCREMENTAL manifests (adds/removes/stat deltas vs the
+    #: parent) — the Delta-log shape. Under high-frequency CDC a full
+    #: manifest per commit costs O(versions × files) storage and write
+    #: time; incremental manifests cost O(changed files) per commit, and
+    #: the read side resolves at most ``MANIFEST_CHECKPOINT_EVERY − 1``
+    #: small JSON files past a checkpoint.
+    MANIFEST_CHECKPOINT_EVERY = 10
+
+    #: delta-manifest bookkeeping keys (absent from a resolved manifest)
+    _DELTA_KEYS = ("format", "parent", "adds", "removes", "stats_add", "stats_del")
+
+    def _read_manifest_raw(self, vname: str) -> dict:
+        with open(os.path.join(self.path, vname, "MANIFEST.json")) as fh:
+            return json.load(fh)
+
+    def _resolve_manifest(self, man: dict) -> dict:
+        """Resolve a (possibly incremental) manifest into the full form:
+        walk the parent chain back to the nearest full checkpoint, then
+        replay adds/removes/stat-deltas forward. Non-file fields (schema,
+        constraints, dv, timestamps, provenance) are NOT chained — every
+        manifest, incremental or not, carries them verbatim, so only the
+        O(table)-sized ``files``/``stats`` maps pay the delta encoding."""
+        if man.get("format") != "delta":
+            return man
+        chain = [man]
+        cur = man
+        while cur.get("format") == "delta":
+            cur = self._read_manifest_raw(f"v{cur['parent']}")
+            chain.append(cur)
+        files = set(cur["files"])
+        stats = dict(cur.get("stats", {}))
+        for d in reversed(chain[:-1]):
+            for f in d.get("removes", []):
+                files.discard(f)
+                stats.pop(f, None)
+            files.update(d.get("adds", []))
+            for f in d.get("stats_del", []):
+                stats.pop(f, None)
+            stats.update(d.get("stats_add", {}))
+        out = {k: v for k, v in man.items() if k not in self._DELTA_KEYS}
+        out["files"] = sorted(files)
+        out["stats"] = stats
+        return out
+
     def _current(self) -> dict:
         cur = os.path.join(self.path, "CURRENT")
         if not os.path.exists(cur):
             return {"version": 0, "files": []}
         with open(cur) as fh:
             vname = fh.read().strip()
-        with open(os.path.join(self.path, vname, "MANIFEST.json")) as fh:
-            return json.load(fh)
+        return self._resolve_manifest(self._read_manifest_raw(vname))
 
     def _commit(self, manifest: dict) -> None:
         # Commit wall-clock (µs UTC) for AS-OF-timestamp time travel.
@@ -124,11 +168,43 @@ class VersionedTable:
         # OPTIMIZE must never silently shed the table's invariants.
         if prev.get("constraints"):
             manifest.setdefault("constraints", prev["constraints"])
-        vdir = os.path.join(self.path, f"v{manifest['version']}")
+        # incremental manifest when a parent chain exists and this version
+        # is not a checkpoint slot: record file/stat DELTAS vs the parent
+        # instead of re-listing the whole live set (class docstring /
+        # MANIFEST_CHECKPOINT_EVERY). The payload written is what
+        # _resolve_manifest reconstructs bit-for-bit.
+        v = manifest["version"]
+        payload = manifest
+        if (
+            prev.get("version") == v - 1
+            and prev["version"] > 0
+            and v % self.MANIFEST_CHECKPOINT_EVERY != 0
+        ):
+            old_files, new_files = set(prev["files"]), set(manifest["files"])
+            old_stats = prev.get("stats", {})
+            new_stats = manifest.get("stats", {})
+            payload = {
+                k: val for k, val in manifest.items() if k not in ("files", "stats")
+            }
+            payload.update(
+                {
+                    "format": "delta",
+                    "parent": prev["version"],
+                    "adds": sorted(new_files - old_files),
+                    "removes": sorted(old_files - new_files),
+                    "stats_add": {
+                        f: s for f, s in new_stats.items() if old_stats.get(f) != s
+                    },
+                    "stats_del": sorted(
+                        f for f in old_stats if f in new_files and f not in new_stats
+                    ),
+                }
+            )
+        vdir = os.path.join(self.path, f"v{v}")
         os.makedirs(vdir, exist_ok=True)
         mtmp = os.path.join(vdir, f".MANIFEST.{uuid.uuid4().hex}")
         with open(mtmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(payload, fh)
         os.replace(mtmp, os.path.join(vdir, "MANIFEST.json"))
         tmp = os.path.join(self.path, f".CURRENT.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -540,8 +616,7 @@ class VersionedTable:
             mpath = os.path.join(self.path, name, "MANIFEST.json")
             if not os.path.exists(mpath):
                 continue
-            with open(mpath) as fh:
-                man = json.load(fh)
+            man = self._resolve_manifest(self._read_manifest_raw(name))
             ts = man.get("committed_at_us")
             out.append(
                 {
@@ -595,14 +670,7 @@ class VersionedTable:
             if version is not None:
                 raise ValueError("pass version OR as_of, not both")
             version = self.version_as_of(as_of)
-        if version is None:
-            man = self._current()
-        else:
-            mpath = os.path.join(self.path, f"v{version}", "MANIFEST.json")
-            if not os.path.exists(mpath):
-                raise ValueError(f"no version {version} at {self.path}")
-            with open(mpath) as fh:
-                man = json.load(fh)
+        man = self._manifest_at(version)
         files = [os.path.join(self.path, f) for f in man["files"]]
         if not files:
             raise ValueError(f"empty table at {self.path} (no committed version)")
@@ -624,8 +692,7 @@ class VersionedTable:
         mpath = os.path.join(self.path, f"v{version}", "MANIFEST.json")
         if not os.path.exists(mpath):
             raise ValueError(f"no version {version} at {self.path}")
-        with open(mpath) as fh:
-            return json.load(fh)
+        return self._resolve_manifest(self._read_manifest_raw(f"v{version}"))
 
     def read_where(self, predicates: Sequence[tuple], version: int | None = None) -> DataFrame:
         """Predicate-pruned read: ``predicates`` is a CONJUNCTIVE list of
@@ -1273,8 +1340,7 @@ class VersionedTable:
             mpath = os.path.join(self.path, f"v{version}", "MANIFEST.json")
             if not os.path.exists(mpath):
                 raise ValueError(f"no version {version} at {self.path}")
-            with open(mpath) as fh:
-                target = json.load(fh)
+            target = self._resolve_manifest(self._read_manifest_raw(f"v{version}"))
             cur = self._current()
             new_v = cur["version"] + 1
             self._commit(
@@ -1312,10 +1378,22 @@ class VersionedTable:
         current = self._current()["version"]
         doomed = [v for v in self.versions() if v <= current - keep_versions]
         survivors = [v for v in self.versions() if v not in doomed]
+        # SURVIVING incremental manifests may chain through doomed parents:
+        # materialize each survivor to its full form FIRST (atomic rewrite,
+        # bounded by keep_versions) so no resolution ever needs a vacuumed
+        # manifest. Idempotent — already-full manifests are left alone.
+        for v in survivors:
+            raw = self._read_manifest_raw(f"v{v}")
+            if raw.get("format") == "delta":
+                full = self._resolve_manifest(raw)
+                vdir = os.path.join(self.path, f"v{v}")
+                mtmp = os.path.join(vdir, f".MANIFEST.{uuid.uuid4().hex}")
+                with open(mtmp, "w") as fh:
+                    json.dump(full, fh)
+                os.replace(mtmp, os.path.join(vdir, "MANIFEST.json"))
         live: set[str] = set()
         for v in survivors:
-            with open(os.path.join(self.path, f"v{v}", "MANIFEST.json")) as fh:
-                m = json.load(fh)
+            m = self._read_manifest_raw(f"v{v}")
             live.update(m["files"])
             # deletion-vector parquet files are as load-bearing as data
             # files: a surviving manifest that references a carried DV dir
