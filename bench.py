@@ -115,12 +115,26 @@ def main() -> None:
     # artifacts on two unrelated queries).
     timings: dict[str, float] = {}
     for name, fn in sorted(bench_queries().items()):
-        best = float("inf")
+        times: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        # noise self-check: on a shared box a contention spike can poison
+        # even a min-of-3 — if the two best reps still disagree by >20%,
+        # the minimum is not yet a settled steady-state estimate; rerun
+        # (up to 2 extra reps) until the two best agree or the budget is
+        # spent. Round-over-round deltas read as signal only when each
+        # side's minimum is reproducible within the run itself.
+        extra = 0
+        while len(times) >= 2 and times[1] > times[0] * 1.2 and extra < 2:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+            times.sort()
+            extra += 1
+        timings[name] = round(times[0], 3)
         # query isolation: the dedup operators persist() intermediates that
         # the cache manager keeps alive across queries (their returned DFs
         # are lazy), so a later query would otherwise be measured under the
@@ -128,12 +142,16 @@ def main() -> None:
         # iterations so min-of-3 still measures the within-query cache
         # reuse a real pipeline gets.
         _settle()
-    # same min policy as the queries: the cycle's write/compact plans
-    # compile on first use (janino, one-time on a long-lived cluster), and a
-    # fresh store per iteration keeps the measured work identical
-    timings["logstore_cycle"] = round(
-        min(_logstore_cycle(spark, sf_dir) for _ in range(3)), 3
-    )
+    # same min + self-check policy as the queries: the cycle's write/compact
+    # plans compile on first use (janino, one-time on a long-lived cluster),
+    # and a fresh store per iteration keeps the measured work identical
+    cyc = sorted(_logstore_cycle(spark, sf_dir) for _ in range(3))
+    extra = 0
+    while cyc[1] > cyc[0] * 1.2 and extra < 2:
+        cyc.append(_logstore_cycle(spark, sf_dir))
+        cyc.sort()
+        extra += 1
+    timings["logstore_cycle"] = round(cyc[0], 3)
 
     out = {
         "metric": "bench_total_sec",
