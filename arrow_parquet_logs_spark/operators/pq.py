@@ -77,14 +77,22 @@ def fit_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_rows: int = 100_000,
+    sample=None,
 ) -> list[list[list[int]]]:
     """Per-subspace deterministic k-means codebooks, quantized to integer
     micro-units (floor(c·10⁶)) so every downstream distance/dot is exact
-    int64 arithmetic. Returns m codebooks of ks entries of d/m ints."""
+    int64 arithmetic. Returns m codebooks of ks entries of d/m ints.
+
+    ``sample``: a pre-collected (n, d) fit matrix (ivf.kmeans_sample) —
+    callers that already sampled for sizing pass it to avoid a second
+    identical TakeOrdered job."""
     import numpy as np
 
-    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
-    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if sample is not None:
+        x = np.asarray(sample, dtype=np.float64)
+    else:
+        rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+        x = np.array([r[1] for r in rows], dtype=np.float64)
     if x.ndim != 2 or x.shape[1] % m:
         raise ValueError(f"need (n, d) sample with d % {m} == 0, got {x.shape}")
     sub = x.shape[1] // m
@@ -314,21 +322,34 @@ def fit_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_rows: int = 100_000,
+    sample=None,
 ) -> tuple[list[list[float]], list[list[list[int]]]]:
     """Fit the full IVF-PQ index (FAISS IVFPQ shape, Jégou et al. 2011 §V):
     coarse k-means cells on the raw vectors, then per-subspace codebooks on
     the RESIDUALS (v − centroid[cell]) — residual energy is far smaller than
     vector energy, so the same code budget quantizes much finer. Both fits
     run on one id-ordered driver sample with the deterministic Lloyd's
-    kernel. Returns (centroids float, residual codebooks int micro-units)."""
+    kernel. Returns (centroids float, residual codebooks int micro-units).
+
+    ``sample``: a pre-collected (n, d) fit matrix (ivf.kmeans_sample) —
+    callers that already sampled for sizing pass it to avoid a second
+    identical TakeOrdered job."""
     import numpy as np
 
-    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
-    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if sample is not None:
+        x = np.asarray(sample, dtype=np.float64)
+    else:
+        rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+        x = np.array([r[1] for r in rows], dtype=np.float64)
     if x.ndim != 2 or x.shape[1] % m:
         raise ValueError(f"need (n, d) sample with d % {m} == 0, got {x.shape}")
     cents = np.array(_lloyd(x, k, iters))
-    assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    # BLAS distance form, not the (n, k, d) broadcast cube — same reasoning
+    # (and same ulp/tie tolerance) as ivf._lloyd's docstring: at the 100k
+    # sample the cube is an ~800 MB allocation, the dgemm is ~12 MB.
+    x_sq = (x * x).sum(axis=1)
+    c_sq = (cents * cents).sum(axis=1)
+    assign = (x_sq[:, None] + c_sq[None, :] - 2.0 * (x @ cents.T)).argmin(axis=1)
     res = x - cents[assign]
     sub = x.shape[1] // m
     books = [

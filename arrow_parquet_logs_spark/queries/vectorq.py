@@ -621,11 +621,16 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10)
     # corpus-scaled recall knobs (same sizing rule and rationale as
     # ann_ivfpq_search — see SCALING.md's 10x probe): denser corpora thin
-    # the top-5 margins past what 4-bit codebooks + a fixed rerank resolve
-    n = emb.count()
+    # the top-5 margins past what 4-bit codebooks + a fixed rerank resolve.
+    # ONE planning job: the PQ fit sample doubles as the sizing probe
+    # (ivf.kmeans_sample); a separate count only when the sample truncated.
+    from arrow_parquet_logs_spark.operators import ivf
+
+    x, truncated = ivf.kmeans_sample(emb)
+    n = emb.count() if truncated else len(x)
     ks = 16 if n < 5_000 else 64
     rerank = max(100, n // 50)
-    cbs = PQ.fit_pq(emb, ks=ks)
+    cbs = PQ.fit_pq(emb, ks=ks, sample=x)
     approx = PQ.pq_rerank_topk(emb, q, cbs, k=5, rerank=rerank).select("q_id", "vec_id")
     exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
@@ -670,10 +675,14 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.25% of 20k) and 4-bit residual codebooks stop clearing the recall
     # gate. Grow rerank ~n/100 and move to 6-bit codebooks past 5k
     # vectors — the FAISS-style sizing rule, applied automatically.
-    n = emb.count()
+    # ONE planning job: fit sample doubles as the sizing probe.
+    from arrow_parquet_logs_spark.operators import ivf
+
+    x, truncated = ivf.kmeans_sample(emb)
+    n = emb.count() if truncated else len(x)
     ks = 16 if n < 5_000 else 64
     rerank = max(50, n // 100)
-    cents, books = PQ.fit_ivfpq(emb, ks=ks)
+    cents, books = PQ.fit_ivfpq(emb, ks=ks, sample=x)
     path = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/idx"
     PQ.materialize_ivfpq(emb, cents, books, path)
     approx = PQ.search_ivfpq(
