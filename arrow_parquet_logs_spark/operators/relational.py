@@ -215,6 +215,7 @@ def interval_overlap_join(
     left_cols: tuple[str, str] = ("s", "e"),
     right_cols: tuple[str, str] = ("s", "e"),
     bucket_unit: str = "day",
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Interval × interval OVERLAP join without a nested loop — completing
     the range-join family (``interval_join_by_bucket`` above covers
@@ -233,6 +234,19 @@ def interval_overlap_join(
 
     Both timestamp columns must be TimestampType; columns are kept from
     both sides with left's prefixed ``a_`` and right's ``b_``.
+
+    ``pair_budget``: opt-in DENSITY GUARD for cluster runs. When many
+    intervals are live in the same bucket, the per-bucket join work is
+    Σ_cell |a_cell|·|b_cell| — and when the intervals genuinely all
+    overlap, the ANSWER itself is |A|×|B|-quadratic and no join strategy
+    can beat its own output size (the sf10 probe measured ~10¹⁰ candidate
+    rows on 0.7M × 0.45M near-concurrent sessions and spilled a 77 GB
+    disk). With a budget set, one cheap aggregation prices the candidate
+    count exactly and raises a LOUD error naming the density and the
+    remedies (finer ``bucket_unit`` only helps when density is an
+    artifact of coarse buckets; pre-filtering the panels or aggregating
+    per-bucket instead of per-pair is the answer when the overlap is
+    real) — failing fast instead of grinding a cluster for hours.
     """
     ls, le = left_cols
     rs, re_ = right_cols
@@ -251,6 +265,24 @@ def interval_overlap_join(
 
     ax = a.select("*", cells(f"a_{ls}", f"a_{le}").alias("__cell"))
     bx = b.select("*", cells(f"b_{rs}", f"b_{re_}").alias("__cell"))
+    if pair_budget is not None:
+        ca = ax.groupBy("__cell").agg(F.count(F.lit(1)).alias("_na"))
+        cb = bx.groupBy("__cell").agg(F.count(F.lit(1)).alias("_nb"))
+        est = (
+            ca.join(cb, "__cell")
+            .agg(F.sum(F.col("_na") * F.col("_nb")).cast("long").alias("w"))
+            .collect()[0]["w"]
+            or 0
+        )
+        if est > pair_budget:
+            raise ValueError(
+                f"interval_overlap_join candidate count {est:,} exceeds "
+                f"pair_budget={pair_budget:,} at bucket_unit={bucket_unit!r} — "
+                "the per-bucket interval density makes this join (and likely "
+                "its answer) quadratic. Remedies: a finer bucket_unit if the "
+                "density is bucket-coarseness, tighter panel pre-filters, or "
+                "a per-bucket aggregate instead of per-pair output."
+            )
     overlap = (F.col(f"a_{ls}") <= F.col(f"b_{re_}")) & (
         F.col(f"b_{rs}") <= F.col(f"a_{le}")
     )

@@ -133,3 +133,29 @@ def test_orc_roundtrip_pushdown_and_fidelity(spark, tmp_path, sf_dir):
     a = sorted(r["o_orderdate"] for r in back.select("o_orderdate").collect())
     b = sorted(r["o_orderdate"] for r in orders.select("o_orderdate").collect())
     assert a == b
+
+
+def test_interval_overlap_pair_budget_guard(spark):
+    """The opt-in density guard prices Σ|a_cell|·|b_cell| exactly and
+    fails LOUDLY when the bucketized join would be quadratic; under
+    budget it returns the identical overlap pairs."""
+    import datetime as dt
+
+    from arrow_parquet_logs_spark.operators.relational import interval_overlap_join
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    a = spark.createDataFrame(
+        [(i, ts(0), ts(20)) for i in range(40)], "a_key long, s timestamp, e timestamp"
+    )
+    b = spark.createDataFrame(
+        [(i, ts(10), ts(30)) for i in range(40)], "b_key long, s timestamp, e timestamp"
+    )
+    # all intervals share the same day cells: candidates = sum na*nb = 40*40*shared_cells
+    with pytest.raises(ValueError, match="pair_budget"):
+        interval_overlap_join(a, b, pair_budget=100)
+    ok = interval_overlap_join(a, b, pair_budget=10_000)
+    unguarded = interval_overlap_join(a, b)
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, unguarded.collect()))
+    assert ok.count() == 1600  # every pair genuinely overlaps (10:00-20:00)
