@@ -22,6 +22,42 @@ import itertools as _itertools  # noqa: E402
 _STREAM_SEQ = _itertools.count()
 
 
+def _drain_stream(joined, prefix: str, shuffle_partitions: str | None = "8"):
+    """Drain an append-mode stream through a TEMP PARQUET sink and return
+    the drained rows as a batch DataFrame.
+
+    The memory sink materializes its whole result as driver-held JVM rows
+    — fine for the bounded aggregate snapshots that still use it (update/
+    complete-mode rollups, sketch registers), fatal for ROW-SIZED outputs
+    at scale: the sf10 probe OOMed an 8 GB driver collecting 5M deduped
+    events into the in-memory table. The parquet sink is the production
+    shape — executor-distributed writes, lazily read back — so the same
+    query verifies at any SF. Explicit schema on the read-back keeps the
+    empty-result case well-defined."""
+    import tempfile
+
+    spark = joined.sparkSession
+    root = tempfile.mkdtemp(prefix=prefix)
+    out, ck = root + "/rows", root + "/ck"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    try:
+        (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema(joined.schema).parquet(out)
+
+
 @register(
     "events_json_extract",
     oracle="""
@@ -1119,9 +1155,10 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Dedup state is watermark-bounded (2h of event_ids, not the full
     history) — the property that makes this run forever at 100 TB/day.
-    Append-mode memory sink: dedup emits rows immediately (nothing is held
-    back for window close); the per-type rollup happens batch-side on the
-    sink table."""
+    Append mode through a DISTRIBUTED parquet sink (dedup emits rows
+    immediately; the row-sized drain OOMed the driver through a memory
+    sink at sf10 — see ``_drain_stream``); the per-type rollup happens
+    batch-side on the drained files."""
     from arrow_parquet_logs_spark.sources.tables import read_events_stream
 
     s1 = read_events_stream(spark, sf_dir)
@@ -1131,34 +1168,15 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    name = f"stream_dedup_{next(_STREAM_SEQ)}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    rows = (
-        spark.table(name)
+    return (
+        _drain_stream(deduped, "stream_dedup_")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
         )
         .orderBy("event_type")
-        .collect()
     )
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(
-        rows, "event_type string, n_events bigint, n_users bigint"
-    ).orderBy("event_type")
 
 
 @register(
@@ -1221,27 +1239,9 @@ def events_stream_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "context_ts",
         "context_type",
     )
-    name = f"stream_errctx_{next(_STREAM_SEQ)}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    rows = spark.table(name).orderBy("error_id", "context_id").collect()
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(
-        rows,
-        "error_id bigint, context_id bigint, user_id bigint, "
-        "error_ts timestamp, context_ts timestamp, context_type string",
-    ).orderBy("error_id", "context_id")
+    # pair-sized output scales with the data: distributed parquet drain,
+    # not a driver-held memory table (see _drain_stream)
+    return _drain_stream(joined, "stream_errctx_").orderBy("error_id", "context_id")
 
 
 @register(
@@ -1274,29 +1274,16 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = read_events_stream(spark, sf_dir).select("user_id", "value")
     joined = stream.join(F.broadcast(dim), "user_id").select("segment", "value")
-    name = f"stream_enrich_{next(_STREAM_SEQ)}"
-    (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    rows = (
-        spark.table(name)
+    # enriched rows are event-sized: distributed parquet drain, batch rollup
+    return (
+        _drain_stream(joined, "stream_enrich_", shuffle_partitions=None)
         .groupBy("segment")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.sum(dec("value", 18, 6)).cast("double").alias("total_value"),
         )
         .orderBy("segment")
-        .collect()
     )
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(
-        rows, "segment string, n_events bigint, total_value double"
-    ).orderBy("segment")
 
 
 @register(
@@ -1523,17 +1510,9 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id = v_user AND v_ts <= p_ts AND p_ts <= v_ts + interval 10 minutes"
             ),
         ).select("user_id", "value")
-        name = f"stream_ss_join_{next(_STREAM_SEQ)}"
-        (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        # pair-sized join output: distributed parquet drain (_drain_stream)
         rows = (
-            spark.table(name)
+            _drain_stream(joined, "stream_ss_join_", shuffle_partitions=None)
             .groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n_pairs"),
@@ -1542,7 +1521,6 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id")
             .collect()
         )
-        spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(os.path.dirname(src), ignore_errors=True)
     return spark.createDataFrame(
