@@ -245,7 +245,7 @@ def logs_filter_compiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey % 10 = 0
     ),
     ins AS (
-        SELECT c_custkey + 1000000 AS c_custkey,
+        SELECT -(c_custkey + 1) AS c_custkey,
                concat('new_', CAST(c_custkey AS VARCHAR)) AS c_name,
                c_nationkey, 42.0 AS c_acctbal, c_mktsegment
         FROM customer WHERE c_custkey % 97 = 0
@@ -293,7 +293,7 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
         )
         inserts = cust.where(F.col("c_custkey") % 97 == 0).select(
-            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            (-(F.col("c_custkey") + 1)).alias("c_custkey"),
             F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias("c_name"),
             "c_nationkey",
             F.lit(42.0).alias("c_acctbal"),
@@ -406,7 +406,7 @@ def table_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_changes_cdf",
     oracle="""
     WITH ins AS (
-        SELECT c_custkey + 1000000 AS c_custkey, 'insert' AS _change_type,
+        SELECT -(c_custkey + 1) AS c_custkey, 'insert' AS _change_type,
                CAST(42.0 AS DOUBLE) AS c_acctbal
         FROM customer WHERE c_custkey % 97 = 0
     ),
@@ -459,7 +459,7 @@ def table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
         )
         inserts = cust.where(F.col("c_custkey") % 97 == 0).select(
-            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            (-(F.col("c_custkey") + 1)).alias("c_custkey"),
             F.lit(42.0).alias("c_acctbal"),
             "c_mktsegment",
         )
@@ -758,7 +758,7 @@ def table_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, CAST(c_acctbal + 1000.0 AS DOUBLE), c_mktsegment
         FROM customer WHERE c_custkey % 10 = 0
         UNION ALL
-        SELECT c_custkey + 1000000, CAST(42.0 AS DOUBLE), c_mktsegment
+        SELECT -(c_custkey + 1), CAST(42.0 AS DOUBLE), c_mktsegment
         FROM customer WHERE c_custkey % 97 = 0
     )
     SELECT c_mktsegment,
@@ -809,7 +809,7 @@ def table_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
         )
         inserts = cust.where(F.col("c_custkey") % 97 == 0).select(
-            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            (-(F.col("c_custkey") + 1)).alias("c_custkey"),
             F.lit(42.0).alias("c_acctbal"),
             "c_mktsegment",
         )
@@ -1148,7 +1148,10 @@ def table_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         view0 = ta.read(version=1).join(tb.read(version=1), "custkey")
         ta.upsert(
             orders.where(F.col("o_orderkey") % 101 == 0).select(
-                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                # sign-flip key: scale-proof insert ids (orderkeys are
+                # positive at every SF, so -k never collides with an
+                # existing order — the +10M offset did at sf10)
+                (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
                 "custkey", F.lit(9123.45).alias("price"),
             )
         )
