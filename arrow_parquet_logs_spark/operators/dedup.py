@@ -1047,8 +1047,22 @@ def embedding_dup_pairs_fast(
     eps = math.sqrt(max(2.0 - 2.0 * (threshold - 1e-6), 0.0))
     slack = 2.0 * eps
     x, truncated = ivf.kmeans_sample(emb, id_col=id_col, vec_col=vec_col)
+    n_emb = emb.count() if truncated else len(x)
+    if slack >= 2.0 and k_cells is None:
+        # the ε-ball covers the entire unit sphere: the candidate set IS
+        # all pairs whatever the cells are (SCALING.md — exactness at a
+        # loose threshold on isotropic data is inherently Θ(n²)). Cells
+        # then only add overhead and, at scale, an impossible choice:
+        # few cells → an (n, n/k) similarity block OOMs (the sf10 probe
+        # killed a 48 GB JVM at n=200k, k=16); many cells → an n·k vector
+        # shuffle overflows disk. The blocked all-pairs scorer replicates
+        # each row √(pairs)-wise instead of k-wise — O(n·B) shuffle with
+        # B = n/block_rows — and scores each UNORDERED pair exactly once
+        # in one bounded (block × block) BLAS call. Same rounded-cosine
+        # formula, same output, no distinct.
+        return _all_pairs_blocked(emb, id_col, vec_col, threshold, n_emb)
     if k_cells is None:
-        k_cells = ivf.sized_cells(emb.count() if truncated else len(x), slack)
+        k_cells = ivf.sized_cells(n_emb, slack)
     cents = ivf._lloyd(ivf._unit_rows(x, vec_col), k_cells, kmeans_iters)
     id_type = dict(emb.dtypes)[id_col]
     C = np.array(cents, dtype=np.float64)  # (k, d)
@@ -1122,6 +1136,107 @@ def embedding_dup_pairs_fast(
         .applyInPandas(block_score, f"a_id {id_type}, b_id {id_type}, cosine double")
         .groupBy("a_id", "b_id")
         .agg(F.min("cosine").alias("cosine"))
+    )
+
+
+def _all_pairs_blocked(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_emb: int,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """EXACT all-pairs rounded-cosine ≥ threshold via blocked BLAS — the
+    slack ≥ 2 regime of ``embedding_dup_pairs_fast`` (every cell probed ⇒
+    candidates are all pairs by construction, so generate them directly
+    with bounded memory instead of through cells).
+
+    Rows hash deterministically into B ≈ n/block_rows blocks on the id
+    (md5-derived — partition-layout-independent, so results are bit-stable
+    under any repartitioning). A broadcast (bi, bj, gid) frame enumerates
+    the B(B+1)/2 unordered block pairs; each row joins to the ≈B groups
+    containing its block, and one ``applyInPandas`` per group scores the
+    (block × block) similarity matrix — ≤ block_rows² doubles, ~134 MB at
+    the default — emitting only pairs ≥ threshold with the exact formula
+    every sibling uses (raw dot / norm product, ``np.round(·, 6)``). Each
+    unordered pair lives in exactly ONE group (its blocks' pair; the
+    diagonal group scores its internal a<b pairs), so no distinct and no
+    min-collapse is needed. Shuffle volume is n·B vector rows — at n=200k,
+    d=64 that is ~5 GB where the cell form needed either a 20 GB block or
+    a 130 GB shuffle. Zero/null vectors drop (no direction), matching the
+    cell form and the brute-force SQL oracle."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    n_blocks = max(1, -(-n_emb // block_rows))
+    id_type = dict(emb.dtypes)[id_col]
+    gid = 0
+    pair_rows = []
+    for bi in range(n_blocks):
+        for bj in range(bi, n_blocks):
+            pair_rows.append((bi, bj, gid))
+            gid += 1
+    pairs = spark.createDataFrame(pair_rows, "bi int, bj int, gid int")
+    # md5-derived block id: deterministic in the VALUE of the id, never in
+    # partition layout (same contract as the minhash band keys)
+    blk = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % n_blocks
+    ).cast("int")
+    rows = (
+        spread_for_python(emb.select(id_col, vec_col))
+        .where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("v"), blk.alias("b"))
+    )
+    left = rows.join(F.broadcast(pairs), rows["b"] == pairs["bi"]).select(
+        "gid", "sid", "v", F.lit(True).alias("is_a")
+    )
+    right = rows.join(F.broadcast(pairs), rows["b"] == pairs["bj"]).select(
+        "gid", "sid", "v", F.lit(False).alias("is_a")
+    )
+    tagged = left.unionByName(right)
+
+    def score(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        a_mask = pdf["is_a"].to_numpy(dtype=bool)
+        A = pdf[a_mask].drop_duplicates(subset=["sid"])
+        B = pdf[~a_mask].drop_duplicates(subset=["sid"])
+        if len(A) == 0 or len(B) == 0:
+            return empty
+        XA = np.array(list(A["v"]), dtype=np.float64)
+        XB = np.array(list(B["v"]), dtype=np.float64)
+        na = np.sqrt((XA * XA).sum(axis=1))
+        nb = np.sqrt((XB * XB).sum(axis=1))
+        la, lb = na > 0, nb > 0
+        XA, na, ida = XA[la], na[la], A["sid"].to_numpy()[la]
+        XB, nb, idb = XB[lb], nb[lb], B["sid"].to_numpy()[lb]
+        if len(ida) == 0 or len(idb) == 0:
+            return empty
+        sims = np.round((XA @ XB.T) / np.outer(na, nb), 6)
+        ai, bi_ = np.nonzero(sims >= threshold)
+        keep = ida[ai] != idb[bi_]
+        # the diagonal group (bi == bj) holds the SAME block on both
+        # sides: keep each unordered internal pair once (a < b)
+        if set(ida) == set(idb):
+            keep &= ida[ai] < idb[bi_]
+        ai, bi_ = ai[keep], bi_[keep]
+        if len(ai) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(ida[ai], idb[bi_]),
+                "b_id": np.maximum(ida[ai], idb[bi_]),
+                "cosine": sims[ai, bi_],
+            }
+        )
+
+    return (
+        tagged.groupBy("gid")
+        .applyInPandas(score, f"a_id {id_type}, b_id {id_type}, cosine double")
+        .select("a_id", "b_id", "cosine")
     )
 
 

@@ -57,18 +57,27 @@ def sqrt_cells(n: int) -> int:
 
 
 def sized_cells(n: int, slack: float) -> int:
-    """√N sizing derated by the ε-expansion's reach. A probe ball of chord
-    ``slack`` on the unit sphere covers EVERYTHING at slack ≥ 2 (the
-    sphere's diameter): every vector probes every cell whatever k is, so
-    extra cells buy zero candidate pruning and only multiply the
-    (sid, cell, vector) emission shuffle k-fold — there the compact
-    16-cell grid is strictly better (measured at sf0.1/t=0.4: k=44 cost
-    +25% over k=16 for identical output). Derate √N linearly in
-    slack/2 between the regimes; the output is invariant to k by the
-    ε-complete theorem, so this is purely a physical-plan knob."""
+    """√N sizing derated by the ε-expansion's reach — with a block-memory
+    floor. A probe ball of chord ``slack`` on the unit sphere covers
+    EVERYTHING at slack ≥ 2 (the sphere's diameter): every vector probes
+    every cell whatever k is, so extra cells buy zero candidate pruning
+    and only multiply the (sid, cell, vector) emission shuffle k-fold —
+    there the compact grid is better (measured at sf0.1/t=0.4: k=44 cost
+    +25% over k=16 for identical output). But k also sets the PER-CELL
+    BLAS block: the scorer materializes an (|expanded|, |primary|) ≈
+    (n, n/k) similarity matrix per cell, so a small k at large n is an
+    OOM, not a saving (the sf10 invariance probe killed a 48 GB JVM at
+    n=200k, k=16: 200k×12.5k doubles per block). Floor k so a block stays
+    ≤ ~256 MB: k ≥ n²·8 / 256e6. Exactness and output are invariant to k
+    (the ε-complete theorem); total flops at slack ≥ 2 are Θ(n²)
+    WHATEVER k is — inherent to an exact answer on isotropic data at a
+    loose threshold (SCALING.md), so this knob only shapes memory and
+    shuffle, never the asymptotics."""
     k = sqrt_cells(n)
     frac = max(0.0, 1.0 - slack / 2.0)
-    return max(16, int(k * frac))
+    derated = max(16, int(k * frac))
+    block_floor = -(-(n * n * 8) // 256_000_000)  # ceil; sims ≤ 256 MB/cell
+    return max(derated, min(block_floor, max(16, n // 32)))
 
 
 def fit_kmeans(
