@@ -1247,6 +1247,7 @@ def jaccard_prefix_pairs(
     n: int = 3,
     threshold: float = 0.6,
     pandas_shingles: bool = False,
+    join_work_budget: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via PREFIX FILTERING (the PPJoin/
     AllPairs family, Xiao et al. WWW'08 / Bayardo et al. WWW'07 — public):
@@ -1274,7 +1275,16 @@ def jaccard_prefix_pairs(
     quadratic join (~(1-t)² · Σ df² — still 10⁹-row at the sf10 probe
     corpus). This form stays the LOSSLESS spec; survival-grade capping
     with an exact-duplicate floor lives in `ngram_jaccard_pairs`
-    (join_work_budget), and recall-at-scale in `minhash_lsh_pairs`."""
+    (join_work_budget), and recall-at-scale in `minhash_lsh_pairs`.
+
+    ``join_work_budget``: LOUD density guard (the interval_overlap_join
+    pattern). Since a lossy cap would break this form's exactness
+    contract, the only safe degradation is refusal: one aggregation
+    prices the prefix-index self-join work Σ df_prefix² exactly, and a
+    bust raises naming the number and the sanctioned alternatives —
+    failing fast instead of the disk-filling grind the sf10 probe
+    measured (a saturated 500k-doc corpus overflowed 77 GB of shuffle
+    spill). ``None`` disables (run-at-any-cost audit)."""
     shingler = _shingle_sets_pandas if pandas_shingles else _shingle_sets
     src = df if pandas_shingles else spread(df, id_col)  # see ngram note
     sets = (
@@ -1286,6 +1296,24 @@ def jaccard_prefix_pairs(
         F.lit(1), F.size("sh") - F.ceil(F.size("sh") * threshold).cast("int") + 1
     )
     inv = sets.select("sid", F.explode(F.slice("sh", F.lit(1), plen)).alias("g"))
+    if join_work_budget is not None:
+        work = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .agg(F.sum(F.col("_df") * F.col("_df")).cast("long").alias("w"))
+            .collect()[0]["w"]
+            or 0
+        )
+        if work > join_work_budget:
+            sets.unpersist()
+            raise ValueError(
+                f"jaccard_prefix_pairs prefix-join work {work:,} exceeds "
+                f"join_work_budget={join_work_budget:,} — the shingle space "
+                "is saturated and the exact prefix join is quadratic here. "
+                "Use ngram_jaccard_pairs (adaptive cap + exact-duplicate "
+                "floor) or minhash_lsh_pairs (sanctioned approximate path), "
+                "or pass join_work_budget=None to run regardless."
+            )
     cand = (
         inv.alias("a")
         .join(inv.alias("b"), "g")

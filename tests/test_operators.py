@@ -1867,3 +1867,20 @@ def test_ngram_saturated_shingle_space_budget_and_rescue(spark):
     hi_rows = sorted(map(tuple, hi.collect()))
     assert lo_rows == hi_rows
     assert len(hi_rows) == len(set(hi_rows))
+
+
+def test_jaccard_prefix_budget_guard_is_loud(spark):
+    """A saturated shingle space must REFUSE loudly (exactness forbids a
+    lossy cap), never grind: the guard prices the prefix-join work in one
+    aggregation and names the sanctioned alternatives."""
+    import pytest as _pytest
+
+    from arrow_parquet_logs_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(40)], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="join_work_budget"):
+        D.jaccard_prefix_pairs(docs, threshold=0.6, join_work_budget=10)
+    # None disables; small corpora under the default budget run unchanged
+    assert D.jaccard_prefix_pairs(docs, threshold=0.6).count() == 780
