@@ -84,7 +84,10 @@ def test_error_anomaly_past_old_int64_bound(spark, tmp_path):
     spike = 3_200_000_000
     out = str(tmp_path / "anomaly")
     os.makedirs(out, exist_ok=True)
-    base = "TIMESTAMP'2026-01-01 00:00:00'"
+    # NTZ storage like the driver tables: DuckDB then reads plain TIMESTAMP
+    # (tz-adjusted parquet would render CAST(h AS VARCHAR) with a '+00'
+    # suffix and break the string compare), and load_table normalizes.
+    base = "TIMESTAMP_NTZ'2026-01-01 00:00:00'"
     warm = spark.range(14).select(
         F.expr(
             f"CASE WHEN id < 13 THEN {base} + make_interval(0,0,0,0,CAST(id AS INT))"
