@@ -119,14 +119,36 @@ class VersionedTable:
         replay adds/removes/stat-deltas forward. Non-file fields (schema,
         constraints, dv, timestamps, provenance) are NOT chained — every
         manifest, incremental or not, carries them verbatim, so only the
-        O(table)-sized ``files``/``stats`` maps pay the delta encoding."""
+        O(table)-sized ``files``/``stats`` maps pay the delta encoding.
+
+        Lock-free readers can race ``vacuum``: a reader that loaded a
+        SURVIVING delta manifest before vacuum materialized it may walk
+        into a doomed parent that vacuum deletes mid-walk. Vacuum
+        materializes every survivor to full form BEFORE removing any
+        doomed manifest (under the mutate lock), so the recovery is to
+        re-read THIS manifest from disk — by the time a parent read can
+        fail, the survivor is already full (or about to be; bounded
+        retries with backoff cover the window). A FileNotFoundError on
+        the re-read itself means the version being read was vacuumed —
+        that propagates as the genuine read-of-expired-version error."""
         if man.get("format") != "delta":
             return man
-        chain = [man]
-        cur = man
-        while cur.get("format") == "delta":
-            cur = self._read_manifest_raw(f"v{cur['parent']}")
-            chain.append(cur)
+        import time as _time
+
+        for attempt in range(5):
+            try:
+                chain = self._walk_chain(man)
+                break
+            except FileNotFoundError:
+                _time.sleep(0.05 * (attempt + 1))
+                man = self._read_manifest_raw(f"v{man['version']}")
+                if man.get("format") != "delta":
+                    return man
+        else:
+            # parents missing yet this manifest never got materialized:
+            # not a vacuum race — the chain is genuinely broken
+            chain = self._walk_chain(man)
+        cur = chain[-1]
         files = set(cur["files"])
         stats = dict(cur.get("stats", {}))
         for d in reversed(chain[:-1]):
@@ -141,6 +163,17 @@ class VersionedTable:
         out["files"] = sorted(files)
         out["stats"] = stats
         return out
+
+    def _walk_chain(self, man: dict) -> list[dict]:
+        """Parent chain from a delta manifest back to its full checkpoint
+        (inclusive). Raises FileNotFoundError if a parent manifest is gone
+        (see _resolve_manifest's vacuum-race recovery)."""
+        chain = [man]
+        cur = man
+        while cur.get("format") == "delta":
+            cur = self._read_manifest_raw(f"v{cur['parent']}")
+            chain.append(cur)
+        return chain
 
     def _current(self) -> dict:
         cur = os.path.join(self.path, "CURRENT")

@@ -2,7 +2,55 @@
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('128MB', '134217728b', '4m')."""
+    s = str(v).strip().lower()
+    for suf, mult in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mult)
+    return int(s)
+
+
+def estimated_scan_splits(df: DataFrame) -> int:
+    """Estimate how many scan partitions Spark's file bin-packing will
+    actually produce for a file-sourced frame — NOT the raw file count.
+
+    Spark packs files into splits by PADDED size (each file counts as
+    size + ``spark.sql.files.openCostInBytes``, packed to
+    ``spark.sql.files.maxPartitionBytes``), so a corpus of thousands of
+    tiny files can arrive as a handful of tasks (ADVICE r6: a raw
+    file-count gate passes exactly the shape the spread repartition exists
+    to fix) while one big parquet file arrives as MANY splits. The estimate
+    reproduces that arithmetic from local file stats:
+    ``ceil(Σ(size + openCost) / maxPartitionBytes)``. When paths aren't
+    stat-able (object storage), falls back to the file count — the cluster
+    case, where splits are plentiful and the historical behavior stands.
+
+    Raises whatever ``df.inputFiles()`` raises on non-file-sourced plans;
+    callers treat that as "unknown, repartition conservatively".
+    ``inputFiles()`` walks the plan without executing it (``.rdd`` under
+    AQE materializes every upstream stage at construction time)."""
+    files = df.inputFiles()
+    est = len(files)
+    try:
+        spark = df.sparkSession
+        mpb = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        opc = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes"))
+        total = sum(os.path.getsize(urlparse(f).path or f) + opc for f in files)
+        est = -(-total // mpb)  # ceil of the padded bin-pack bound
+    except (OSError, ValueError):
+        pass  # non-local / exotic conf: keep the file-count estimate
+    return est
 
 
 def spread_for_python(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -10,12 +58,13 @@ def spread_for_python(df: DataFrame, min_partitions: int | None = None) -> DataF
 
     A single small parquet file arrives as ONE input split, which would
     serialize the whole Arrow → pandas stage on one core while the rest of
-    the executor pool idles. When the plan has fewer partitions than the
+    the executor pool idles. When the plan has fewer estimated scan SPLITS
+    (``estimated_scan_splits`` — bin-packed, not raw file count) than the
     session's default parallelism, round-robin repartition first — the rows
     are about to cross the JVM↔Python boundary anyway, so the extra exchange
     of the (id, payload) projection is cheap next to the Python work it
     unlocks. At cluster scale (100 TB = tens of thousands of splits) the
-    partition count already exceeds ``defaultParallelism`` and this is a
+    split count already exceeds ``defaultParallelism`` and this is a
     no-op, adding zero shuffles.
 
     Per-row transforms are partition-placement-invariant, so results are
@@ -23,17 +72,10 @@ def spread_for_python(df: DataFrame, min_partitions: int | None = None) -> DataF
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    # df.rdd.getNumPartitions() would be exact, but under AQE merely
-    # accessing .rdd materializes every upstream query stage at
-    # CONSTRUCTION time (getFinalPhysicalPlan runs jobs) — building a plan
-    # must not execute it. inputFiles() walks the plan for file sources
-    # without running anything; scan-rooted frames (every caller here) get
-    # the right answer, and shuffle-rooted frames conservatively take one
-    # extra cheap round-robin exchange.
     try:
-        n_inputs = len(df.inputFiles())
+        n_splits = estimated_scan_splits(df)
     except Exception:
-        n_inputs = 0
-    if n_inputs < target:
+        n_splits = 0  # shuffle-rooted frame: one extra cheap exchange
+    if n_splits < target:
         return df.repartition(target)
     return df

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from arrow_parquet_logs_spark.functions.hashing import hash64
 from arrow_parquet_logs_spark.functions.vector import cosine_sim
-from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+from arrow_parquet_logs_spark.operators._parallel import estimated_scan_splits, spread_for_python
 from arrow_parquet_logs_spark.operators.text import distinct_shingles, token_counts
 
 
@@ -60,15 +60,19 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     shuffle volume for exactness (LSH is the no-text-shuffle path).
 
     No-op when the scan already carries ≥ shuffle-parallelism input
-    splits (the ``spread_for_python`` gate): at cluster scale a 100 TB
+    SPLITS (the ``spread_for_python`` gate): at cluster scale a 100 TB
     table arrives as tens of thousands of splits and repartitioning it
     again would be a pure-loss text shuffle — the gate keeps the fix
     scoped to the small-file case that actually grinds single-threaded.
-    ``inputFiles()`` walks the plan without executing it (``.rdd`` under
-    AQE would run the upstream stages at construction time)."""
+    Splits, not files (ADVICE r6): Spark BIN-PACKS small files into scan
+    partitions by padded size, so thousands of tiny files can still
+    arrive as a handful of tasks — a raw file-count gate passes exactly
+    the corpus shape the repartition exists to fix. The shared
+    ``estimated_scan_splits`` reproduces Spark's packing arithmetic from
+    file stats (file-count fallback on non-stat-able object storage)."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     try:
-        if len(df.inputFiles()) >= n:
+        if estimated_scan_splits(df) >= n:
             return df
     except Exception:
         pass

@@ -32,12 +32,23 @@ def _drain_stream(joined, prefix: str, shuffle_partitions: str | None = "8"):
     at scale: the sf10 probe OOMed an 8 GB driver collecting 5M deduped
     events into the in-memory table. The parquet sink is the production
     shape — executor-distributed writes, lazily read back — so the same
-    query verifies at any SF. Explicit schema on the read-back keeps the
-    empty-result case well-defined."""
+    query verifies at any SF.
+
+    Empty-result contract (ADVICE r6): an availableNow stream that emits
+    zero batches never creates the sink directory, so the read-back gets
+    an explicit ``makedirs`` — with the explicit schema, an empty dir IS
+    a valid empty DataFrame. Drain directories register for process-exit
+    cleanup (they are multi-GB at sf10, × bench reps); cleanup waits for
+    exit rather than a caller-side finally because the returned DataFrame
+    reads the files LAZILY — the caller may collect long after return."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     spark = joined.sparkSession
     root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     out, ck = root + "/rows", root + "/ck"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -55,6 +66,7 @@ def _drain_stream(joined, prefix: str, shuffle_partitions: str | None = "8"):
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    os.makedirs(out, exist_ok=True)
     return spark.read.schema(joined.schema).parquet(out)
 
 

@@ -1,0 +1,76 @@
+"""The spread gates must count bin-packed SPLITS, not raw files.
+
+ADVICE r6: Spark packs small files into scan partitions (maxPartitionBytes /
+openCostInBytes), so a corpus of many tiny files passes a raw file-count
+gate, skips the repartition, and the Python shingler grinds at low
+parallelism — the exact defect spread() was added to fix. These tests write
+a many-tiny-files corpus whose padded bin-pack estimate collapses to a few
+splits and assert both gates still repartition it, and that a frame already
+carrying enough splits is left alone (no pure-loss text shuffle).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from arrow_parquet_logs_spark.operators._parallel import (
+    estimated_scan_splits,
+    spread_for_python,
+)
+from arrow_parquet_logs_spark.operators.dedup import spread
+
+
+@pytest.fixture(scope="module")
+def tiny_files(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tiny") / "docs.parquet")
+    # ~64 tiny files: raw file count beats any local parallelism target,
+    # but padded bin-packing collapses them to ~ceil(64*4MB/128MB) = 2 splits
+    (
+        spark.range(256)
+        .select(F.col("id").alias("doc_id"), F.lit("text body").alias("text"))
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out)
+    assert len(df.inputFiles()) >= 40  # many more files than any local target
+    return df
+
+
+def test_estimated_splits_sees_through_bin_packing(tiny_files):
+    est = estimated_scan_splits(tiny_files)
+    assert est < 8, f"64 tiny files must estimate to a few packed splits, got {est}"
+
+
+def test_spread_repartitions_bin_packed_tiny_files(spark, tiny_files):
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    plan = spread(tiny_files, "doc_id")._jdf.queryExecution().toString()
+    assert "Exchange" in plan or "RoundRobin" in plan or "hashpartitioning" in plan, (
+        "spread() must repartition a bin-packed tiny-file corpus"
+    )
+    assert spread(tiny_files, "doc_id").rdd.getNumPartitions() == n
+
+
+def test_spread_for_python_repartitions_bin_packed_tiny_files(spark, tiny_files):
+    target = spark.sparkContext.defaultParallelism
+    assert spread_for_python(tiny_files).rdd.getNumPartitions() >= min(target, 8)
+
+
+def test_spread_noop_on_wide_scan(spark, tiny_files):
+    # a frame whose ESTIMATE already exceeds the session parallelism is
+    # left untouched: force the estimate up via a tiny maxPartitionBytes
+    prev_m = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_o = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+    try:
+        df = spark.read.parquet(tiny_files.inputFiles()[0].rsplit("/", 1)[0])
+        est = estimated_scan_splits(df)
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert est >= n
+        assert spread(df, "doc_id") is df, "wide scan must not re-shuffle"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_m)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_o)

@@ -485,3 +485,19 @@ def test_transform_with_state_tracker_or_loud_gate(spark, tmp_path):
         ).collect()
     }
     assert final == want
+
+
+def test_drain_stream_zero_batch_returns_empty_frame(spark, sf_dir):
+    """ADVICE r6: an availableNow stream that produces ZERO batches never
+    creates the parquet sink directory — _drain_stream must still return a
+    valid (empty) DataFrame with the declared schema, not path-not-found."""
+    from arrow_parquet_logs_spark.queries.events import _drain_stream
+    from arrow_parquet_logs_spark.sources.tables import read_events_stream
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, sf_dir).where(F.lit(False)).select(
+        "event_id", "event_type"
+    )
+    out = _drain_stream(stream, "drain_empty_")
+    assert out.count() == 0
+    assert out.columns == ["event_id", "event_type"]

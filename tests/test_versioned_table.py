@@ -1218,3 +1218,31 @@ def test_manifest_vacuum_materializes_survivor_deltas(table, spark):
     r = table.restore(5)                       # restore over vacuumed chain
     assert _as_dict(table.read()) == v5 and r["restored_from"] == 5
     assert table.verify()["ok"]
+
+
+def test_reader_racing_vacuum_retries_via_materialized_child(table, spark):
+    """ADVICE r6: a lock-free reader that loaded a surviving DELTA manifest
+    before vacuum materialized it must not crash walking the chain into a
+    vacuumed parent — _resolve_manifest re-reads the survivor from disk
+    (vacuum materializes survivors BEFORE deleting parents, so the re-read
+    finds the full form). Simulated by capturing the raw delta dict, then
+    vacuuming, then resolving the stale dict."""
+    for i in range(5):
+        table.upsert(spark.createDataFrame([(3, "seg0", 200 + i)],
+                                           "k long, seg string, val long"))
+    stale = table._read_manifest_raw("v6")
+    assert stale.get("format") == "delta"
+    expected = table._resolve_manifest(dict(stale))  # resolved pre-vacuum
+    table.vacuum(keep_versions=2)                    # parents v1..v4 gone
+    import os
+    assert not os.path.exists(os.path.join(table.path, "v4", "MANIFEST.json"))
+    got = table._resolve_manifest(dict(stale))       # stale dict, post-vacuum
+    assert got["files"] == expected["files"]
+    assert got.get("stats", {}) == expected.get("stats", {})
+    # a stale delta for a version that was ITSELF vacuumed propagates the
+    # genuine missing-version error (not an infinite retry)
+    stale_doomed = dict(stale)
+    stale_doomed["version"] = 3
+    stale_doomed["parent"] = 2
+    with pytest.raises(FileNotFoundError):
+        table._resolve_manifest(stale_doomed)
