@@ -147,13 +147,32 @@ def pagerank(
         .join(F.broadcast(n_df))
         .join(F.broadcast(ns_df))
     ).persist()  # (node, s, dg, n, ns)
-    ranks = base.select(
-        "node", "s", "dg", "n", "ns",
-        F.expr(f"s * (CAST({scale} AS BIGINT) DIV ns)").alias("r"),
-    ).localCheckpoint(eager=True)
+    # The dangling mass Σ_{dg} R(u) is a scalar of the generation being
+    # checkpointed — it RIDES the checkpoint's own job as an Observation
+    # metric (the k-core/BFS exit-signal pattern) and feeds the NEXT round
+    # as a plain literal. The r6 form ran a separate scan job + 1-row
+    # broadcast per round to recompute it; measured at sf10 that job +
+    # its broadcast exchange were ~40% of the per-iteration fixed cost.
+    from pyspark.sql import Observation
+
+    _dm_metric = (
+        F.coalesce(F.sum(F.when(F.col("dg") == 1, F.col("r"))), F.lit(0))
+        .cast("long")
+        .alias("dm")
+    )
+    obs0 = Observation("pr_dm_init")
+    ranks = (
+        base.select(
+            "node", "s", "dg", "n", "ns",
+            F.expr(f"s * (CAST({scale} AS BIGINT) DIV ns)").alias("r"),
+        )
+        .observe(obs0, _dm_metric)
+        .localCheckpoint(eager=True)
+    )
+    dm_val = int(obs0.get["dm"] or 0)
     p, q = damping_pct, 100 - damping_pct
 
-    for _ in range(iterations):
+    for it in range(iterations):
         rank_side = ranks.select(F.col("node").alias("src"), "r")
         contrib = (
             edges_w.join(F.broadcast(rank_side) if small else rank_side, "src")
@@ -164,11 +183,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        dm_df = ranks.agg(
-            F.coalesce(F.sum(F.when(F.col("dg") == 1, F.col("r"))), F.lit(0))
-            .cast("long")
-            .alias("dm")
-        )
+        obs = Observation(f"pr_dm_{it}")
         nxt = (
             # contrib is NEVER broadcast: its groupBy("node") output is
             # already hash-partitioned on the join key, so the join with
@@ -176,7 +191,6 @@ def pagerank(
             # node-sized aggregate would route it through the driver for
             # nothing, once per iteration.
             base.join(contrib, "node", "left")
-            .join(F.broadcast(dm_df))
             .select(
                 "node",
                 "s",
@@ -185,16 +199,20 @@ def pagerank(
                 "ns",
                 F.expr(
                     f"s * (({q} * CAST({scale} AS BIGINT)) DIV (100 * ns))"
-                    f" + ({p} * (coalesce(c, CAST(0 AS BIGINT)) + s * (dm DIV ns))) DIV 100"
+                    f" + ({p} * (coalesce(c, CAST(0 AS BIGINT))"
+                    f"     + s * (CAST({dm_val} AS BIGINT) DIV ns))) DIV 100"
                 ).alias("r"),
             )
+            # next round's dangling mass observed on THIS materialization
+            .observe(obs, _dm_metric)
             # Eager local checkpoint: materializes this generation (the old
             # persist+count) AND cuts the plan at the loop boundary — each
-            # round references `ranks` twice (contrib, dangling mass), so
-            # an uncut plan doubles per iteration. Checkpoint blocks free
-            # on GC via the ContextCleaner.
+            # round references `ranks` twice (contrib join, next-round
+            # plan), so an uncut plan doubles per iteration. Checkpoint
+            # blocks free on GC via the ContextCleaner.
             .localCheckpoint(eager=True)
         )
+        dm_val = int(obs.get["dm"] or 0)
         ranks = nxt
 
     # The final generation is materialized by its checkpoint; loop-scoped

@@ -26,6 +26,20 @@ Decoding is three-tiered by format:
   partition behavior) stays real and testable while the codec is a
   drop-in later.
 
+  Why MP3 Layer III stays gated (r7 adjudication): unlike FLAC — whose
+  decode is pure ALGORITHM (Rice codes, LPC, CRC polynomials, all
+  closed-form) — a correct Layer III decoder requires two blocks of
+  published table DATA that are not reconstructible from first
+  principles: the Annex-B big-value Huffman code tables (32 arbitrary
+  code tables + count1 table A) and the Table-B.3 polyphase synthesis
+  window (512 tabulated prototype-filter coefficients). This offline
+  environment carries no copy of either (filesystem swept r7), and with
+  no reference decoder, encoder, or sample stream available there is no
+  way to VERIFY tables typed from memory — a from-memory transcription
+  would produce silently wrong audio, strictly worse than this loud
+  gate. The framing/indexer side (header walk, bitrate/duration,
+  reservoir layout) is fully implemented in ``_mp3_frame_index``.
+
 At 100 TB: payloads dominate bytes; store them in their own parquet column
 (or external object store with a URI column) so metadata-only queries never
 read them — exactly what the struct layout + column pruning gives.

@@ -954,40 +954,19 @@ def _bm25_w_sql(term: str) -> str:
     )
 
 
-@register(
-    "docs_bm25_retrieval",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    per AS (SELECT doc_id, len(t) AS dl,
-                   {", ".join(_bm25_tf_sql(t) for t in _BM25_TERMS)}
-            FROM toks),
-    st AS (SELECT count(*) AS n_docs,
-                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-                  {", ".join(f"count(CASE WHEN tf_{t} > 0 THEN 1 END) AS df_{t}" for t in _BM25_TERMS)}
-           FROM per)
-    SELECT doc_id, round(s, 6) AS bm25
-    FROM (SELECT doc_id, {" + ".join(f"({_bm25_w_sql(t)})" for t in _BM25_TERMS)} AS s
-          FROM per, st)
-    WHERE s > 0
-    ORDER BY round(s, 6) DESC, doc_id LIMIT 10
-    """,
-    tags=("text", "retrieval", "bm25"),
-)
-def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-10 for a fixed term query (k1=1.2, b=0.75) — the
-    retrieval scorer a training-data pipeline uses for quality-weighted
-    sampling and search-style eval. One corpus scan computes per-doc term
-    frequencies as array expressions (no explode, no shuffle); document
-    frequencies and avgdl reduce to ONE scalar row that broadcasts back, so
-    the whole query is scan → 1-row agg → scan-side projection → top-k.
-    Every double op evaluates in one pinned order (terms summed
-    left-to-right) so scores are engine- and partition-invariant; ranking is
-    on the rounded score with doc_id tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """Per-document rounded BM25 scores for the fixed ``_BM25_TERMS`` query
+    (k1=1.2, b=0.75) — the scan → 1-row stats agg → scan-side projection
+    shape ``docs_bm25_retrieval`` documents. Returns ``(doc_id, bm25)``
+    for docs with a positive score, unranked; callers rank/limit. Shared
+    by the plain retrieval query and the hybrid RRF fusion
+    (queries/vectorq.py), so the two stay score-identical by
+    construction."""
+    from arrow_parquet_logs_spark.operators import text as X
+
     toks = docs.select("doc_id", X.tokens("text").alias("t"))
+
     def tf_col(term: str) -> F.Column:
-        # factory, not a default-arg lambda: a 2-parameter lambda would be
-        # treated as the (element, index) higher-order-function form
         return F.size(F.filter("t", lambda x: x == F.lit(term)))
 
     per = toks.select(
@@ -1021,7 +1000,43 @@ def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.crossJoin(F.broadcast(stats))
         .select("doc_id", score.alias("s"))
         .where(F.col("s") > 0)
-        .select("doc_id", F.round("s", 6).alias("bm25"), F.round("s", 6).alias("_r"))
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+    )
+
+
+@register(
+    "docs_bm25_retrieval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    per AS (SELECT doc_id, len(t) AS dl,
+                   {", ".join(_bm25_tf_sql(t) for t in _BM25_TERMS)}
+            FROM toks),
+    st AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                  {", ".join(f"count(CASE WHEN tf_{t} > 0 THEN 1 END) AS df_{t}" for t in _BM25_TERMS)}
+           FROM per)
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM (SELECT doc_id, {" + ".join(f"({_bm25_w_sql(t)})" for t in _BM25_TERMS)} AS s
+          FROM per, st)
+    WHERE s > 0
+    ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed term query (k1=1.2, b=0.75) — the
+    retrieval scorer a training-data pipeline uses for quality-weighted
+    sampling and search-style eval. One corpus scan computes per-doc term
+    frequencies as array expressions (no explode, no shuffle); document
+    frequencies and avgdl reduce to ONE scalar row that broadcasts back, so
+    the whole query is scan → 1-row agg → scan-side projection → top-k.
+    Every double op evaluates in one pinned order (terms summed
+    left-to-right) so scores are engine- and partition-invariant; ranking is
+    on the rounded score with doc_id tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs)
+    return (
+        scored.withColumn("_r", F.col("bm25"))
         .orderBy(F.col("_r").desc(), "doc_id")
         .drop("_r")
         .limit(10)
@@ -2906,3 +2921,54 @@ def docs_lexicon_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keyword")
     )
+
+
+@register(
+    "docs_domain_capped_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(concat('cap:', CAST(doc_id AS VARCHAR))), doc_id
+               ) AS rn,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_order, n_source
+    FROM ranked WHERE rn <= 40
+    ORDER BY source, pick_order
+    """,
+    tags=("text", "sampling", "domain-balance", "curation"),
+)
+def docs_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling — the C4/RefinedWeb-style domain-balancing
+    step: cap each source (domain) at 40 documents so no single crawl host
+    dominates the training mixture, choosing WHICH documents survive by a
+    deterministic content-free hash order (md5 of the doc id), not file
+    order — so the sample is identical under any partitioning, ingestion
+    order, or re-run, and adding documents to OTHER domains never changes
+    a domain's picks. ``pick_order``/``n_source`` expose the audit trail
+    (how deep into the quota each pick is; how much the cap discarded).
+
+    Scale shape: one window partitioned by the domain key over a
+    (doc_id, source) projection — column pruning keeps text out of the
+    shuffle. A celebrity domain makes a hot window partition; at 100 TB
+    pre-filter with an approximate per-domain count and salt only the
+    over-cap domains (each salted slice takes ``cap`` picks, then one
+    keys-sized re-rank merges slices), or push the whole thing through
+    ``keep_latest``-style top-K aggregation; the declarative window is
+    the exact spec either path must match."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = docs.select("doc_id", "source").select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("pick_order"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).cast("long").alias("n_source"),
+    )
+    return ranked.where(F.col("pick_order") <= 40).orderBy("source", "pick_order")

@@ -853,3 +853,122 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pred = F.col("label").isin(2, 5) & (F.col("vec_id") % 3 != 0)
     return filtered_topk(emb, emb.where(F.col("vec_id") < 10), pred, k=5)
+
+
+def _rrf_oracle() -> str:
+    from arrow_parquet_logs_spark.queries.textq import (
+        _BM25_TERMS,
+        _TOKS,
+        _bm25_tf_sql,
+        _bm25_w_sql,
+    )
+
+    tf = ", ".join(_bm25_tf_sql(t) for t in _BM25_TERMS)
+    df = ", ".join(
+        f"count(CASE WHEN tf_{t} > 0 THEN 1 END) AS df_{t}" for t in _BM25_TERMS
+    )
+    wsum = " + ".join(f"({_bm25_w_sql(t)})" for t in _BM25_TERMS)
+    cos = _COS.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    per AS (SELECT doc_id, len(t) AS dl, {tf} FROM toks),
+    st AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df}
+           FROM per),
+    trank AS (
+        SELECT doc_id, rt FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY s DESC, doc_id) AS rt
+            FROM (SELECT doc_id, round({wsum}, 6) AS s FROM per, st)
+            WHERE s > 0
+        ) WHERE rt <= 50
+    ),
+    vrank AS (
+        SELECT doc_id, rv FROM (
+            SELECT c.vec_id AS doc_id,
+                   row_number() OVER (ORDER BY {cos} DESC, c.vec_id) AS rv
+            FROM embeddings c
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE c.vec_id != 0
+        ) WHERE rv <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+               CAST(t.rt AS DOUBLE) AS bm25_rank,
+               CAST(v.rv AS DOUBLE) AS cos_rank,
+               COALESCE(1000000000 // (60 + CAST(t.rt AS HUGEINT)), 0)
+             + COALESCE(1000000000 // (60 + CAST(v.rv AS HUGEINT)), 0) AS rrf
+        FROM trank t FULL OUTER JOIN vrank v ON v.doc_id = t.doc_id
+    )
+    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_scaled, bm25_rank, cos_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+
+@register(
+    "docs_hybrid_rrf_retrieval",
+    oracle=_rrf_oracle(),
+    tags=("retrieval", "hybrid", "rrf", "bm25", "similarity"),
+)
+def docs_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. SIGIR'09,
+    public): fuse the BM25 term ranking (queries/textq.bm25_scores — the
+    exact scorer docs_bm25_retrieval gates) with a cosine ranking against a
+    query embedding (vec_id 0), scoring each document
+    Σ_lists 10⁹ DIV (60 + rank) over the lists whose top-50 contain it —
+    the standard way a retrieval pipeline combines lexical and semantic
+    signals without score calibration. The reciprocal is INTEGER (DIV /
+    DuckDB //), so fusion is exact: ranks come from rounded scores with id
+    tie-breaks (both rankings already engine-pinned), and everything after
+    is integer arithmetic — no float fusion drift.
+
+    Scale shape: BM25 is scan → 1-row stats broadcast → scan-side
+    projection; the cosine ranking broadcasts ONE query row across the
+    corpus (the ann_* pattern); each ranking reduces to a top-50 via
+    rank-filter (TakeOrdered-sized, never a global sort of the corpus);
+    the fusion join runs on two ≤50-row frames."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.functions.vector import cosine_sim
+    from arrow_parquet_logs_spark.queries.textq import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    trank = (
+        bm25_scores(docs)
+        .select(
+            "doc_id",
+            F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id")).alias("rt"),
+        )
+        .where(F.col("rt") <= 50)
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    vrank = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_sim("embedding", "q_emb"), 6).alias("cos"),
+        )
+        .select(
+            "doc_id",
+            F.row_number().over(W.orderBy(F.col("cos").desc(), "doc_id")).alias("rv"),
+        )
+        .where(F.col("rv") <= 50)
+    )
+    fused = (
+        trank.join(vrank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("rt").cast("double").alias("bm25_rank"),
+            F.col("rv").cast("double").alias("cos_rank"),
+            (
+                F.coalesce(F.expr("CAST(1000000000 AS BIGINT) DIV (60 + rt)"), F.lit(0))
+                + F.coalesce(F.expr("CAST(1000000000 AS BIGINT) DIV (60 + rv)"), F.lit(0))
+            ).cast("long").alias("rrf_scaled"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_scaled").desc(), "doc_id").limit(20).select(
+        "doc_id", "rrf_scaled", "bm25_rank", "cos_rank"
+    )
