@@ -252,12 +252,19 @@ def hits(
     recycling PageRank does — HITS renormalizes every half-step).
 
     Cost shape per iteration: two score-onto-edges joins + two keyed
-    aggregations (the Pregel shape, twice), plus two one-row broadcast
-    sums; the same size-gated broadcast strategy and per-generation
-    eager-checkpoint hygiene as :func:`pagerank`. Requires a non-empty
-    edge list (the normalizing sums are its invariant)."""
+    aggregations (the Pregel shape, twice). Each half-step's raw
+    contribution frame is eagerly checkpointed with its normalizing sum
+    riding the SAME materialization as an ``Observation`` metric (the
+    pagerank dangling-mass pattern) — the r6 form aggregated the raw
+    frame separately for the 1-row broadcast and then re-executed the
+    whole edge-sized contribution join inside the normalized
+    generation's checkpoint, i.e. the dominant join ran TWICE per
+    half-step. Requires a non-empty edge list (the normalizing sums are
+    its invariant)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    from pyspark.sql import Observation
+
     e = edges.select("src", "dst", F.col("w").cast("long").alias("w")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -272,43 +279,35 @@ def hits(
         "node", F.lit(scale).cast("long").alias("s")
     ).localCheckpoint(eager=True)
     a = None
-    for _ in range(iterations):
-        araw = (
-            e.join(bc(h.select(F.col("node").alias("src"), "s")), "src")
-            .groupBy("dst")
+
+    def half_step(scores: DataFrame, join_key: str, out_key: str, tag: str) -> DataFrame:
+        # contribution frame materializes ONCE; its L1 total rides the
+        # checkpoint job as an observed metric and normalization reads it
+        # back as a literal (exact: DECIMAL(38,0) scale-0 → Python int)
+        obs = Observation(tag)
+        raw = (
+            e.join(bc(scores.select(F.col("node").alias(join_key), "s")), join_key)
+            .groupBy(out_key)
             .agg(F.expr("sum(CAST(s AS DECIMAL(38,0)) * w)").alias("raw"))
+            .observe(obs, F.sum("raw").alias("total"))
+            .localCheckpoint(eager=True)
         )
-        asum = araw.agg(F.sum("raw").alias("total"))
-        a = (
-            nodes.join(bc(araw.select(F.col("dst").alias("node"), "raw")), "node", "left")
-            .join(F.broadcast(asum))
+        total = int(obs.get["total"])
+        return (
+            nodes.join(bc(raw.select(F.col(out_key).alias("node"), "raw")), "node", "left")
             .select(
                 "node",
                 F.expr(
                     f"CAST((coalesce(raw, CAST(0 AS DECIMAL(38,0))) * {scale})"
-                    " DIV total AS BIGINT)"
+                    f" DIV CAST({total} AS DECIMAL(38,0)) AS BIGINT)"
                 ).alias("s"),
             )
             .localCheckpoint(eager=True)
         )
-        hraw = (
-            e.join(bc(a.select(F.col("node").alias("dst"), "s")), "dst")
-            .groupBy("src")
-            .agg(F.expr("sum(CAST(s AS DECIMAL(38,0)) * w)").alias("raw"))
-        )
-        hsum = hraw.agg(F.sum("raw").alias("total"))
-        h = (
-            nodes.join(bc(hraw.select(F.col("src").alias("node"), "raw")), "node", "left")
-            .join(F.broadcast(hsum))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST((coalesce(raw, CAST(0 AS DECIMAL(38,0))) * {scale})"
-                    " DIV total AS BIGINT)"
-                ).alias("s"),
-            )
-            .localCheckpoint(eager=True)
-        )
+
+    for it in range(iterations):
+        a = half_step(h, "src", "dst", f"hits_a{it}")
+        h = half_step(a, "dst", "src", f"hits_h{it}")
     out = (
         h.select("node", F.col("s").alias("hub_scaled"))
         .join(a.select("node", F.col("s").alias("auth_scaled")), "node")
