@@ -935,13 +935,19 @@ def docs_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
+    # top-50 per list via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, driver merges 50·partitions rows) — a global row_number window
+    # would move the WHOLE scored corpus to one partition, the 100 TB
+    # antipattern; ranks are then assigned on the 50-row frames, where a
+    # single-partition window is 50 rows by construction.
     trank = (
         bm25_scores(docs)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
         .select(
             "doc_id",
             F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id")).alias("rt"),
         )
-        .where(F.col("rt") <= 50)
     )
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     vrank = (
@@ -951,11 +957,12 @@ def docs_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             F.round(cosine_sim("embedding", "q_emb"), 6).alias("cos"),
         )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(50)
         .select(
             "doc_id",
             F.row_number().over(W.orderBy(F.col("cos").desc(), "doc_id")).alias("rv"),
         )
-        .where(F.col("rv") <= 50)
     )
     fused = (
         trank.join(vrank, "doc_id", "full_outer")
