@@ -979,3 +979,106 @@ def docs_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_scaled").desc(), "doc_id").limit(20).select(
         "doc_id", "rrf_scaled", "bm25_rank", "cos_rank"
     )
+
+
+def _maxsim_oracle() -> str:
+    # fixed-order sum of the 8 per-slice maxima (a bare SUM() would be
+    # engine-order-dependent float addition; the pivot pins the order)
+    chain = "m0"
+    for i in range(1, 8):
+        chain = f"({chain} + m{i})"
+    pivots = ", ".join(f"max(CASE WHEN i = {i} THEN m END) AS m{i}" for i in range(8))
+    return f"""
+    WITH qs AS (
+        SELECT vec_id AS q_id, i,
+               list_slice(CAST(embedding AS DOUBLE[]), i*8 + 1, i*8 + 8) AS v
+        FROM embeddings CROSS JOIN range(0, 8) t(i) WHERE vec_id < 5
+    ),
+    cs AS (
+        SELECT vec_id, j,
+               list_slice(CAST(embedding AS DOUBLE[]), j*8 + 1, j*8 + 8) AS v
+        FROM embeddings CROSS JOIN range(0, 8) t(j)
+    ),
+    best AS (
+        SELECT q.q_id, c.vec_id, q.i,
+               max(round(list_cosine_similarity(q.v, c.v), 6)) AS m
+        FROM qs q JOIN cs c ON c.vec_id != q.q_id
+        GROUP BY 1, 2, 3
+    ),
+    scores AS (
+        SELECT q_id, vec_id, round({chain}, 6) AS maxsim
+        FROM (SELECT q_id, vec_id, {pivots} FROM best GROUP BY 1, 2)
+    ),
+    r AS (
+        SELECT q_id, vec_id, maxsim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY maxsim DESC, vec_id) AS INT) AS rn
+        FROM scores
+    )
+    SELECT q_id, vec_id, maxsim, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """
+
+
+@register(
+    "ann_maxsim_late_interaction",
+    oracle=_maxsim_oracle(),
+    tags=("similarity", "ann", "late-interaction", "maxsim", "colbert"),
+)
+def ann_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction retrieval (Khattab & Zaharia
+    SIGIR'20, public): each vector is treated as 8 contiguous 8-d token
+    subvectors; score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ) — the query keeps its
+    per-token structure instead of collapsing to one dot product, which is
+    what lets token-level matches (a rare term, a code identifier) win
+    where pooled-vector cosine averages them away. Top-5 per query for a
+    5-query set, scores rounded at 1e-6.
+
+    Determinism: every per-slice cosine is the SAME strict-left-fold
+    kernel the whole registry pins against DuckDB's
+    ``list_cosine_similarity``; maxima of rounded values are exact, and
+    the 8-term sum evaluates in one pinned order (the oracle pivots the
+    per-slice maxima into columns — a bare SUM would be float addition in
+    engine order).
+
+    Scale shape: query slices BROADCAST (5 × 8 subvectors); one candidate
+    scan computes all 64 slice-cosines as codegen expressions per
+    (query, candidate) row — no explode of the corpus, no shuffle before
+    the per-query top-k. Late interaction is inherently ~|q-tokens|×
+    |d-tokens| heavier per pair than pooled cosine: the production path at
+    100 TB is the same two-stage ANN story as the pooled family (IVF/PQ
+    prefilter on the POOLED vector, MaxSim re-rank of the short list —
+    compose `ann_ivfpq_search`'s candidates with this scorer), or an
+    Arrow/BLAS `mapInPandas` scorer if MaxSim must run corpus-wide."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.functions.vector import as_double_array, cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = as_double_array("embedding")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        *[F.slice(dbl, i * 8 + 1, 8).alias(f"q{i}") for i in range(8)],
+    )
+    c = emb.select(
+        "vec_id",
+        *[F.slice(dbl, j * 8 + 1, 8).alias(f"c{j}") for j in range(8)],
+    )
+    pair = c.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
+    best = [
+        F.greatest(
+            *[F.round(cosine_sim(F.col(f"q{i}"), F.col(f"c{j}")), 6) for j in range(8)]
+        )
+        for i in range(8)
+    ]
+    score = best[0]
+    for m in best[1:]:
+        score = score + m
+    scored = pair.select("q_id", "vec_id", F.round(score, 6).alias("maxsim"))
+    rn = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("maxsim").desc(), "vec_id")
+    )
+    return (
+        scored.withColumn("rn", rn.cast("int"))
+        .where(F.col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    )
