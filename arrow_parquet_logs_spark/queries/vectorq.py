@@ -1082,3 +1082,129 @@ def ann_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .orderBy("q_id", "rn")
     )
+
+
+def _maxsim_rerank_oracle() -> str:
+    chain = "m0"
+    for i in range(1, 8):
+        chain = f"({chain} + m{i})"
+    pivots = ", ".join(f"max(CASE WHEN i = {i} THEN m END) AS m{i}" for i in range(8))
+    cos = _COS.format(a="q.qv", b="c.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    pooled AS (
+        SELECT q.q_id, c.vec_id, {cos} AS cosine
+        FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.q_id
+    ),
+    shortlist AS (
+        SELECT q_id, vec_id, cosine FROM (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rn
+            FROM pooled
+        ) WHERE rn <= 50
+    ),
+    qs AS (
+        SELECT vec_id AS q_id, i,
+               list_slice(CAST(embedding AS DOUBLE[]), i*8 + 1, i*8 + 8) AS v
+        FROM embeddings CROSS JOIN range(0, 8) t(i) WHERE vec_id < 5
+    ),
+    cs AS (
+        SELECT s.q_id, s.vec_id, s.cosine, j,
+               list_slice(CAST(e.embedding AS DOUBLE[]), j*8 + 1, j*8 + 8) AS v
+        FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id
+        CROSS JOIN range(0, 8) t(j)
+    ),
+    best AS (
+        SELECT c.q_id, c.vec_id, c.cosine, q.i,
+               max(round(list_cosine_similarity(q.v, c.v), 6)) AS m
+        FROM cs c JOIN qs q ON q.q_id = c.q_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    scores AS (
+        SELECT q_id, vec_id, cosine, round({chain}, 6) AS maxsim
+        FROM (SELECT q_id, vec_id, cosine, {pivots} FROM best GROUP BY 1, 2, 3)
+    ),
+    r AS (
+        SELECT q_id, vec_id, maxsim, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY maxsim DESC, vec_id) AS INT) AS rn
+        FROM scores
+    )
+    SELECT q_id, vec_id, maxsim, cosine, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """
+
+
+@register(
+    "ann_maxsim_rerank",
+    oracle=_maxsim_rerank_oracle(),
+    tags=("similarity", "ann", "late-interaction", "maxsim", "rerank", "two-stage"),
+)
+def ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage late-interaction retrieval — the PRODUCTION shape of
+    `ann_maxsim_late_interaction`: a cheap pooled-cosine shortlist (top-50
+    per query, one broadcast-query scan) prefilters the corpus, and the
+    |q-tokens|×|d-tokens| MaxSim scorer reranks ONLY the 5×50 shortlist
+    pairs — so the expensive interaction cost is shortlist-sized, not
+    corpus-sized, at any SF. This is the standard ColBERT deployment
+    recipe (dense first-stage → late-interaction rerank); swapping the
+    brute-force first stage for `ann_ivfpq_search`'s candidates changes
+    the prefilter's cost, not this operator's contract. Output carries
+    BOTH scores (pooled `cosine`, reranked `maxsim`) so rank movement is
+    auditable. Exact SQL oracle: the shortlist is deterministic (rounded
+    cosine + id tie-break), and the rerank reuses the pinned MaxSim
+    arithmetic of the corpus-wide form."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.functions.vector import as_double_array, cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    pooled = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(cosine_sim("qv", "embedding"), 6).alias("cosine"),
+        )
+    )
+    shortlist = (
+        pooled.withColumn(
+            "prn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+            ),
+        )
+        .where(F.col("prn") <= 50)
+        .drop("prn")
+    )
+    dbl = as_double_array("embedding")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        *[F.slice(dbl, i * 8 + 1, 8).alias(f"q{i}") for i in range(8)],
+    )
+    cand = shortlist.join(
+        emb.select("vec_id", *[F.slice(dbl, j * 8 + 1, 8).alias(f"c{j}") for j in range(8)]),
+        "vec_id",
+    ).join(F.broadcast(qs), "q_id")
+    best = [
+        F.greatest(
+            *[F.round(cosine_sim(F.col(f"q{i}"), F.col(f"c{j}")), 6) for j in range(8)]
+        )
+        for i in range(8)
+    ]
+    score = best[0]
+    for m in best[1:]:
+        score = score + m
+    scored = cand.select("q_id", "vec_id", F.round(score, 6).alias("maxsim"), "cosine")
+    rn = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("maxsim").desc(), "vec_id")
+    )
+    return (
+        scored.withColumn("rn", rn.cast("int"))
+        .where(F.col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    )
