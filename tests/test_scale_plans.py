@@ -251,3 +251,24 @@ def test_orc_partitioned_read_prunes(spark, sf_dir, tmp_path):
     plan = explain_str(q)
     pf = [ln.strip() for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "lang" in pf[0], plan
+
+
+def test_domain_cap_prunes_text_from_scan(spark, sf_dir):
+    """docs_domain_capped_sample claims text never enters the shuffle: the
+    documents scan's ReadSchema must carry only (doc_id, source)."""
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["docs_domain_capped_sample"].fn(spark, sf_dir))
+    schemas = "\n".join(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "doc_id" in schemas and "source" in schemas, plan
+    assert "text" not in schemas and "n_chars" not in schemas, schemas
+
+
+def test_hybrid_rrf_topk_is_take_ordered(spark, sf_dir):
+    """docs_hybrid_rrf_retrieval's per-list top-50 must reduce through
+    TakeOrderedAndProject (per-partition heaps), never a single-partition
+    global sort of the scored corpus."""
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["docs_hybrid_rrf_retrieval"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
