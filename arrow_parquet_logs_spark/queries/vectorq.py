@@ -1208,3 +1208,96 @@ def ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .orderBy("q_id", "rn")
     )
+
+
+@register(
+    "dedup_semantic_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a_id, b_id FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   {_COS.format(a='a.embedding', b='b.embedding')} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.4
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cc AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    members AS (
+        SELECT e.vec_id, COALESCE(cc.cluster_id, e.vec_id) AS cluster_id,
+               COALESCE(d.n_chars, 0) AS quality
+        FROM embeddings e
+        LEFT JOIN cc ON cc.id = e.vec_id
+        LEFT JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, cluster_id, quality,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality DESC, vec_id) AS rn
+        FROM members
+    ),
+    keepers AS (SELECT cluster_id, vec_id AS keep_id FROM ranked WHERE rn = 1)
+    SELECT m.vec_id, m.cluster_id, k.keep_id, m.vec_id = k.keep_id AS is_kept
+    FROM members m JOIN keepers k ON k.cluster_id = m.cluster_id
+    ORDER BY m.vec_id
+    """,
+    tags=("dedup", "similarity", "clusters", "quality", "iterative"),
+)
+def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware SemDeDup: same semantic clusters as
+    `dedup_semantic_keep` (ε-complete near-dup pairs → connected
+    components), but the canonical survivor per cluster is the
+    HIGHEST-QUALITY member (here `documents.n_chars` as the quality
+    signal, ties to the smaller id) instead of the smallest id — what a
+    real curation pipeline keeps, since near-duplicate clusters usually
+    contain one full document plus truncated/boilerplate variants. The
+    keep decision is a cluster-keyed window over the CLUSTERS-sized
+    member frame (never corpus-wide), quality joins in by id, and
+    singletons keep themselves. Same brute-force-pairs + recursive-
+    closure oracle as the min-id form, extended with the argmax replay —
+    so the quality selection itself is hash-gated, not just the
+    clustering."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("quality")
+    )
+    pairs = embedding_dup_pairs_fast(emb, threshold=0.4)
+    cc = connected_components(pairs).withColumnRenamed("doc_id", "id")
+    members = (
+        emb.select("vec_id")
+        .join(cc, emb["vec_id"] == cc["id"], "left")
+        .join(docs, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            F.coalesce("quality", F.lit(0)).alias("quality"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), "vec_id")
+    )
+    keepers = (
+        members.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("vec_id").alias("keep_id"))
+    )
+    return (
+        members.join(keepers, "cluster_id")
+        .select(
+            "vec_id", "cluster_id", "keep_id",
+            (F.col("vec_id") == F.col("keep_id")).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
