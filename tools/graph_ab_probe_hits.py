@@ -1,0 +1,45 @@
+"""Side-by-side sf10 probe: r6 hits (normalizing sum re-executes the
+edge-sized contribution join per half-step) vs r7 (raw frame checkpointed
+once, total rides it as an Observation metric)."""
+import importlib.util, os, sys, time
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
+sys.path.insert(0, "/root/repo")
+from arrow_parquet_logs_spark.session import get_spark
+from arrow_parquet_logs_spark.sources.tables import load_table
+from pyspark.sql import functions as F
+
+spec = importlib.util.spec_from_file_location("graph_r6", "/tmp/graph_r6.py")
+g6 = importlib.util.module_from_spec(spec); spec.loader.exec_module(g6)
+from arrow_parquet_logs_spark.operators import graph as g7
+
+spark = get_spark("hits-probe")
+sf = "/root/repo/.scale_data/sf10"
+li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+edges = (
+    li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    .groupBy(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    .agg(F.count(F.lit(1)).cast("long").alias("w"))
+)
+
+def run(mod):
+    t = time.time()
+    out = mod.hits(edges, iterations=2)
+    n = out.orderBy(F.desc("auth_scaled"), "node").limit(20).count()
+    assert n == 20
+    return time.time() - t
+
+res = {"r6": [], "r7": []}
+for rep in range(2):
+    for name, mod in (("r6", g6), ("r7", g7)):
+        res[name].append(run(mod))
+        print(f"rep{rep} {name}: {res[name][-1]:.1f}s", flush=True)
+print({k: round(min(v), 1) for k, v in res.items()})
+a = g6.hits(edges, iterations=2).orderBy("node").collect()
+b = g7.hits(edges, iterations=2).orderBy("node").collect()
+assert a == b, "hits drift between forms!"
+print("VALUES IDENTICAL", len(a))
