@@ -9,6 +9,13 @@ from arrow_parquet_logs_spark.session import get_spark
 from arrow_parquet_logs_spark.sources.tables import load_table
 from pyspark.sql import functions as F
 
+# r6 baseline = operators/graph.py BEFORE the r7 Observation changes
+# (both landed in commit 26f9622; bce3b69 is its pre-change ancestor)
+if not os.path.exists("/tmp/graph_r6.py"):
+    os.system(
+        "git -C /root/repo show bce3b69:arrow_parquet_logs_spark/operators/graph.py"
+        " > /tmp/graph_r6.py"
+    )
 spec = importlib.util.spec_from_file_location("graph_r6", "/tmp/graph_r6.py")
 g6 = importlib.util.module_from_spec(spec); spec.loader.exec_module(g6)
 from arrow_parquet_logs_spark.operators import graph as g7
