@@ -29,6 +29,7 @@ QUERIES = [
     "dedup_simhash_pairs",
     "dedup_clusters",
     "dedup_semantic_keep",
+    "dedup_semantic_keep_best",  # r7: same quadratic-ORACLE class as semantic_keep
     "dedup_embedding_cosine_fast",
     "docs_span_dedup",
     "docs_exact_dedup",
