@@ -1301,3 +1301,106 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "embeddings_triplet_margin_audit",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.q_id, q.q_label, c.vec_id, c.label,
+               {_COS.format(a='q.qv', b='c.embedding')} AS cosine
+        FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.q_id
+    ),
+    pos AS (
+        SELECT q_id, vec_id AS hardest_pos_id, cosine AS hardest_pos FROM (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored WHERE label = q_label
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT q_id, vec_id AS hardest_neg_id, cosine AS hardest_neg FROM (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored WHERE label != q_label
+        ) WHERE rn = 1
+    )
+    SELECT q.q_id, CAST(q.q_label AS INTEGER) AS label,
+           p.hardest_pos_id, p.hardest_pos,
+           n.hardest_neg_id, n.hardest_neg,
+           round(p.hardest_pos - n.hardest_neg, 6) AS margin,
+           p.hardest_pos - n.hardest_neg > 0 AS separated
+    FROM q LEFT JOIN pos p ON p.q_id = q.q_id
+           LEFT JOIN neg n ON n.q_id = q.q_id
+    ORDER BY q.q_id
+    """,
+    tags=("similarity", "contrastive", "triplet", "audit"),
+)
+def embeddings_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin audit for contrastive embedding training: per query,
+    the HARDEST POSITIVE (most-similar same-label vector) and HARDEST
+    NEGATIVE (most-similar different-label vector) with the margin between
+    them — the miner every metric-learning pipeline runs to pick training
+    triplets and the audit that says whether an embedding space separates
+    its classes (`separated` = hardest-positive beats hardest-negative).
+    Argmaxes rank on the ROUNDED cosine with id tie-breaks, so both
+    engines pick identical exemplars; the margin subtracts the two
+    rounded doubles (one pinned IEEE op) and rounds once more.
+
+    Scale shape: the query set broadcasts (the ann_* pattern); one
+    candidate scan scores everything; the per-query argmaxes are two
+    rank-1 window selections. At 100 TB you'd mine from an ANN shortlist
+    per query (compose with `ann_ivfpq_search`) instead of the full scan
+    — same contract, prefiltered candidates."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.functions.vector import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "q_label", "vec_id", "label",
+            F.round(cosine_sim("qv", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+
+    def argmax(side, id_alias, cos_alias):
+        return (
+            side.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "q_id",
+                F.col("vec_id").alias(id_alias),
+                F.col("cosine").alias(cos_alias),
+            )
+        )
+
+    pos = argmax(scored.where(F.col("label") == F.col("q_label")),
+                 "hardest_pos_id", "hardest_pos")
+    neg = argmax(scored.where(F.col("label") != F.col("q_label")),
+                 "hardest_neg_id", "hardest_neg")
+    return (
+        q.select("q_id", F.col("q_label").cast("int").alias("label"))
+        .join(pos, "q_id", "left")
+        .join(neg, "q_id", "left")
+        .select(
+            "q_id", "label",
+            "hardest_pos_id", "hardest_pos",
+            "hardest_neg_id", "hardest_neg",
+            F.round(F.col("hardest_pos") - F.col("hardest_neg"), 6).alias("margin"),
+            (F.col("hardest_pos") - F.col("hardest_neg") > 0).alias("separated"),
+        )
+        .orderBy("q_id")
+    )

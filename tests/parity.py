@@ -68,6 +68,7 @@ _BROADCAST_NL_OK = {
     "ann_cosine_topk",                  # broadcast query set × corpus
     "ann_maxsim_late_interaction",      # broadcast sliced query set × corpus
     "ann_maxsim_rerank",                # broadcast query set + sliced-query rerank
+    "embeddings_triplet_margin_audit",  # broadcast query set × corpus
     "ann_ivf_kmeans",                   # broadcast query set, pruned cells
     "ann_ivfpq_search",                 # broadcast rerank query set
     "ann_pq_rerank",                    # broadcast rerank query set
