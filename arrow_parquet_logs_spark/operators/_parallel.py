@@ -46,11 +46,25 @@ def estimated_scan_splits(df: DataFrame) -> int:
         spark = df.sparkSession
         mpb = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
         opc = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes"))
+        # short-circuit before any stat syscall: open-cost padding alone
+        # lower-bounds the split count at len(files)·opc/mpb, so a huge
+        # file list that is provably parallel enough for EVERY gate target
+        # (shuffle partitions and defaultParallelism) never pays a
+        # driver-side sweep of tens of thousands of getsize calls
+        floor_est = (len(files) * opc) // mpb
+        if floor_est >= _max_gate_target(spark):
+            return int(floor_est)
         total = sum(os.path.getsize(urlparse(f).path or f) + opc for f in files)
         est = -(-total // mpb)  # ceil of the padded bin-pack bound
     except (OSError, ValueError):
         pass  # non-local / exotic conf: keep the file-count estimate
     return est
+
+
+def _max_gate_target(spark) -> int:
+    """The largest parallelism target any spread gate compares against."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(n, spark.sparkContext.defaultParallelism)
 
 
 def spread_for_python(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -1179,12 +1179,14 @@ def _all_pairs_blocked(
     n_blocks = max(1, -(-n_emb // block_rows))
     id_type = dict(emb.dtypes)[id_col]
     # tiny-corpus floor (judge r6): at n ≤ 2·block_rows the full (n × n)
-    # similarity matrix is ≤ 8192²·8 B = 537 MB transient — one BLAS call
-    # on one task, well inside an executor — so skip the block machinery
-    # entirely: no broadcast pair frame, no 2× row replication, one
-    # groupBy-constant shuffle of n rows straight into a triangular
-    # scorer. Above the floor the ≤134 MB per-block contract resumes
-    # unchanged (the sf10 regime is untouched).
+    # similarity matrix is ≤ 8192²·8 B = 537 MB (peak transient 2× that —
+    # sims + the norm-product matrix; the scorer divides and rounds in
+    # place) — one BLAS call on one task, well inside an executor — so
+    # skip the block machinery entirely: no broadcast pair frame, no 2×
+    # row replication, one groupBy-constant shuffle of n rows straight
+    # into a triangular scorer. Above the floor the per-block contract
+    # resumes unchanged (134 MB retained, ~2× transient; the sf10 regime
+    # is untouched).
     if n_emb <= 2 * block_rows:
 
         def score_single(pdf):
@@ -1198,7 +1200,15 @@ def _all_pairs_blocked(
             ids = pdf["sid"].to_numpy()[live]
             if len(ids) < 2:
                 return empty
-            sims = np.round((X @ X.T) / np.outer(nr, nr), 6)
+            # identical arithmetic to the blocked scorer (one divide by the
+            # norm product, one round) but in place: peak transient is two
+            # n-by-n arrays (sims + denom, ~1.07 GB at the n = 2*block_rows
+            # ceiling), not four
+            sims = X @ X.T
+            denom = np.outer(nr, nr)
+            np.divide(sims, denom, out=sims)
+            del denom
+            np.round(sims, 6, out=sims)
             ai, bi_ = np.nonzero(sims >= threshold)
             keep = ids[ai] < ids[bi_]  # each unordered pair once
             ai, bi_ = ai[keep], bi_[keep]
@@ -1263,7 +1273,14 @@ def _all_pairs_blocked(
         XB, nb, idb = XB[lb], nb[lb], B["sid"].to_numpy()[lb]
         if len(ida) == 0 or len(idb) == 0:
             return empty
-        sims = np.round((XA @ XB.T) / np.outer(na, nb), 6)
+        # in place (same single divide + round, bit-identical): peak is two
+        # block-sized arrays, keeping the per-task transient at ~2x the
+        # documented 134 MB block instead of 4x
+        sims = XA @ XB.T
+        denom = np.outer(na, nb)
+        np.divide(sims, denom, out=sims)
+        del denom
+        np.round(sims, 6, out=sims)
         ai, bi_ = np.nonzero(sims >= threshold)
         keep = ida[ai] != idb[bi_]
         # the diagonal group (bi == bj) holds the SAME block on both

@@ -962,8 +962,6 @@ def bm25_scores(docs: DataFrame) -> DataFrame:
     by the plain retrieval query and the hybrid RRF fusion
     (queries/vectorq.py), so the two stay score-identical by
     construction."""
-    from arrow_parquet_logs_spark.operators import text as X
-
     toks = docs.select("doc_id", X.tokens("text").alias("t"))
 
     def tf_col(term: str) -> F.Column:

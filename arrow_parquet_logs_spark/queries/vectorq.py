@@ -877,9 +877,13 @@ def _rrf_oracle() -> str:
            FROM per),
     trank AS (
         SELECT doc_id, rt FROM (
+            -- filter on the UNROUNDED score (exactly bm25_scores' s > 0
+            -- gate) and rank on the rounded one: at huge N a score in
+            -- (0, 5e-7) rounds to 0 and a rounded-filter oracle would
+            -- drop a doc the implementation keeps
             SELECT doc_id,
-                   row_number() OVER (ORDER BY s DESC, doc_id) AS rt
-            FROM (SELECT doc_id, round({wsum}, 6) AS s FROM per, st)
+                   row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rt
+            FROM (SELECT doc_id, {wsum} AS s FROM per, st)
             WHERE s > 0
         ) WHERE rt <= 50
     ),

@@ -10,12 +10,20 @@ from arrow_parquet_logs_spark.sources.tables import load_table
 from pyspark.sql import functions as F
 
 # r6 baseline = operators/graph.py BEFORE the r7 Observation changes
-# (both landed in commit 26f9622; bce3b69 is its pre-change ancestor)
-if not os.path.exists("/tmp/graph_r6.py"):
-    os.system(
-        "git -C /root/repo show bce3b69:arrow_parquet_logs_spark/operators/graph.py"
-        " > /tmp/graph_r6.py"
-    )
+# (both landed in commit 26f9622; bce3b69 is its pre-change ancestor).
+# checked extraction, never a cached stale/empty file: a failed `git show`
+# with a shell redirect still creates the file, and an exists-guard would
+# then pin the wrong baseline forever.
+import subprocess
+
+_r6_src = subprocess.run(
+    ["git", "-C", "/root/repo", "show",
+     "bce3b69:arrow_parquet_logs_spark/operators/graph.py"],
+    check=True, capture_output=True, text=True,
+).stdout
+assert "def pagerank" in _r6_src and "def hits" in _r6_src, "bad r6 extraction"
+with open("/tmp/graph_r6.py", "w") as _fh:
+    _fh.write(_r6_src)
 spec = importlib.util.spec_from_file_location("graph_r6", "/tmp/graph_r6.py")
 g6 = importlib.util.module_from_spec(spec); spec.loader.exec_module(g6)
 from arrow_parquet_logs_spark.operators import graph as g7
