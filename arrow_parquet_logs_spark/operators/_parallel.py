@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import os
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -54,10 +54,27 @@ def estimated_scan_splits(df: DataFrame) -> int:
         floor_est = (len(files) * opc) // mpb
         if floor_est >= _max_gate_target(spark):
             return int(floor_est)
-        total = sum(os.path.getsize(urlparse(f).path or f) + opc for f in files)
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                # object storage / remote FS: not stat-able from the driver;
+                # splits are plentiful there — keep the file-count estimate
+                return est
+            try:
+                # inputFiles() returns percent-encoded URIs (spaces, '%',
+                # non-ASCII in paths) — unquote before stat, or every such
+                # corpus would "fail stats" (ADVICE r7)
+                total += os.path.getsize(unquote(u.path) or f) + opc
+            except OSError:
+                # a LOCAL path that cannot be statted means the estimate is
+                # unknowable, not that files are plentiful: fall back to 0 so
+                # the gate repartitions conservatively instead of reintroducing
+                # the many-tiny-files blind spot (ADVICE r7)
+                return 0
         est = -(-total // mpb)  # ceil of the padded bin-pack bound
-    except (OSError, ValueError):
-        pass  # non-local / exotic conf: keep the file-count estimate
+    except ValueError:
+        pass  # exotic size conf: keep the file-count estimate
     return est
 
 

@@ -1193,6 +1193,10 @@ def _all_pairs_blocked(
             import pandas as pd
 
             empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+            # same id-dedup contract as the blocked scorer (ADVICE r7): a
+            # corpus with duplicate ids must not emit duplicate/extra pairs
+            # on the floor path either
+            pdf = pdf.drop_duplicates(subset=["sid"])
             X = np.array(list(pdf["v"]), dtype=np.float64)
             nr = np.sqrt((X * X).sum(axis=1))
             live = nr > 0

@@ -292,7 +292,19 @@ def hits(
             .observe(obs, F.sum("raw").alias("total"))
             .localCheckpoint(eager=True)
         )
-        total = int(obs.get["total"])
+        total_raw = obs.get["total"]
+        if total_raw is None:
+            # a NULL observed sum means either the DECIMAL(38,0) contribution
+            # sum overflowed (non-ANSI NULL-on-overflow) or every node
+            # contributed zero (degenerate all-zero scores / empty edge set);
+            # dividing by it would crash with an opaque TypeError — fail loud
+            # and name the condition instead (ADVICE r7)
+            raise ValueError(
+                f"hits_scores {tag}: normalization total is NULL — "
+                "DECIMAL(38,0) contribution-sum overflow or an empty/all-zero "
+                "contribution frame; the graph cannot be normalized"
+            )
+        total = int(total_raw)
         return (
             nodes.join(bc(raw.select(F.col(out_key).alias("node"), "raw")), "node", "left")
             .select(

@@ -275,7 +275,11 @@ def ivf_search(
     default — it is the full-scan stage; ``pandas_assign=False`` keeps the
     expression form. Query-side probe selection stays Catalyst either way
     (the query batch is small by definition)."""
-    from arrow_parquet_logs_spark.operators.similarity import _cos, _with_vec_and_norm
+    from arrow_parquet_logs_spark.operators.similarity import (
+        _cos,
+        _ranked,
+        _with_vec_and_norm,
+    )
 
     assigner = assign_cells_pandas if pandas_assign else assign_cells
     cells = assigner(emb, centroids, vec_col)
@@ -301,13 +305,9 @@ def ivf_search(
         .where(F.col("c_id") != F.col("q_id"))
         .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= k)
-        .select("q_id", "vec_id", "cosine", "rn")
-        .orderBy("q_id", "rn")
-    )
+    # shared two-stage ranker (similarity._ranked): partial top-k per
+    # partition first, so probed-cell pair rows never funnel into Q windows
+    return _ranked(pairs, k)
 
 
 def save_index(spark, centroids: list[list[float]], path: str) -> None:
@@ -395,7 +395,11 @@ def search_materialized(
     filter — the plan touches only probed directories. Scoring/ranking are
     identical to the in-memory form (same contract, same results).
     """
-    from arrow_parquet_logs_spark.operators.similarity import _cos, _with_vec_and_norm
+    from arrow_parquet_logs_spark.operators.similarity import (
+        _cos,
+        _ranked,
+        _with_vec_and_norm,
+    )
 
     v = as_double_array(vec_col)
     dists = F.array(
@@ -418,10 +422,6 @@ def search_materialized(
         .where(F.col("c_id") != F.col("q_id"))
         .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= k)
-        .select("q_id", "vec_id", "cosine", "rn")
-        .orderBy("q_id", "rn")
-    )
+    # shared two-stage ranker (similarity._ranked): partial top-k per
+    # partition first, so probed-cell pair rows never funnel into Q windows
+    return _ranked(pairs, k)

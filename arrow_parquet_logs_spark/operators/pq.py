@@ -273,6 +273,12 @@ def pq_adc_topk(
     codes = encode_pq(emb, codebooks, id_col, vec_col)
     lut = adc_lut(queries, codebooks, id_col, vec_col)
     scored = adc_scores(codes, lut, id_col).where(F.col("q_id") != F.col(id_col))
+    # partial top-k first (operators.topk): the per-query window then ranks
+    # ≤ k·P rows instead of shuffling the whole ADC-scored corpus into Q
+    # partitions — integer scores, same (score desc, id asc) order
+    from arrow_parquet_logs_spark.operators.topk import partial_topk
+
+    scored = partial_topk(scored, ["q_id"], [("score", False), (id_col, True)], k)
     w = W.partitionBy("q_id").orderBy(F.desc("score"), F.col(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -645,6 +651,12 @@ def search_ivfpq(
     )
     from pyspark.sql.window import Window as W
 
+    from arrow_parquet_logs_spark.operators.topk import partial_topk
+
+    # partial bottom-`rerank` first (operators.topk): the probed-cell ADC
+    # frame never funnels into Q window partitions — the window ranks the
+    # ≤ rerank·P survivors on the same (adist asc, id asc) order
+    approx = partial_topk(approx, ["q_id"], [("adist", True), (id_col, True)], rerank)
     wnd = W.partitionBy("q_id").orderBy(F.col("adist"), F.col(id_col))
     cand = approx.withColumn("arn", F.row_number().over(wnd)).where(F.col("arn") <= rerank)
 

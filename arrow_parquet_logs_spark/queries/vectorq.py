@@ -14,6 +14,7 @@ from arrow_parquet_logs_spark.operators.dedup import (
     embedding_dup_pairs,
     embedding_dup_pairs_fast,
 )
+from arrow_parquet_logs_spark.operators.topk import partial_topk
 from arrow_parquet_logs_spark.queries.catalog import register
 from arrow_parquet_logs_spark.sources.tables import load_table
 
@@ -1078,6 +1079,10 @@ def ann_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in best[1:]:
         score = score + m
     scored = pair.select("q_id", "vec_id", F.round(score, 6).alias("maxsim"))
+    # partial top-k first (operators.topk): the final per-query window ranks
+    # ≤ 5·P survivors instead of shuffling the whole scored corpus into 5
+    # partitions — same total order (maxsim desc, vec_id asc), bit-unchanged
+    scored = partial_topk(scored, ["q_id"], [("maxsim", False), ("vec_id", True)], 5)
     rn = F.row_number().over(
         W.partitionBy("q_id").orderBy(F.col("maxsim").desc(), "vec_id")
     )
@@ -1175,6 +1180,11 @@ def ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_sim("qv", "embedding"), 6).alias("cosine"),
         )
     )
+    # partial top-50 first (operators.topk, ADVICE r7): the stage-1 window
+    # previously funneled ALL scored corpus rows per query into 5 partitions;
+    # pruning is lossless on the same (cosine desc, vec_id asc) order, so the
+    # window ranks ≤ 50·P rows and the shortlist is bit-unchanged
+    pooled = partial_topk(pooled, ["q_id"], [("cosine", False), ("vec_id", True)], 50)
     shortlist = (
         pooled.withColumn(
             "prn",
@@ -1381,6 +1391,10 @@ def embeddings_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFra
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
 
     def argmax(side, id_alias, cos_alias):
+        # partial top-1 first (operators.topk): the rank-1 window then sees
+        # ≤ P rows per query instead of the whole scored side — same
+        # (cosine desc, vec_id asc) order, identical argmax
+        side = partial_topk(side, ["q_id"], [("cosine", False), ("vec_id", True)], 1)
         return (
             side.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)

@@ -58,6 +58,24 @@ def test_spread_for_python_repartitions_bin_packed_tiny_files(spark, tiny_files)
     assert spread_for_python(tiny_files).rdd.getNumPartitions() >= min(target, 8)
 
 
+def test_estimated_splits_unquotes_percent_encoded_paths(spark, tmp_path):
+    """ADVICE r7: inputFiles() returns percent-encoded URIs; a path with a
+    space must still stat (estimate collapses), not silently fall back to
+    the raw file count and reopen the bin-packing blind spot."""
+    out = str(tmp_path / "dir with space" / "docs.parquet")
+    (
+        spark.range(64)
+        .select(F.col("id").alias("doc_id"))
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out)
+    assert any("%20" in f or " " in f for f in df.inputFiles())
+    est = estimated_scan_splits(df)
+    assert est < 8, f"16 tiny files in an encoded path must bin-pack, got {est}"
+
+
 def test_spread_noop_on_wide_scan(spark, tiny_files):
     # a frame whose ESTIMATE already exceeds the session parallelism is
     # left untouched: force the estimate up via a tiny maxPartitionBytes
