@@ -180,6 +180,128 @@ def brute_force_topk_pandas(
     return _ranked(pairs, k)
 
 
+def maxsim_topk_pandas(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_slices: int = 8,
+    sub: int = 8,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """ColBERT MaxSim via blocked BLAS — the Arrow-batched scorer the
+    late-interaction docstring routes to when MaxSim must run corpus-wide
+    (queries/vectorq.ann_maxsim_late_interaction): each vector is n_slices
+    contiguous sub-d token slices; score(q, c) = Σᵢ maxⱼ cos(qᵢ, cⱼ).
+
+    Same arithmetic contract as the Catalyst slice-expression scorer, so
+    the two implementations cross-check bit-for-bit (the
+    ann_ivfpq_maxsim_rerank gate): per-slice cosines round at 1e-6, maxima
+    of rounded values, the n_slices-term sum accumulates in one pinned
+    left-fold order, one final 1e-6 round. Each ``mapInPandas`` batch
+    computes all slice-cosines as one einsum and emits only its per-query
+    top-k on (maxsim desc, id asc) — the partial-top-k shape, so ranking
+    shuffles ≤ Q·k·P rows at any corpus size. Self-pairs are excluded.
+
+    ``pairs`` (a small (q_id, vec_id) candidate frame, e.g. an IVF-PQ
+    shortlist) restricts scoring to those pairs — the two-stage rerank
+    form; it is collected driver-side and must be shortlist-sized."""
+    import numpy as np
+
+    sc = emb.sparkSession.sparkContext
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, vec_id long, maxsim double, rn int"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64).reshape(
+        len(q_rows), n_slices, sub
+    )
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=2))  # (Q, n_slices)
+    allowed = None
+    if pairs is not None:
+        allowed = {}
+        for r in pairs.select("q_id", "vec_id").collect():
+            allowed.setdefault(int(r[0]), set()).add(int(r[1]))
+        allowed = {q: np.array(sorted(v), dtype=np.int64) for q, v in allowed.items()}
+    bq = sc.broadcast((q_ids, q_mat, q_norm, allowed))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, qm, qn, allow = bq.value
+        nq = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64).reshape(
+                len(pdf), n_slices, sub
+            )
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=2))  # (B, n_slices)
+            # all slice-cosines at once: (B, Q, n_slices_q, n_slices_c)
+            dots = np.einsum("qid,bjd->bqij", qm, c_mat)
+            denom = qn[None, :, :, None] * c_norm[:, None, None, :]
+            cos = np.round(dots / denom, 6)
+            best = cos.max(axis=3)  # (B, Q, n_slices_q): maxⱼ per query token
+            # pinned left-fold sum — np.sum's pairwise order would diverge
+            # from the Catalyst chain in the last ulps before the round
+            s = best[:, :, 0]
+            for i in range(1, n_slices):
+                s = s + best[:, :, i]
+            sims = np.round(s, 6)  # (B, Q)
+            m = min(k + 1, sims.shape[0])
+            out_q, out_id, out_ms = [], [], []
+            for qi in range(nq):
+                col = sims[:, qi]
+                if allow is not None:
+                    mask = np.isin(c_ids, allow.get(int(ids[qi]), np.array([], dtype=np.int64)))
+                    if not mask.any():
+                        continue
+                    cc, cm = c_ids[mask], col[mask]
+                else:
+                    cc, cm = c_ids, col
+                sel = cc != ids[qi]  # self-pair exclusion
+                cc, cm = cc[sel], cm[sel]
+                if len(cc) == 0:
+                    continue
+                mm = min(m, len(cc))
+                order = np.lexsort((cc, -cm))[:mm]
+                out_q.append(np.full(mm, ids[qi], dtype=np.int64))
+                out_id.append(cc[order])
+                out_ms.append(cm[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "maxsim": np.concatenate(out_ms),
+                }
+            )
+
+    src = emb.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+    if pairs is None:
+        src = spread_for_python(src)
+    else:
+        # two-stage form: only shortlist members reach the scorer at all
+        src = src.join(
+            F.broadcast(pairs.select(F.col("vec_id").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+    scored = src.mapInPandas(score, schema="q_id long, vec_id long, maxsim double")
+    w = W.partitionBy("q_id").orderBy(F.col("maxsim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select("q_id", "vec_id", "maxsim", "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
 def knn_label_vote(
     emb: DataFrame,
     queries: DataFrame,

@@ -71,6 +71,7 @@ _BROADCAST_NL_OK = {
     "embeddings_triplet_margin_audit",  # broadcast query set × corpus
     "ann_ivf_kmeans",                   # broadcast query set, pruned cells
     "ann_ivfpq_search",                 # broadcast rerank query set
+    "ann_ivfpq_maxsim_rerank",          # broadcast query set (gate's exact MaxSim reference)
     "ann_pq_rerank",                    # broadcast rerank query set
     "knn_label_vote",                   # broadcast query set × corpus
     "events_kmv_type_overlap",          # sketch × sketch pair grid (≤ |types|²
