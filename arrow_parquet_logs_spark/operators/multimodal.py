@@ -19,8 +19,12 @@ Decoding is three-tiered by format:
   the PNG inflate. **WebP lossless (VP8L)** decodes for real too — see the
   VP8L section below. Decode and nearest-neighbor resize are exact pixel
   math (JPEG is float IDCT with pinned round-half-up), byte-level tested.
-- genuinely library-bound formats (lossy VP8, MP3/video codecs) are
-  absent in this environment: ``NotImplementedError`` unless ``allow_fake=True``, which
+- genuinely DATA-blocked formats (lossy VP8, MP3 decode, inter-frame
+  video — the codec program's CLOSED final gate list, each adjudicated in
+  SCALING.md r7/r8: required published table data and any verification
+  vector are absent from this box, and tables typed from memory would be
+  silently-wrong rather than loudly-gated):
+  ``NotImplementedError`` unless ``allow_fake=True``, which
   derives deterministic pseudo-features from the payload's sha256 — the
   Spark plumbing (struct schema, Arrow batch shapes, UDF signatures,
   partition behavior) stays real and testable while the codec is a

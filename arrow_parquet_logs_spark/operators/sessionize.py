@@ -2,9 +2,12 @@
 windows — the stream-analytics surface the reference stores data for but
 cannot compute (SURVEY.md §2.9: no windows, no event-time aggregation).
 
-All are single-shuffle plans keyed on the entity column; the lag/cumsum
+Keyed forms are single-shuffle plans on the entity column; the lag/cumsum
 sessionization and the native ``session_window`` produce identical islands
 (new session when gap ≥ threshold — session_window's half-open semantics).
+``gap_merge_stream`` is the UNKEYED form (one totally-ordered stream):
+range-bucketed parallel windows + a bounded boundary-bridge prefix instead
+of a single corpus-sized sort partition.
 """
 
 from __future__ import annotations
@@ -24,6 +27,99 @@ def with_session_ids(
     is_new = F.when(prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev >= gap_us), 1).otherwise(0)
     cum = W.partitionBy(user_col).orderBy(ts_col, tiebreak).rowsBetween(W.unboundedPreceding, W.currentRow)
     return events.withColumn("__new", is_new).withColumn("session_id", F.sum("__new").over(cum)).drop("__new")
+
+
+def gap_merge_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    gap_us: int = 1_800_000_000,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Distributed SINGLE-STREAM gap-merge sessionization: assign every row
+    the burst/session id of the lag→gap→cumsum formulation over
+    ``ORDER BY (ts, tiebreak)`` — bit-identical to the global-window form —
+    without ever sorting the stream in one partition.
+
+    ``with_session_ids`` handles the keyed case (one window partition per
+    user); this is the UNKEYED case (one service's error stream, one
+    sensor), where a naive window is a single corpus-sized sort partition.
+    The distributed prefix-scan shape (same machinery as the 2d-skyline
+    prefix, r8):
+
+    1. range-bucket on approxQuantile timestamp cut points — bucket id is
+       ``#cuts strictly below ts`` (monotone in ts; equal timestamps share
+       a bucket, so the (ts, tiebreak) order never splits across buckets;
+       skew unbalances work, never results);
+    2. per-bucket lag / new-burst marking + inclusive cumsum run as
+       PARALLEL bucket-partitioned windows — each bucket's first row is
+       left unresolved (its predecessor lives in another bucket);
+    3. one window over the ≤ n_buckets summary rows bridges boundaries:
+       a bucket's first row tests its gap against the previous non-empty
+       bucket's LAST timestamp, and ids shift by the total burst count of
+       all earlier buckets — so a session spanning buckets merges exactly
+       (first-row flag 0 ⇒ its id equals the previous bucket's last id).
+
+    Returns the input columns plus ``burst_id`` (1-based BIGINT, ordered
+    by (ts, tiebreak)). The quantile probe is one bounded driver action;
+    unix-microsecond timestamps are < 2⁵³ so the double cast is exact."""
+    tsm = F.unix_micros(F.col(ts_col))
+    cuts: list[float] = []
+    if n_buckets > 1:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sorted(set(
+            events.select(tsm.cast("double").alias("_t")).approxQuantile("_t", probs, 0.01)
+        ))
+    if cuts:
+        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(F.filter(cut_arr, lambda c: tsm.cast("double") > c))
+    else:
+        bucket = F.lit(0)
+    base = events.withColumn("_tsm", tsm).withColumn("_b", bucket)
+    wloc = W.partitionBy("_b").orderBy("_tsm", tiebreak)
+    prev = F.lag("_tsm").over(wloc)
+    # internal new-burst flag; NULL on each bucket's first row (bridged below)
+    nb_i = F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+        (F.col("_tsm") - prev > gap_us).cast("int")
+    )
+    marked = base.withColumn("_nb_i", nb_i).withColumn(
+        "_cum_i",
+        F.sum(F.coalesce("_nb_i", F.lit(0))).over(
+            wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    summ = marked.groupBy("_b").agg(
+        F.min("_tsm").alias("_first"),
+        F.max("_tsm").alias("_last"),
+        F.sum(F.coalesce("_nb_i", F.lit(0))).alias("_n_i"),
+    )
+    ws = W.orderBy("_b")  # ≤ n_buckets non-empty summary rows by construction
+    bridged = (
+        summ.withColumn("_prev_last", F.lag("_last").over(ws))
+        .withColumn(
+            "_nb_f",
+            F.when(
+                F.col("_prev_last").isNull()
+                | (F.col("_first") - F.col("_prev_last") > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum(F.col("_n_i") + F.col("_nb_f")).over(
+                    ws.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_nb_f", "_off")
+    )
+    out = marked.join(F.broadcast(bridged), "_b").withColumn(
+        "burst_id",
+        (F.col("_off") + F.col("_nb_f") + F.col("_cum_i")).cast("bigint"),
+    )
+    return out.select(*events.columns, "burst_id")
 
 
 def _gap_us(gap: str) -> int:

@@ -73,7 +73,13 @@ def partial_topk(
             # mergesort = stable + O(n log n) worst case; state stays at
             # groups·k rows between batches, so each step sorts ≤ state+batch
             cur = cur.sort_values(by, ascending=asc, kind="mergesort")
-            best = cur.groupby(gcols, sort=False).head(k) if gcols else cur.head(k)
+            # dropna=False: a NULL group key is a real group to a Spark
+            # window — pandas' default would silently lose those rows
+            best = (
+                cur.groupby(gcols, sort=False, dropna=False).head(k)
+                if gcols
+                else cur.head(k)
+            )
         if best is not None and len(best):
             yield best
 

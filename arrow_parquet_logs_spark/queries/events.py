@@ -454,32 +454,19 @@ def events_burst_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode into covered hour buckets, events equi-join on their single
     bucket, exact containment refines — a shuffled hash join, NOT the
     BroadcastNestedLoopJoin a naive range predicate plans. Burst detection
-    uses a global-order window (fine here: one service stream; at 100 TB
-    detect bursts per service/tenant key, or repartitionByRange + boundary
-    fix-up, to avoid the single-partition sort)."""
-    from pyspark.sql import Window as W
-
+    is `operators.sessionize.gap_merge_stream` (r8): the unkeyed
+    single-stream gap merge runs as range-bucketed parallel windows with a
+    bounded boundary-bridge prefix — bit-identical to the oracle's global
+    ORDER BY window without its single corpus-sized sort partition."""
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.operators.relational import interval_join_by_bucket
+    from arrow_parquet_logs_spark.operators.sessionize import gap_merge_stream
 
     ev = load_table(spark, sf_dir, "events")
     err = ev.where(F.col("event_type") == "error")
-    worder = W.orderBy("ts", "event_id")
-    gap_us = 30 * 60 * 1_000_000
-    marked = err.select(
-        "ts",
-        "event_id",
-        F.when(
-            F.lag("ts").over(worder).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(worder)) > gap_us),
-            1,
-        )
-        .otherwise(0)
-        .alias("nb"),
-    )
-    bursts = marked.select(
-        "ts",
-        F.sum("nb").over(worder.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("burst_id"),
+    bursts = gap_merge_stream(
+        err.select("ts", "event_id"), ts_col="ts", tiebreak="event_id",
+        gap_us=30 * 60 * 1_000_000,
     )
     w = (
         bursts.groupBy("burst_id")

@@ -70,6 +70,17 @@ QUERIES = [
     "graph_cheapest_hops",
     "docs_phrase_search",
     "linkage_customer_names",
+    # round-8: the partial-top-k backport's touched rows — every per-query
+    # ranker now prunes per-partition before its window (operators/topk.py)
+    "ann_cosine_topk",
+    "ann_cosine_topk_pandas",
+    "ann_maxsim_late_interaction",
+    "ann_maxsim_rerank",
+    "ann_ivfpq_search",
+    "ann_ivfpq_maxsim_rerank",
+    "embeddings_pq_adc",
+    "embeddings_triplet_margin_audit",
+    "events_kmv_type_overlap",
 ]
 
 

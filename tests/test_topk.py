@@ -94,6 +94,18 @@ def test_dedup_mode_distinct_bottom_k(spark):
     assert merged.collect()[0]["bottom"] == [1, 3, 5]
 
 
+def test_null_group_key_is_a_real_group(spark):
+    # a Spark window treats NULL as one more partition value; pandas'
+    # groupby default (dropna=True) would silently lose those rows
+    rows = [(None, 1, 0.9), (None, 2, 0.8), (None, 3, 0.7), (7, 4, 0.5)]
+    df = spark.createDataFrame(rows, "q_id int, item_id long, score double")
+    pruned = partial_topk(df, ["q_id"], [("score", False), ("item_id", True)], 2)
+    key = lambda r: (r.q_id is None, r.q_id, r.item_id)
+    got = sorted(_window_topk(pruned, 2).collect(), key=key)
+    want = sorted(_window_topk(df, 2).collect(), key=key)
+    assert got == want and len(got) == 3
+
+
 def test_empty_frame_and_bad_args(spark):
     df = spark.createDataFrame([], "q_id long, score double")
     assert partial_topk(df, ["q_id"], [("score", False)], 5).count() == 0
