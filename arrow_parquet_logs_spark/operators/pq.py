@@ -534,6 +534,91 @@ def append_to_ivfpq(
     enc.write.mode("append").partitionBy("cell").parquet(path)
 
 
+def split_hot_cells(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    max_cell_rows: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_rows: int = 100_000,
+    pandas_encode: bool = True,
+) -> tuple[list[list[float]], dict[int, tuple[int, int]]]:
+    """Re-balance a materialized IVF-PQ index by SPLITTING hot cells —
+    the FAISS-style maintenance step the incremental ingest path
+    (``append_to_ivfpq`` / ``start_stream_ivfpq_ingest``) eventually
+    needs: drifted ingest skews cells, a hot cell's scan fraction grows,
+    and the alternative (full re-fit + rewrite) pays a whole-corpus pass
+    to fix a local problem.
+
+    For each cell whose row count exceeds ``max_cell_rows``: fetch the
+    cell's vectors (semi-join of the stored code ids back to the corpus),
+    fit a deterministic 2-means on the id-ordered sample (``ivf._lloyd``
+    — same routine, same tie-breaks as the original fit), replace the hot
+    centroid with child A IN PLACE and append child B at the end of the
+    centroid list (existing cell ids — hence existing ``cell=``
+    directories and any external references — never renumber), re-encode
+    ONLY the hot cell's vectors against their nearest child (residual
+    codebooks are shared, so codes stay decodable), and dynamically
+    overwrite just the two touched directories. The updated model persists
+    atomically via ``save_ivfpq_model``.
+
+    Assignment after a split is HIERARCHICAL (a vector's cell = its
+    original root's winning child), the standard inverted-list semantics:
+    untouched cells keep their lists even where a new child centroid would
+    now win a flat argmin — searches pick probe cells by distance over the
+    CURRENT centroid list, exactly as before. Degenerate hot cells
+    (all-identical vectors) split into one full and one empty child; the
+    empty directory is simply never written.
+
+    Returns ``(new_centroids, splits)`` with ``splits[root] = (root,
+    appended_child_index)``. Cost: one bounded metadata aggregate over the
+    code rows + per hot cell one sample fit and a two-directory rewrite —
+    never a corpus scan."""
+    import numpy as np
+
+    from arrow_parquet_logs_spark.operators.ivf import _lloyd
+
+    cents, books = load_ivfpq_model(path)
+    m = len(books)
+    codes = spark.read.parquet(path)
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in codes.groupBy("cell")
+        .agg((F.count(F.lit(1)) / m).cast("long").alias("n"))
+        .collect()
+    }
+    hot = sorted(c for c, n in sizes.items() if n > max_cell_rows)
+    new_cents = [list(c) for c in cents]
+    splits: dict[int, tuple[int, int]] = {}
+    if not hot:
+        return new_cents, splits
+    for c in hot:
+        ids = codes.where(F.col("cell") == c).select(id_col).distinct()
+        vecs = emb.join(ids, id_col, "left_semi").where(F.col(vec_col).isNotNull())
+        sample = vecs.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+        x = np.array([r[1] for r in sample], dtype=np.float64)
+        kids = _lloyd(x, 2, iters)
+        new_idx = len(new_cents)
+        new_cents[c] = [float(v) for v in kids[0]]
+        new_cents.append([float(v) for v in kids[1]])
+        splits[c] = (c, new_idx)
+        enc = _ivfpq_codes(vecs, kids, books, id_col, vec_col, pandas_encode)
+        enc = enc.withColumn(
+            "cell", F.when(F.col("cell") == 0, F.lit(c)).otherwise(F.lit(new_idx))
+        )
+        enc = _cluster_by_cell(enc, id_col)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    save_ivfpq_model(new_cents, books, path)
+    return new_cents, splits
+
+
 def start_stream_ivfpq_ingest(
     emb_stream: DataFrame,
     centroids: list[list[float]],

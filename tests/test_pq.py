@@ -277,3 +277,55 @@ def test_search_ivfpq_string_ids(spark, sf_dir, tmp_path):
     out = PQ.search_ivfpq(spark, idx, emb, q, cents, books, k=3).collect()
     assert out and all(isinstance(r.q_id, str) and r.q_id.startswith("v") for r in out)
     assert {r.q_id for r in out} == {"v0", "v1"}
+
+
+def test_split_hot_cells_noop_and_rebalance(spark, sf_dir, tmp_path):
+    """split_hot_cells: (a) a balanced index with a generous threshold is a
+    NO-OP — model and code rows bit-unchanged; (b) a coarse index splits,
+    conserves every (id, j) code row, strictly reduces the max cell size,
+    appends child centroids without renumbering roots, and search against
+    the updated model still returns k results per query."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.where(F.col("embedding").isNotNull()).count()
+
+    # (a) no-op path
+    cents, books = PQ.fit_ivfpq(emb, k=4)
+    idx = str(tmp_path / "noop")
+    PQ.materialize_ivfpq(emb, cents, books, idx)
+    before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    new_cents, splits = PQ.split_hot_cells(spark, idx, emb, max_cell_rows=n + 1)
+    assert splits == {} and new_cents == [list(c) for c in cents]
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
+    assert PQ.load_ivfpq_model(idx)[0] == cents  # model untouched on no-op
+
+    # (b) split path
+    idx2 = str(tmp_path / "hot")
+    PQ.materialize_ivfpq(emb, cents, books, idx2)
+    m = len(books)
+    sizes = lambda p: {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(p).groupBy("cell")
+        .agg((F.count(F.lit(1)) / m).cast("long").alias("n")).collect()
+    }
+    s0 = sizes(idx2)
+    new_cents, splits = PQ.split_hot_cells(spark, idx2, emb, max_cell_rows=max(1, n // 6))
+    assert splits, "4-cell index must have hot cells at n//6"
+    s1 = sizes(idx2)
+    assert max(s1.values()) < max(s0.values())
+    assert sum(s1.values()) == sum(s0.values()) == n  # conservation
+    # roots keep their ids; children appended at the end
+    assert len(new_cents) == len(cents) + len(splits)
+    for r, (a_idx, b_idx) in splits.items():
+        assert a_idx == r and b_idx >= len(cents)
+    # every (id, j) pair present exactly once
+    codes = spark.read.parquet(idx2)
+    assert codes.select("vec_id", "j").distinct().count() == n * m
+    # persisted model matches the returned centroids; search still whole
+    pc, pb = PQ.load_ivfpq_model(idx2)
+    assert pc == new_cents and pb == books
+    q = emb.where(F.col("vec_id") < 3)
+    out = PQ.search_ivfpq(spark, idx2, emb, q, new_cents, books, k=3)
+    got = out.groupBy("q_id").count().collect()
+    assert got and all(r["count"] == 3 for r in got)
