@@ -45,6 +45,7 @@ _BROADCAST_NL_OK = {
     "events_funnel_conversion",
     "docs_bm25_retrieval",
     "docs_hybrid_rrf_retrieval",          # 1-row BM25 stats + 1-row query-vector combines
+    "docs_cross_encoder_rerank",          # 1-row BM25 stats combine (bm25_scores shape)
     "docs_table_profile",
     "events_winsorized_mean",
     "docs_weighted_sample",
