@@ -754,3 +754,85 @@ def search_ivfpq(
         .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
     return _ranked(pairs, k)
+
+
+def start_stream_ivfpq_ingest_maintained(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    emb_lookup: DataFrame,
+    max_cell_rows: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    pandas_encode: bool = True,
+    max_split_rounds: int = 8,
+):
+    """Self-MAINTAINING streaming ingest: ``start_stream_ivfpq_ingest``
+    composed with ``split_hot_cells`` so the index re-balances itself as
+    skewed data arrives — the full FAISS-style online maintenance loop.
+    Each micro-batch (a) reloads the CURRENT model from the index (earlier
+    batches may have split cells — encoding against a stale centroid list
+    would route new vectors into lists whose centroid moved), (b) appends
+    the batch, (c) splits hot cells until none remain or
+    ``max_split_rounds`` is hit (a degenerate all-identical hot cell can
+    never fall below the threshold by splitting — the bound turns that
+    into loud imbalance instead of a hang).
+
+    ``emb_lookup`` is the vector source for re-encoding split cells (the
+    vector store the codes reference) — it must cover every ingested id.
+    Maintenance is sequential with ingest inside ``foreachBatch``, so
+    readers always see whole committed parquet files and the checkpoint
+    makes the (append → maintain) pair effectively exactly-once per batch:
+    the final index is bit-identical to a manual batch-at-a-time
+    append+maintain loop in the same batch order (pinned by
+    ``ann_ivfpq_stream_maintained``)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cents, books = load_ivfpq_model(path)
+        append_to_ivfpq(
+            batch_df, cents, books, path,
+            id_col=id_col, vec_col=vec_col, pandas_encode=pandas_encode,
+        )
+        maintain_ivfpq(
+            spark, path, emb_lookup, max_cell_rows,
+            id_col=id_col, vec_col=vec_col,
+            pandas_encode=pandas_encode, max_split_rounds=max_split_rounds,
+        )
+
+    writer = emb_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_ivfpq(
+    spark: SparkSession,
+    path: str,
+    emb_lookup: DataFrame,
+    max_cell_rows: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pandas_encode: bool = True,
+    max_split_rounds: int = 8,
+) -> int:
+    """Split hot cells until the index is balanced (≤ ``max_cell_rows``
+    per cell) or ``max_split_rounds`` passes ran. Returns the number of
+    splits applied. One pass splits every currently-hot cell once; a child
+    that is still hot is caught by the next pass, so rounds needed is
+    log₂(max_cell/threshold) — 8 covers a 256× overshoot."""
+    total = 0
+    for _ in range(max_split_rounds):
+        _, splits = split_hot_cells(
+            spark, path, emb_lookup, max_cell_rows,
+            id_col=id_col, vec_col=vec_col, pandas_encode=pandas_encode,
+        )
+        if not splits:
+            break
+        total += len(splits)
+    return total

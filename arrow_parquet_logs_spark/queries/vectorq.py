@@ -1640,3 +1640,103 @@ def embeddings_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("q_id")
     )
+
+
+@register(
+    "ann_ivfpq_stream_maintained",
+    oracle="""
+    SELECT CAST(count(*) * 8 AS BIGINT) AS n_code_rows,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           true AS model_match, true AS splits_applied, true AS balanced
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+    tags=("vector", "ann", "pq", "ivf", "streaming", "maintenance", "rebalance"),
+)
+def ann_ivfpq_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-maintaining streaming ANN index under the hash gate — the
+    composition the r8 `split_hot_cells` docstring points to: 1/5 of the
+    corpus arrives as a parquet stream in 3 micro-batches and each batch is
+    (a) encoded against the CURRENT model, (b) appended, (c) re-balanced by
+    splitting hot cells until none remain
+    (operators.pq.start_stream_ivfpq_ingest_maintained). The stream is
+    stopped and resumed from its checkpoint between batches, so the row
+    also pins restart/resume with in-flight maintenance state.
+
+    Closed-form invariants (the ann_ivfpq_stream_ingest /
+    ann_ivfpq_hot_cell_split style):
+
+    - conservation: the maintained index holds exactly n·m code rows;
+    - equivalence: the streamed index — codes AND persisted model — must
+      equal a manual batch-at-a-time append+maintain loop over the same
+      batches in the same order BIT-FOR-BIT (`n_mismatch` = 0,
+      `model_match`) — this pins that checkpointed foreachBatch delivery
+      neither reorders, replays, nor drops a maintenance step;
+    - `splits_applied`: maintenance actually ran (the coarse 4-cell fit at
+      a n/6 threshold guarantees hot cells at any SF);
+    - `balanced`: every final cell is ≤ the threshold (the synthetic
+      10-cluster embeddings always admit a balancing split sequence)."""
+    import os
+    import tempfile
+
+    from arrow_parquet_logs_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = emb.where(F.col("embedding").isNotNull())
+    n = live.count()
+    cents, books = PQ.fit_ivfpq(emb, k=4)
+    m = len(books)
+    threshold = max(1, n // 6)
+
+    root = tempfile.mkdtemp(prefix="ivfpq_maint_")
+    src, idx_s, idx_r = f"{root}/src", f"{root}/streamed", f"{root}/ref"
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    PQ.materialize_ivfpq(base, cents, books, idx_s)
+    PQ.materialize_ivfpq(base, cents, books, idx_r)
+    # base cells are hot already (≈0.2n > n/6): run maintenance once on
+    # BOTH starting indexes so the streamed path's first batch and the
+    # reference loop start from the identical balanced state
+    PQ.maintain_ivfpq(spark, idx_s, emb, threshold)
+    PQ.maintain_ivfpq(spark, idx_r, emb, threshold)
+
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == i))
+        for i in range(3)
+    ]
+    for b in batches:
+        # one new file lands; availableNow consumes exactly the new data,
+        # resuming from the shared checkpoint (restart between batches)
+        b.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(emb.schema).parquet(src)
+        PQ.start_stream_ivfpq_ingest_maintained(
+            spark, stream, idx_s, f"{root}/ckpt", emb, threshold
+        ).awaitTermination(300)
+
+    for b in batches:  # reference: manual loop, same batches, same order
+        cb, bb = PQ.load_ivfpq_model(idx_r)
+        PQ.append_to_ivfpq(b, cb, bb, idx_r)
+        PQ.maintain_ivfpq(spark, idx_r, emb, threshold)
+
+    cols = ["vec_id", "j", "code", "cell"]
+    a = spark.read.parquet(idx_s).select(*cols)
+    r = spark.read.parquet(idx_r).select(*cols)
+    mism = a.exceptAll(r).unionAll(r.exceptAll(a)).count()
+    cents_s, books_s = PQ.load_ivfpq_model(idx_s)
+    cents_r, books_r = PQ.load_ivfpq_model(idx_r)
+    sizes = {
+        int(row["cell"]): int(row["n"])
+        for row in a.groupBy("cell")
+        .agg((F.count(F.lit(1)) / m).cast("long").alias("n"))
+        .collect()
+    }
+    return spark.createDataFrame(
+        [(
+            a.count(),
+            int(mism),
+            bool(cents_s == cents_r and books_s == books_r),
+            len(cents_s) > 4,
+            max(sizes.values()) <= threshold,
+        )],
+        "n_code_rows bigint, n_mismatch bigint, model_match boolean, "
+        "splits_applied boolean, balanced boolean",
+    )

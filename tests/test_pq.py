@@ -329,3 +329,45 @@ def test_split_hot_cells_noop_and_rebalance(spark, sf_dir, tmp_path):
     out = PQ.search_ivfpq(spark, idx2, emb, q, new_cents, books, k=3)
     got = out.groupBy("q_id").count().collect()
     assert got and all(r["count"] == 3 for r in got)
+
+
+def test_maintain_ivfpq_converges_and_noops(spark, sf_dir, tmp_path):
+    """maintain_ivfpq loops split passes until balanced, then no-ops; the
+    round bound turns an unsplittable hot cell into loud imbalance, not a
+    hang."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    cents, books = PQ.fit_ivfpq(emb, k=2)  # 2 huge cells: one pass can't balance
+    m = len(books)
+    idx = str(tmp_path / "idx")
+    PQ.materialize_ivfpq(emb, cents, books, idx)
+    threshold = max(1, n // 8)
+    applied = PQ.maintain_ivfpq(spark, idx, emb, threshold)
+    assert applied >= 3, "2 cells at n//8 need at least two passes of splits"
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(idx)
+        .groupBy("cell").agg((F.count(F.lit(1)) / m).cast("long").alias("n")).collect()
+    }
+    assert max(sizes.values()) <= threshold
+    assert sum(sizes.values()) == n  # conservation through repeated splits
+    assert PQ.maintain_ivfpq(spark, idx, emb, threshold) == 0  # balanced → no-op
+
+
+def test_maintain_ivfpq_round_bound_degenerate(spark, tmp_path):
+    """An all-identical hot cell can never split below threshold — the
+    max_split_rounds bound must exit loudly-imbalanced instead of hanging."""
+    rows = [(i, [0.5] * 64) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, books = PQ.fit_ivfpq(emb, k=1)
+    idx = str(tmp_path / "idx")
+    PQ.materialize_ivfpq(emb, cents, books, idx)
+    PQ.maintain_ivfpq(spark, idx, emb, max_cell_rows=5, max_split_rounds=3)
+    sizes = [
+        int(r["n"])
+        for r in spark.read.parquet(idx)
+        .groupBy("cell").agg((F.count(F.lit(1)) / len(books)).cast("long").alias("n"))
+        .collect()
+    ]
+    assert sum(sizes) == 40  # no rows lost even when balance is unreachable
+    assert max(sizes) > 5  # still hot — bounded, loud, not hung
