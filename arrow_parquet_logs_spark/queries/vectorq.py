@@ -1740,3 +1740,123 @@ def ann_ivfpq_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_code_rows bigint, n_mismatch bigint, model_match boolean, "
         "splits_applied boolean, balanced boolean",
     )
+
+
+_COS16 = (
+    "round(list_cosine_similarity(CAST(list_slice({a}, 1, 16) AS DOUBLE[]), "
+    "CAST(list_slice({b}, 1, 16) AS DOUBLE[])), 6)"
+)
+
+
+@register(
+    "embeddings_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    p AS (
+        SELECT q.q_id, c.vec_id,
+               {_COS.format(a='q.qv', b='c.embedding')} AS cos_full,
+               {_COS16.format(a='q.qv', b='c.embedding')} AS cos_trunc
+        FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.q_id
+    ),
+    f10 AS (
+        SELECT q_id, vec_id, rn FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, vec_id) AS rn
+            FROM p) WHERE rn <= 10
+    ),
+    t10 AS (
+        SELECT q_id, vec_id, rn FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos_trunc DESC, vec_id) AS rn
+            FROM p) WHERE rn <= 10
+    ),
+    ov AS (
+        SELECT f10.q_id, count(*) AS n
+        FROM f10 JOIN t10 ON f10.q_id = t10.q_id AND f10.vec_id = t10.vec_id
+        GROUP BY f10.q_id
+    )
+    SELECT f1.q_id,
+           CAST(COALESCE(ov.n, 0) AS INT) AS overlap10,
+           CAST(COALESCE(ov.n, 0) AS DOUBLE) / 10.0 AS recall10,
+           f1.vec_id = t1.vec_id AS top1_match
+    FROM (SELECT q_id, vec_id FROM f10 WHERE rn = 1) f1
+    JOIN (SELECT q_id, vec_id FROM t10 WHERE rn = 1) t1 ON f1.q_id = t1.q_id
+    LEFT JOIN ov ON ov.q_id = f1.q_id
+    ORDER BY f1.q_id
+    """,
+    tags=("vector", "similarity", "matryoshka", "truncation", "audit"),
+)
+def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall audit (Kusupati et al. NeurIPS'22,
+    public): before deploying a cheap prefilter that ranks on the first 16
+    of 64 dimensions (the MRL recipe — and the same audit covers any
+    dimensionality-reduction or quantization of the ranking vector), a
+    pipeline measures what truncation does to retrieval: per query the
+    exact cosine top-10 under the FULL vectors vs under the 16-dim prefix,
+    reporting overlap@10 / recall@10 and whether the top-1 survives. Low
+    recall says the prefix ranking cannot serve as a shortlist source at
+    that k; high recall licenses the 4x-cheaper scan.
+
+    Scale shape: both rankings share one broadcast query-set join (the
+    ann_* pattern — never a corpus self-join); each ranking prunes through
+    ``partial_topk`` before its per-query window, so the windows see ≤ Q·k
+    rows; overlap/top-1 are then joins on two ≤ Q·k-row frames. The two
+    prunes each scan the pair frame once — at 100 TB you'd fuse them into
+    one pass (a two-heap pruner) or rank the prefix scores inside the
+    full-vector scan; the plan here keeps both rankings as the exact spec
+    those fusions must match."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.functions.vector import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_sim("embedding", "qv"), 6).alias("cos_full"),
+            F.round(
+                cosine_sim(F.slice("embedding", 1, 16), F.slice("qv", 1, 16)), 6
+            ).alias("cos_trunc"),
+        )
+    )
+
+    def top10(order_col: str) -> DataFrame:
+        pruned = partial_topk(
+            pairs, ["q_id"], [(order_col, False), ("vec_id", True)], 10
+        )
+        return (
+            pruned.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("q_id").orderBy(F.col(order_col).desc(), "vec_id")
+                ),
+            )
+            .where(F.col("rn") <= 10)
+            .select("q_id", "vec_id", "rn")
+        )
+
+    f10, t10 = top10("cos_full"), top10("cos_trunc")
+    ov = (
+        f10.join(t10, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n"))
+    )
+    f1 = f10.where(F.col("rn") == 1).select("q_id", F.col("vec_id").alias("f_top1"))
+    t1 = t10.where(F.col("rn") == 1).select("q_id", F.col("vec_id").alias("t_top1"))
+    return (
+        f1.join(t1, "q_id")
+        .join(ov, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("overlap10"),
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.lit(10.0)).alias("recall10"),
+            (F.col("f_top1") == F.col("t_top1")).alias("top1_match"),
+        )
+        .orderBy("q_id")
+    )

@@ -81,6 +81,13 @@ QUERIES = [
     "embeddings_pq_adc",
     "embeddings_triplet_margin_audit",
     "events_kmv_type_overlap",
+    # round-8 second pass: the three new surface rows — the rerank's one
+    # corpus scan + pruned windows, the zero-shuffle codegen classifier,
+    # and the (overhead-dominated) streaming maintenance loop
+    "docs_cross_encoder_rerank",
+    "docs_hashed_linear_quality",
+    "ann_ivfpq_stream_maintained",
+    "embeddings_matryoshka_recall",
 ]
 
 

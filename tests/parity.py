@@ -67,6 +67,7 @@ _BROADCAST_NL_OK = {
     "graph_pagerank_trade",             # 1-row N / dangling-mass scalar combine
     "graph_pagerank_personalized",      # same + 1-row seed-count combine
     "ann_cosine_topk",                  # broadcast query set × corpus
+    "embeddings_matryoshka_recall",     # broadcast query set × corpus (two rankings)
     "ann_maxsim_late_interaction",      # broadcast sliced query set × corpus
     "ann_maxsim_rerank",                # broadcast query set + sliced-query rerank
     "embeddings_triplet_margin_audit",  # broadcast query set × corpus

@@ -272,3 +272,17 @@ def test_hybrid_rrf_topk_is_take_ordered(spark, sf_dir):
 
     plan = explain_str(REGISTRY["docs_hybrid_rrf_retrieval"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hashed_linear_quality_is_pure_codegen(spark, sf_dir):
+    """docs_hashed_linear_quality claims the ideal 100 TB filter shape:
+    zero Python (no MapInPandas / BatchEvalPython), no Window, and no
+    hash-partitioned shuffle — the only Exchange allowed is the final
+    presentation sort's range partitioning."""
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["docs_hashed_linear_quality"].fn(spark, sf_dir))
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "Window"):
+        assert node not in plan, f"{node} in plan:\n{plan}"
+    assert "hashpartitioning" not in plan, plan  # only the final sort's range Exchange
+    assert "rangepartitioning" in plan, plan

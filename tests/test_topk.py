@@ -179,3 +179,14 @@ def test_kmv_sketch_has_no_corpus_window(spark, sf_dir):
     got = {r["event_type"]: r["kmv"] for r in sk.collect()}
     exp = {r["event_type"]: r["kmv"] for r in want.collect()}
     assert got == exp
+
+
+def test_cross_encoder_stage1_plan_is_pruned(spark, sf_dir):
+    """The r8 cross-encoder row's stage-1 BM25 ranking window must consume
+    the partial_topk-pruned pair frame, never the raw corpus×query frame."""
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    _assert_window_above_pruner(
+        REGISTRY["docs_cross_encoder_rerank"].fn(spark, sf_dir),
+        "BroadcastNestedLoopJoin",
+    )
