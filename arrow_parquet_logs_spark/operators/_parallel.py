@@ -55,6 +55,7 @@ def estimated_scan_splits(df: DataFrame) -> int:
         if floor_est >= _max_gate_target(spark):
             return int(floor_est)
         total = 0
+        local_paths = []
         for f in files:
             u = urlparse(f)
             if u.scheme not in ("", "file"):
@@ -65,7 +66,9 @@ def estimated_scan_splits(df: DataFrame) -> int:
                 # inputFiles() returns percent-encoded URIs (spaces, '%',
                 # non-ASCII in paths) — unquote before stat, or every such
                 # corpus would "fail stats" (ADVICE r7)
-                total += os.path.getsize(unquote(u.path) or f) + opc
+                p = unquote(u.path) or f
+                total += os.path.getsize(p) + opc
+                local_paths.append(p)
             except OSError:
                 # a LOCAL path that cannot be statted means the estimate is
                 # unknowable, not that files are plentiful: fall back to 0 so
@@ -73,9 +76,37 @@ def estimated_scan_splits(df: DataFrame) -> int:
                 # the many-tiny-files blind spot (ADVICE r7)
                 return 0
         est = -(-total // mpb)  # ceil of the padded bin-pack bound
+        # Bin-packing is BYTE arithmetic, but a parquet byte range only
+        # produces rows for row groups whose midpoint it contains — a
+        # single-row-group file yields ONE task with rows no matter how
+        # many ranges Spark cuts (measured at sf10: a 60 MB one-group file
+        # "split" into 15 tasks, 14 of them empty, and the scan serialized
+        # while the byte estimate saw plenty of splits). Cap the estimate
+        # by the total row-group count when the footers are readable.
+        rg_cap = _parquet_row_group_total(local_paths)
+        if rg_cap is not None:
+            est = min(est, rg_cap)
     except ValueError:
         pass  # exotic size conf: keep the file-count estimate
     return est
+
+
+def _parquet_row_group_total(paths: list[str]) -> int | None:
+    """Total parquet row groups across ``paths`` — the true upper bound on
+    scan tasks that receive rows. None when unknowable (a non-parquet
+    source, an unreadable footer, or a file list large enough that footer
+    reads would cost more than the repartition they might avoid — with
+    that many files the byte estimate is already trustworthy)."""
+    if not paths or len(paths) > 512:
+        return None
+    if not all(p.endswith(".parquet") for p in paths):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).metadata.num_row_groups for p in paths)
+    except Exception:
+        return None
 
 
 def _max_gate_target(spark) -> int:

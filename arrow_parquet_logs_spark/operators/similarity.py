@@ -82,9 +82,15 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact ANN baseline: broadcast queries × one pass over candidates."""
+    """Exact ANN baseline: broadcast queries × one pass over candidates.
+
+    The candidate side passes through the spread gate: the Q·d cosine
+    folds per row are the dominant cost and run in the scan stage, so a
+    few-row-group local input would serialize the whole scoring pass on
+    one core (parquet byte splits without row groups carry no rows). At
+    cluster scale the gate no-ops."""
     q = _with_vec_and_norm(queries, id_col, vec_col, "q")
-    c = _with_vec_and_norm(emb, id_col, vec_col, "c")
+    c = spread_for_python(_with_vec_and_norm(emb, id_col, vec_col, "c"))
     pairs = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("c_id") != F.col("q_id"))

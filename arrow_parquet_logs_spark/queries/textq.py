@@ -3074,10 +3074,15 @@ def docs_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-identical, oracle-checkable stand-in."""
     from pyspark.sql import Window as W
 
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
     from arrow_parquet_logs_spark.operators.topk import partial_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", X.tokens("text").alias("t"))
+    # spread gate: tokenize/tf/bigram folds all run in the scan stage —
+    # serialize-proof the pass on few-row-group local inputs; no-op at scale
+    toks = spread_for_python(docs.select("doc_id", "text")).select(
+        "doc_id", X.tokens("text").alias("t")
+    )
     grams = F.when(
         F.size("t") >= 2,
         F.transform(
@@ -3220,13 +3225,22 @@ def docs_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin is monotone in the usual sigmoid probability, so ``keep`` is the
     same decision boundary.
 
-    Scale shape: the ideal 100 TB filter — ONE scan, zero shuffles, zero
-    Python: tokens/bigrams as array expressions, the per-feature weight as
-    a codegen md5 fold (`F.aggregate` with an exact LONG accumulator — sum
-    order cannot matter), one double division per doc, qfloor-quantized.
-    Embarrassingly parallel; predicate-pushdown-friendly output (`keep`)."""
+    Scale shape: the ideal 100 TB filter — ONE scan, zero data-dependent
+    shuffles, zero Python: tokens/bigrams as array expressions, the
+    per-feature weight as a codegen md5 fold (`F.aggregate` with an exact
+    LONG accumulator — sum order cannot matter), one double division per
+    doc, qfloor-quantized. Embarrassingly parallel (the spread gate may
+    insert one round-robin exchange on few-row-group local inputs; no-op
+    at scale); predicate-pushdown-friendly output (`keep`)."""
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", X.tokens("text").alias("t"))
+    # spread gate: the per-feature md5 fold is the whole cost and runs in
+    # the scan stage — a few-row-group local input would serialize it on
+    # one core (measured 10× at sf10); no-op at cluster scale
+    toks = spread_for_python(docs.select("doc_id", "text")).select(
+        "doc_id", X.tokens("text").alias("t")
+    )
     grams = F.when(
         F.size("t") >= 2,
         F.transform(

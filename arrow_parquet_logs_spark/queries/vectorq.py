@@ -954,9 +954,13 @@ def docs_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id")).alias("rt"),
         )
     )
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     vrank = (
-        emb.where(F.col("vec_id") != 0)
+        # spread gate on the candidate side (see brute_force_topk)
+        spread_for_python(emb.select("vec_id", "embedding"))
+        .where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
@@ -1064,9 +1068,16 @@ def ann_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         *[F.slice(dbl, i * 8 + 1, 8).alias(f"q{i}") for i in range(8)],
     )
-    c = emb.select(
-        "vec_id",
-        *[F.slice(dbl, j * 8 + 1, 8).alias(f"c{j}") for j in range(8)],
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
+    # spread gate on the candidate side: the 64 slice-cosine folds per
+    # (query, candidate) row run in the scan stage, so a few-row-group
+    # local input would serialize the whole scoring pass; no-op at scale
+    c = spread_for_python(
+        emb.select(
+            "vec_id",
+            *[F.slice(dbl, j * 8 + 1, 8).alias(f"c{j}") for j in range(8)],
+        )
     )
     pair = c.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
     best = [
@@ -1216,8 +1227,12 @@ def ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
     pooled = (
-        emb.crossJoin(F.broadcast(q))
+        # spread gate on the candidate side (see brute_force_topk)
+        spread_for_python(emb.select("vec_id", "embedding"))
+        .crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id",
@@ -1598,8 +1613,12 @@ def embeddings_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qv"),
     )
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        # spread gate on the candidate side (see brute_force_topk)
+        spread_for_python(emb.select("vec_id", "label", "embedding"))
+        .crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "q_label", "vec_id", "label",
@@ -1809,12 +1828,18 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from arrow_parquet_logs_spark.functions.vector import cosine_sim
 
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     pairs = (
-        emb.crossJoin(F.broadcast(q))
+        # spread gate: both cosines compute in the scan stage (see
+        # brute_force_topk) — serialize-proof the pass on few-row-group
+        # local inputs; no-op at scale
+        spread_for_python(emb.select("vec_id", "embedding"))
+        .crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
