@@ -111,43 +111,65 @@ def _skyline_2d(df: DataFrame, crit: list[tuple[str, int]], n_buckets: int = 64)
     # monotone for every numeric type, so bucketing (a work partition, not
     # an answer) is unaffected by sub-double precision.
     best = F.max if s2 > 0 else F.min
+    # The quantile cut is one bounded driver action — negligible against a
+    # corpus-sized scan, but a fixed ~0.5 s job that DOMINATES a small
+    # query (measured +152% on the sf0.1 bench row). Gate it on a
+    # METADATA-ONLY scale check: an input that provably fits in a couple
+    # of bin-packed scan splits cannot have a groups frame the
+    # single-partition prefix window can't absorb, so buckets engage
+    # exactly where the corpus is big (unknown provenance → assume big).
+    try:
+        from arrow_parquet_logs_spark.operators._parallel import estimated_scan_splits
+
+        # 0 = no stat-able files (in-memory/shuffle-rooted frame) → unknown
+        provably_small = 1 <= estimated_scan_splits(df) <= 2
+    except Exception:
+        provably_small = False
     cuts = []
-    if n_buckets > 1:
+    if n_buckets > 1 and not provably_small:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         cuts = sorted(set(
             groups.select(F.col("__g1").cast("double").alias("__g1d"))
             .approxQuantile("__g1d", probs, 0.01)
         ))
+    order = F.desc("__g1") if s1 > 0 else F.asc("__g1")
     if cuts:
         cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
         bucket = F.size(F.filter(cut_arr, lambda c: F.col("__g1").cast("double") > c))
+        bucketed = groups.withColumn("__b", bucket)
+        wl = (
+            Window.partitionBy("__b")
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = bucketed.withColumn("__lp", best("__g2").over(wl))
+        # buckets strictly better on criterion 1: higher __b when maximizing
+        # (ascending cuts), lower when minimizing
+        ws = (
+            Window.orderBy(F.desc("__b") if s1 > 0 else F.asc("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prior = (
+            bucketed.groupBy("__b")
+            .agg(best("__g2").alias("__bb"))
+            .withColumn("__pb", best("__bb").over(ws))
+            .select("__b", "__pb")
+        )
+        flagged = local.join(F.broadcast(prior), "__b")
+        if s2 > 0:
+            beaten = (F.col("__lp") >= F.col("__g2")) | (F.col("__pb") >= F.col("__g2"))
+        else:
+            beaten = (F.col("__lp") <= F.col("__g2")) | (F.col("__pb") <= F.col("__g2"))
     else:
-        bucket = F.lit(0)  # empty/degenerate groups frame: one bucket
-    bucketed = groups.withColumn("__b", bucket)
-    order = F.desc("__g1") if s1 > 0 else F.asc("__g1")
-    wl = (
-        Window.partitionBy("__b")
-        .orderBy(order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = bucketed.withColumn("__lp", best("__g2").over(wl))
-    # buckets strictly better on criterion 1: higher __b when maximizing
-    # (ascending cuts), lower when minimizing
-    ws = (
-        Window.orderBy(F.desc("__b") if s1 > 0 else F.asc("__b"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prior = (
-        bucketed.groupBy("__b")
-        .agg(best("__g2").alias("__bb"))
-        .withColumn("__pb", best("__bb").over(ws))
-        .select("__b", "__pb")
-    )
-    flagged = local.join(F.broadcast(prior), "__b")
-    if s2 > 0:
-        beaten = (F.col("__lp") >= F.col("__g2")) | (F.col("__pb") >= F.col("__g2"))
-    else:
-        beaten = (F.col("__lp") <= F.col("__g2")) | (F.col("__pb") <= F.col("__g2"))
+        # provably-small (or degenerate) groups frame: the plain
+        # single-partition prefix window IS the cheap plan — a literal __b
+        # join here would fold its equality away into a nested loop
+        wl = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+        flagged = groups.withColumn("__lp", best("__g2").over(wl))
+        if s2 > 0:
+            beaten = F.col("__lp") >= F.col("__g2")
+        else:
+            beaten = F.col("__lp") <= F.col("__g2")
     frontier = (
         flagged.withColumn("__beaten", F.coalesce(beaten, F.lit(False)))
         .where(~F.col("__beaten"))
