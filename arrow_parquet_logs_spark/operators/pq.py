@@ -313,7 +313,9 @@ def pq_rerank_topk(
         .join(F.broadcast(q), "q_id")
         .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
-    return _ranked(pairs, k)
+    # the rerank pool is ≤ rerank·Q rows BY CONSTRUCTION — the partial-topk
+    # stage would cost a Python pass to prune an already-shortlist frame
+    return _ranked(pairs, k, prune=False)
 
 
 # ---- IVF-PQ: coarse cells × residual product codes -------------------------
@@ -753,7 +755,8 @@ def search_ivfpq(
         .join(F.broadcast(q), "q_id")
         .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
-    return _ranked(pairs, k)
+    # rerank pool ≤ rerank·Q rows by construction: skip the pruning pass
+    return _ranked(pairs, k, prune=False)
 
 
 def start_stream_ivfpq_ingest_maintained(
