@@ -2710,3 +2710,107 @@ def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_user", "b_user")
     )
+
+
+_CUPED_CENTS = (
+    "CAST(SUM(CASE WHEN {cond} THEN CAST(value AS DECIMAL(12,2)) "
+    "ELSE CAST(0 AS DECIMAL(12,2)) END) * 100 AS BIGINT)"
+)
+
+
+@register(
+    "events_cuped_adjusted_lift",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(CAST(concat('0x', substr(md5(concat('cuped:', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 AS INT) AS arm,
+               {_CUPED_CENTS.format(cond="ts <  TIMESTAMP '2024-01-16 00:00:00'")} AS x,
+               {_CUPED_CENTS.format(cond="ts >= TIMESTAMP '2024-01-16 00:00:00'")} AS y
+        FROM events GROUP BY user_id
+    ),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+        FROM per_user
+    ),
+    arms AS (
+        SELECT arm, CAST(count(*) AS DOUBLE) AS na,
+               CAST(sum(x) AS DOUBLE) AS sxa, CAST(sum(y) AS DOUBLE) AS sya
+        FROM per_user GROUP BY arm
+    )
+    SELECT arm,
+           CAST(na AS BIGINT) AS n_users,
+           floor(((sya / na) / 100.0) * 1000000) / 1000000 AS mean_post,
+           floor((((sya / na) - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                   * ((sxa / na) - (sx / n))) / 100.0) * 1000000) / 1000000 AS mean_adj,
+           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000) / 1000000 AS theta
+    FROM arms, st ORDER BY arm
+    """,
+    tags=("stats", "experiment", "cuped", "variance-reduction"),
+)
+def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. WSDM'13, public) —
+    the variance-reduction step every large experimentation platform runs
+    before reading a lift: users hash-split into two arms (portable md5
+    assignment, the repo's split convention), per-user post-period value
+    is adjusted by the pre-period covariate, Y′ = Y − θ(X − x̄) with the
+    pooled θ = cov(X,Y)/var(X), and the per-arm adjusted means are what
+    the lift test consumes. Same-unit pre/post periods (days 1–15 vs
+    16–30 of the event span); users absent from a period contribute an
+    exact zero, keeping the panel complete.
+
+    Determinism: per-user period sums are cents-exact (DECIMAL(12,2) sums
+    ×100 → BIGINT); the pooled moments multiply with DECIMAL(38,0)/
+    HUGEINT operands (the chisq-hardened integer-exact family — BIGINT
+    x·y would overflow only past the 10¹⁰-row design floor); θ and the
+    adjusted means evaluate in one pinned double-op sequence, qfloor-
+    quantized. Scale shape: ONE event scan → one user-keyed partial-agg
+    shuffle; the moment frame reduces to ONE row that broadcasts onto the
+    2-row arm frame — the same scan → 1-row stats → bounded combine shape
+    as the BM25/funnel family."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    dec0 = F.lit(0).cast("decimal(12,2)")
+
+    def cents(cond) -> F.Column:
+        return (
+            F.sum(F.when(cond, F.col("value").cast("decimal(12,2)")).otherwise(dec0))
+            * 100
+        ).cast("bigint")
+
+    per_user = ev.groupBy("user_id").agg(
+        cents(F.col("ts") < cut).alias("x"),
+        cents(F.col("ts") >= cut).alias("y"),
+    ).select(
+        (hash64(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))) % 2)
+        .cast("int").alias("arm"),
+        "x", "y",
+    )
+    st = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("na"),
+        F.sum("x").cast("double").alias("sxa"),
+        F.sum("y").cast("double").alias("sya"),
+    )
+    j = arms.crossJoin(F.broadcast(st))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    na, sxa, sya = F.col("na"), F.col("sxa"), F.col("sya")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return j.select(
+        "arm",
+        na.cast("bigint").alias("n_users"),
+        qfloor((sya / na) / F.lit(100.0)).alias("mean_post"),
+        qfloor(((sya / na) - theta * ((sxa / na) - (sx / n))) / F.lit(100.0)).alias("mean_adj"),
+        qfloor(theta).alias("theta"),
+    ).orderBy("arm")

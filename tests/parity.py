@@ -48,6 +48,7 @@ _BROADCAST_NL_OK = {
     "docs_cross_encoder_rerank",          # 1-row BM25 stats combine (bm25_scores shape)
     "docs_table_profile",
     "events_winsorized_mean",
+    "events_cuped_adjusted_lift",       # 1-row pooled-moments combine onto 2 arms
     "docs_weighted_sample",
     "docs_mixture_plan",
     "agg_approx_distinct",
