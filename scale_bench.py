@@ -88,6 +88,7 @@ QUERIES = [
     "docs_hashed_linear_quality",
     "ann_ivfpq_stream_maintained",
     "embeddings_matryoshka_recall",
+    "events_cuped_adjusted_lift",
 ]
 
 
