@@ -145,7 +145,14 @@ def encode_pq(
     sums far from overflow."""
     sub = len(codebooks[0][0])
     cb = codebook_frame(emb.sparkSession, codebooks)
-    comps = _components(emb, id_col, vec_col, "pid")
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
+    # spread gate: the component explode + distance partial-agg run in the
+    # scan stage — serialize-proof on few-row-group local inputs (the
+    # pandas encode path already gates; this is the expression twin)
+    comps = _components(
+        spread_for_python(emb.select(id_col, vec_col)), id_col, vec_col, "pid"
+    )
     dist = (
         comps.join(F.broadcast(cb), "d")
         .groupBy("pid", (F.col("d") / sub).cast("int").alias("j"), "c")

@@ -111,7 +111,10 @@ def ivf_topk(
     k-means assignment this is the standard 1/nprobe cost reduction; the
     join on the cell key partitions the work with no cross-cell shuffle."""
     q = _with_vec_and_norm(queries.withColumn("cell", F.col(cell_col)), id_col, vec_col, "q", "cell")
-    c = _with_vec_and_norm(emb.withColumn("cell", F.col(cell_col)), id_col, vec_col, "c", "cell")
+    # spread gate on the candidate side (see brute_force_topk)
+    c = spread_for_python(
+        _with_vec_and_norm(emb.withColumn("cell", F.col(cell_col)), id_col, vec_col, "c", "cell")
+    )
     pairs = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("c_id") != F.col("q_id"))
