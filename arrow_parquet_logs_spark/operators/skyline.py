@@ -115,16 +115,15 @@ def _skyline_2d(df: DataFrame, crit: list[tuple[str, int]], n_buckets: int = 64)
     # corpus-sized scan, but a fixed ~0.5 s job that DOMINATES a small
     # query (measured +152% on the sf0.1 bench row). Gate it on a
     # METADATA-ONLY scale check: an input that provably fits in a couple
-    # of bin-packed scan splits cannot have a groups frame the
-    # single-partition prefix window can't absorb, so buckets engage
-    # exactly where the corpus is big (unknown provenance → assume big).
-    try:
-        from arrow_parquet_logs_spark.operators._parallel import estimated_scan_splits
+    # of bin-packed scan splits AND a bounded byte footprint cannot have a
+    # groups frame the single-partition prefix window can't absorb, so
+    # buckets engage exactly where the corpus is big (unknown provenance →
+    # assume big). The byte bound matters because the split estimate is
+    # row-group-capped: one giant single-row-group file is few-split but
+    # not small (ADVICE r8).
+    from arrow_parquet_logs_spark.operators._parallel import provably_small_scan
 
-        # 0 = no stat-able files (in-memory/shuffle-rooted frame) → unknown
-        provably_small = 1 <= estimated_scan_splits(df) <= 2
-    except Exception:
-        provably_small = False
+    provably_small = provably_small_scan(df)
     cuts = []
     if n_buckets > 1 and not provably_small:
         probs = [i / n_buckets for i in range(1, n_buckets)]

@@ -3200,15 +3200,15 @@ _HLQ_BUCKET_W = "({h} % 2001) - 1000"  # integer weight in [-1000, 1000]
         FROM toks)
     SELECT doc_id,
            CAST(len(f) AS INT) AS n_features,
-           CAST(list_sum(list_transform(f, x ->
+           CAST(COALESCE(list_sum(list_transform(f, x ->
                ({_HLQ_BUCKET_W.format(h="CAST(concat('0x', substr(md5(concat('qw:', x)), 1, 15)) AS BIGINT)")})
-           )) AS BIGINT) AS w_sum,
-           floor((CAST(list_sum(list_transform(f, x ->
+           )), 0) AS BIGINT) AS w_sum,
+           floor((CAST(COALESCE(list_sum(list_transform(f, x ->
                ({_HLQ_BUCKET_W.format(h="CAST(concat('0x', substr(md5(concat('qw:', x)), 1, 15)) AS BIGINT)")})
-           )) AS DOUBLE) / (1000.0 * len(f))) * 1000000) / 1000000 AS margin,
-           CASE WHEN CAST(list_sum(list_transform(f, x ->
+           )), 0) AS DOUBLE) / (1000.0 * NULLIF(len(f), 0))) * 1000000) / 1000000 AS margin,
+           CASE WHEN CAST(COALESCE(list_sum(list_transform(f, x ->
                ({_HLQ_BUCKET_W.format(h="CAST(concat('0x', substr(md5(concat('qw:', x)), 1, 15)) AS BIGINT)")})
-           )) AS BIGINT) > 0 THEN 1 ELSE 0 END AS keep
+           )), 0) AS BIGINT) > 0 THEN 1 ELSE 0 END AS keep
     FROM feats ORDER BY doc_id
     """,
     tags=("text", "quality", "classifier", "model-based-filter"),
@@ -3261,10 +3261,19 @@ def docs_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("f").cast("int").alias("n_features"),
         w_sum.alias("w_sum"),
     )
+    # zero-feature guard (ADVICE r8): F.aggregate's 0 seed already matches
+    # the oracle's COALESCE(list_sum, 0); the margin divides by
+    # NULLIF(n_features, 0) on BOTH sides so an empty feature array yields
+    # (w_sum=0, margin=NULL, keep=0) identically instead of a div-by-zero
+    # parity break — the current tokenizer never emits an empty array for
+    # a string input, but the contract should not hang on that
     return out.select(
         "doc_id",
         "n_features",
         "w_sum",
-        qfloor(F.col("w_sum").cast("double") / (F.lit(1000.0) * F.col("n_features"))).alias("margin"),
+        qfloor(
+            F.col("w_sum").cast("double")
+            / (F.lit(1000.0) * F.nullif(F.col("n_features"), F.lit(0)))
+        ).alias("margin"),
         F.when(F.col("w_sum") > 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     ).orderBy("doc_id")

@@ -1674,11 +1674,13 @@ def embeddings_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFra
 def ann_ivfpq_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-maintaining streaming ANN index under the hash gate — the
     composition the r8 `split_hot_cells` docstring points to: 1/5 of the
-    corpus arrives as a parquet stream in 3 micro-batches and each batch is
-    (a) encoded against the CURRENT model, (b) appended, (c) re-balanced by
-    splitting hot cells until none remain
-    (operators.pq.start_stream_ivfpq_ingest_maintained). The stream is
-    stopped and resumed from its checkpoint between batches, so the row
+    corpus arrives as a parquet stream in 3 micro-batches UNDER A
+    TIGHTENED re-balance threshold (¾ of the hottest inherited cell — the
+    config-drift scenario: ops lowers the cell bound, the next maintenance
+    pass must apply it), and each batch is (a) encoded against the CURRENT
+    model, (b) appended, (c) re-balanced by splitting hot cells until none
+    remain (operators.pq.start_stream_ivfpq_ingest_maintained). The stream
+    is stopped and resumed from its checkpoint between batches, so the row
     also pins restart/resume with in-flight maintenance state.
 
     Closed-form invariants (the ann_ivfpq_stream_ingest /
@@ -1690,10 +1692,17 @@ def ann_ivfpq_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
       batches in the same order BIT-FOR-BIT (`n_mismatch` = 0,
       `model_match`) — this pins that checkpointed foreachBatch delivery
       neither reorders, replays, nor drops a maintenance step;
-    - `splits_applied`: maintenance actually ran (the coarse 4-cell fit at
-      a n/6 threshold guarantees hot cells at any SF);
-    - `balanced`: every final cell is ≤ the threshold (the synthetic
-      10-cluster embeddings always admit a balancing split sequence)."""
+    - `splits_applied`: STREAMING-side maintenance actually split cells —
+      the centroid list grew beyond its post-pre-stream-maintain count
+      (ADVICE r8: the old `> 4` bound was already met by the pre-stream
+      maintain). Guaranteed BY CONSTRUCTION at every SF: the stream-time
+      threshold is strictly below the hottest inherited cell, so the first
+      micro-batch's maintenance must split it no matter where the new
+      rows land — no geometric assumption about the synthetic clusters
+      (the sf0.001 embeddings are near-isotropic; a label-funnel scheme
+      is NOT deterministic there);
+    - `balanced`: every final cell is ≤ the stream-time threshold (the
+      synthetic embeddings always admit a balancing split sequence)."""
     import os
     import tempfile
 
@@ -1716,6 +1725,22 @@ def ann_ivfpq_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference loop start from the identical balanced state
     PQ.maintain_ivfpq(spark, idx_s, emb, threshold)
     PQ.maintain_ivfpq(spark, idx_r, emb, threshold)
+    # centroid count AFTER the pre-stream maintenance: `splits_applied`
+    # must pin that STREAMING-side maintenance grew the index beyond this,
+    # not merely that the pre-stream maintain ran (ADVICE r8 — the old
+    # `> 4` bound was already satisfied here). The stream runs under a
+    # threshold strictly below the hottest inherited cell, so the first
+    # batch's maintenance is FORCED to split regardless of the data's
+    # cluster geometry.
+    n_cents_pre = len(PQ.load_ivfpq_model(idx_s)[0])
+    max_pre = max(
+        int(r["sz"])
+        for r in spark.read.parquet(idx_s)
+        .groupBy("cell")
+        .agg((F.count(F.lit(1)) / m).cast("long").alias("sz"))
+        .collect()
+    )
+    thr_stream = max(1, (3 * max_pre) // 4)
 
     os.makedirs(src, exist_ok=True)
     batches = [
@@ -1727,14 +1752,22 @@ def ann_ivfpq_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         # resuming from the shared checkpoint (restart between batches)
         b.coalesce(1).write.mode("append").parquet(src)
         stream = spark.readStream.schema(emb.schema).parquet(src)
-        PQ.start_stream_ivfpq_ingest_maintained(
-            spark, stream, idx_s, f"{root}/ckpt", emb, threshold
-        ).awaitTermination(300)
+        q = PQ.start_stream_ivfpq_ingest_maintained(
+            spark, stream, idx_s, f"{root}/ckpt", emb, thr_stream
+        )
+        # awaitTermination(timeout) returns False on TIMEOUT with the query
+        # still running — proceeding silently would turn a hung micro-batch
+        # into a confusing n_mismatch failure downstream (ADVICE r8)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "ivfpq maintained-ingest micro-batch did not drain in 300 s"
+            )
 
     for b in batches:  # reference: manual loop, same batches, same order
         cb, bb = PQ.load_ivfpq_model(idx_r)
         PQ.append_to_ivfpq(b, cb, bb, idx_r)
-        PQ.maintain_ivfpq(spark, idx_r, emb, threshold)
+        PQ.maintain_ivfpq(spark, idx_r, emb, thr_stream)
 
     cols = ["vec_id", "j", "code", "cell"]
     a = spark.read.parquet(idx_s).select(*cols)
@@ -1753,8 +1786,8 @@ def ann_ivfpq_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.count(),
             int(mism),
             bool(cents_s == cents_r and books_s == books_r),
-            len(cents_s) > 4,
-            max(sizes.values()) <= threshold,
+            len(cents_s) > n_cents_pre,
+            max(sizes.values()) <= thr_stream,
         )],
         "n_code_rows bigint, n_mismatch bigint, model_match boolean, "
         "splits_applied boolean, balanced boolean",

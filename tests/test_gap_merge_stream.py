@@ -93,3 +93,50 @@ def test_stream_window_is_bucket_partitioned(stream):
     for ln in win_lines:
         if "_cum_i" in ln or "_nb_i" in ln:
             assert "_b#" in ln, f"stream window lost its bucket key:\n{ln}"
+
+
+def test_provably_small_scan_skips_quantile_probe(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #2: a provably-small file-backed input must take the
+    plain single-window plan WITHOUT running the approxQuantile driver
+    job (the fixed ~0.5 s probe measured to dominate small queries in the
+    skyline's gate work) — and the result must still equal the global
+    form. Pinned by making approxQuantile raise: the gated branch never
+    reaches it."""
+    out = str(tmp_path / "ev.parquet")
+    rows = [(1_700_000_000_000_000 + i * 60_000_000, i) for i in range(200)]
+    spark.createDataFrame(rows, "tsm long, event_id long").select(
+        F.timestamp_micros("tsm").alias("ts"), "event_id"
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    df = spark.read.parquet(out)
+
+    def _boom(self, *a, **k):
+        raise AssertionError("approxQuantile probe ran on a provably-small input")
+
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.classic.dataframe
+    # overrides the base method, so patching pyspark.sql.DataFrame misses)
+    monkeypatch.setattr(type(df), "approxQuantile", _boom)
+    got = sorted(
+        (r.event_id, r.burst_id)
+        for r in gap_merge_stream(df, "ts", "event_id", GAP).collect()
+    )
+    want = sorted((r.event_id, r.burst_id) for r in _global_form(df).collect())
+    assert got == want and len(got) == 200
+
+
+def test_unknown_provenance_keeps_distributed_prefix(spark, monkeypatch):
+    """A shuffle-rooted frame (no stat-able files) must still pay the
+    quantile probe and bucket — unknown means assume big."""
+    rows = [(1_700_000_000_000_000 + i * 60_000_000, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "tsm long, event_id long").select(
+        F.timestamp_micros("tsm").alias("ts"), "event_id"
+    )
+    calls = []
+    orig = type(df).approxQuantile
+
+    def _spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(type(df), "approxQuantile", _spy)
+    gap_merge_stream(df, "ts", "event_id", GAP)
+    assert calls, "generated frame must keep the quantile-cut bucketing"
