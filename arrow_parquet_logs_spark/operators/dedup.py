@@ -167,8 +167,14 @@ def ngram_jaccard_pairs(
       from one sum over the cached shingle sets whether anything beyond
       the original plan is needed; only when the bound busts the budget
       does one histogram aggregation price Σ df² at each power-of-two cap
-      rung and tighten the cap to the largest rung whose join work fits
-      ``join_work_budget``. Deterministic (exact integer sums, no
+      rung. The rung choice is a PRICED comparison, not a fits-the-budget
+      threshold (r9): the user-cap plan costs exactly Σ df², a rung-r plan
+      costs Σ_{df≤r} df² plus the exact-duplicate rescue pass, and a
+      tighter rung is taken only when it is ≥8× cheaper — otherwise the
+      largest rung fitting ``join_work_budget`` stands. (The old
+      fits-only rule ran 2.4·10⁸ join rows at sf1 because they "fit"
+      while sf10's forced cap did almost none — a 27 s vs 13 s cost
+      inversion on 10× less data.) Deterministic (exact integer sums, no
       sampling, no sort) — and every oracle-gated SF passes the cheap
       bound, so gated plans and output are identical to the uncapped spec.
     - **Exact-duplicate rescue** (budget branch only). When the ADAPTIVE
@@ -257,11 +263,41 @@ def ngram_jaccard_pairs(
                     for i, r in enumerate(rungs)
                 ],
             ).collect()[0]
-            cap_i = 0  # tightest rung whose remaining join work fits
-            for i in reversed(range(len(rungs))):
-                if (stats[f"w{i}"] or 0) <= join_work_budget:
-                    cap_i = i
-                    break
+            # PRICED plan choice (VERDICT r8 #1). The old rule — "largest
+            # rung whose work fits the budget" — inverted the cost curve
+            # at intermediate scale: at sf1 the user-cap plan FIT the 10⁹
+            # budget at Σdf² = 2.4·10⁸ join rows (27 s) while sf10's
+            # forced tighter rung did ~0 join rows (13 s). "Fits" is not
+            # "sane": both candidate plans are now priced from the sums
+            # this one aggregation already computed —
+            #   user-cap plan  = w_last           (join work, exactly)
+            #   rung-r plan    = w_r + rescue     (join work + the exact-
+            #                    duplicate rescue pass, conservatively
+            #                    charged at Σ|sh| ≥ the docs it rescans —
+            #                    overcharging rescue only biases toward
+            #                    KEEPING recall)
+            # and the tighter rung wins only on a MATERIAL (≥8×) saving.
+            # The hysteresis keeps every near-boundary corpus on the
+            # max-recall plan; the factor-8 winner is by construction a
+            # corpus whose shingle space the probe proved saturated
+            # (tier 1/2 busted), where hot-shingle candidates are
+            # boilerplate-mediated — exactly the recall the df-cap
+            # contract already trades. Oracle-gated SFs never reach this
+            # branch (their token bound passes tier 1).
+            full_w = int(stats[f"w{len(rungs) - 1}"] or 0)
+            rescue_w = int(n_rows)
+            if full_w <= join_work_budget:
+                cap_i = len(rungs) - 1
+                for i in reversed(range(len(rungs) - 1)):
+                    if 8 * (int(stats[f"w{i}"] or 0) + rescue_w) <= full_w:
+                        cap_i = i  # largest materially-cheaper rung
+                        break
+            else:
+                cap_i = 0  # tightest rung whose remaining join work fits
+                for i in reversed(range(len(rungs))):
+                    if (stats[f"w{i}"] or 0) <= join_work_budget:
+                        cap_i = i
+                        break
             cap = rungs[cap_i]
             hot = dfreq.where(F.col("_df") > cap).select("g")
             # the hot set can be the WHOLE shingle space on saturated

@@ -43,6 +43,7 @@ Two codebook sources:
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -793,23 +794,34 @@ def start_stream_ivfpq_ingest_maintained(
     ``emb_lookup`` is the vector source for re-encoding split cells (the
     vector store the codes reference) — it must cover every ingested id.
     Maintenance is sequential with ingest inside ``foreachBatch``, so
-    readers always see whole committed parquet files and the checkpoint
-    makes the (append → maintain) pair effectively exactly-once per batch:
-    the final index is bit-identical to a manual batch-at-a-time
-    append+maintain loop in the same batch order (pinned by
-    ``ann_ivfpq_stream_maintained``)."""
+    readers always see whole committed parquet files.
+
+    **Delivery contract (honest form — ADVICE r8).** ``foreachBatch`` is
+    AT-LEAST-ONCE: Spark replays a batch whenever its own offset commit
+    did not complete, and a parquet append is not idempotent. Two defenses
+    make the (append → maintain) pair exactly-once in every recoverable
+    case and LOUD in the one that is not:
+
+    - a **batch ledger** (``_BATCH_LEDGER.json`` beside the model, keyed
+      by checkpoint location, committed atomically AFTER the pair): a
+      replay of an already-committed batch id is skipped outright — the
+      common restart case (crash between our ledger commit and Spark's
+      offset commit) duplicates nothing;
+    - an **in-flight marker** written before the append and cleared after
+      the ledger commit: a replay that finds the marker WITHOUT a ledger
+      entry means the previous attempt died mid-pair — the index may hold
+      a partial append or a half-maintained model, and no metadata can
+      say which rows landed. That state raises ``RuntimeError`` instead
+      of silently re-appending (recover by rebuilding the index via
+      ``materialize_ivfpq`` from the vector store, or restoring a
+      backup). The bit-equality invariant of
+      ``ann_ivfpq_stream_maintained`` holds because every committed batch
+      ran exactly once."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        cents, books = load_ivfpq_model(path)
-        append_to_ivfpq(
-            batch_df, cents, books, path,
-            id_col=id_col, vec_col=vec_col, pandas_encode=pandas_encode,
-        )
-        maintain_ivfpq(
-            spark, path, emb_lookup, max_cell_rows,
-            id_col=id_col, vec_col=vec_col,
+        apply_ivfpq_ingest_batch(
+            spark, batch_df, batch_id, path, checkpoint, emb_lookup,
+            max_cell_rows, id_col=id_col, vec_col=vec_col,
             pandas_encode=pandas_encode, max_split_rounds=max_split_rounds,
         )
 
@@ -819,6 +831,100 @@ def start_stream_ivfpq_ingest_maintained(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _ledger_path(path: str) -> str:
+    return os.path.join(path, "_BATCH_LEDGER.json")
+
+
+def _inflight_path(path: str) -> str:
+    return os.path.join(path, "_INFLIGHT")
+
+
+def _ledger_last(path: str, ckpt_key: str) -> int:
+    """Highest batch id committed for this checkpoint; -1 when none.
+    Batch ids are monotone per checkpoint location (a NEW checkpoint
+    restarts numbering — which is why the ledger keys by checkpoint,
+    never globally)."""
+    import json
+
+    try:
+        with open(_ledger_path(path), encoding="utf-8") as fh:
+            return int(json.load(fh).get(ckpt_key, -1))
+    except FileNotFoundError:
+        return -1
+
+
+def _ledger_commit(path: str, ckpt_key: str, batch_id: int) -> None:
+    import json
+    import uuid
+
+    lp = _ledger_path(path)
+    try:
+        with open(lp, encoding="utf-8") as fh:
+            d = json.load(fh)
+    except FileNotFoundError:
+        d = {}
+    d[ckpt_key] = int(batch_id)
+    tmp = lp + f".{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(d, fh)
+    os.replace(tmp, lp)  # atomic: readers never see a torn ledger
+
+
+def apply_ivfpq_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    checkpoint: str,
+    emb_lookup: DataFrame,
+    max_cell_rows: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pandas_encode: bool = True,
+    max_split_rounds: int = 8,
+) -> bool:
+    """One (append → maintain) pair with the idempotence protocol of
+    ``start_stream_ivfpq_ingest_maintained`` (see its delivery-contract
+    docstring): ledger-skip for replayed committed batches, loud
+    ``RuntimeError`` on a marker left by a mid-pair crash. Module-level so
+    the replay behavior is directly testable. Returns True when the batch
+    was applied, False when skipped (empty or already committed)."""
+    if batch_df.isEmpty():
+        return False
+    ckpt_key = os.path.abspath(checkpoint)
+    inflight = _inflight_path(path)
+    if batch_id <= _ledger_last(path, ckpt_key):
+        # replayed after a completed commit: exactly-once restored. A
+        # marker may survive a crash in the tiny window between ledger
+        # commit and marker removal — stale by definition here.
+        if os.path.exists(inflight):
+            os.remove(inflight)
+        return False
+    if os.path.exists(inflight):
+        raise RuntimeError(
+            f"ivfpq index at {path} has an in-flight ingest batch "
+            "(previous attempt died between append and commit); the code "
+            "rows / model may be torn — rebuild via materialize_ivfpq "
+            "from the vector store (or restore a backup), then delete "
+            f"{inflight}"
+        )
+    with open(inflight, "w", encoding="utf-8") as fh:
+        fh.write(str(int(batch_id)))
+    cents, books = load_ivfpq_model(path)
+    append_to_ivfpq(
+        batch_df, cents, books, path,
+        id_col=id_col, vec_col=vec_col, pandas_encode=pandas_encode,
+    )
+    maintain_ivfpq(
+        spark, path, emb_lookup, max_cell_rows,
+        id_col=id_col, vec_col=vec_col,
+        pandas_encode=pandas_encode, max_split_rounds=max_split_rounds,
+    )
+    _ledger_commit(path, ckpt_key, batch_id)
+    os.remove(inflight)
+    return True
 
 
 def maintain_ivfpq(

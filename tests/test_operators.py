@@ -1884,3 +1884,47 @@ def test_jaccard_prefix_budget_guard_is_loud(spark):
         D.jaccard_prefix_pairs(docs, threshold=0.6, join_work_budget=10)
     # None disables; small corpora under the default budget run unchanged
     assert D.jaccard_prefix_pairs(docs, threshold=0.6).count() == 780
+
+
+def test_ngram_priced_plan_downgrades_within_budget(spark):
+    """VERDICT r8 #1: a saturated corpus whose user-cap join work FITS the
+    budget but is ≥8× the capped-plan cost must take the capped plan (the
+    sf1 inversion: 'fits' is not 'sane'). Exact duplicates still surface
+    via the rescue; the priced choice must also NOT fire when no rung is
+    materially cheaper."""
+    import random
+
+    from arrow_parquet_logs_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> saturated shingles
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(2000)]
+    docs.append((9001, docs[5][1]))  # planted exact duplicate
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # tier-1/2 bust (cap·Σtокens > budget) but the full plan FITS:
+    # Σdf² ≈ 512·(2001·28/512)² ≈ 6.1e6 ≤ 8e6 budget, while every rung ≤128
+    # has w=0 (all df ≈ 109) — an ≥8× saving, so the priced choice caps.
+    pairs = ngram_jaccard_pairs(
+        df, n=3, threshold=0.9, max_shingle_df=1000, join_work_budget=8_000_000
+    )
+    # the downgrade is observable in the PLAN: only the survival branch
+    # unions the exact-duplicate rescue onto the capped near path
+    plan = pairs._jdf.queryExecution().toString()
+    assert "Union" in plan, "priced choice must take the capped+rescue plan"
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (5, 9001) in got, "rescue must keep exact duplicates under the downgrade"
+    ones = {(r.a_id, r.b_id) for r in pairs.where("jaccard = 1.0").collect()}
+    assert (5, 9001) in ones
+
+    # control: same corpus, budget small enough that tier-3 runs but NO
+    # rung is 8× cheaper than... (full plan far over budget) -> survival
+    # selection unchanged; and a huge budget with tier-1 passing keeps the
+    # exact uncapped spec (existing tests pin that path).
+    lo = ngram_jaccard_pairs(df, n=3, threshold=0.9, max_shingle_df=None)
+    hi = ngram_jaccard_pairs(
+        df, n=3, threshold=0.9, max_shingle_df=10_000, join_work_budget=10**12
+    )
+    assert "Union" not in hi._jdf.queryExecution().toString(), (
+        "a non-binding budget must keep the exact single-plan form"
+    )
+    assert sorted(map(tuple, lo.collect())) == sorted(map(tuple, hi.collect()))

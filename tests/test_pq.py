@@ -371,3 +371,50 @@ def test_maintain_ivfpq_round_bound_degenerate(spark, tmp_path):
     ]
     assert sum(sizes) == 40  # no rows lost even when balance is unreachable
     assert max(sizes) > 5  # still hot — bounded, loud, not hung
+
+
+def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r8 (medium): foreachBatch is at-least-once — a replay of an
+    ALREADY-COMMITTED batch id (crash between our ledger commit and
+    Spark's offset commit) must be a no-op: code rows, model, and cell
+    layout bit-unchanged. A replay that finds a mid-pair in-flight marker
+    must fail LOUD instead of silently double-appending."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = PQ.fit_ivfpq(emb, k=4)
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    PQ.materialize_ivfpq(base, cents, books, idx)
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    thr = max(1, n // 6)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+
+    assert PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
+    rows_after = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    model_after = PQ.load_ivfpq_model(idx)
+
+    # replay of the committed batch id: skipped, nothing changes
+    assert not PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == rows_after
+    assert PQ.load_ivfpq_model(idx) == model_after
+
+    # a stale marker WITH a ledger entry is cleaned up silently (crash in
+    # the commit->unmark window)...
+    open(PQ._inflight_path(idx), "w").write("0")
+    assert not PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
+    assert not os.path.exists(PQ._inflight_path(idx))
+
+    # ...but a marker for an UNCOMMITTED batch means a torn pair: loud
+    open(PQ._inflight_path(idx), "w").write("1")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="in-flight"):
+        PQ.apply_ivfpq_ingest_batch(spark, batch, 1, idx, ckpt, emb, thr)
+    os.remove(PQ._inflight_path(idx))
+
+    # a NEW checkpoint restarts batch numbering — its batch 0 must apply
+    ckpt2 = str(tmp_path / "ckpt2")
+    extra = emb.where(F.col("vec_id") % 5 == 1).limit(0)  # empty -> skipped
+    assert not PQ.apply_ivfpq_ingest_batch(spark, extra, 0, idx, ckpt2, emb, thr)
+    assert PQ._ledger_last(idx, os.path.abspath(ckpt2)) == -1
