@@ -2718,9 +2718,7 @@ _CUPED_CENTS = (
 )
 
 
-@register(
-    "events_cuped_adjusted_lift",
-    oracle=f"""
+_CUPED_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                CAST(CAST(concat('0x', substr(md5(concat('cuped:', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 AS INT) AS arm,
@@ -2747,7 +2745,12 @@ _CUPED_CENTS = (
                    * ((sxa / na) - (sx / n))) / 100.0) * 1000000) / 1000000 AS mean_adj,
            floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000) / 1000000 AS theta
     FROM arms, st ORDER BY arm
-    """,
+    """
+
+
+@register(
+    "events_cuped_adjusted_lift",
+    oracle=_CUPED_ORACLE,
     tags=("stats", "experiment", "cuped", "variance-reduction"),
 )
 def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2770,47 +2773,64 @@ def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the moment frame reduces to ONE row that broadcasts onto the
     2-row arm frame — the same scan → 1-row stats → bounded combine shape
     as the BM25/funnel family."""
-    from arrow_parquet_logs_spark.functions.hashing import hash64
+    from arrow_parquet_logs_spark.streaming.cuped import (
+        cuped_per_user_cents,
+        cuped_readout,
+        with_cuped_arm,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    dec0 = F.lit(0).cast("decimal(12,2)")
+    return cuped_readout(with_cuped_arm(cuped_per_user_cents(ev)))
 
-    def cents(cond) -> F.Column:
-        return (
-            F.sum(F.when(cond, F.col("value").cast("decimal(12,2)")).otherwise(dec0))
-            * 100
-        ).cast("bigint")
 
-    per_user = ev.groupBy("user_id").agg(
-        cents(F.col("ts") < cut).alias("x"),
-        cents(F.col("ts") >= cut).alias("y"),
-    ).select(
-        (hash64(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))) % 2)
-        .cast("int").alias("arm"),
-        "x", "y",
+@register(
+    "events_stream_cuped",
+    oracle=_CUPED_ORACLE,
+    tags=("stats", "experiment", "cuped", "streaming", "materialized-view"),
+)
+def events_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUPED readout maintained as a STREAMING MATERIALIZED VIEW — the
+    always-on experiment dashboard (VERDICT r8 #5): events arrive in 3
+    micro-batches (stream stopped and resumed from its checkpoint between
+    them — the restart pin), each batch folds per-user integer-cents
+    period sums into a versioned state table and publishes a fresh θ /
+    adjusted-lift readout under an atomically-advanced CURRENT pointer
+    (streaming/cuped.py documents the exactly-once commit protocol; a
+    unit test replays batches against it). The final published readout
+    must hash-match the BATCH query's oracle — streaming ≡ batch, the
+    events_stream_hll/kmv convention, here down to θ's bits because state
+    merges are exact integer cents and the readout shares one pinned
+    double-op sequence with `events_cuped_adjusted_lift`.
+
+    Scale shape: per micro-batch one panel-sized user-keyed merge + a
+    1-row moment broadcast onto the 2-row arm frame — refresh cost is
+    independent of history length, unlike the rescan-the-corpus
+    anti-pattern this MV replaces."""
+    import os
+    import tempfile
+
+    from arrow_parquet_logs_spark.streaming.cuped import (
+        mv_current_version,
+        read_cuped_mv,
+        start_stream_cuped_mv,
     )
-    st = per_user.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
-    )
-    arms = per_user.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("double").alias("na"),
-        F.sum("x").cast("double").alias("sxa"),
-        F.sum("y").cast("double").alias("sya"),
-    )
-    j = arms.crossJoin(F.broadcast(st))
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx = F.col("sxy"), F.col("sxx")
-    na, sxa, sya = F.col("na"), F.col("sxa"), F.col("sya")
-    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return j.select(
-        "arm",
-        na.cast("bigint").alias("n_users"),
-        qfloor((sya / na) / F.lit(100.0)).alias("mean_post"),
-        qfloor(((sya / na) - theta * ((sxa / na) - (sx / n))) / F.lit(100.0)).alias("mean_adj"),
-        qfloor(theta).alias("theta"),
-    ).orderBy("arm")
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="cuped_mv_")
+    src, state, ckpt = f"{root}/src", f"{root}/mv", f"{root}/ckpt"
+    os.makedirs(src, exist_ok=True)
+    os.makedirs(state, exist_ok=True)
+    for i in range(3):
+        # one new file lands; availableNow consumes exactly the new data,
+        # resuming from the shared checkpoint
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = start_stream_cuped_mv(stream.drop("event_id"), state, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("CUPED MV micro-batch did not drain in 300 s")
+    if mv_current_version(state) != 2:
+        raise RuntimeError(
+            f"expected 3 committed MV versions, CURRENT={mv_current_version(state)}"
+        )
+    return read_cuped_mv(spark, state).orderBy("arm")

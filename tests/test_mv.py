@@ -150,3 +150,84 @@ def test_join_view_untouched_keys_not_recomputed(spark):
     rows = {r.id: r.val for r in got.collect()}
     assert rows[1] == 10  # stored view, not the poisoned snapshot
     assert rows[2] == 21  # recomputed slice
+
+
+# ---------------------------------------------------- streaming CUPED MV ----
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts timestamp, user_id long, value double"
+    )
+
+
+def test_cuped_mv_replay_and_crash_window(spark, tmp_path):
+    """The CUPED MV's exactly-once commit protocol (streaming/cuped.py):
+    (a) folding batches equals the one-shot batch readout bit-for-bit,
+    (b) a replay of a committed batch id is a no-op,
+    (c) a replay after a crash BEFORE the pointer moved (simulated by
+    rewinding _CURRENT) deterministically reproduces the same version,
+    (d) old versions are pruned, the committed one never."""
+    import datetime as dt
+    import os
+
+    from arrow_parquet_logs_spark.streaming.cuped import (
+        apply_cuped_batch,
+        cuped_per_user_cents,
+        cuped_readout,
+        mv_current_version,
+        read_cuped_mv,
+        with_cuped_arm,
+    )
+
+    def t(day):
+        return dt.datetime(2024, 1, day, 12, 0, 0)
+
+    rows = [
+        (t(d), u, float(u * 3 + d) / 4)
+        for u in range(1, 40)
+        for d in range(1, 31, 3)
+    ]
+    full = _ev(spark, rows)
+    state = str(tmp_path / "mv")
+    os.makedirs(state, exist_ok=True)
+
+    b0, b1 = rows[: len(rows) // 2], rows[len(rows) // 2:]
+    assert apply_cuped_batch(_ev(spark, b0), 0, state)
+    assert apply_cuped_batch(_ev(spark, b1), 1, state)
+    assert mv_current_version(state) == 1
+
+    want = sorted(map(tuple, cuped_readout(
+        with_cuped_arm(cuped_per_user_cents(full))
+    ).collect()))
+    got = sorted(map(tuple, read_cuped_mv(spark, state).collect()))
+    assert got == want, "stream-folded state must read out ≡ batch"
+
+    # (b) replay of a committed batch: skipped, nothing changes
+    assert not apply_cuped_batch(_ev(spark, b1), 1, state)
+    assert sorted(map(tuple, read_cuped_mv(spark, state).collect())) == want
+
+    # (c) crash window: pointer rewound to v0, batch 1 replays -> same bits
+    with open(os.path.join(state, "_CURRENT"), "w") as fh:
+        fh.write("0")
+    assert apply_cuped_batch(_ev(spark, b1), 1, state)
+    assert mv_current_version(state) == 1
+    assert sorted(map(tuple, read_cuped_mv(spark, state).collect())) == want
+
+    # (d) version pruning keeps the newest, never the committed one
+    for i in range(2, 6):
+        assert apply_cuped_batch(_ev(spark, b1[:5]), i, state, keep_versions=2)
+    vs = sorted(os.listdir(os.path.join(state, "state")))
+    assert "v=5" in vs and len(vs) <= 2
+
+
+def test_cuped_mv_empty_batch_is_noop(spark, tmp_path):
+    from arrow_parquet_logs_spark.streaming.cuped import (
+        apply_cuped_batch,
+        mv_current_version,
+    )
+
+    state = str(tmp_path / "mv")
+    import os
+
+    os.makedirs(state, exist_ok=True)
+    assert not apply_cuped_batch(_ev(spark, []), 0, state)
+    assert mv_current_version(state) == -1
