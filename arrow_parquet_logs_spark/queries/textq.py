@@ -494,6 +494,81 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_cdc_merge",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SH3} AS s FROM toks),
+    {_minhash_sig_sql()},
+    bands AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 8), b -> md5(concat(CAST(b AS VARCHAR), ':',
+                   array_to_string(list_slice(sig, b*4+1, b*4+4), ','))))) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM ({_VERIFY_SQL}) ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "minhash", "lsh", "cdc", "versioned-table", "ingest"),
+)
+def dedup_lsh_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-MERGE — the ingestion-time composition (VERDICT r8 #7b):
+    documents land in a `VersionedTable` through OCC MERGEs, each commit's
+    CHANGE FEED (`table.changes`, the Delta-CDF shape) drives the
+    incremental MinHash-LSH index — the new rows are deduped against the
+    stored band keys (`minhash_pairs_incremental`: the batch re-shingles
+    only itself; candidate text lookups TIME-TRAVEL to the pre-merge
+    snapshot, so verification never races a concurrent writer) and then
+    appended to the index (`append_to_minhash_index`), keeping index ≡
+    table at every version.
+
+    The gate: the accumulated pair stream across all commits must
+    hash-match the oracle's one-shot full-corpus LSH run — each pair is
+    found exactly once, by the commit that inserted its later endpoint,
+    so the union needs no dedup and any drift (a stored key no longer
+    colliding with a fresh one, a CDC row missed or double-fed) lands as
+    a mismatch. The companion append ≡ rebuild index invariant is pinned
+    through the same CDC routing at unit scale
+    (tests/test_versioned_table.py) — re-proving it here would cost a
+    second full-corpus signature pass per run for no new information.
+
+    Scale shape: per commit, cost ∝ batch size + candidate count (band-key
+    equi-join against the stored index; candidate-sized semi-join text
+    lookup) — never a corpus re-scan; the one-time full-corpus work lives
+    in the initial index build, exactly where a 100 TB deployment pays it."""
+    import tempfile
+
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="cdc_lsh_")
+    t = VersionedTable(spark, f"{root}/tbl", key_cols=["doc_id"])
+    t.write(docs.where(F.col("doc_id") % 3 == 0))
+    idx = f"{root}/idx"
+    D.materialize_minhash_index(t.read(), idx)
+    # pairs inside the initial load: the one-time batch pass (pandas
+    # signature stage — bit-identical to the expression form, ~5x faster)
+    parts = [D.minhash_lsh_pairs_pandas(t.read(), threshold=0.6, collapse_exact=False)]
+    for i in (1, 2):
+        pre_v = t.history()[-1]["version"]
+        t.upsert(docs.where(F.col("doc_id") % 3 == i))
+        post_v = t.history()[-1]["version"]
+        feed = t.changes(pre_v, post_v)
+        ins = feed.where(F.col("_change_type") == "insert").select("doc_id", "text")
+        corpus_prev = t.read(version=pre_v)  # time-travel text lookup
+        parts.append(
+            D.minhash_pairs_incremental(spark, idx, ins, corpus_prev, threshold=0.6)
+        )
+        D.append_to_minhash_index(ins, idx)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("a_id", "b_id")
+
+
+@register(
     "docs_chunking",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -1246,3 +1246,55 @@ def test_reader_racing_vacuum_retries_via_materialized_child(table, spark):
     stale_doomed["parent"] = 2
     with pytest.raises(FileNotFoundError):
         table._resolve_manifest(stale_doomed)
+
+
+def test_cdc_feed_maintains_lsh_index_append_equals_rebuild(spark, tmp_path):
+    """The dedup_lsh_cdc_merge composition at unit scale: MERGE commits
+    drive the incremental MinHash index through the change feed, and the
+    CDC-maintained index must equal a from-scratch rebuild over the final
+    table state as a (sid, band_key) multiset; the accumulated pairs must
+    equal the one-shot full-corpus run."""
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+    from arrow_parquet_logs_spark.operators.dedup import (
+        append_to_minhash_index,
+        materialize_minhash_index,
+        minhash_lsh_pairs,
+        minhash_pairs_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, base + f" tail{i % 4}") for i in range(30)]
+    rows += [(i, f"unique document {i} words entirely of its own kind here") for i in range(30, 45)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"), key_cols=["doc_id"])
+    t.write(docs.where("doc_id % 3 = 0"))
+    idx = str(tmp_path / "idx")
+    materialize_minhash_index(t.read(), idx)
+    pairs = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(t.read(), collapse_exact=False).collect()
+    }
+    for i in (1, 2):
+        pre_v = t.history()[-1]["version"]
+        t.upsert(docs.where(f"doc_id % 3 = {i}"))
+        feed = t.changes(pre_v, t.history()[-1]["version"])
+        ins = feed.where("_change_type = 'insert'").select("doc_id", "text")
+        inc = minhash_pairs_incremental(spark, idx, ins, t.read(version=pre_v))
+        for r in inc.collect():
+            key = (r.a_id, r.b_id)
+            assert key not in pairs, f"pair {key} found twice across commits"
+            pairs[key] = round(r.jaccard, 9)
+        append_to_minhash_index(ins, idx)
+
+    want = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, collapse_exact=False).collect()
+    }
+    assert pairs == want and len(want) > 0
+
+    rebuilt = str(tmp_path / "idx2")
+    materialize_minhash_index(t.read(), rebuilt)
+    a = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    b = sorted(map(tuple, spark.read.parquet(rebuilt).collect()))
+    assert a == b
