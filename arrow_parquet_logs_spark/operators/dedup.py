@@ -462,6 +462,7 @@ def materialize_minhash_index(
     k: int = 32,
     bands: int = 8,
     mode: str = "overwrite",
+    pandas_sigs: bool = False,
 ) -> None:
     """Persist the corpus's LSH band keys as a parquet index: one
     ``(sid, band_key)`` row per (document, band).
@@ -475,9 +476,19 @@ def materialize_minhash_index(
     ingest. ~``bands`` rows × ~50 bytes per document ≈ 1/1000 of corpus
     bytes. Unpartitioned on purpose: probes hit every band, and the join
     key (band_key) is a uniform md5 — there is no pruning axis; the
-    shuffle-on-band_key join IS the access path."""
-    sets = _shingle_sets(df, id_col, text_col, n)
-    _band_keys_from_sets(sets, k, bands).write.mode(mode).parquet(path)
+    shuffle-on-band_key join IS the access path.
+
+    ``pandas_sigs`` swaps the Catalyst signature pipeline for the
+    Arrow-batched ``_minhash_sets_pandas`` one — BIT-IDENTICAL keys
+    (pinned by test_minhash_pandas_matches_catalyst), ~5× faster on the
+    full-corpus pass this function is; the two forms can be mixed freely
+    across the life of one index."""
+    if pandas_sigs:
+        sets = _minhash_sets_pandas(df, id_col, text_col, n, k)
+        bk = _band_keys_from_sigs(sets, k, bands)
+    else:
+        bk = _band_keys_from_sets(_shingle_sets(df, id_col, text_col, n), k, bands)
+    bk.write.mode(mode).parquet(path)
 
 
 def append_to_minhash_index(
@@ -488,12 +499,16 @@ def append_to_minhash_index(
     n: int = 3,
     k: int = 32,
     bands: int = 8,
+    pandas_sigs: bool = False,
 ) -> None:
     """Add a new batch's band keys to an existing index (parquet append —
     the same incremental-maintenance contract as `pq.append_to_ivfpq`).
     Run after the batch passed `minhash_pairs_incremental`, so the index
     always reflects every document admitted so far."""
-    materialize_minhash_index(df, path, id_col, text_col, n, k, bands, mode="append")
+    materialize_minhash_index(
+        df, path, id_col, text_col, n, k, bands, mode="append",
+        pandas_sigs=pandas_sigs,
+    )
 
 
 def minhash_pairs_incremental(
@@ -507,9 +522,12 @@ def minhash_pairs_incremental(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    pandas_sigs: bool = False,
 ) -> DataFrame:
     """Near-dup pairs of an INCOMING batch against an indexed corpus —
-    without recomputing a single corpus signature.
+    without recomputing a single corpus signature. ``pandas_sigs`` runs
+    the batch's shingle+signature stage Arrow-batched (bit-identical
+    keys; ~5× faster — see `materialize_minhash_index`).
 
     The per-batch cost is what a steady-state ingest pipeline pays:
     shingle + minhash the batch only, join its band keys against the
@@ -522,8 +540,13 @@ def minhash_pairs_incremental(
     (a_id, b_id, jaccard) with a_id < b_id, jaccard ≥ threshold — the
     same row shape and verification as `minhash_lsh_pairs`, so the same
     policy code consumes either."""
-    nsets = _shingle_sets(new_docs, id_col, text_col, n).persist()
-    nbk = _band_keys_from_sets(nsets, k, bands).persist()
+    if pandas_sigs:
+        nfull = _minhash_sets_pandas(new_docs, id_col, text_col, n, k).persist()
+        nsets = nfull.select("sid", "sh")
+        nbk = _band_keys_from_sigs(nfull, k, bands).persist()
+    else:
+        nfull = nsets = _shingle_sets(new_docs, id_col, text_col, n).persist()
+        nbk = _band_keys_from_sets(nsets, k, bands).persist()
 
     idx = spark.read.parquet(path).withColumnRenamed("sid", "c_sid")
     cross = (
@@ -548,7 +571,8 @@ def minhash_pairs_incremental(
     corpus_hit = corpus_docs.join(
         cand_ids, corpus_docs[id_col] == cand_ids["cid"], "left_semi"
     )
-    csets = _shingle_sets(corpus_hit, id_col, text_col, n)
+    shingler = _shingle_sets_pandas if pandas_sigs else _shingle_sets
+    csets = shingler(corpus_hit, id_col, text_col, n)
     # materialize the (candidate-sized) verified pairs, then release the
     # per-batch caches — an ingest loop calling this repeatedly must not
     # accumulate persisted plans across batches (LRU eviction is not a
@@ -556,7 +580,7 @@ def minhash_pairs_incremental(
     verified = _verify_jaccard(cand, nsets.unionByName(csets), threshold).localCheckpoint(
         eager=True
     )
-    nsets.unpersist()
+    nfull.unpersist()
     nbk.unpersist()
     return verified
 
@@ -652,6 +676,28 @@ def _minhash_sets_pandas(
     return spread_for_python(df.select(id_col, text_col)).mapInPandas(gen, out_schema)
 
 
+def _band_keys_from_sigs(sets: DataFrame, k: int, bands: int) -> DataFrame:
+    """(sid, band_key) from a (sid, ..., sig) frame whose signature array
+    is already materialized — the band keys are the same
+    ``md5('<band>:<joined minhashes>')`` strings `_band_keys_from_sets`
+    derives from shingles, so indexes built/appended through either form
+    collide correctly with each other."""
+    rows = k // bands
+    band_exprs = [
+        F.md5(
+            F.concat(
+                F.lit(f"{b}:"),
+                F.concat_ws(
+                    ",",
+                    *[F.element_at("sig", b * rows + j + 1).cast("string") for j in range(rows)],
+                ),
+            )
+        )
+        for b in range(bands)
+    ]
+    return sets.select("sid", F.explode(F.array(*band_exprs)).alias("band_key"))
+
+
 def minhash_lsh_pairs_pandas(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -670,21 +716,8 @@ def minhash_lsh_pairs_pandas(
     stars = None
     if collapse_exact:
         df, stars = _exact_collapse(df, id_col, text_col)
-    rows = k // bands
     sets = _minhash_sets_pandas(df, id_col, text_col, n, k).persist()
-    band_exprs = [
-        F.md5(
-            F.concat(
-                F.lit(f"{b}:"),
-                F.concat_ws(
-                    ",",
-                    *[F.element_at("sig", b * rows + j + 1).cast("string") for j in range(rows)],
-                ),
-            )
-        )
-        for b in range(bands)
-    ]
-    bk = sets.select("sid", F.explode(F.array(*band_exprs)).alias("band_key"))
+    bk = _band_keys_from_sigs(sets, k, bands)
     a = bk.select(F.col("sid").alias("a_id"), "band_key")
     b = bk.select(F.col("sid").alias("b_id"), "band_key")
     cand = a.join(b, "band_key").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()

@@ -123,6 +123,98 @@ def ivf_topk(
     return _ranked(pairs, k)
 
 
+def binary_quantize_words(vec_col, dims: int = 64):
+    """Pack a vector's per-dimension SIGN pattern into ``ceil(dims/32)``
+    non-negative BIGINT words (bit j of word w set iff component
+    ``w·32 + j`` > 0, MSB-first within the word) — plain binary
+    quantization, the 1-bit-per-dim shortlist code production vector
+    stores ship (Qdrant/OpenSearch BQ; RaBitQ is the centered+rotated
+    refinement of the same idea). 32-bit halves keep every word and every
+    xor non-negative, so the arithmetic is identical across engines and
+    the MSB-first ``acc·2 + bit`` fold never overflows. Pure Catalyst —
+    one pass, no Python."""
+    v = as_double_array(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    n_words = -(-dims // 32)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.slice(v, w * 32 + 1, 32),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc * 2
+            + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+        ),
+    )
+
+
+def binary_quantized_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN with a BINARY-QUANTIZED shortlist scan (VERDICT r8
+    #7a): stage 1 ranks candidates per query by Hamming distance between
+    packed sign words — per pair the scan does ``n_words`` xor +
+    bit_count integer ops instead of a ``dims``-wide float fold, the 64×
+    byte / ~30× ALU compression that makes BQ the first-pass filter at
+    100 TB — and stage 2 re-scores only the ``shortlist`` survivors with
+    exact cosine, returning the true top-k of that pool on the family's
+    total order (cosine desc, id asc). Hamming ties break on id, so the
+    shortlist — and therefore the whole pipeline — is deterministic and
+    oracle-checkable bit-for-bit.
+
+    Scale shape: the word packing rides the candidate scan (spread-gated
+    like every scoring pass); the Hamming frame is pruned by
+    ``partial_topk`` before its per-query window, so no corpus-sized
+    partition exists anywhere; the rerank pool is shortlist·Q rows by
+    construction."""
+    from arrow_parquet_logs_spark.operators.topk import partial_topk
+
+    q = _with_vec_and_norm(queries, id_col, vec_col, "q").withColumn(
+        "q_w", binary_quantize_words("q_v", dims)
+    )
+    c = spread_for_python(
+        _with_vec_and_norm(emb, id_col, vec_col, "c").withColumn(
+            "c_w", binary_quantize_words("c_v", dims)
+        )
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("q_w"), F.col("c_w"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0).cast("int"),
+        lambda acc, x: acc + x,
+    )
+    # stage 1 carries ONLY the integer Hamming — the float cosine fold
+    # must not ride the full candidate scan, or the shortlist saves nothing
+    pairs = (
+        c.select("c_id", "c_w")
+        .crossJoin(F.broadcast(q.select("q_id", "q_w")))
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", F.col("c_id").alias("vec_id"), ham.alias("hamming"))
+    )
+    pairs = partial_topk(
+        pairs, ["q_id"], [("hamming", True), ("vec_id", True)], shortlist
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("hamming"), F.col("vec_id"))
+    short = (
+        pairs.withColumn("hrn", F.row_number().over(w))
+        .where(F.col("hrn") <= shortlist)
+        .select("q_id", "vec_id")
+    )
+    # stage 2: exact cosine on the shortlist·Q pool only
+    rer = (
+        short.withColumnRenamed("vec_id", "c_id")
+        .join(_with_vec_and_norm(emb, id_col, vec_col, "c"), "c_id")
+        .join(F.broadcast(_with_vec_and_norm(queries, id_col, vec_col, "q")), "q_id")
+        .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
+    )
+    return _ranked(rer, k, prune=False)
+
+
 def brute_force_topk_pandas(
     emb: DataFrame,
     queries: DataFrame,

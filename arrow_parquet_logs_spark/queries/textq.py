@@ -547,7 +547,7 @@ def dedup_lsh_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = VersionedTable(spark, f"{root}/tbl", key_cols=["doc_id"])
     t.write(docs.where(F.col("doc_id") % 3 == 0))
     idx = f"{root}/idx"
-    D.materialize_minhash_index(t.read(), idx)
+    D.materialize_minhash_index(t.read(), idx, pandas_sigs=True)
     # pairs inside the initial load: the one-time batch pass (pandas
     # signature stage — bit-identical to the expression form, ~5x faster)
     parts = [D.minhash_lsh_pairs_pandas(t.read(), threshold=0.6, collapse_exact=False)]
@@ -559,9 +559,11 @@ def dedup_lsh_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ins = feed.where(F.col("_change_type") == "insert").select("doc_id", "text")
         corpus_prev = t.read(version=pre_v)  # time-travel text lookup
         parts.append(
-            D.minhash_pairs_incremental(spark, idx, ins, corpus_prev, threshold=0.6)
+            D.minhash_pairs_incremental(
+                spark, idx, ins, corpus_prev, threshold=0.6, pandas_sigs=True
+            )
         )
-        D.append_to_minhash_index(ins, idx)
+        D.append_to_minhash_index(ins, idx, pandas_sigs=True)
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)

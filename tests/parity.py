@@ -68,6 +68,8 @@ _BROADCAST_NL_OK = {
     "graph_pagerank_trade",             # 1-row N / dangling-mass scalar combine
     "graph_pagerank_personalized",      # same + 1-row seed-count combine
     "ann_cosine_topk",                  # broadcast query set × corpus
+    "ann_binary_quantized_rerank",      # broadcast query set × corpus (integer
+                                        # hamming scan) + broadcast rerank
     "embeddings_matryoshka_recall",     # broadcast query set × corpus (two rankings)
     "ann_maxsim_late_interaction",      # broadcast sliced query set × corpus
     "ann_maxsim_rerank",                # broadcast query set + sliced-query rerank

@@ -1440,8 +1440,20 @@ def test_minhash_incremental_equals_full_recompute(spark, tmp_path):
     }
     assert got == full and len(got) > 0
 
-    # append ≡ rebuild: same (sid, band_key) multiset
-    append_to_minhash_index(batch, idx)
+    # the pandas signature stage must be a drop-in: identical incremental
+    # pairs from the same stored (expression-built) index
+    got_pd = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in minhash_pairs_incremental(
+            spark, idx, batch, corpus, pandas_sigs=True
+        ).collect()
+    }
+    assert got_pd == got
+
+    # append ≡ rebuild: same (sid, band_key) multiset — with the APPEND
+    # through the pandas form onto the expression-built index (mixing the
+    # two forms across an index's life is the documented contract)
+    append_to_minhash_index(batch, idx, pandas_sigs=True)
     rebuilt = str(tmp_path / "idx2")
     materialize_minhash_index(docs, rebuilt)
     a = sorted(map(tuple, spark.read.parquet(idx).collect()))
