@@ -2834,3 +2834,165 @@ def events_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected 3 committed MV versions, CURRENT={mv_current_version(state)}"
         )
     return read_cuped_mv(spark, state).orderBy("arm")
+
+
+_SEQ_ARM = "CAST(CAST(concat('0x', substr(md5(concat('cuped:', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 AS INT)"
+
+
+@register(
+    "events_cuped_sequential_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, {_SEQ_ARM} AS arm,
+               {_CUPED_CENTS.format(cond="ts <  TIMESTAMP '2024-01-16 00:00:00'")} AS x,
+               {_CUPED_CENTS.format(cond="ts >= TIMESTAMP '2024-01-16 00:00:00'")} AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS DOUBLE) AS sx0,
+               CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS DOUBLE) AS sx1,
+               CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS DOUBLE) AS sy0,
+               CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS DOUBLE) AS sy1,
+               CAST(sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS DOUBLE) AS syy0,
+               CAST(sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS DOUBLE) AS syy1,
+               CAST(sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS DOUBLE) AS sxy0,
+               CAST(sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS DOUBLE) AS sxy1,
+               CAST(sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS DOUBLE) AS sxx0,
+               CAST(sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS DOUBLE) AS sxx1
+        FROM per_user
+    ),
+    e AS (
+        SELECT n, n0, n1,
+               ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS theta,
+               (sx / n) AS xbar, sx0, sx1, sy0, sy1, syy0, syy1, sxy0, sxy1, sxx0, sxx1
+        FROM m
+    ),
+    v AS (
+        SELECT n, n0, n1, theta,
+               ((sy1 / n1 - theta * (sx1 / n1 - xbar)) / 100.0)
+             - ((sy0 / n0 - theta * (sx0 / n0 - xbar)) / 100.0) AS diff,
+               (((syy0 - 2 * theta * sxy0 + theta * theta * sxx0) / n0
+                 - ((sy0 - theta * sx0) / n0) * ((sy0 - theta * sx0) / n0)) / 10000.0) / n0
+             + (((syy1 - 2 * theta * sxy1 + theta * theta * sxx1) / n1
+                 - ((sy1 - theta * sx1) / n1) * ((sy1 - theta * sx1) / n1)) / 10000.0) / n1 AS se2
+        FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+           floor((((n0 - n / 2) * (n0 - n / 2) + (n1 - n / 2) * (n1 - n / 2)) / (n / 2)) * 1000000) / 1000000 AS srm_chisq,
+           floor(diff * 1000000) / 1000000 AS diff_adj,
+           round(sqrt(se2), 6) AS se,
+           round(diff / NULLIF(sqrt(se2), 0), 6) AS z,
+           round(0.5 * ln(se2 / (se2 + 1.0)) + (diff * diff) / (2 * se2 * (se2 + 1.0)), 6) AS log_lambda,
+           round(least(1.0, exp(-(0.5 * ln(se2 / (se2 + 1.0)) + (diff * diff) / (2 * se2 * (se2 + 1.0))))), 6) AS p_always_valid,
+           round(least(1.0, exp(-(0.5 * ln(se2 / (se2 + 1.0)) + (diff * diff) / (2 * se2 * (se2 + 1.0))))), 6) < 0.05 AS significant
+    FROM v
+    """,
+    tags=("stats", "experiment", "cuped", "sequential-test", "msprt", "srm"),
+)
+def events_cuped_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete experiment DECISION readout — the other half of what an
+    experimentation platform computes after CUPED (Deng et al. WSDM'13)
+    adjusts the metric: a sample-ratio-mismatch guard (chi-square on the
+    arm counts — the first thing any platform checks, a broken hash split
+    invalidates everything downstream), the CUPED-adjusted lift with its
+    Welch standard error, and the ALWAYS-VALID mixture-SPRT p-value
+    (Johari, Koomen, Pekelis, Walsh, KDD'17 "Peeking at A/B tests",
+    public): with mixture variance tau^2 = 1,
+    Lambda = sqrt(V/(V+tau^2)) * exp(diff^2 * tau^2 / (2V(V+tau^2))) and
+    p = min(1, 1/Lambda) — valid under CONTINUOUS monitoring, the property
+    that lets the streaming CUPED MV be read at every version without
+    alpha inflation.
+
+    Determinism: every moment (per-arm and pooled Sigma-x, y, x^2, y^2, xy) is
+    integer-exact in cents/cents^2 (DECIMAL(38,0)/HUGEINT products) from ONE
+    aggregation pass; the readout is one pinned double-op sequence —
+    rational outputs qfloor-quantized, sqrt/ln/exp-derived outputs
+    round(6)-quantized per the established convention (qfloor docstring:
+    ties have measure zero after irrational ops). Scale shape: one event
+    scan -> one user-keyed partial-agg shuffle -> a 1-row moment frame;
+    the decision arithmetic is driver-free column math on that row."""
+    from arrow_parquet_logs_spark.streaming.cuped import (
+        cuped_per_user_cents,
+        with_cuped_arm,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = with_cuped_arm(cuped_per_user_cents(ev))
+
+    def d38(c: str) -> F.Column:
+        return F.expr(f"CAST({c} AS DECIMAL(38,0))")
+
+    def asum(a: int, expr) -> F.Column:
+        z0 = F.lit(0).cast("decimal(38,0)")
+        return F.sum(F.when(F.col("arm") == a, expr).otherwise(z0)).cast("double")
+
+    m = pu.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        asum(0, d38("x")).alias("sx0"), asum(1, d38("x")).alias("sx1"),
+        asum(0, d38("y")).alias("sy0"), asum(1, d38("y")).alias("sy1"),
+        asum(0, F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy0"),
+        asum(1, F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy1"),
+        asum(0, F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy0"),
+        asum(1, F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy1"),
+        asum(0, F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx0"),
+        asum(1, F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx1"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    theta = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    xbar = sx / n
+    e = m.select(
+        "n", "n0", "n1", theta.alias("theta"), xbar.alias("xbar"),
+        "sx0", "sx1", "sy0", "sy1", "syy0", "syy1", "sxy0", "sxy1", "sxx0", "sxx1",
+    )
+    th = F.col("theta")
+
+    def mean_adj(a: int) -> F.Column:
+        return (
+            F.col(f"sy{a}") / F.col(f"n{a}")
+            - th * (F.col(f"sx{a}") / F.col(f"n{a}") - F.col("xbar"))
+        ) / F.lit(100.0)
+
+    def var_adj(a: int) -> F.Column:
+        na = F.col(f"n{a}")
+        cm = (F.col(f"sy{a}") - th * F.col(f"sx{a}")) / na
+        return (
+            (F.col(f"syy{a}") - 2 * th * F.col(f"sxy{a}") + th * th * F.col(f"sxx{a}")) / na
+            - cm * cm
+        ) / F.lit(10000.0)
+
+    v = e.select(
+        "n", "n0", "n1", "theta",
+        (mean_adj(1) - mean_adj(0)).alias("diff"),
+        (var_adj(0) / F.col("n0") + var_adj(1) / F.col("n1")).alias("se2"),
+    )
+    n, n0, n1 = F.col("n"), F.col("n0"), F.col("n1")
+    diff, se2 = F.col("diff"), F.col("se2")
+    log_lambda = 0.5 * F.log(se2 / (se2 + F.lit(1.0))) + (diff * diff) / (
+        2 * se2 * (se2 + F.lit(1.0))
+    )
+    p = F.least(F.lit(1.0), F.exp(-log_lambda))
+    return v.select(
+        n.cast("bigint").alias("n_users"),
+        n0.cast("bigint").alias("n_0"),
+        n1.cast("bigint").alias("n_1"),
+        qfloor(((n0 - n / 2) * (n0 - n / 2) + (n1 - n / 2) * (n1 - n / 2)) / (n / 2)).alias("srm_chisq"),
+        qfloor(diff).alias("diff_adj"),
+        F.round(F.sqrt(se2), 6).alias("se"),
+        F.round(diff / F.nullif(F.sqrt(se2), F.lit(0.0)), 6).alias("z"),
+        F.round(log_lambda, 6).alias("log_lambda"),
+        F.round(p, 6).alias("p_always_valid"),
+        (F.round(p, 6) < 0.05).alias("significant"),
+    )
