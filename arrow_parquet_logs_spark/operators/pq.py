@@ -845,7 +845,9 @@ def _ledger_last(path: str, ckpt_key: str) -> int:
     """Highest batch id committed for this checkpoint; -1 when none.
     Batch ids are monotone per checkpoint location (a NEW checkpoint
     restarts numbering — which is why the ledger keys by checkpoint,
-    never globally)."""
+    never globally). The index is SINGLE-WRITER by the maintenance
+    contract (split_hot_cells rewrites cell directories in place), so the
+    ledger's read-modify-write never races a concurrent ingest stream."""
     import json
 
     try:

@@ -2839,14 +2839,12 @@ def events_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEQ_ARM = "CAST(CAST(concat('0x', substr(md5(concat('cuped:', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 AS INT)"
 
 
-@register(
-    "events_cuped_sequential_test",
-    oracle=f"""
+_SEQ_TMPL = f"""
     WITH per_user AS (
         SELECT user_id, {_SEQ_ARM} AS arm,
                {_CUPED_CENTS.format(cond="ts <  TIMESTAMP '2024-01-16 00:00:00'")} AS x,
                {_CUPED_CENTS.format(cond="ts >= TIMESTAMP '2024-01-16 00:00:00'")} AS y
-        FROM events GROUP BY user_id
+        FROM events WHERE {{where}} GROUP BY user_id
     ),
     m AS (
         SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -2883,7 +2881,7 @@ _SEQ_ARM = "CAST(CAST(concat('0x', substr(md5(concat('cuped:', CAST(user_id AS V
                  - ((sy1 - theta * sx1) / n1) * ((sy1 - theta * sx1) / n1)) / 10000.0) / n1 AS se2
         FROM e
     )
-    SELECT CAST(n AS BIGINT) AS n_users,
+    SELECT {{vhead}}CAST(n AS BIGINT) AS n_users,
            CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
            floor((((n0 - n / 2) * (n0 - n / 2) + (n1 - n / 2) * (n1 - n / 2)) / (n / 2)) * 1000000) / 1000000 AS srm_chisq,
            floor(diff * 1000000) / 1000000 AS diff_adj,
@@ -2893,7 +2891,21 @@ _SEQ_ARM = "CAST(CAST(concat('0x', substr(md5(concat('cuped:', CAST(user_id AS V
            round(least(1.0, exp(-(0.5 * ln(se2 / (se2 + 1.0)) + (diff * diff) / (2 * se2 * (se2 + 1.0))))), 6) AS p_always_valid,
            round(least(1.0, exp(-(0.5 * ln(se2 / (se2 + 1.0)) + (diff * diff) / (2 * se2 * (se2 + 1.0))))), 6) < 0.05 AS significant
     FROM v
-    """,
+    """
+
+
+def _seq_oracle(where: str = "TRUE", version: int | None = None) -> str:
+    """One leg of the sequential-decision oracle: the full moment ->
+    theta -> Welch -> mSPRT chain over ``events WHERE <where>``, optionally
+    prefixed with a version literal (the per-MV-version readout unions
+    three legs over batch prefixes)."""
+    vhead = f"CAST({version} AS INT) AS version, " if version is not None else ""
+    return _SEQ_TMPL.format(where=where, vhead=vhead)
+
+
+@register(
+    "events_cuped_sequential_test",
+    oracle=_seq_oracle(),
     tags=("stats", "experiment", "cuped", "sequential-test", "msprt", "srm"),
 )
 def events_cuped_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2920,79 +2932,70 @@ def events_cuped_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decision arithmetic is driver-free column math on that row."""
     from arrow_parquet_logs_spark.streaming.cuped import (
         cuped_per_user_cents,
+        cuped_sequential_readout,
         with_cuped_arm,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    pu = with_cuped_arm(cuped_per_user_cents(ev))
+    return cuped_sequential_readout(with_cuped_arm(cuped_per_user_cents(ev)))
 
-    def d38(c: str) -> F.Column:
-        return F.expr(f"CAST({c} AS DECIMAL(38,0))")
 
-    def asum(a: int, expr) -> F.Column:
-        z0 = F.lit(0).cast("decimal(38,0)")
-        return F.sum(F.when(F.col("arm") == a, expr).otherwise(z0)).cast("double")
-
-    m = pu.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("double").alias("n0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("double").alias("n1"),
-        asum(0, d38("x")).alias("sx0"), asum(1, d38("x")).alias("sx1"),
-        asum(0, d38("y")).alias("sy0"), asum(1, d38("y")).alias("sy1"),
-        asum(0, F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy0"),
-        asum(1, F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy1"),
-        asum(0, F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy0"),
-        asum(1, F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy1"),
-        asum(0, F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx0"),
-        asum(1, F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx1"),
+@register(
+    "events_stream_sequential_decision",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT * FROM ({_seq_oracle(f'event_id % 3 <= {v}', v)}) AS leg{v}"
+        for v in range(3)
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    theta = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
-    xbar = sx / n
-    e = m.select(
-        "n", "n0", "n1", theta.alias("theta"), xbar.alias("xbar"),
-        "sx0", "sx1", "sy0", "sy1", "syy0", "syy1", "sxy0", "sxy1", "sxx0", "sxx1",
-    )
-    th = F.col("theta")
+    + "\nORDER BY version",
+    tags=("stats", "experiment", "cuped", "sequential-test", "streaming",
+          "materialized-view", "peeking"),
+)
+def events_stream_sequential_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEEKING, done soundly — the composition the always-valid p-value
+    exists for (Johari et al. KDD'17): the streaming CUPED MV is read at
+    EVERY committed version and the full decision readout (SRM guard,
+    adjusted lift, mixture-SPRT p) recomputes from the versioned per-user
+    state alone. The oracle replays each version's panel from the raw
+    events prefix — so this row pins that the MV's (user_id, x, y) cents
+    state is a SUFFICIENT statistic for the whole decision at every
+    version, not just the final one, and that reading mid-experiment
+    applies bit-identical arithmetic to the batch row
+    (`cuped_sequential_readout` is one shared pipeline).
 
-    def mean_adj(a: int) -> F.Column:
-        return (
-            F.col(f"sy{a}") / F.col(f"n{a}")
-            - th * (F.col(f"sx{a}") / F.col(f"n{a}") - F.col("xbar"))
-        ) / F.lit(100.0)
+    Scale shape: per version one panel-sized aggregation (the MV state is
+    user-cardinality-bounded); versions are independent reads of committed
+    parquet — the dashboard query, not a history rescan."""
+    import os
+    import tempfile
 
-    def var_adj(a: int) -> F.Column:
-        na = F.col(f"n{a}")
-        cm = (F.col(f"sy{a}") - th * F.col(f"sx{a}")) / na
-        return (
-            (F.col(f"syy{a}") - 2 * th * F.col(f"sxy{a}") + th * th * F.col(f"sxx{a}")) / na
-            - cm * cm
-        ) / F.lit(10000.0)
+    from arrow_parquet_logs_spark.streaming.cuped import (
+        cuped_sequential_readout,
+        mv_current_version,
+        start_stream_cuped_mv,
+        with_cuped_arm,
+    )
 
-    v = e.select(
-        "n", "n0", "n1", "theta",
-        (mean_adj(1) - mean_adj(0)).alias("diff"),
-        (var_adj(0) / F.col("n0") + var_adj(1) / F.col("n1")).alias("se2"),
-    )
-    n, n0, n1 = F.col("n"), F.col("n0"), F.col("n1")
-    diff, se2 = F.col("diff"), F.col("se2")
-    log_lambda = 0.5 * F.log(se2 / (se2 + F.lit(1.0))) + (diff * diff) / (
-        2 * se2 * (se2 + F.lit(1.0))
-    )
-    p = F.least(F.lit(1.0), F.exp(-log_lambda))
-    return v.select(
-        n.cast("bigint").alias("n_users"),
-        n0.cast("bigint").alias("n_0"),
-        n1.cast("bigint").alias("n_1"),
-        qfloor(((n0 - n / 2) * (n0 - n / 2) + (n1 - n / 2) * (n1 - n / 2)) / (n / 2)).alias("srm_chisq"),
-        qfloor(diff).alias("diff_adj"),
-        F.round(F.sqrt(se2), 6).alias("se"),
-        F.round(diff / F.nullif(F.sqrt(se2), F.lit(0.0)), 6).alias("z"),
-        F.round(log_lambda, 6).alias("log_lambda"),
-        F.round(p, 6).alias("p_always_valid"),
-        (F.round(p, 6) < 0.05).alias("significant"),
-    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="cuped_seq_mv_")
+    src, state, ckpt = f"{root}/src", f"{root}/mv", f"{root}/ckpt"
+    os.makedirs(src, exist_ok=True)
+    os.makedirs(state, exist_ok=True)
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = start_stream_cuped_mv(stream.drop("event_id"), state, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("CUPED MV micro-batch did not drain in 300 s")
+    if mv_current_version(state) != 2:
+        raise RuntimeError(
+            f"expected 3 committed MV versions, CURRENT={mv_current_version(state)}"
+        )
+    out = None
+    for v in range(3):
+        pu = with_cuped_arm(spark.read.parquet(f"{state}/state/v={v}"))
+        leg = cuped_sequential_readout(pu).select(
+            F.lit(v).cast("int").alias("version"), "*"
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("version")

@@ -118,6 +118,89 @@ def cuped_readout(per_user: DataFrame) -> DataFrame:
     ).orderBy("arm")
 
 
+def cuped_sequential_readout(per_user: DataFrame) -> DataFrame:
+    """The 1-row experiment DECISION from a per-user ``(arm, x, y)`` cents
+    frame: SRM chi-square guard, CUPED-adjusted lift + Welch SE, and the
+    always-valid mixture-SPRT p-value (tau^2 = 1; Johari et al. KDD'17).
+    One aggregation pass builds every pooled and per-arm moment
+    integer-exact; shared by the batch row `events_cuped_sequential_test`
+    and the per-MV-version readout `events_stream_sequential_decision`, so
+    a dashboard reading the MV at every version applies the identical
+    pinned arithmetic the batch oracle checks."""
+    from arrow_parquet_logs_spark.functions.numeric import qfloor
+
+    def d38(c: str) -> F.Column:
+        return F.expr(f"CAST({c} AS DECIMAL(38,0))")
+
+    def asum(a: int, expr) -> F.Column:
+        z0 = F.lit(0).cast("decimal(38,0)")
+        return F.sum(F.when(F.col("arm") == a, expr).otherwise(z0)).cast("double")
+
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        asum(0, d38("x")).alias("sx0"), asum(1, d38("x")).alias("sx1"),
+        asum(0, d38("y")).alias("sy0"), asum(1, d38("y")).alias("sy1"),
+        asum(0, F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy0"),
+        asum(1, F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy1"),
+        asum(0, F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy0"),
+        asum(1, F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy1"),
+        asum(0, F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx0"),
+        asum(1, F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx1"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    theta = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    xbar = sx / n
+    e = m.select(
+        "n", "n0", "n1", theta.alias("theta"), xbar.alias("xbar"),
+        "sx0", "sx1", "sy0", "sy1", "syy0", "syy1", "sxy0", "sxy1", "sxx0", "sxx1",
+    )
+    th = F.col("theta")
+
+    def mean_adj(a: int) -> F.Column:
+        return (
+            F.col(f"sy{a}") / F.col(f"n{a}")
+            - th * (F.col(f"sx{a}") / F.col(f"n{a}") - F.col("xbar"))
+        ) / F.lit(100.0)
+
+    def var_adj(a: int) -> F.Column:
+        na = F.col(f"n{a}")
+        cm = (F.col(f"sy{a}") - th * F.col(f"sx{a}")) / na
+        return (
+            (F.col(f"syy{a}") - 2 * th * F.col(f"sxy{a}") + th * th * F.col(f"sxx{a}")) / na
+            - cm * cm
+        ) / F.lit(10000.0)
+
+    v = e.select(
+        "n", "n0", "n1", "theta",
+        (mean_adj(1) - mean_adj(0)).alias("diff"),
+        (var_adj(0) / F.col("n0") + var_adj(1) / F.col("n1")).alias("se2"),
+    )
+    n, n0, n1 = F.col("n"), F.col("n0"), F.col("n1")
+    diff, se2 = F.col("diff"), F.col("se2")
+    log_lambda = 0.5 * F.log(se2 / (se2 + F.lit(1.0))) + (diff * diff) / (
+        2 * se2 * (se2 + F.lit(1.0))
+    )
+    p = F.least(F.lit(1.0), F.exp(-log_lambda))
+    return v.select(
+        n.cast("bigint").alias("n_users"),
+        n0.cast("bigint").alias("n_0"),
+        n1.cast("bigint").alias("n_1"),
+        qfloor(((n0 - n / 2) * (n0 - n / 2) + (n1 - n / 2) * (n1 - n / 2)) / (n / 2)).alias("srm_chisq"),
+        qfloor(diff).alias("diff_adj"),
+        F.round(F.sqrt(se2), 6).alias("se"),
+        F.round(diff / F.nullif(F.sqrt(se2), F.lit(0.0)), 6).alias("z"),
+        F.round(log_lambda, 6).alias("log_lambda"),
+        F.round(p, 6).alias("p_always_valid"),
+        (F.round(p, 6) < 0.05).alias("significant"),
+    )
+
+
 # ------------------------------------------------------------------ MV ----
 def _current_path(state_dir: str) -> str:
     return os.path.join(state_dir, "_CURRENT")
