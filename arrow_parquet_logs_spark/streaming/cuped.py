@@ -126,7 +126,13 @@ def cuped_sequential_readout(per_user: DataFrame) -> DataFrame:
     integer-exact; shared by the batch row `events_cuped_sequential_test`
     and the per-MV-version readout `events_stream_sequential_decision`, so
     a dashboard reading the MV at every version applies the identical
-    pinned arithmetic the batch oracle checks."""
+    pinned arithmetic the batch oracle checks.
+
+    Contract edge: a DEGENERATE panel (an empty arm, or zero adjusted
+    variance in both arms — e.g. one user per arm) has no defined test;
+    there Spark yields NULL columns (x/0 and log(0) are NULL) while the
+    DuckDB oracle raises on ln(0). Every driver SF has thousands of users
+    per arm; callers on tiny panels should gate on n_0/n_1 first."""
     from arrow_parquet_logs_spark.functions.numeric import qfloor
 
     def d38(c: str) -> F.Column:

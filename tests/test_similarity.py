@@ -152,3 +152,33 @@ def test_binary_quantized_shortlist_prunes_before_window(spark):
         f"pruner must consume the raw pair frame:\n{plan}"
     )
     assert len({(r.q_id, r.vec_id) for r in out.collect()}) == 20
+
+
+def test_binary_quantize_words_partial_last_word(spark):
+    """dims not a multiple of 32: the last word folds over the shorter
+    slice (MSB-first over the elements PRESENT), still non-negative and
+    deterministic — pinned against the same numpy reference."""
+    import random
+
+    import numpy as np
+
+    from arrow_parquet_logs_spark.operators.similarity import binary_quantize_words
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(48)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: list(r.w)
+        for r in df.select(
+            "vec_id", binary_quantize_words("embedding", 48).alias("w")
+        ).collect()
+    }
+    for vid, vec in rows:
+        v32 = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        want = []
+        for lo, hi in ((0, 32), (32, 48)):
+            acc = 0
+            for x in v32[lo:hi]:
+                acc = acc * 2 + (1 if x > 0 else 0)
+            want.append(acc)
+        assert got[vid] == want
