@@ -231,3 +231,51 @@ def test_cuped_mv_empty_batch_is_noop(spark, tmp_path):
     os.makedirs(state, exist_ok=True)
     assert not apply_cuped_batch(_ev(spark, []), 0, state)
     assert mv_current_version(state) == -1
+
+
+def test_cuped_sequential_readout_matches_numpy_reference(spark):
+    """Independent reference for the decision arithmetic (the DuckDB oracle
+    shares the formula TEXT; this does not): numpy computes theta, the
+    CUPED-adjusted Welch z, and the mSPRT always-valid p straight from the
+    per-user panel, and the pinned Spark pipeline must agree to the
+    quantization (1e-6 on rounded columns)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from arrow_parquet_logs_spark.streaming.cuped import cuped_sequential_readout
+
+    rng = random.Random(29)
+    rows = [
+        (rng.randint(0, 1), rng.randint(0, 5000), rng.randint(0, 5000))
+        for _ in range(500)
+    ]
+    pu = spark.createDataFrame(rows, "arm int, x bigint, y bigint")
+    got = cuped_sequential_readout(pu).collect()[0]
+
+    a = np.array(rows, dtype=np.float64)
+    arm, x, y = a[:, 0], a[:, 1], a[:, 2]
+    n = len(rows)
+    theta = ((n * (x * y).sum() - x.sum() * y.sum())
+             / (n * (x * x).sum() - x.sum() ** 2))
+    xbar = x.mean()
+    adj = (y - theta * (x - xbar)) / 100.0
+    m0, m1 = adj[arm == 0].mean(), adj[arm == 1].mean()
+    n0, n1 = int((arm == 0).sum()), int((arm == 1).sum())
+    v0 = adj[arm == 0].var()  # population variance, ddof=0 — the pipeline's form
+    v1 = adj[arm == 1].var()
+    se2 = v0 / n0 + v1 / n1
+    diff = m1 - m0
+    log_lambda = 0.5 * math.log(se2 / (se2 + 1.0)) + diff * diff / (2 * se2 * (se2 + 1.0))
+    p = min(1.0, math.exp(-log_lambda))
+    srm = ((n0 - n / 2) ** 2 + (n1 - n / 2) ** 2) / (n / 2)
+
+    assert got.n_users == n and got.n_0 == n0 and got.n_1 == n1
+    for name, want in [
+        ("srm_chisq", srm), ("diff_adj", diff),
+        ("se", math.sqrt(se2)), ("z", diff / math.sqrt(se2)),
+        ("log_lambda", log_lambda), ("p_always_valid", p),
+    ]:
+        assert abs(got[name] - want) < 2e-6, (name, got[name], want)
+    assert got.significant == (got.p_always_valid < 0.05)
