@@ -946,6 +946,101 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_
     )
 
 
+def update_clusters_incremental(
+    state: DataFrame | None,
+    new_pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Fold one commit's near-dup pairs into PERSISTENT cluster
+    assignments — cluster formation without ever re-running
+    `connected_components` over the accumulated pair corpus (VERDICT r9
+    #1: the production dedup-on-merge pipeline needs cluster ids that
+    survive commits).
+
+    ``state`` is the stored assignment table (``doc_id``, ``cluster_id``)
+    with the `connected_components` label contract (cluster id = min
+    member id; only docs that HAVE a near-duplicate are present);
+    ``new_pairs`` is the commit's incremental pair stream (e.g.
+    `minhash_pairs_incremental` over a CDC insert feed). Returns ONLY the
+    assignment rows this commit must write:
+
+    - every NEW endpoint (a doc gaining its first near-duplicate) gets a
+      row;
+    - when a bridging pair MERGES existing clusters — the hard case —
+      every member of each non-minimum merged cluster is relabeled to the
+      united component's min id. Members of untouched clusters, and of
+      the merged component's already-minimal cluster, produce NO row, so
+      upserting the result rewrites exactly the touched clusters (pinned
+      by tests/test_operators.py::test_update_clusters_touches_only_merged).
+
+    Correctness: stored labels are component minima and a new endpoint's
+    implicit label is its own id, so closing over LABEL-space edges (one
+    tiny graph, ∝ this commit's pairs) yields exactly the min member id
+    of each united component — accumulated state ≡ one-shot clustering of
+    all pairs seen so far, the invariant `dedup_cdc_cluster_maintain`'s
+    oracle replays from the raw corpus. Pairs landing inside one existing
+    cluster collapse to self-loops and are dropped before the closure.
+
+    Scale shape: the label graph and its closure are pair-batch-sized
+    (`connected_components` handles either regime); the relabel pass is
+    one state scan against a BROADCAST changed-label set — and a state
+    scan is dup-docs-sized, not corpus-sized. The write is
+    touched-rows-only by construction."""
+    pid = (
+        new_pairs.select(F.col(a_col).alias("id"))
+        .unionByName(new_pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
+    if state is not None:
+        st = state.select(F.col("doc_id").alias("id"), F.col("cluster_id").alias("_cl"))
+        labeled = pid.join(st, "id", "left").select(
+            "id",
+            F.coalesce(F.col("_cl"), F.col("id")).alias("cur"),
+            F.col("_cl").isNull().alias("is_new"),
+        )
+    else:
+        labeled = pid.select("id", F.col("id").alias("cur"), F.lit(True).alias("is_new"))
+    labeled = labeled.persist()  # feeds two pair joins + the new-endpoint branch
+    la = labeled.select(F.col("id").alias(a_col), F.col("cur").alias("_la"))
+    lb = labeled.select(F.col("id").alias(b_col), F.col("cur").alias("_lb"))
+    ledges = (
+        new_pairs.select(a_col, b_col)
+        .join(la, a_col)
+        .join(lb, b_col)
+        .where(F.col("_la") != F.col("_lb"))  # intra-cluster pairs: no-ops
+        .select(F.col("_la").alias("a_id"), F.col("_lb").alias("b_id"))
+        .distinct()
+    )
+    mapping = connected_components(ledges).select(
+        F.col("doc_id").alias("_old_label"), F.col("cluster_id").alias("_new_label")
+    )
+    # a new endpoint always appears in the label graph (its own fresh id
+    # can never equal a stored component minimum), so the left join +
+    # coalesce is belt-and-braces for the state=None single-pair case
+    fresh = (
+        labeled.where(F.col("is_new"))
+        .join(F.broadcast(mapping), labeled.cur == F.col("_old_label"), "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("_new_label"), F.col("cur")).alias("cluster_id"),
+        )
+    )
+    if state is not None:
+        changed = mapping.where(F.col("_old_label") != F.col("_new_label"))
+        relabeled = state.join(
+            F.broadcast(changed), state.cluster_id == F.col("_old_label")
+        ).select("doc_id", F.col("_new_label").alias("cluster_id"))
+        out = fresh.unionByName(relabeled)
+    else:
+        out = fresh
+    # materialize before releasing the per-commit cache — an ingest loop
+    # calling this repeatedly must not accumulate persisted plans
+    out = out.localCheckpoint(eager=True)
+    labeled.unpersist()
+    return out
+
+
 # -------------------------------------------------- embedding cosine ----
 def embedding_dup_pairs(
     emb: DataFrame,

@@ -897,23 +897,39 @@ def apply_ivfpq_ingest_batch(
         return False
     ckpt_key = os.path.abspath(checkpoint)
     inflight = _inflight_path(path)
+    torn_msg = (
+        f"ivfpq index at {path} has an in-flight ingest batch "
+        "(previous attempt died between append and commit); the code "
+        "rows / model may be torn — rebuild via materialize_ivfpq "
+        "from the vector store (or restore a backup), then delete "
+        f"{inflight}"
+    )
     if batch_id <= _ledger_last(path, ckpt_key):
         # replayed after a completed commit: exactly-once restored. A
         # marker may survive a crash in the tiny window between ledger
-        # commit and marker removal — stale by definition here.
+        # commit and marker removal — but ONLY a marker whose own
+        # ``ckpt:batch`` content names an already-committed ledger entry
+        # is that stale window (ADVICE r9: the marker is index-global
+        # while the ledger is checkpoint-keyed, so an unconditional
+        # removal here would silently mask a torn pair left by a
+        # DIFFERENT checkpoint's stream if the single-writer contract
+        # were ever violated). Anything else — another checkpoint's
+        # uncommitted batch, a legacy/garbled marker — stays loud.
         if os.path.exists(inflight):
+            try:
+                with open(inflight, encoding="utf-8") as fh:
+                    m_ckpt, sep, m_bid = fh.read().strip().rpartition(":")
+                stale = bool(sep) and int(m_bid) <= _ledger_last(path, m_ckpt)
+            except (OSError, ValueError):
+                stale = False
+            if not stale:
+                raise RuntimeError(torn_msg)
             os.remove(inflight)
         return False
     if os.path.exists(inflight):
-        raise RuntimeError(
-            f"ivfpq index at {path} has an in-flight ingest batch "
-            "(previous attempt died between append and commit); the code "
-            "rows / model may be torn — rebuild via materialize_ivfpq "
-            "from the vector store (or restore a backup), then delete "
-            f"{inflight}"
-        )
+        raise RuntimeError(torn_msg)
     with open(inflight, "w", encoding="utf-8") as fh:
-        fh.write(str(int(batch_id)))
+        fh.write(f"{ckpt_key}:{int(batch_id)}")
     cents, books = load_ivfpq_model(path)
     append_to_ivfpq(
         batch_df, cents, books, path,

@@ -123,26 +123,79 @@ def ivf_topk(
     return _ranked(pairs, k)
 
 
-def binary_quantize_words(vec_col, dims: int = 64):
+def binary_quantize_words(vec_col, dims: int = 64, mean_col=None):
     """Pack a vector's per-dimension SIGN pattern into ``ceil(dims/32)``
     non-negative BIGINT words (bit j of word w set iff component
     ``w·32 + j`` > 0, MSB-first within the word) — plain binary
     quantization, the 1-bit-per-dim shortlist code production vector
-    stores ship (Qdrant/OpenSearch BQ; RaBitQ is the centered+rotated
-    refinement of the same idea). 32-bit halves keep every word and every
-    xor non-negative, so the arithmetic is identical across engines and
-    the MSB-first ``acc·2 + bit`` fold never overflows. Pure Catalyst —
-    one pass, no Python."""
+    stores ship (Qdrant/OpenSearch BQ). 32-bit halves keep every word and
+    every xor non-negative, so the arithmetic is identical across engines
+    and the MSB-first ``acc·2 + bit`` fold never overflows. Pure Catalyst —
+    one pass, no Python.
+
+    ``mean_col`` (an array column — in practice the corpus mean broadcast
+    from one 1-row aggregate, see `corpus_mean_vector`) switches to
+    CENTERED quantization: bit set iff ``x_j - mean_j`` > 0. Centering is
+    the first step of the published refinement of BQ (RaBitQ, Gao & Long
+    SIGMOD'24): raw signs waste bits on any dimension whose values sit on
+    one side of zero (non-isotropic real embeddings — e.g. post-ReLU or
+    mean-offset encoder outputs), while sign-of-deviation splits every
+    dimension ~50/50 and restores Hamming's correlation with angular
+    distance. On an already-centered corpus the two packings agree almost
+    everywhere, which is exactly what the recall audit row reports.
+
+    Components past the array's length (or NULL) contribute a 0 bit IN
+    POSITION (ADVICE r9): a short vector zero-pads rather than
+    right-shifting its last word, so mixed-length corpora keep comparable
+    Hamming distances and match the oracle's out-of-range→0 form. The
+    fold still stops at ``dims`` — a partial LAST word (dims % 32 ≠ 0)
+    keeps its compact pinned form (test_binary_quantize_words_partial_last_word)."""
     v = as_double_array(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    if mean_col is not None:
+        m = as_double_array(
+            F.col(mean_col) if isinstance(mean_col, str) else mean_col
+        )
     n_words = -(-dims // 32)
+
+    def bit_at(idx):
+        x = F.coalesce(F.get(v, idx), F.lit(0.0))
+        if mean_col is not None:
+            x = x - F.coalesce(F.get(m, idx), F.lit(0.0))
+        return F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_words - 1)),
         lambda w: F.aggregate(
-            F.slice(v, w * 32 + 1, 32),
+            F.sequence(F.lit(0), F.least(F.lit(31), F.lit(dims - 1) - w * 32)),
             F.lit(0).cast("bigint"),
-            lambda acc, x: acc * 2
-            + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+            lambda acc, j: acc * 2 + bit_at(w * 32 + j),
         ),
+    )
+
+
+def corpus_mean_vector(
+    emb: DataFrame, vec_col: str = "embedding", dims: int = 64
+) -> DataFrame:
+    """The corpus mean as ONE 1-row frame with an array column
+    ``mean_vec`` — the centering statistic of RaBitQ-style binary
+    quantization (Gao & Long SIGMOD'24: center on the corpus mean, THEN
+    quantize signs; see `binary_quantize_words`). Computed as ``dims``
+    columnar AVG aggregates in a single partial-agg scan (no explode
+    shuffle), then round(6)-quantized so the statistic is reproducible
+    across engines and partitionings (the repo's convention for
+    float-sum-derived values: a sign flip at ``x − mean`` needs x within
+    5e-7 of the mean — measure zero on real embeddings). Broadcast it
+    onto the scan that packs the words; missing/NULL components average
+    as 0 via the same coalesce the packer applies."""
+    v = as_double_array(F.col(vec_col))
+    avgs = [
+        F.round(F.avg(F.coalesce(F.get(v, j), F.lit(0.0))), 6).alias(f"_m{j}")
+        for j in range(dims)
+    ]
+    return (
+        emb.where(F.col(vec_col).isNotNull())
+        .agg(*avgs)
+        .select(F.array(*[F.col(f"_m{j}") for j in range(dims)]).alias("mean_vec"))
     )
 
 

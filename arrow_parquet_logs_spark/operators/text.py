@@ -138,6 +138,85 @@ def sentence_chunks(
     return df.select(F.col(id_col), F.posexplode(blocks).alias("pos", "chunk"))
 
 
+def exact_substring_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_len: int = 10
+) -> DataFrame:
+    """Token-level exact-substring dedup in the Lee et al. 2022 shape
+    ("Deduplicating Training Data Makes Language Models Better", public):
+    any token lying inside a substring of ≥ ``min_len`` tokens that occurs
+    ≥ 2 times corpus-wide — counting multiplicity, INCLUDING a repeat
+    within one document — is removed from EVERY occurrence. This differs
+    from `span_dedup` (C4 keep-first at fixed block alignment) in both
+    ways that change what survives: duplicated spans are suppressed
+    everywhere (the published ExactSubstr default — no occurrence is
+    privileged), and stride-1 windows catch duplicates at ARBITRARY
+    alignment, not just block boundaries.
+
+    Exactness at window granularity: a token is removed iff some
+    duplicated ``min_len``-token window covers it, which holds iff the
+    token sits inside a duplicated substring of length ≥ ``min_len`` —
+    the window decomposition is equivalent to the paper's suffix-array
+    criterion at this threshold, with no approximation.
+
+    Scale shape: windows are one row-local explode (rows ≈ corpus
+    tokens); the duplicate test is one map-side-combinable count on the
+    window key joined back on the same key (the aggregate→join shape —
+    no global sort, the suffix array's job done by a hash shuffle);
+    coverage positions explode only from DUPLICATED windows (∝ duplicated
+    tokens, not corpus tokens) and reach the token frame through one
+    (id, pos)-keyed join; reassembly is the per-doc sort `span_dedup`
+    already pays. Everything is linear in corpus tokens + duplicate mass.
+
+    Returns (id, n_tokens, n_removed, clean_text)."""
+    tok_arr = tokens(text_col)
+    toks = df.select(F.col(id_col), F.posexplode(tok_arr).alias("tpos", "token"))
+    starts = F.when(
+        F.size(tok_arr) >= min_len,
+        F.sequence(F.lit(0), F.size(tok_arr) - F.lit(min_len)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.concat_ws(" ", F.slice(tok_arr, p + F.lit(1), min_len)).alias(
+                        "wkey"
+                    ),
+                ),
+            )
+        ).alias("_w"),
+    ).select(id_col, "_w.p", "_w.wkey")
+    dup_keys = wins.groupBy("wkey").agg(F.count(F.lit(1)).alias("_n")).where(
+        F.col("_n") >= 2
+    )
+    covered = (
+        wins.join(dup_keys.select("wkey"), "wkey")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(min_len - 1))).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+    )
+    flagged = toks.join(
+        covered.withColumn("_cut", F.lit(True)), [id_col, "tpos"], "left"
+    )
+    kept_struct = F.when(F.col("_cut").isNull(), F.struct("tpos", "token"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum(F.col("_cut").isNotNull().cast("int")).cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["token"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def span_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 10
 ) -> DataFrame:

@@ -571,6 +571,109 @@ def dedup_lsh_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cdc_cluster_maintain",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SH3} AS s FROM toks),
+    {_minhash_sig_sql()},
+    bands AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 8), b -> md5(concat(CAST(b AS VARCHAR), ':',
+                   array_to_string(list_slice(sig, b*4+1, b*4+4), ','))))) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT a_id, b_id FROM ({_VERIFY_SQL})),
+    cedges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ),
+    cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+    reach(src, dst) AS (
+        SELECT id, id FROM cnodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           MIN(dst) AS cluster_id,
+           src = MIN(dst) AS is_canonical
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "cdc", "clusters", "incremental",
+          "versioned-table", "ingest"),
+)
+def dedup_cdc_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CLUSTER maintenance over the CDC dedup feed (VERDICT r9
+    #1) — the composition that makes `dedup_lsh_cdc_merge` a complete
+    ingestion-time dedup pipeline: each commit's incremental pair stream
+    folds into a persistent cluster-assignment table
+    (`update_clusters_incremental` + `VersionedTable` MERGE), so dedup
+    policy reads STABLE cluster ids at every version without ever
+    re-running `connected_components` on the corpus. The hard case — a
+    bridging pair merging two clusters formed in earlier commits — is the
+    normal case here: label-space union-find over the commit's pairs
+    relabels exactly the touched clusters' members (the rewrite scope is
+    unit-pinned via the MERGE's change feed in
+    tests/test_versioned_table.py).
+
+    The gate: the accumulated assignments after the last commit must
+    hash-match a ONE-SHOT clustering oracle of the final corpus (the
+    `dedup_clusters` recursive-CTE transitive closure over the full-corpus
+    LSH pairs) — labels, membership, and canonical flags all replayed from
+    scratch, so a mis-merged, missed, or stale-labeled cluster lands as a
+    mismatch.
+
+    Scale shape: per commit — batch-sized signature work, candidate-sized
+    verification (`minhash_pairs_incremental`), a pair-batch-sized label
+    closure, and ONE dup-docs-sized state scan against a broadcast
+    changed-label set; the write is touched-clusters-only. No stage ever
+    re-scans the corpus after the initial index build."""
+    import tempfile
+
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="cdc_clu_")
+    t = VersionedTable(spark, f"{root}/tbl", key_cols=["doc_id"])
+    t.write(docs.where(F.col("doc_id") % 3 == 0))
+    idx = f"{root}/idx"
+    D.materialize_minhash_index(t.read(), idx, pandas_sigs=True)
+    cstate = VersionedTable(spark, f"{root}/clusters", key_cols=["doc_id"])
+    have_state = False
+
+    def fold(pairs) -> None:
+        nonlocal have_state
+        upd = D.update_clusters_incremental(
+            cstate.read() if have_state else None, pairs
+        )
+        if not upd.isEmpty():
+            (cstate.upsert if have_state else cstate.write)(upd)
+            have_state = True
+
+    fold(D.minhash_lsh_pairs_pandas(t.read(), threshold=0.6, collapse_exact=False))
+    for i in (1, 2):
+        pre_v = t.history()[-1]["version"]
+        t.upsert(docs.where(F.col("doc_id") % 3 == i))
+        post_v = t.history()[-1]["version"]
+        feed = t.changes(pre_v, post_v)
+        ins = feed.where(F.col("_change_type") == "insert").select("doc_id", "text")
+        fold(
+            D.minhash_pairs_incremental(
+                spark, idx, ins, t.read(version=pre_v), threshold=0.6, pandas_sigs=True
+            )
+        )
+        D.append_to_minhash_index(ins, idx, pandas_sigs=True)
+    return cstate.read().select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+@register(
     "docs_chunking",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -1927,6 +2030,68 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each group). One shuffle on block text + one on doc_id — linear,
     the 100 TB plan is identical."""
     return _span_result(X.span_dedup(_span_seeded(spark, sf_dir)))
+
+
+@register(
+    "docs_exact_substring_dedup",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               '{_SPAN_SEED_PREFIX}' || CAST(doc_id // 10 AS VARCHAR) || ' ' || text AS text
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM seeded),
+    tok AS (
+        SELECT doc_id, unnest(range(0, len(t))) AS tpos, unnest(t) AS token
+        FROM toks
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(t) - 9, 0))) AS p,
+               unnest(list_transform(range(0, greatest(len(t) - 9, 0)),
+                   i -> array_to_string(list_slice(t, i + 1, i + 10), ' '))) AS wkey
+        FROM toks
+    ),
+    dup AS (SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, tpos FROM (
+            SELECT w.doc_id, unnest(range(w.p, w.p + 10)) AS tpos
+            FROM wins w JOIN dup d ON d.wkey = w.wkey
+        )
+    ),
+    flagged AS (
+        SELECT t.doc_id, t.tpos, t.token, (c.tpos IS NOT NULL) AS is_cut
+        FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+           sha256(coalesce(string_agg(token, ' ' ORDER BY tpos) FILTER (WHERE NOT is_cut), '')) AS clean_sha256
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "exact-substring", "lee2022"),
+)
+def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level exact-substring dedup (VERDICT r9 #6 — the Lee et al.
+    2022 ExactSubstr shape, `operators.text.exact_substring_dedup`): every
+    occurrence of any ≥10-token substring duplicated anywhere in the
+    corpus is suppressed — unlike `docs_span_dedup`'s C4 keep-first, NO
+    occurrence is privileged, and stride-1 windows catch duplicates at
+    arbitrary alignment. On the seeded corpus the 19-token global
+    boilerplate prefix vanishes from ALL docs (where span_dedup keeps it
+    in doc 0), the per-10-doc group seed vanishes from its whole group,
+    and windows sliding across the seed/text boundary cut the first
+    tokens of genuinely duplicated document bodies wherever they repeat.
+    The sha256 of each reassembled doc pins removal set AND order; the
+    oracle replays windows, the multiplicity-2 test, position coverage,
+    and reassembly exactly."""
+    out = X.exact_substring_dedup(_span_seeded(spark, sf_dir), min_len=10)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.sha2("clean_text", 256).alias("clean_sha256"),
+    ).orderBy("doc_id")
 
 
 @register(

@@ -1979,3 +1979,167 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+_BQC_WORD = (
+    "CAST(list_sum(list_transform(range(1, 33), j -> CASE WHEN "
+    "(coalesce({v}[{w} * 32 + j], 0) - coalesce(mv[{w} * 32 + j], 0)) > 0 "
+    "THEN (1::BIGINT << (32 - j)) ELSE 0 END)) AS BIGINT)"
+)
+
+
+@register(
+    "ann_bq_centered_recall_audit",
+    oracle=f"""
+    WITH mean AS (
+        SELECT list(m ORDER BY j) AS mv
+        FROM (
+            SELECT js.j AS j, round(avg(coalesce(embedding[js.j], 0)), 6) AS m
+            FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js
+            WHERE embedding IS NOT NULL
+            GROUP BY js.j
+        )
+    ),
+    w AS (
+        SELECT vec_id, embedding,
+               {_BQ_WORD.format(v='embedding', w='0')} AS w0,
+               {_BQ_WORD.format(v='embedding', w='1')} AS w1,
+               {_BQC_WORD.format(v='embedding', w='0')} AS c0,
+               {_BQC_WORD.format(v='embedding', w='1')} AS c1
+        FROM embeddings CROSS JOIN mean
+        WHERE embedding IS NOT NULL
+    ),
+    p AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               {_COS.format(a='a.embedding', b='b.embedding')} AS cosine,
+               (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))) AS ham_raw,
+               (bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))) AS ham_cen
+        FROM w a JOIN w b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 5
+    ),
+    ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM p) WHERE rn <= 10),
+    rr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY ham_raw, vec_id) AS rn
+           FROM p) WHERE rn <= 10),
+    cc AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY ham_cen, vec_id) AS rn
+           FROM p) WHERE rn <= 10),
+    ovr AS (SELECT ex.q_id, count(*) AS n FROM ex JOIN rr USING (q_id, vec_id) GROUP BY ex.q_id),
+    ovc AS (SELECT ex.q_id, count(*) AS n FROM ex JOIN cc USING (q_id, vec_id) GROUP BY ex.q_id),
+    qs AS (SELECT DISTINCT q_id FROM p)
+    SELECT qs.q_id,
+           CAST(coalesce(ovr.n, 0) AS INT) AS overlap10_raw,
+           CAST(coalesce(ovr.n, 0) AS DOUBLE) / 10.0 AS recall10_raw,
+           CAST(coalesce(ovc.n, 0) AS INT) AS overlap10_centered,
+           CAST(coalesce(ovc.n, 0) AS DOUBLE) / 10.0 AS recall10_centered
+    FROM qs LEFT JOIN ovr ON ovr.q_id = qs.q_id LEFT JOIN ovc ON ovc.q_id = qs.q_id
+    ORDER BY qs.q_id
+    """,
+    tags=("similarity", "ann", "binary-quantization", "rabitq", "centered",
+          "audit", "recall"),
+)
+def ann_bq_centered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTERED binary quantization + its deployment audit (VERDICT r9 #3
+    — the RaBitQ first step, Gao & Long SIGMOD'24): raw-sign BQ wastes
+    bits on any dimension whose values sit on one side of zero, so the
+    published refinement subtracts the corpus mean before taking signs.
+    The operator is `corpus_mean_vector` (one round(6)-quantized 1-row
+    aggregate, broadcast onto the packing scan) + `binary_quantize_words
+    (mean_col=...)`; this row is the audit a pipeline runs BEFORE swapping
+    shortlist codes: per query, exact cosine top-10 vs the top-10 of the
+    RAW-BQ Hamming ranking vs the CENTERED-BQ Hamming ranking, reporting
+    overlap@10 / recall@10 for both codes side by side. On this corpus the
+    embeddings are near-isotropic, so the audit honestly reports rough
+    parity — the machinery (operator + audit + oracle replay) is what a
+    real offset corpus needs, exactly like the Matryoshka row's contract.
+
+    Scale shape: ONE fused audit scan computes cosine and both integer
+    Hammings per (candidate × broadcast query) row; each of the three
+    rankings prunes through `partial_topk` before its per-query window
+    (≤ Q·10 rows reach any window), and the overlap joins run on ≤ Q·10-row
+    frames. The serving path keeps stage 1 integer-only
+    (`binary_quantized_topk`); an audit pays the fused floats once by
+    design."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.functions.vector import cosine_sim
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    mean = S.corpus_mean_vector(emb, dims=64)
+
+    def words(df: DataFrame, p: str) -> DataFrame:
+        return df.crossJoin(F.broadcast(mean)).select(
+            F.col("vec_id").alias(f"{p}_id"),
+            F.col("embedding").alias(f"{p}_v"),
+            S.binary_quantize_words("embedding", 64).alias(f"{p}_rw"),
+            S.binary_quantize_words("embedding", 64, mean_col="mean_vec").alias(
+                f"{p}_cw"
+            ),
+        )
+
+    q = words(emb.where(F.col("vec_id") < 5), "q")
+    c = words(spread_for_python(emb.select("vec_id", "embedding")), "c")
+
+    def ham(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+            F.lit(0).cast("int"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("c_id").alias("vec_id"),
+            F.round(cosine_sim("c_v", "q_v"), 6).alias("cosine"),
+            ham("c_rw", "q_rw").alias("ham_raw"),
+            ham("c_cw", "q_cw").alias("ham_cen"),
+        )
+    )
+
+    def top10(col: str, asc: bool) -> DataFrame:
+        pruned = partial_topk(pairs, ["q_id"], [(col, asc), ("vec_id", True)], 10)
+        order = F.col(col).asc() if asc else F.col(col).desc()
+        return (
+            pruned.withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("q_id").orderBy(order, "vec_id")),
+            )
+            .where(F.col("rn") <= 10)
+            .select("q_id", "vec_id")
+        )
+
+    ex10 = top10("cosine", False)
+    r10, c10 = top10("ham_raw", True), top10("ham_cen", True)
+
+    def overlap(s: DataFrame, alias: str) -> DataFrame:
+        return (
+            ex10.join(s, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).cast("int").alias(alias))
+        )
+
+    return (
+        q.select("q_id")
+        .join(overlap(r10, "nr"), "q_id", "left")
+        .join(overlap(c10, "nc"), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("nr", F.lit(0)).cast("int").alias("overlap10_raw"),
+            (F.coalesce("nr", F.lit(0)).cast("double") / F.lit(10.0)).alias(
+                "recall10_raw"
+            ),
+            F.coalesce("nc", F.lit(0)).cast("int").alias("overlap10_centered"),
+            (F.coalesce("nc", F.lit(0)).cast("double") / F.lit(10.0)).alias(
+                "recall10_centered"
+            ),
+        )
+        .orderBy("q_id")
+    )

@@ -89,6 +89,16 @@ QUERIES = [
     "ann_ivfpq_stream_maintained",
     "embeddings_matryoshka_recall",
     "events_cuped_adjusted_lift",
+    # round-9/10 rows: the CDC ingest-dedup pipeline (merge feed, and the
+    # r10 persistent cluster maintenance on top of it), the BQ shortlist
+    # + its r10 centered-recall audit, and the streaming experiment MVs
+    "dedup_lsh_cdc_merge",
+    "dedup_cdc_cluster_maintain",
+    "ann_binary_quantized_rerank",
+    "ann_bq_centered_recall_audit",
+    "events_stream_cuped",
+    "events_cuped_sequential_test",
+    "events_stream_sequential_decision",
 ]
 
 

@@ -71,6 +71,8 @@ _BROADCAST_NL_OK = {
     "ann_binary_quantized_rerank",      # broadcast query set × corpus (integer
                                         # hamming scan) + broadcast rerank
     "embeddings_matryoshka_recall",     # broadcast query set × corpus (two rankings)
+    "ann_bq_centered_recall_audit",     # broadcast query set × corpus (fused
+                                        # cosine + raw/centered hamming audit scan)
     "ann_maxsim_late_interaction",      # broadcast sliced query set × corpus
     "ann_maxsim_rerank",                # broadcast query set + sliced-query rerank
     "embeddings_triplet_margin_audit",  # broadcast query set × corpus

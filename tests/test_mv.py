@@ -218,6 +218,21 @@ def test_cuped_mv_replay_and_crash_window(spark, tmp_path):
     vs = sorted(os.listdir(os.path.join(state, "state")))
     assert "v=5" in vs and len(vs) <= 2
 
+    # (e) VERDICT r9 #4: after the retention sweep, CURRENT reads are
+    # unaffected and the per-version decision replay (the
+    # events_stream_sequential_decision shape) still runs against every
+    # KEPT version — pruning bounds storage without breaking the
+    # dashboard's peeking path
+    from arrow_parquet_logs_spark.streaming.cuped import cuped_sequential_readout
+
+    assert mv_current_version(state) == 5
+    assert read_cuped_mv(spark, state).count() == 2  # two arms at CURRENT
+    for name in vs:
+        pu = with_cuped_arm(
+            spark.read.parquet(os.path.join(state, "state", name))
+        )
+        assert cuped_sequential_readout(pu).count() == 1
+
 
 def test_cuped_mv_empty_batch_is_noop(spark, tmp_path):
     from arrow_parquet_logs_spark.streaming.cuped import (

@@ -399,18 +399,36 @@ def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(idx).collect())) == rows_after
     assert PQ.load_ivfpq_model(idx) == model_after
 
-    # a stale marker WITH a ledger entry is cleaned up silently (crash in
-    # the commit->unmark window)...
-    open(PQ._inflight_path(idx), "w").write("0")
+    # a stale marker naming THIS checkpoint's committed batch is cleaned
+    # up silently (crash in the commit->unmark window)...
+    open(PQ._inflight_path(idx), "w").write(f"{os.path.abspath(ckpt)}:0")
     assert not PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
     assert not os.path.exists(PQ._inflight_path(idx))
 
     # ...but a marker for an UNCOMMITTED batch means a torn pair: loud
-    open(PQ._inflight_path(idx), "w").write("1")
+    open(PQ._inflight_path(idx), "w").write(f"{os.path.abspath(ckpt)}:1")
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="in-flight"):
         PQ.apply_ivfpq_ingest_batch(spark, batch, 1, idx, ckpt, emb, thr)
+
+    # ADVICE r9: the ledger is checkpoint-keyed but the marker is
+    # index-global — a replay from THIS checkpoint must not silently
+    # absorb a torn pair left by a DIFFERENT checkpoint's stream. The
+    # same uncommitted marker stays loud even on the replayed-batch path
+    # (batch 0 is committed for ckpt; the marker's batch 1 is not):
+    with _pytest.raises(RuntimeError, match="in-flight"):
+        PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
+    # ...including a marker naming a checkpoint with no ledger entry
+    open(PQ._inflight_path(idx), "w").write(
+        f"{os.path.abspath(str(tmp_path / 'foreign_ckpt'))}:0"
+    )
+    with _pytest.raises(RuntimeError, match="in-flight"):
+        PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
+    # ...and so does a legacy/garbled marker that names no checkpoint
+    open(PQ._inflight_path(idx), "w").write("0")
+    with _pytest.raises(RuntimeError, match="in-flight"):
+        PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
     os.remove(PQ._inflight_path(idx))
 
     # a NEW checkpoint restarts batch numbering — its batch 0 must apply

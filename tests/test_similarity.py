@@ -182,3 +182,89 @@ def test_binary_quantize_words_partial_last_word(spark):
                 acc = acc * 2 + (1 if x > 0 else 0)
             want.append(acc)
         assert got[vid] == want
+
+
+def test_binary_quantize_words_zero_pads_short_vectors(spark):
+    """ADVICE r9: a vector SHORTER than dims must pack as if zero-padded —
+    missing components contribute 0 bits in their positions, not a
+    right-shifted last word — so short and full-length vectors keep
+    comparable Hamming distances (and match the oracle's
+    out-of-range→0 form)."""
+    from arrow_parquet_logs_spark.operators.similarity import binary_quantize_words
+
+    full = [1.0, -1.0] * 32           # 64 components
+    short = full[:40]                 # truncated: positions 40..63 absent
+    padded = short + [0.0] * 24       # the reference: explicit zero-pad
+    df = spark.createDataFrame(
+        [(0, full), (1, short), (2, padded)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: list(r.w)
+        for r in df.select(
+            "vec_id", binary_quantize_words("embedding", 64).alias("w")
+        ).collect()
+    }
+    assert got[1] == got[2], "short vector must pack ≡ its zero-padded form"
+    assert got[1] != got[0]
+    # and NULL components contribute 0 in position too
+    with_null = df.selectExpr(
+        "vec_id",
+        "transform(embedding, (x, i) -> CASE WHEN i = 3 THEN NULL ELSE x END) AS embedding",
+    ).where("vec_id = 2")
+    (row,) = with_null.select(
+        binary_quantize_words("embedding", 64).alias("w")
+    ).collect()
+    ref = list(padded)
+    ref[3] = 0.0
+    acc = [0, 0]
+    for w in range(2):
+        for j in range(32):
+            acc[w] = acc[w] * 2 + (1 if ref[w * 32 + j] > 0 else 0)
+    assert list(row.w) == acc
+
+
+def test_binary_quantize_words_centered_matches_numpy(spark):
+    """Centered BQ (the RaBitQ first step): bit = sign(x - corpus_mean).
+    Pinned against a numpy reference, and on a zero-mean corpus the
+    centered packing must equal the raw one."""
+    import random
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.operators.similarity import (
+        binary_quantize_words,
+        corpus_mean_vector,
+    )
+
+    rng = random.Random(7)
+    # offset corpus: every dimension shifted +1.5 so raw signs saturate
+    rows = [(i, [rng.uniform(-1, 1) + 1.5 for _ in range(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean = corpus_mean_vector(df, dims=64)
+    got = {
+        r.vec_id: list(r.w)
+        for r in df.crossJoin(F.broadcast(mean))
+        .select(
+            "vec_id",
+            binary_quantize_words("embedding", 64, mean_col="mean_vec").alias("w"),
+        )
+        .collect()
+    }
+    a = np.array([v for _, v in rows], dtype=np.float64)
+    m = np.round(a.mean(axis=0), 6)
+    for vid, vec in rows:
+        bits = (np.asarray(vec) - m) > 0
+        want = []
+        for lo in (0, 32):
+            acc = 0
+            for b in bits[lo : lo + 32]:
+                acc = acc * 2 + int(b)
+            want.append(acc)
+        assert got[vid] == want, vid
+    # raw signs on this corpus are all-ones words; centered must differ
+    raw = df.select(binary_quantize_words("embedding", 64).alias("w")).collect()
+    assert all(list(r.w) == [(1 << 32) - 1, (1 << 32) - 1] for r in raw)
+    assert any(list(w) != [(1 << 32) - 1, (1 << 32) - 1] for w in got.values())
