@@ -80,7 +80,13 @@ def spread(df: DataFrame, key: str) -> DataFrame:
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(F.col(id_col).alias("sid"), distinct_shingles(text_col, n).alias("sh"))
+    # tokens materialized as a column so the shingle builder's argument
+    # evaluations reference an attribute, not a re-splittable expression
+    # (the lambda re-eval class; SCALING.md round 10)
+    from arrow_parquet_logs_spark.operators.text import shingles, tokens
+
+    base = df.select(F.col(id_col).alias("sid"), tokens(text_col).alias("_t"))
+    return base.select("sid", F.array_distinct(shingles(F.col("_t"), n)).alias("sh"))
 
 
 def _band_keys_from_sets(sets: DataFrame, k: int, bands: int) -> DataFrame:

@@ -45,11 +45,22 @@ def tokens(col: Column | str) -> Column:
 
 
 def shingles(tok: Column, n: int = 3) -> Column:
-    """Word n-gram shingles; short docs fall back to one whole-doc shingle."""
-    windows = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - n),
-        lambda i: F.concat_ws(" ", F.slice(tok, i + F.lit(1), n)),
-    )
+    """Word n-gram shingles; short docs fall back to one whole-doc shingle.
+
+    Built as a chain of ``zip_with``s over shifted slices, NOT a
+    per-position lambda slicing ``tok``: arguments to a higher-order
+    function evaluate once per row, but expressions inside a lambda BODY
+    re-evaluate per element — with a raw ``tokens()`` expression as ``tok``
+    and ~one window per token, the old form re-split the whole document
+    per position, O(tokens²) per doc (measured 9.4× on the sf1 corpus —
+    SCALING.md round 10). The zip_with lambdas touch only their lambda
+    variables; trailing windows missing a component concat to NULL and are
+    filtered, leaving exactly the len−n+1 in-order windows."""
+    win = tok
+    for j in range(1, n):
+        shifted = F.slice(tok, j + 1, F.greatest(F.size(tok) - j, F.lit(0)))
+        win = F.zip_with(win, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    windows = F.filter(win, lambda x: x.isNotNull())
     return F.when(F.size(tok) >= n, windows).otherwise(F.array(F.concat_ws(" ", tok)))
 
 
@@ -129,13 +140,17 @@ def sentence_chunks(
     for span-level dedup. The shipped corpus has no sentence punctuation, so
     fixed token blocks stand in; a real pipeline would split on sentence
     boundaries and the downstream operators are unchanged. Row-local array
-    expressions, no shuffle; output rows ∝ tokens/n."""
-    tok = tokens(text_col)
+    expressions, no shuffle; output rows ∝ tokens/n. The token array is
+    materialized as a column first — lambda-body expressions re-evaluate
+    per element, so an inline ``tokens()`` would re-split the document per
+    block (the O(tokens²) class; SCALING.md round 10)."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    tok = F.col("_t")
     blocks = F.transform(
         F.sequence(F.lit(0), F.floor((F.size(tok) - 1) / n).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(tok, i * n + F.lit(1), n)),
     )
-    return df.select(F.col(id_col), F.posexplode(blocks).alias("pos", "chunk"))
+    return base.select(F.col(id_col), F.posexplode(blocks).alias("pos", "chunk"))
 
 
 def exact_substring_dedup(
@@ -168,26 +183,35 @@ def exact_substring_dedup(
     already pays. Everything is linear in corpus tokens + duplicate mass.
 
     Returns (id, n_tokens, n_removed, clean_text)."""
-    tok_arr = tokens(text_col)
-    toks = df.select(F.col(id_col), F.posexplode(tok_arr).alias("tpos", "token"))
+    # materialize the token array ONCE per row: expressions referenced
+    # inside a higher-order lambda re-evaluate per invocation, and with
+    # ~one window per token a raw tokens() reference would re-split the
+    # whole document per position — O(tokens²) per doc
+    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    toks = base.select(F.col(id_col), F.posexplode(t).alias("tpos", "token"))
     starts = F.when(
-        F.size(tok_arr) >= min_len,
-        F.sequence(F.lit(0), F.size(tok_arr) - F.lit(min_len)),
+        F.size(t) >= min_len,
+        F.sequence(F.lit(0), F.size(t) - F.lit(min_len)),
     ).otherwise(F.array().cast("array<int>"))
-    wins = df.select(
+    wins = base.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 starts,
                 lambda p: F.struct(
                     p.alias("p"),
-                    F.concat_ws(" ", F.slice(tok_arr, p + F.lit(1), min_len)).alias(
-                        "wkey"
-                    ),
+                    F.concat_ws(" ", F.slice(t, p + F.lit(1), min_len)).alias("wkey"),
                 ),
             )
         ).alias("_w"),
     ).select(id_col, "_w.p", "_w.wkey")
+    # exact window-string equality, not a fingerprint: a 96-bit Rabin-Karp
+    # key (xxhash64+hash of the 10 tokens, no string built) was A/B-probed
+    # at parity (5.8 vs 5.1 s sf0.1) — the explode/join rows dominate, not
+    # key bytes — so the published exact semantics costs nothing here. At
+    # 100 TB the fingerprint halves shuffle bytes and is the variant to
+    # flip to, accepting ~2^-96-per-pair false merges.
     dup_keys = wins.groupBy("wkey").agg(F.count(F.lit(1)).alias("_n")).where(
         F.col("_n") >= 2
     )

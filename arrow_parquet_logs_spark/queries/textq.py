@@ -691,8 +691,12 @@ def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (50-token windows, stride 40 → 10
     overlap) — the context-window prep stage of a training pipeline. Pure
     row-local array expressions: no shuffle, output rows ∝ tokens/stride."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = X.tokens("text")
+    # token array hoisted to a column: lambda bodies re-evaluate inline
+    # expressions per element (SCALING.md round 10)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens("text").alias("_t")
+    )
+    tok = F.col("_t")
     starts = F.sequence(F.lit(0), F.greatest(F.size(tok) - F.lit(50), F.lit(0)), F.lit(40))
     chunk = F.transform(
         starts,

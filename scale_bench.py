@@ -99,6 +99,7 @@ QUERIES = [
     "events_stream_cuped",
     "events_cuped_sequential_test",
     "events_stream_sequential_decision",
+    "docs_exact_substring_dedup",
 ]
 
 
