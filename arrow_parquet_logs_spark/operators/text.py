@@ -153,6 +153,32 @@ def sentence_chunks(
     return base.select(F.col(id_col), F.posexplode(blocks).alias("pos", "chunk"))
 
 
+def _window_frame(base: DataFrame, id_col: str, min_len: int) -> DataFrame:
+    """(id, p, wkey): every ``min_len``-token window at stride 1 from a
+    frame carrying a MATERIALIZED token-array column ``_t`` (lambda-body
+    expressions re-evaluate per element — an inline ``tokens()`` here
+    would re-split the document per position, the O(tokens²) class;
+    SCALING.md round 10). Docs shorter than ``min_len`` contribute no
+    windows."""
+    t = F.col("_t")
+    starts = F.when(
+        F.size(t) >= min_len,
+        F.sequence(F.lit(0), F.size(t) - F.lit(min_len)),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.concat_ws(" ", F.slice(t, p + F.lit(1), min_len)).alias("wkey"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(id_col, "_w.p", "_w.wkey")
+
+
 def exact_substring_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_len: int = 10
 ) -> DataFrame:
@@ -183,29 +209,21 @@ def exact_substring_dedup(
     already pays. Everything is linear in corpus tokens + duplicate mass.
 
     Returns (id, n_tokens, n_removed, clean_text)."""
-    # materialize the token array ONCE per row: expressions referenced
-    # inside a higher-order lambda re-evaluate per invocation, and with
-    # ~one window per token a raw tokens() reference would re-split the
-    # whole document per position — O(tokens²) per doc
+    return reassemble_minus_coverage(
+        df, substring_coverage(df, id_col, text_col, min_len), id_col, text_col
+    )
+
+
+def substring_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_len: int = 10
+) -> DataFrame:
+    """The one-shot suppressed-position SET of `exact_substring_dedup`:
+    distinct ``(id, tpos)`` for every token covered by a corpus-duplicated
+    ``min_len``-token window. Split out so the CDC composition
+    (`substring_dedup_incremental`) can pin its accumulated deltas against
+    exactly this set."""
     base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
-    t = F.col("_t")
-    toks = base.select(F.col(id_col), F.posexplode(t).alias("tpos", "token"))
-    starts = F.when(
-        F.size(t) >= min_len,
-        F.sequence(F.lit(0), F.size(t) - F.lit(min_len)),
-    ).otherwise(F.array().cast("array<int>"))
-    wins = base.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                starts,
-                lambda p: F.struct(
-                    p.alias("p"),
-                    F.concat_ws(" ", F.slice(t, p + F.lit(1), min_len)).alias("wkey"),
-                ),
-            )
-        ).alias("_w"),
-    ).select(id_col, "_w.p", "_w.wkey")
+    wins = _window_frame(base, id_col, min_len)
     # exact window-string equality, not a fingerprint: a 96-bit Rabin-Karp
     # key (xxhash64+hash of the 10 tokens, no string built) was A/B-probed
     # at parity (5.8 vs 5.1 s sf0.1) — the explode/join rows dominate, not
@@ -215,7 +233,7 @@ def exact_substring_dedup(
     dup_keys = wins.groupBy("wkey").agg(F.count(F.lit(1)).alias("_n")).where(
         F.col("_n") >= 2
     )
-    covered = (
+    return (
         wins.join(dup_keys.select("wkey"), "wkey")
         .select(
             F.col(id_col),
@@ -225,6 +243,19 @@ def exact_substring_dedup(
         )
         .distinct()
     )
+
+
+def reassemble_minus_coverage(
+    df: DataFrame,
+    covered: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rebuild every document's text from the tokens NOT in a suppressed-position
+    set — the read side shared by `exact_substring_dedup` and the CDC
+    composition. Returns (id, n_tokens, n_removed, clean_text)."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    toks = base.select(F.col(id_col), F.posexplode(F.col("_t")).alias("tpos", "token"))
     flagged = toks.join(
         covered.withColumn("_cut", F.lit(True)), [id_col, "tpos"], "left"
     )
@@ -239,6 +270,100 @@ def exact_substring_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+def materialize_window_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's positional window index — one ``(id, p, wkey)``
+    row per stride-1 ``min_len``-token window — the structure that makes
+    exact-substring dedup INCREMENTAL (the `materialize_minhash_index`
+    contract, applied to the Lee et al. 2022 operator). ~1 row/token: the
+    same order of magnitude a suffix array costs, which is what this index
+    replaces. Unpartitioned here; at 100 TB the index is bucketed by
+    ``wkey`` so the per-batch probe join is co-located."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    _window_frame(base, id_col, min_len).write.mode(mode).parquet(path)
+
+
+def append_to_window_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> None:
+    """Add an admitted batch's windows to an existing index (parquet
+    append), keeping index ≡ corpus at every version."""
+    materialize_window_index(df, path, id_col, text_col, min_len, mode="append")
+
+
+def substring_dedup_incremental(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """Suppressed-position ADDITIONS from one incoming batch against an
+    indexed corpus — exact-substring dedup as an ingest-time operator.
+
+    The suppress-ALL-occurrences semantics has a consequence batch dedup
+    never faces: an incoming duplicate RETROACTIVELY poisons text that was
+    already admitted (the stored first occurrence must now be suppressed
+    too — dedup debt). One batch-windows ⋈ index equi-join on the window
+    key therefore emits BOTH directions at once: the batch occurrences of
+    any stored window, and the stored occurrences of any batch window;
+    batch-internal duplicates come from a count-≥2 self-check on the fresh
+    windows. Output is the coverage DELTA as distinct ``(id, tpos)`` token
+    positions — a SET, so replays and multi-window overlaps are idempotent
+    under union+distinct, and the accumulated set across commits equals
+    the one-shot `exact_substring_dedup` coverage of the final corpus
+    (pinned by `docs_substring_dedup_cdc`'s oracle).
+
+    Per-batch cost: shingle/window the batch only (batch-sized); one
+    equi-join against the stored index (co-located when the index is
+    wkey-bucketed); position explodes ∝ matched windows — never a corpus
+    re-window. Ids must be disjoint between batch and corpus (ingest
+    invariant, as `minhash_pairs_incremental`)."""
+    base = new_docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    bw = _window_frame(base, id_col, min_len).persist()
+    idx = (
+        spark.read.parquet(path)
+        .withColumnRenamed(id_col, "_c_id")
+        .withColumnRenamed("p", "_c_p")
+    )
+    hit = bw.join(idx, "wkey").persist()
+
+    def cover(frame: DataFrame, id_c: str, p_c: str) -> DataFrame:
+        return frame.select(
+            F.col(id_c).alias(id_col),
+            F.explode(
+                F.sequence(F.col(p_c), F.col(p_c) + F.lit(min_len - 1))
+            ).alias("tpos"),
+        )
+
+    batch_cross = cover(hit, id_col, "p")
+    retro = cover(hit, "_c_id", "_c_p")
+    within_keys = bw.groupBy("wkey").agg(F.count(F.lit(1)).alias("_n")).where(
+        F.col("_n") >= 2
+    )
+    batch_within = cover(bw.join(within_keys.select("wkey"), "wkey"), id_col, "p")
+    out = (
+        batch_cross.unionByName(retro)
+        .unionByName(batch_within)
+        .distinct()
+        .localCheckpoint(eager=True)  # release per-batch caches (ingest loop)
+    )
+    bw.unpersist()
+    hit.unpersist()
+    return out
 
 
 def span_dedup(

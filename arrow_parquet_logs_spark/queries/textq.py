@@ -2099,6 +2099,99 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_substring_dedup_cdc",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(range(0, len(t))) AS tpos, unnest(t) AS token
+        FROM toks
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(t) - 9, 0))) AS p,
+               unnest(list_transform(range(0, greatest(len(t) - 9, 0)),
+                   i -> array_to_string(list_slice(t, i + 1, i + 10), ' '))) AS wkey
+        FROM toks
+    ),
+    dup AS (SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, tpos FROM (
+            SELECT w.doc_id, unnest(range(w.p, w.p + 10)) AS tpos
+            FROM wins w JOIN dup d ON d.wkey = w.wkey
+        )
+    ),
+    flagged AS (
+        SELECT t.doc_id, t.tpos, t.token, (c.tpos IS NOT NULL) AS is_cut
+        FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+           sha256(coalesce(string_agg(token, ' ' ORDER BY tpos) FILTER (WHERE NOT is_cut), '')) AS clean_sha256
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "exact-substring", "lee2022", "cdc",
+          "versioned-table", "incremental", "ingest"),
+)
+def docs_substring_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as an INGEST-TIME operator — the CDC
+    composition of `docs_exact_substring_dedup` (the `dedup_lsh_cdc_merge`
+    pattern applied to the Lee et al. 2022 operator): documents land in a
+    `VersionedTable` through OCC MERGEs; each commit's change feed probes
+    a persistent positional WINDOW INDEX
+    (`operators.text.substring_dedup_incremental`) and is then appended to
+    it, keeping index ≡ corpus at every version.
+
+    The property this row pins is the one batch dedup never faces:
+    suppress-ALL semantics means an incoming duplicate RETROACTIVELY
+    poisons already-admitted text (the stored first occurrence must be
+    suppressed too — dedup debt). The per-commit delta therefore carries
+    both directions of the probe join, and the ACCUMULATED position set
+    across the initial load + every commit must reproduce the one-shot
+    coverage of the final corpus — the oracle replays windows, the
+    multiplicity-2 test, coverage, and reassembly from the raw final
+    documents, so a missed retro-poisoning, a double-fed CDC row, or an
+    index/corpus drift lands as a hash mismatch on the reassembled text.
+
+    Per commit: batch-sized windowing, one index equi-join (wkey-bucketed
+    at scale), matched-window position explodes; never a corpus re-window
+    after the initial index build. Coverage is a SET (union + distinct),
+    so replays are idempotent by construction."""
+    import tempfile
+
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="cdc_substr_")
+    t = VersionedTable(spark, f"{root}/tbl", key_cols=["doc_id"])
+    t.write(docs.where(F.col("doc_id") % 3 == 0))
+    idx = f"{root}/idx"
+    X.materialize_window_index(t.read(), idx)
+    parts = [X.substring_coverage(t.read())]
+    for i in (1, 2):
+        pre_v = t.history()[-1]["version"]
+        t.upsert(docs.where(F.col("doc_id") % 3 == i))
+        post_v = t.history()[-1]["version"]
+        ins = (
+            t.changes(pre_v, post_v)
+            .where(F.col("_change_type") == "insert")
+            .select("doc_id", "text")
+        )
+        parts.append(X.substring_dedup_incremental(spark, idx, ins))
+        X.append_to_window_index(ins, idx)
+    cov = parts[0]
+    for p_ in parts[1:]:
+        cov = cov.unionByName(p_)
+    out = X.reassemble_minus_coverage(t.read(), cov.distinct())
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.sha2("clean_text", 256).alias("clean_sha256"),
+    ).orderBy("doc_id")
+
+
+@register(
     "docs_boilerplate_scrub",
     oracle=f"""
     WITH {_SPAN_SEED_SQL},

@@ -2034,3 +2034,55 @@ def test_exact_substring_dedup_suppresses_all_occurrences(spark):
     assert out[2].n_removed == 20
     # sanity: totals count every token of the doc
     assert out[2].n_tokens == 22
+
+
+def test_substring_dedup_incremental_retro_poisoning(spark, tmp_path):
+    """The CDC wrinkle of suppress-ALL semantics: an incoming duplicate
+    must suppress the ALREADY-ADMITTED first occurrence too (dedup debt),
+    plus batch-internal and cross-batch duplicates; accumulated deltas
+    must equal the one-shot coverage of the final corpus."""
+    from arrow_parquet_logs_spark.operators.text import (
+        append_to_window_index,
+        materialize_window_index,
+        substring_coverage,
+        substring_dedup_incremental,
+    )
+
+    span = "one two three four five six seven eight nine ten"   # 10 tokens
+    corpus = [
+        (0, f"{span} stored head body"),          # poisoned RETROACTIVELY by batch 1
+        (1, "a fully unique stored document"),
+    ]
+    b1 = [
+        (10, f"incoming copy {span} trailing"),   # duplicates doc 0's span
+        (11, f"fresh span alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    b2 = [
+        # duplicates doc 11's 10-token span -> cross-batch pair, retro on 11
+        (20, "alpha beta gamma delta epsilon zeta eta theta iota kappa end"),
+    ]
+    dfc = spark.createDataFrame(corpus, "doc_id long, text string")
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+
+    idx = str(tmp_path / "widx")
+    materialize_window_index(dfc, idx)
+    cov = substring_coverage(dfc)                  # initial load: no dups
+    assert cov.count() == 0
+    d1 = substring_dedup_incremental(spark, idx, df1)
+    append_to_window_index(df1, idx)
+    got1 = {(r.doc_id, r.tpos) for r in d1.collect()}
+    # doc 0 positions 0..9 retro-poisoned; doc 10 positions 2..11 covered
+    assert {(0, i) for i in range(10)} <= got1
+    assert {(10, i) for i in range(2, 12)} <= got1
+    assert not any(d == 11 for d, _ in got1)       # unique batch doc untouched
+    d2 = substring_dedup_incremental(spark, idx, df2)
+    append_to_window_index(df2, idx)
+    got2 = {(r.doc_id, r.tpos) for r in d2.collect()}
+    assert {(11, i) for i in range(2, 12)} <= got2  # retro across BATCHES
+    assert {(20, i) for i in range(10)} <= got2
+
+    # accumulated set == one-shot coverage of the final corpus
+    final = dfc.unionByName(df1).unionByName(df2)
+    oneshot = {(r.doc_id, r.tpos) for r in substring_coverage(final).collect()}
+    assert got1 | got2 == oneshot
