@@ -107,7 +107,13 @@ def _parquet_row_group_total(paths: list[str]) -> int | None:
     split estimate below real row-bearing parallelism. ``max(sampled) ×
     n_files`` can only under-repartition when EVERY sampled footer missed
     a bigger one, and on a uniform corpus (the common layout) it equals
-    the mean exactly."""
+    the mean exactly. On a HETEROGENEOUS corpus the max-based cap can be
+    loose (never binding against the byte estimate) — deliberately
+    harmless in this branch: with > 512 files every estimate ≥ n_files
+    already exceeds every gate target (`spread` thresholds, the
+    ``max_splits ≤ 2`` small-scan bound), so no gate decision depends on
+    the cap's tightness here; only the ≤ 512 exact branch ever decides
+    anything by row-group count."""
     if not paths:
         return None
     if not all(p.endswith(".parquet") for p in paths):

@@ -913,13 +913,17 @@ def apply_ivfpq_ingest_batch(
         # while the ledger is checkpoint-keyed, so an unconditional
         # removal here would silently mask a torn pair left by a
         # DIFFERENT checkpoint's stream if the single-writer contract
-        # were ever violated). Anything else — another checkpoint's
-        # uncommitted batch, a legacy/garbled marker — stays loud.
+        # were ever violated). A LEGACY bare-int marker (pre-ckpt-key
+        # format) carries no checkpoint — grant it exactly the grace the
+        # old protocol gave: stale iff ITS batch id is committed for the
+        # replaying checkpoint (new-format markers always carry their
+        # checkpoint, so a foreign torn pair still goes loud). Anything
+        # else — an uncommitted batch, a garbled marker — raises.
         if os.path.exists(inflight):
             try:
                 with open(inflight, encoding="utf-8") as fh:
                     m_ckpt, sep, m_bid = fh.read().strip().rpartition(":")
-                stale = bool(sep) and int(m_bid) <= _ledger_last(path, m_ckpt)
+                stale = int(m_bid) <= _ledger_last(path, m_ckpt if sep else ckpt_key)
             except (OSError, ValueError):
                 stale = False
             if not stale:

@@ -2055,13 +2055,15 @@ def ann_bq_centered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity — the machinery (operator + audit + oracle replay) is what a
     real offset corpus needs, exactly like the Matryoshka row's contract.
 
-    Scale shape: ONE fused audit scan computes cosine and both integer
-    Hammings per (candidate × broadcast query) row; each of the three
-    rankings prunes through `partial_topk` before its per-query window
-    (≤ Q·10 rows reach any window), and the overlap joins run on ≤ Q·10-row
-    frames. The serving path keeps stage 1 integer-only
-    (`binary_quantized_topk`); an audit pays the fused floats once by
-    design."""
+    Scale shape: one fused pass computes cosine and both integer Hammings
+    per (candidate × broadcast query) row and is PERSISTED — the three
+    rankings and both overlap joins then read the cache instead of
+    re-running the cross-join scan (without the persist the plan holds
+    four independent copies of it); each ranking prunes through
+    `partial_topk` before its per-query window (≤ Q·10 rows reach any
+    window), and the overlap joins run on ≤ Q·10-row frames. The serving
+    path keeps stage 1 integer-only (`binary_quantized_topk`); an audit
+    pays the fused floats once by design."""
     from pyspark.sql import Window as W
 
     from arrow_parquet_logs_spark.functions.vector import cosine_sim
@@ -2102,6 +2104,10 @@ def ann_bq_centered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham("c_rw", "q_rw").alias("ham_raw"),
             ham("c_cw", "q_cw").alias("ham_cen"),
         )
+        # the fused scan feeds three rankings + two overlap joins: persist
+        # so the plan holds ONE copy of the cross-join, not four (cache
+        # ownership per the minhash_lsh_pairs note — plan-deduped, LRU)
+        .persist()
     )
 
     def top10(col: str, asc: bool) -> DataFrame:

@@ -425,8 +425,17 @@ def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(RuntimeError, match="in-flight"):
         PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
-    # ...and so does a legacy/garbled marker that names no checkpoint
+    # a LEGACY bare-int marker gets the old protocol's grace: stale iff
+    # its batch id is committed for the REPLAYING checkpoint...
     open(PQ._inflight_path(idx), "w").write("0")
+    assert not PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
+    assert not os.path.exists(PQ._inflight_path(idx))
+    # ...but a legacy marker for an uncommitted batch, or a garbled one,
+    # stays loud
+    open(PQ._inflight_path(idx), "w").write("7")
+    with _pytest.raises(RuntimeError, match="in-flight"):
+        PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
+    open(PQ._inflight_path(idx), "w").write("garbled")
     with _pytest.raises(RuntimeError, match="in-flight"):
         PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
     os.remove(PQ._inflight_path(idx))
