@@ -100,20 +100,19 @@ def _parquet_row_group_total(paths: list[str]) -> int | None:
     513-file corpus of single-row-group files must still cap). None when
     unknowable (a non-parquet source, an unreadable footer/stat).
 
-    The extrapolation is biased UPWARD on purpose (ADVICE r9): the sample
-    MEAN is a point estimate, and ``min(est, rg_cap)`` treats the result
-    as an upper bound — a mean that under-samples the multi-row-group
-    files (periodic compacted files on a sorted listing) would cap the
-    split estimate below real row-bearing parallelism. ``max(sampled) ×
-    n_files`` can only under-repartition when EVERY sampled footer missed
-    a bigger one, and on a uniform corpus (the common layout) it equals
-    the mean exactly. On a HETEROGENEOUS corpus the max-based cap can be
-    loose (never binding against the byte estimate) — deliberately
-    harmless in this branch: with > 512 files every estimate ≥ n_files
-    already exceeds every gate target (`spread` thresholds, the
-    ``max_splits ≤ 2`` small-scan bound), so no gate decision depends on
-    the cap's tightness here; only the ≤ 512 exact branch ever decides
-    anything by row-group count."""
+    The extrapolation is biased UPWARD on purpose (ADVICE r9) but ROBUSTLY
+    so (ADVICE r10): the sample MEAN is a point estimate that could cap
+    the split estimate below real row-bearing parallelism when the sample
+    under-draws the multi-row-group files, while the sample MAX lets a
+    single compacted outlier in a mostly-single-group corpus inflate the
+    cap until it never binds — partially reintroducing the empty-task
+    over-split blind spot the cap was built for (the original sf10
+    symptom was exactly single-group files split into empty tasks). The
+    p90 of the sampled counts keeps the upper-bound bias (on a uniform
+    corpus — the common layout — it equals the mean exactly, and on a
+    mixed corpus it under-caps only if > 10 % of files are bigger than
+    the p90 sample, where the cap SHOULD be loose) without letting one
+    outlier disable the cap."""
     if not paths:
         return None
     if not all(p.endswith(".parquet") for p in paths):
@@ -123,11 +122,13 @@ def _parquet_row_group_total(paths: list[str]) -> int | None:
             return sum(_row_groups_cached(p) for p in paths)
         # sample evenly across the (deterministically ordered) list so a
         # corpus mixing big multi-group and tiny one-group files isn't
-        # judged from one end; extrapolate from the MAX sampled count —
-        # the cap must stay an upper-bound estimate (see docstring)
+        # judged from one end; extrapolate from the p90 sampled count —
+        # upper-bound-biased but outlier-robust (see docstring)
         step = len(paths) / _RG_SAMPLE
-        sample = {paths[int(i * step)] for i in range(_RG_SAMPLE)}
-        return max(_row_groups_cached(p) for p in sample) * len(paths)
+        sample = sorted({paths[int(i * step)] for i in range(_RG_SAMPLE)})
+        counts = sorted(_row_groups_cached(p) for p in sample)
+        p90 = counts[min(len(counts) - 1, (len(counts) * 9 + 9) // 10 - 1)]
+        return p90 * len(paths)
     except Exception:
         return None
 

@@ -857,6 +857,19 @@ def _ledger_last(path: str, ckpt_key: str) -> int:
         return -1
 
 
+def _ledger_keys(path: str) -> list[str]:
+    """All checkpoint keys ever committed to this index's ledger — the
+    legacy-marker grace is only safe when exactly one stream has ever
+    written here (ADVICE r10)."""
+    import json
+
+    try:
+        with open(_ledger_path(path), encoding="utf-8") as fh:
+            return list(json.load(fh).keys())
+    except FileNotFoundError:
+        return []
+
+
 def _ledger_commit(path: str, ckpt_key: str, batch_id: int) -> None:
     import json
     import uuid
@@ -917,17 +930,38 @@ def apply_ivfpq_ingest_batch(
         # format) carries no checkpoint — grant it exactly the grace the
         # old protocol gave: stale iff ITS batch id is committed for the
         # replaying checkpoint (new-format markers always carry their
-        # checkpoint, so a foreign torn pair still goes loud). Anything
-        # else — an uncommitted batch, a garbled marker — raises.
+        # checkpoint, so a foreign torn pair still goes loud) — and ONLY
+        # when the ledger holds exactly one checkpoint key, this one
+        # (ADVICE r10: with two streams in the ledger's history a bare
+        # int could have been left by the OTHER one; judging it against
+        # the replaying checkpoint would mask a foreign torn pair, so
+        # multi-checkpoint ledgers get no legacy grace). Every legacy
+        # removal is logged. Anything else — an uncommitted batch, a
+        # garbled marker — raises.
         if os.path.exists(inflight):
+            legacy = False
             try:
                 with open(inflight, encoding="utf-8") as fh:
                     m_ckpt, sep, m_bid = fh.read().strip().rpartition(":")
-                stale = int(m_bid) <= _ledger_last(path, m_ckpt if sep else ckpt_key)
+                if sep:
+                    stale = int(m_bid) <= _ledger_last(path, m_ckpt)
+                else:
+                    legacy = True
+                    stale = _ledger_keys(path) == [ckpt_key] and int(
+                        m_bid
+                    ) <= _ledger_last(path, ckpt_key)
             except (OSError, ValueError):
                 stale = False
             if not stale:
                 raise RuntimeError(torn_msg)
+            if legacy:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "removing legacy (pre-ckpt-key) in-flight marker at %s:"
+                    " batch %s is committed for the single ledger"
+                    " checkpoint %s", inflight, m_bid, ckpt_key,
+                )
             os.remove(inflight)
         return False
     if os.path.exists(inflight):

@@ -60,3 +60,34 @@ def all_oracles() -> dict[str, str]:
 
 def bench_queries() -> dict[str, QueryFn]:
     return {n: s.fn for n, s in REGISTRY.items() if s.bench}
+
+
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _reap_scratch() -> None:
+    import shutil
+
+    for root in _SCRATCH_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+    _SCRATCH_ROOTS.clear()
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` that is reaped at interpreter exit.
+
+    Registry rows that exercise stateful compositions (VersionedTable
+    ingest, persisted indexes, checkpointed streams) need a working
+    directory that outlives the function call — the returned DataFrame is
+    lazy and still reads these files when the caller materializes it — so
+    per-call ``rmtree`` is wrong. Per-process ``atexit`` cleanup is the
+    correct lifetime: a bench/sweep run no longer leaks one table+index
+    tree per invocation (ADVICE r10)."""
+    import atexit
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_ROOTS:
+        atexit.register(_reap_scratch)
+    _SCRATCH_ROOTS.append(root)
+    return root

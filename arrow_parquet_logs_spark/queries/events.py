@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from arrow_parquet_logs_spark.functions.numeric import qfloor
 from arrow_parquet_logs_spark.operators.dedup import keep_latest
 from arrow_parquet_logs_spark.operators.sessionize import session_stats, session_windows, tumbling_counts
-from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.queries.catalog import register, scratch_dir
 from arrow_parquet_logs_spark.sources.tables import load_table
 
 _GAP_US = 6 * 3600 * 1_000_000  # 6-hour session gap
@@ -44,10 +44,9 @@ def _drain_stream(joined, prefix: str, shuffle_partitions: str | None = "8"):
     import atexit
     import os
     import shutil
-    import tempfile
 
     spark = joined.sparkSession
-    root = tempfile.mkdtemp(prefix=prefix)
+    root = scratch_dir(prefix=prefix)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     out, ck = root + "/rows", root + "/ck"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1476,13 +1475,12 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     any micro-batch split."""
     import os
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.sources.tables import normalize_ts_for_streaming
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
-    src = tempfile.mkdtemp(prefix="ss_join_") + "/files"
+    src = scratch_dir(prefix="ss_join_") + "/files"
     try:
         for i in range(3):
             ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
@@ -2807,7 +2805,6 @@ def events_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of history length, unlike the rescan-the-corpus
     anti-pattern this MV replaces."""
     import os
-    import tempfile
 
     from arrow_parquet_logs_spark.streaming.cuped import (
         mv_current_version,
@@ -2816,7 +2813,7 @@ def events_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    root = tempfile.mkdtemp(prefix="cuped_mv_")
+    root = scratch_dir(prefix="cuped_mv_")
     src, state, ckpt = f"{root}/src", f"{root}/mv", f"{root}/ckpt"
     os.makedirs(src, exist_ok=True)
     os.makedirs(state, exist_ok=True)
@@ -2966,7 +2963,6 @@ def events_stream_sequential_decision(spark: SparkSession, sf_dir: str) -> DataF
     user-cardinality-bounded); versions are independent reads of committed
     parquet — the dashboard query, not a history rescan."""
     import os
-    import tempfile
 
     from arrow_parquet_logs_spark.streaming.cuped import (
         cuped_sequential_readout,
@@ -2976,7 +2972,7 @@ def events_stream_sequential_decision(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    root = tempfile.mkdtemp(prefix="cuped_seq_mv_")
+    root = scratch_dir(prefix="cuped_seq_mv_")
     src, state, ckpt = f"{root}/src", f"{root}/mv", f"{root}/ckpt"
     os.makedirs(src, exist_ok=True)
     os.makedirs(state, exist_ok=True)

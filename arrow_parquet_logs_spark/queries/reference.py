@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from arrow_parquet_logs_spark.logstore.filters import compile_filters
 from arrow_parquet_logs_spark.functions.numeric import dsum, davg
-from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.queries.catalog import register, scratch_dir
 from arrow_parquet_logs_spark.sources.tables import load_events_range, load_table
 
 _T0 = "2024-01-05 00:00:00"
@@ -174,7 +174,6 @@ def logstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation, µs truncation, landing write, compaction rewrite, manifest
     exclusion, range read — dropped or duplicated a row, the hash would
     not match plain SQL over the source table."""
-    import tempfile
 
     from arrow_parquet_logs_spark.logstore import LogStore
     from arrow_parquet_logs_spark.sources.tables import load_events_range
@@ -189,7 +188,7 @@ def logstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    store = LogStore(spark, tempfile.mkdtemp(prefix="logstore_roundtrip_"))
+    store = LogStore(spark, scratch_dir(prefix="logstore_roundtrip_"))
     batch = [r.asDict() for r in rows]
     third = max(1, len(batch) // 3)
     store.write_logs("bench", "s1", batch[:third])
@@ -274,7 +273,6 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure SQL over the base table — the physical protocol (manifests,
     CURRENT swap, carried files) must be invisible in the result."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
@@ -283,7 +281,7 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey",
         F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
     )
-    root = tempfile.mkdtemp(prefix="merge_upsert_")
+    root = scratch_dir(prefix="merge_upsert_")
     try:
         t = VersionedTable(
             spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
@@ -353,7 +351,6 @@ def table_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Extension surface — the reference's archives (reference reader.py) are
     append-only with no maintenance path."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
@@ -362,7 +359,7 @@ def table_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey",
         F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
     )
-    root = tempfile.mkdtemp(prefix="table_optimize_")
+    root = scratch_dir(prefix="table_optimize_")
     try:
         t = VersionedTable(
             spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
@@ -442,14 +439,13 @@ def table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes with their last-seen values. A wrong pre-image, a missed
     delete, or a phantom change breaks the hash."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment"
     )
-    root = tempfile.mkdtemp(prefix="table_cdf_")
+    root = scratch_dir(prefix="table_cdf_")
     try:
         t = VersionedTable(
             spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
@@ -515,7 +511,6 @@ def table_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted here, not just in pytest); the oracle replays the same edit
     script as pure SQL, where tombstones are invisible by construction."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
@@ -524,7 +519,7 @@ def table_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name",
         F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
     )
-    root = tempfile.mkdtemp(prefix="table_dv_")
+    root = scratch_dir(prefix="table_dv_")
     try:
         t = VersionedTable(
             spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
@@ -590,14 +585,13 @@ def table_stream_cdc_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, inserts for batch 2's new keys. A dropped batch, a re-applied
     checkpointed batch, or a wrong pre-image breaks the hash."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment"
     )
-    root = tempfile.mkdtemp(prefix="table_cdc_cdf_")
+    root = scratch_dir(prefix="table_cdc_cdf_")
     try:
         t = VersionedTable(
             spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
@@ -654,7 +648,6 @@ def table_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 row, lost a file reference, or re-read the corrupted partition
     breaks the hash."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
@@ -663,7 +656,7 @@ def table_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey",
         F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
     )
-    root = tempfile.mkdtemp(prefix="table_restore_")
+    root = scratch_dir(prefix="table_restore_")
     try:
         t = VersionedTable(
             spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
@@ -712,7 +705,6 @@ def table_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter over the base table. Delta/Iceberg-style data skipping as a
     driver-checkable behavior."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
@@ -720,7 +712,7 @@ def table_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
-    root = tempfile.mkdtemp(prefix="table_skip_")
+    root = scratch_dir(prefix="table_skip_")
     preds = [
         ("o_orderkey", ">=", 200),
         ("o_orderkey", "<=", 699),
@@ -782,7 +774,6 @@ def table_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. Decimal arithmetic end-to-end keeps the maintained total
     bit-equal to the recompute under any partitioning."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
@@ -791,7 +782,7 @@ def table_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment"
     )
-    root = tempfile.mkdtemp(prefix="table_mv_")
+    root = scratch_dir(prefix="table_mv_")
     try:
         t = VersionedTable(
             spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
@@ -863,7 +854,6 @@ def table_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     decimal combine breaks the hash — this is the streaming twin of
     ``table_incremental_rollup``'s batch contract."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
@@ -872,7 +862,7 @@ def table_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment"
     )
-    root = tempfile.mkdtemp(prefix="table_stream_mv_")
+    root = scratch_dir(prefix="table_stream_mv_")
     try:
         t = VersionedTable(
             spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
@@ -968,7 +958,6 @@ def table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert is invisible to it)."""
     import os
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
@@ -977,7 +966,7 @@ def table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey",
         F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
     )
-    root = tempfile.mkdtemp(prefix="shallow_clone_")
+    root = scratch_dir(prefix="shallow_clone_")
     try:
         t = VersionedTable(
             spark, os.path.join(root, "src"), key_cols=["c_custkey"],
@@ -1042,7 +1031,6 @@ def table_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline needs: malformed batches bounce atomically at one
     aggregation pass of cost, not after a cleanup job."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.functions.numeric import dec
     from arrow_parquet_logs_spark.logstore.table import (
@@ -1054,7 +1042,7 @@ def table_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey",
         F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment",
     )
-    root = tempfile.mkdtemp(prefix="check_cons_")
+    root = scratch_dir(prefix="check_cons_")
     try:
         t = VersionedTable(
             spark, root, key_cols=["c_custkey"], partition_col="c_mktsegment"
@@ -1127,7 +1115,6 @@ def table_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate is maintained ≡ recomputed across inserts, deletes, duplicate
     join keys (customers with many orders), and both-sides churn."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
     from arrow_parquet_logs_spark.operators.mv import maintain_equijoin_view
@@ -1139,7 +1126,7 @@ def table_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
     )
-    root = tempfile.mkdtemp(prefix="join_mv_")
+    root = scratch_dir(prefix="join_mv_")
     try:
         ta = VersionedTable(spark, root + "/a", key_cols=["o_orderkey"])
         tb = VersionedTable(spark, root + "/b", key_cols=["custkey"])
@@ -1209,9 +1196,8 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized scan + predicate pushdown + partition pruning as parquet
     (tests/test_sources_and_relational.py pins the pushdown in the plan)."""
     import shutil
-    import tempfile
 
-    root = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    root = scratch_dir(prefix="orc_roundtrip_")
     try:
         load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
             "o_orderstatus"
@@ -1268,11 +1254,10 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (longs, doubles, strings, null unions, timestamp-micros under
     the pinned UTC session)."""
     import shutil
-    import tempfile
 
     from arrow_parquet_logs_spark.sources.avro import read_avro, write_avro
 
-    root = tempfile.mkdtemp(prefix="avro_roundtrip_")
+    root = scratch_dir(prefix="avro_roundtrip_")
     try:
         week = (
             load_table(spark, sf_dir, "events")

@@ -15,7 +15,7 @@ from arrow_parquet_logs_spark.operators.dedup import (
     embedding_dup_pairs_fast,
 )
 from arrow_parquet_logs_spark.operators.topk import partial_topk
-from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.queries.catalog import register, scratch_dir
 from arrow_parquet_logs_spark.sources.tables import load_table
 
 _COS = "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 6)"
@@ -724,7 +724,6 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Learned centroids ⇒ recall gate (the ann_ivf_kmeans precedent): the
     final top-5 must recover ≥2 of the brute-force top-5 per query
     (measured min 3/5, nprobe=4 of 16 cells)."""
-    import tempfile
 
     from arrow_parquet_logs_spark.operators import pq as PQ
     from arrow_parquet_logs_spark.operators import similarity as S
@@ -745,7 +744,7 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = 16 if n < 5_000 else 64
     rerank = max(50, n // 100)
     cents, books = PQ.fit_ivfpq(emb, ks=ks, sample=x)
-    path = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/idx"
+    path = scratch_dir(prefix="ivfpq_idx_") + "/idx"
     PQ.materialize_ivfpq(emb, cents, books, path)
     approx = PQ.search_ivfpq(
         spark, path, emb, q, cents, books, k=5, nprobe=4, rerank=rerank
@@ -783,7 +782,6 @@ def ann_ivfpq_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (m=8 per live vector), and replays an IVF-PQ search against both
     indexes (search_match pins identical top-k). The oracle states the
     invariants in closed form — count(*)·8, zero mismatches, search parity."""
-    import tempfile
 
     from arrow_parquet_logs_spark.operators import pq as PQ
 
@@ -792,7 +790,7 @@ def ann_ivfpq_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.where(F.col("vec_id") % 5 != 0)
     arriving = emb.where(F.col("vec_id") % 5 == 0)
 
-    root = tempfile.mkdtemp(prefix="ivfpq_stream_")
+    root = scratch_dir(prefix="ivfpq_stream_")
     src, inc, full = f"{root}/src", f"{root}/inc", f"{root}/full"
     for i in range(3):
         arriving.where(F.col("vec_id") % 3 == i).write.mode("append").parquet(src)
@@ -1353,7 +1351,6 @@ def ann_ivfpq_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators.similarity.maxsim_topk_pandas`, which is also the
     corpus-wide MaxSim scale path) must return identical (vec_id, maxsim,
     rn) triples — n_mismatch pins 0, n_ranked pins 5, per query."""
-    import tempfile
 
     from arrow_parquet_logs_spark.operators import ivf
     from arrow_parquet_logs_spark.operators import pq as PQ
@@ -1366,7 +1363,7 @@ def ann_ivfpq_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = 16 if n < 5_000 else 64
     shortlist_k = max(50, n // 50)
     cents, books = PQ.fit_ivfpq(emb, ks=ks, sample=x)
-    path = tempfile.mkdtemp(prefix="ivfpq_maxsim_") + "/idx"
+    path = scratch_dir(prefix="ivfpq_maxsim_") + "/idx"
     PQ.materialize_ivfpq(emb, cents, books, path)
     cand = PQ.search_ivfpq(
         spark, path, emb, q, cents, books,
@@ -1437,7 +1434,6 @@ def ann_ivfpq_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `balance_improved`: the max cell size strictly decreased;
     - `splits_applied`: at least one split actually ran (max ≥ n/4 > n/6
       guarantees hot cells at any SF)."""
-    import tempfile
 
     from arrow_parquet_logs_spark.operators import pq as PQ
     from arrow_parquet_logs_spark.operators.ivf import assign_cells_pandas
@@ -1447,7 +1443,7 @@ def ann_ivfpq_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = live.count()
     cents, books = PQ.fit_ivfpq(emb, k=4)
     m = len(books)
-    path = tempfile.mkdtemp(prefix="ivfpq_split_") + "/idx"
+    path = scratch_dir(prefix="ivfpq_split_") + "/idx"
     PQ.materialize_ivfpq(emb, cents, books, path)
     sizes_before = {
         int(r["cell"]): int(r["n"])
@@ -1765,7 +1761,6 @@ def ann_ivfpq_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `balanced`: every final cell is ≤ the stream-time threshold (the
       synthetic embeddings always admit a balancing split sequence)."""
     import os
-    import tempfile
 
     from arrow_parquet_logs_spark.operators import pq as PQ
 
@@ -1776,7 +1771,7 @@ def ann_ivfpq_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = len(books)
     threshold = max(1, n // 6)
 
-    root = tempfile.mkdtemp(prefix="ivfpq_maint_")
+    root = scratch_dir(prefix="ivfpq_maint_")
     src, idx_s, idx_r = f"{root}/src", f"{root}/streamed", f"{root}/ref"
     base = emb.where(F.col("vec_id") % 5 != 0)
     PQ.materialize_ivfpq(base, cents, books, idx_s)

@@ -445,3 +445,17 @@ def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     extra = emb.where(F.col("vec_id") % 5 == 1).limit(0)  # empty -> skipped
     assert not PQ.apply_ivfpq_ingest_batch(spark, extra, 0, idx, ckpt2, emb, thr)
     assert PQ._ledger_last(idx, os.path.abspath(ckpt2)) == -1
+
+    # ADVICE r10: once the ledger has seen a SECOND checkpoint, a legacy
+    # bare-int marker could have been left by either stream — the grace
+    # is gated on exactly-one-ledger-key, so it now stays loud even
+    # though its batch id is committed for the replaying checkpoint
+    extra2 = emb.where(F.col("vec_id") % 5 == 1)
+    assert PQ.apply_ivfpq_ingest_batch(spark, extra2, 0, idx, ckpt2, emb, thr)
+    assert sorted(PQ._ledger_keys(idx)) == sorted(
+        [os.path.abspath(ckpt), os.path.abspath(ckpt2)]
+    )
+    open(PQ._inflight_path(idx), "w").write("0")
+    with _pytest.raises(RuntimeError, match="in-flight"):
+        PQ.apply_ivfpq_ingest_batch(spark, batch, 0, idx, ckpt, emb, thr)
+    os.remove(PQ._inflight_path(idx))

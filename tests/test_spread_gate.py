@@ -124,6 +124,36 @@ def test_row_group_cap_extrapolates_past_512_files(spark, tmp_path):
         spark.conf.set("spark.sql.files.openCostInBytes", prev_o)
 
 
+def test_row_group_cap_robust_to_compacted_outlier(spark, tmp_path):
+    """ADVICE r10: on a >512-file corpus that is mostly single-row-group
+    files, ONE sampled compacted multi-group file must not inflate the
+    extrapolated cap until it never binds (max-based extrapolation would
+    return 8×n_files here and the byte-estimate over-split would come
+    back). p90 of the sampled counts discards the outlier: the cap stays
+    at the true ~600 row-bearing tasks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mostly_single"
+    d.mkdir()
+    tbl = pa.table({"doc_id": list(range(500)), "text": ["x" * 100] * 500})
+    # f0000 sorts first so the evenly-spaced sample (index 0) always hits it
+    pq.write_table(tbl, str(d / "f0000.parquet"), row_group_size=64)  # 8 groups
+    for i in range(1, 600):
+        pq.write_table(tbl, str(d / f"f{i:04d}.parquet"))  # one row group each
+    df = spark.read.parquet(str(d))
+    prev_m = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_o = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        est = estimated_scan_splits(df)
+        assert est == 600, f"outlier must not disable the cap, got {est}"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_m)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_o)
+
+
 def test_footer_reads_are_memoized(spark, tiny_files, monkeypatch):
     """ADVICE r8: repeated gates on the same corpus must pay the footer
     reads once per (path, mtime, size), not once per call."""
