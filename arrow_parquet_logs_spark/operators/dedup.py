@@ -957,6 +957,7 @@ def update_clusters_incremental(
     new_pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fold one commit's near-dup pairs into PERSISTENT cluster
     assignments — cluster formation without ever re-running
@@ -992,7 +993,13 @@ def update_clusters_incremental(
     (`connected_components` handles either regime); the relabel pass is
     one state scan against a BROADCAST changed-label set — and a state
     scan is dup-docs-sized, not corpus-sized. The write is
-    touched-rows-only by construction."""
+    touched-rows-only by construction.
+
+    ``checkpoint=False`` skips the persist and the eager localCheckpoint
+    and returns the raw declarative plan — the testing hook the relabel
+    plan pin asserts on (ADVICE r10: the pin must watch the operator's
+    OWN plan, not a hand-rebuilt copy); production ingest loops keep the
+    default (the checkpoint is what stops plan/cache accumulation)."""
     pid = (
         new_pairs.select(F.col(a_col).alias("id"))
         .unionByName(new_pairs.select(F.col(b_col).alias("id")))
@@ -1007,7 +1014,8 @@ def update_clusters_incremental(
         )
     else:
         labeled = pid.select("id", F.col("id").alias("cur"), F.lit(True).alias("is_new"))
-    labeled = labeled.persist()  # feeds two pair joins + the new-endpoint branch
+    if checkpoint:
+        labeled = labeled.persist()  # feeds two pair joins + the new-endpoint branch
     la = labeled.select(F.col("id").alias(a_col), F.col("cur").alias("_la"))
     lb = labeled.select(F.col("id").alias(b_col), F.col("cur").alias("_lb"))
     ledges = (
@@ -1040,6 +1048,8 @@ def update_clusters_incremental(
         out = fresh.unionByName(relabeled)
     else:
         out = fresh
+    if not checkpoint:
+        return out
     # materialize before releasing the per-commit cache — an ingest loop
     # calling this repeatedly must not accumulate persisted plans
     out = out.localCheckpoint(eager=True)

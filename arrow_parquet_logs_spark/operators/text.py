@@ -153,34 +153,60 @@ def sentence_chunks(
     return base.select(F.col(id_col), F.posexplode(blocks).alias("pos", "chunk"))
 
 
-def _window_frame(base: DataFrame, id_col: str, min_len: int) -> DataFrame:
+def _window_frame(
+    base: DataFrame, id_col: str, min_len: int, fingerprint: bool = False
+) -> DataFrame:
     """(id, p, wkey): every ``min_len``-token window at stride 1 from a
     frame carrying a MATERIALIZED token-array column ``_t`` (lambda-body
     expressions re-evaluate per element — an inline ``tokens()`` here
     would re-split the document per position, the O(tokens²) class;
     SCALING.md round 10). Docs shorter than ``min_len`` contribute no
-    windows."""
+    windows.
+
+    ``fingerprint=True`` replaces the exact window STRING with a 96-bit
+    Rabin-Karp-style key — ``struct(xxhash64(window_tokens),
+    hash(window_tokens))``, hashed straight off the token-array slice, no
+    string ever built — the 100 TB variant (VERDICT r10 #1): at target
+    scale the window key is most of the index/shuffle bytes, and a ~10-
+    token text key shrinks to 12 bytes. Collision math: equal fingerprints
+    from UNEQUAL windows need a simultaneous 64-bit xxhash64 AND 32-bit
+    Murmur3 collision; with W distinct corpus windows the expected number
+    of false window merges is ≈ W²/2^97 — at W = 10^12 (a 100 TB corpus)
+    that is ~6×10^-6 expected occurrences, and one false merge suppresses
+    one ``min_len``-token span, it does not cascade. The exact-string form
+    stays the oracle-gated default; both forms are hash-equality-pinned
+    against each other (tests + the ``docs_exact_substring_dedup_fp``
+    registry row)."""
     t = F.col("_t")
     starts = F.when(
         F.size(t) >= min_len,
         F.sequence(F.lit(0), F.size(t) - F.lit(min_len)),
     ).otherwise(F.array().cast("array<int>"))
-    return base.select(
+    wins = base.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 starts,
                 lambda p: F.struct(
-                    p.alias("p"),
-                    F.concat_ws(" ", F.slice(t, p + F.lit(1), min_len)).alias("wkey"),
+                    p.alias("p"), F.slice(t, p + F.lit(1), min_len).alias("w")
                 ),
             )
         ).alias("_w"),
-    ).select(id_col, "_w.p", "_w.wkey")
+    )
+    key = (
+        F.struct(F.xxhash64("_w.w").alias("h1"), F.hash("_w.w").alias("h2"))
+        if fingerprint
+        else F.concat_ws(" ", "_w.w")
+    )
+    return wins.select(F.col(id_col), F.col("_w.p").alias("p"), key.alias("wkey"))
 
 
 def exact_substring_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_len: int = 10
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """Token-level exact-substring dedup in the Lee et al. 2022 shape
     ("Deduplicating Training Data Makes Language Models Better", public):
@@ -208,14 +234,25 @@ def exact_substring_dedup(
     (id, pos)-keyed join; reassembly is the per-doc sort `span_dedup`
     already pays. Everything is linear in corpus tokens + duplicate mass.
 
+    ``fingerprint=True`` swaps the exact window-string key for the 96-bit
+    hashed key (see `_window_frame` — identical output up to ~2^-97-per-
+    window-pair collisions, half the shuffle bytes at 100 TB).
+
     Returns (id, n_tokens, n_removed, clean_text)."""
     return reassemble_minus_coverage(
-        df, substring_coverage(df, id_col, text_col, min_len), id_col, text_col
+        df,
+        substring_coverage(df, id_col, text_col, min_len, fingerprint),
+        id_col,
+        text_col,
     )
 
 
 def substring_coverage(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_len: int = 10
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """The one-shot suppressed-position SET of `exact_substring_dedup`:
     distinct ``(id, tpos)`` for every token covered by a corpus-duplicated
@@ -223,13 +260,13 @@ def substring_coverage(
     (`substring_dedup_incremental`) can pin its accumulated deltas against
     exactly this set."""
     base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
-    wins = _window_frame(base, id_col, min_len)
-    # exact window-string equality, not a fingerprint: a 96-bit Rabin-Karp
-    # key (xxhash64+hash of the 10 tokens, no string built) was A/B-probed
-    # at parity (5.8 vs 5.1 s sf0.1) — the explode/join rows dominate, not
-    # key bytes — so the published exact semantics costs nothing here. At
-    # 100 TB the fingerprint halves shuffle bytes and is the variant to
-    # flip to, accepting ~2^-96-per-pair false merges.
+    wins = _window_frame(base, id_col, min_len, fingerprint)
+    # exact window-string equality by default — at test scale the
+    # explode/join rows dominate, not key bytes, so the published exact
+    # semantics costs nothing (A/B: 5.8 vs 5.1 s sf0.1). ``fingerprint``
+    # flips to the 96-bit hashed key (VERDICT r10 #1) — the 100 TB mode:
+    # same plan, window-key shuffle bytes cut to 12/key (collision math
+    # in `_window_frame`).
     dup_keys = wins.groupBy("wkey").agg(F.count(F.lit(1)).alias("_n")).where(
         F.col("_n") >= 2
     )
@@ -272,6 +309,62 @@ def reassemble_minus_coverage(
     )
 
 
+def substring_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    fingerprint: bool = False,
+) -> DataFrame:
+    """Coverage-only output of `exact_substring_dedup` — ``(id, n_tokens,
+    n_removed)`` with NO reassembled text (VERDICT r10 #2). Most consumers
+    of the operator — admission filtering, duplicate-mass stats, dedup-debt
+    accounting — need the removal counts, not ``clean_text``; reassembly
+    (posexplode every token + per-doc collect/sort) dominates the corpus
+    rewrite, so skipping it is a first-class cheap path, not a projection
+    Catalyst could prune (the rebuild join is ON the token frame).
+
+    Plan: the same windows → duplicate-key aggregate → position explode as
+    the full operator, then ONE per-doc count of the distinct covered
+    positions joined onto a doc-level token-count scan — the token frame is
+    never posexploded and no text is collected. n_removed is 0 (not NULL)
+    for untouched docs."""
+    cov = substring_coverage(df, id_col, text_col, min_len, fingerprint)
+    removed = cov.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_removed")
+    )
+    return (
+        df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+        .join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("int").alias("n_removed"),
+        )
+    )
+
+
+def _window_index_table(path: str) -> str:
+    """Session-catalog table name for a bucketed window index at ``path``
+    (the catalog is what carries bucketing metadata — a plain
+    ``read.parquet`` of the same files still works, just unbucketed)."""
+    import hashlib
+    import os
+
+    return "wkidx_" + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+
+
+def _window_index_df(spark, path: str) -> DataFrame:
+    """Read a window index, preferring the bucketed catalog table when this
+    session has one (bucketing metadata lives in the catalog; a fresh
+    session reading the raw parquet degrades gracefully to an unbucketed
+    scan of the same rows)."""
+    name = _window_index_table(path)
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    return spark.read.parquet(path)
+
+
 def materialize_window_index(
     df: DataFrame,
     path: str,
@@ -279,16 +372,44 @@ def materialize_window_index(
     text_col: str = "text",
     min_len: int = 10,
     mode: str = "overwrite",
+    fingerprint: bool = False,
+    bucket_by: int | None = None,
 ) -> None:
     """Persist a corpus's positional window index — one ``(id, p, wkey)``
     row per stride-1 ``min_len``-token window — the structure that makes
     exact-substring dedup INCREMENTAL (the `materialize_minhash_index`
     contract, applied to the Lee et al. 2022 operator). ~1 row/token: the
     same order of magnitude a suffix array costs, which is what this index
-    replaces. Unpartitioned here; at 100 TB the index is bucketed by
-    ``wkey`` so the per-batch probe join is co-located."""
+    replaces.
+
+    ``bucket_by=N`` writes the index BUCKETED (+sorted) on ``wkey`` as an
+    external parquet table (VERDICT r10 #3 — the IVF-PQ cell-layout move):
+    the per-batch probe join then reads the index side with NO Exchange —
+    only the batch (small) side shuffles, to the index's bucket count —
+    which at 100 TB is the difference between shuffling a corpus-sized
+    index every commit and never. ``fingerprint=True`` stores the 96-bit
+    hashed key instead of the window string (see `_window_frame`), shrinking
+    the index itself."""
     base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
-    _window_frame(base, id_col, min_len).write.mode(mode).parquet(path)
+    wf = _window_frame(base, id_col, min_len, fingerprint)
+    if bucket_by is None:
+        wf.write.mode(mode).parquet(path)
+        return
+    import shutil
+
+    spark = df.sparkSession
+    name = _window_index_table(path)
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+    (
+        wf.write.mode(mode)
+        .format("parquet")
+        .bucketBy(bucket_by, "wkey")
+        .sortBy("wkey")
+        .option("path", path)
+        .saveAsTable(name)
+    )
 
 
 def append_to_window_index(
@@ -297,10 +418,38 @@ def append_to_window_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 10,
+    fingerprint: bool = False,
 ) -> None:
     """Add an admitted batch's windows to an existing index (parquet
-    append), keeping index ≡ corpus at every version."""
-    materialize_window_index(df, path, id_col, text_col, min_len, mode="append")
+    append), keeping index ≡ corpus at every version. A bucketed index
+    (this session created its catalog table) keeps its bucket spec: the
+    append re-buckets the batch's windows into the same layout (Spark
+    rejects a mismatched spec loudly). ``fingerprint`` must match the
+    index's key form — mixing forms would silently never match, so the
+    probe join's key TYPE (struct vs string) makes a mix an analysis
+    error, not a wrong answer."""
+    spark = df.sparkSession
+    name = _window_index_table(path)
+    if spark.catalog.tableExists(name):
+        n_buckets = next(
+            int(r.data_type)
+            for r in spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+            if r.col_name == "Num Buckets"
+        )
+        base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+        (
+            _window_frame(base, id_col, min_len, fingerprint)
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "wkey")
+            .sortBy("wkey")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        return
+    materialize_window_index(
+        df, path, id_col, text_col, min_len, mode="append", fingerprint=fingerprint
+    )
 
 
 def substring_dedup_incremental(
@@ -310,6 +459,8 @@ def substring_dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 10,
+    fingerprint: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Suppressed-position ADDITIONS from one incoming batch against an
     indexed corpus — exact-substring dedup as an ingest-time operator.
@@ -328,18 +479,29 @@ def substring_dedup_incremental(
     (pinned by `docs_substring_dedup_cdc`'s oracle).
 
     Per-batch cost: shingle/window the batch only (batch-sized); one
-    equi-join against the stored index (co-located when the index is
-    wkey-bucketed); position explodes ∝ matched windows — never a corpus
-    re-window. Ids must be disjoint between batch and corpus (ingest
-    invariant, as `minhash_pairs_incremental`)."""
+    equi-join against the stored index — co-located on the index side when
+    the index was written ``bucket_by`` (only the batch windows shuffle, to
+    the index's bucket count; plan-pinned in tests/test_scale_plans.py);
+    position explodes ∝ matched windows — never a corpus re-window. Ids
+    must be disjoint between batch and corpus (ingest invariant, as
+    `minhash_pairs_incremental`). ``fingerprint`` must match the index's
+    key form (the struct-vs-string key type turns a mix into an analysis
+    error). ``checkpoint=False`` skips the persists and the eager
+    localCheckpoint and returns the raw declarative plan — the testing
+    hook plan pins assert on (ADVICE r10), not for production ingest loops
+    (the checkpoint is what releases per-batch caches)."""
     base = new_docs.select(F.col(id_col), tokens(text_col).alias("_t"))
-    bw = _window_frame(base, id_col, min_len).persist()
+    bw = _window_frame(base, id_col, min_len, fingerprint)
+    if checkpoint:
+        bw = bw.persist()
     idx = (
-        spark.read.parquet(path)
+        _window_index_df(spark, path)
         .withColumnRenamed(id_col, "_c_id")
         .withColumnRenamed("p", "_c_p")
     )
-    hit = bw.join(idx, "wkey").persist()
+    hit = bw.join(idx, "wkey")
+    if checkpoint:
+        hit = hit.persist()
 
     def cover(frame: DataFrame, id_c: str, p_c: str) -> DataFrame:
         return frame.select(
@@ -355,12 +517,10 @@ def substring_dedup_incremental(
         F.col("_n") >= 2
     )
     batch_within = cover(bw.join(within_keys.select("wkey"), "wkey"), id_col, "p")
-    out = (
-        batch_cross.unionByName(retro)
-        .unionByName(batch_within)
-        .distinct()
-        .localCheckpoint(eager=True)  # release per-batch caches (ingest loop)
-    )
+    out = batch_cross.unionByName(retro).unionByName(batch_within).distinct()
+    if not checkpoint:
+        return out
+    out = out.localCheckpoint(eager=True)  # release per-batch caches (ingest loop)
     bw.unpersist()
     hit.unpersist()
     return out

