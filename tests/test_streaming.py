@@ -501,3 +501,92 @@ def test_drain_stream_zero_batch_returns_empty_frame(spark, sf_dir):
     out = _drain_stream(stream, "drain_empty_")
     assert out.count() == 0
     assert out.columns == ["event_id", "event_type"]
+
+
+def test_stream_cluster_maintain_equals_batch_loop(spark, tmp_path):
+    """VERDICT r10 #4: the foreachBatch form of CDC cluster maintenance.
+    A pair stream folded through start_stream_cluster_maintain — including
+    a STOP/RESUME across batches and an explicit replay of a committed
+    batch — must land exactly the batch loop's cluster state, and the
+    replay must be a measured no-op on both state rows and table version
+    (the fold's idempotence + ledger skip, see apply_cluster_pairs_batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrow_parquet_logs_spark.logstore.table import VersionedTable
+    from arrow_parquet_logs_spark.operators.dedup import (
+        apply_cluster_pairs_batch,
+        start_stream_cluster_maintain,
+        update_clusters_incremental,
+    )
+
+    # three "commits" of pairs: fresh clusters, a bridging merge, growth
+    batches = [
+        [(1, 2), (5, 6)],
+        [(2, 5), (8, 9)],          # bridges {1,2} and {5,6}
+        [(9, 10), (1, 11)],
+    ]
+    src = tmp_path / "pairs_src"
+    src.mkdir()
+
+    def land(i):
+        spark.createDataFrame(batches[i], "a_id long, b_id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{i}"))
+
+    # batch-loop reference state
+    ref: dict[int, int] = {}
+    for chunk in batches:
+        st = (
+            spark.createDataFrame(list(ref.items()), "doc_id long, cluster_id long")
+            if ref
+            else None
+        )
+        upd = update_clusters_incremental(
+            st, spark.createDataFrame(chunk, "a_id long, b_id long")
+        )
+        for r in upd.collect():
+            ref[r.doc_id] = r.cluster_id
+
+    cstate = VersionedTable(spark, str(tmp_path / "clusters"), key_cols=["doc_id"])
+    ckpt = str(tmp_path / "ckpt")
+    stream_src = (
+        spark.readStream.schema("a_id long, b_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+
+    # phase 1: first two commits, then STOP
+    land(0)
+    land(1)
+    q = start_stream_cluster_maintain(cstate, stream_src, ckpt)
+    q.awaitTermination(120)
+    mid = {(r.doc_id, r.cluster_id) for r in cstate.read().collect()}
+    assert mid, "first two batches must build state"
+
+    # phase 2: RESUME from the same checkpoint with one more commit landed
+    land(2)
+    q = start_stream_cluster_maintain(cstate, stream_src, ckpt)
+    q.awaitTermination(120)
+    got = {r.doc_id: r.cluster_id for r in cstate.read().collect()}
+    assert got == ref, f"stream-built state != batch loop: {got} vs {ref}"
+
+    # explicit replay of a committed batch id: ledger-skips, state and
+    # version untouched
+    v_before = cstate.history()[-1]["version"]
+    replay = spark.createDataFrame(batches[0], "a_id long, b_id long")
+    assert not apply_cluster_pairs_batch(cstate, replay, 0, ckpt)
+    assert cstate.history()[-1]["version"] == v_before
+    assert {r.doc_id: r.cluster_id for r in cstate.read().collect()} == ref
+
+    # the idempotence safety net itself (crash between MERGE and ledger
+    # write): re-folding already-merged pairs through the RAW fold — no
+    # ledger involved — must write nothing
+    upd = update_clusters_incremental(cstate.read(), replay)
+    assert upd.isEmpty()
+
+    # a NEW batch id with genuinely new pairs still applies after all that
+    fresh = spark.createDataFrame([(20, 21)], "a_id long, b_id long")
+    assert apply_cluster_pairs_batch(cstate, fresh, 99, ckpt)
+    assert cstate.read().where(F.col("doc_id") == 20).count() == 1
