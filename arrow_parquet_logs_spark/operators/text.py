@@ -526,6 +526,62 @@ def substring_dedup_incremental(
     return out
 
 
+def token_budget_select(
+    q: DataFrame, budget: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-budgeted selection: keep the highest-quality rows of ``q``
+    (``id_col``, ``n_tokens``, ``quality_score``) whose inclusive running
+    token total (quality desc, id tie-break) fits ``budget`` — the "best
+    data under a compute budget" step, shared by
+    `queries.textq.docs_token_budget_selection` and the cluster-level
+    composition `docs_cluster_budget_selection`.
+
+    Scale shape — deliberately NOT a single global window (a one-partition
+    cumsum over the corpus is the classic driver-shaped bottleneck).
+    Quality scores are floored to 1e-6, so they are DISCRETE:
+
+    1. aggregate token sums per distinct score (map-side combinable; at
+       most 1e6 rows regardless of corpus size),
+    2. one window over the per-score aggregates finds the cut: scores
+       whose buckets fit entirely, plus at most one PARTIAL score,
+    3. only the partial score's documents — the tie group — get a
+       doc-level cumsum, keyed to fill the remaining budget.
+
+    The global sort a naive plan performs never happens over documents;
+    the only per-document shuffles are the score aggregation and the
+    candidate-sized tie window. Output is selection-identical to the
+    naive window by construction."""
+    from pyspark.sql import Window as W
+
+    by_score = q.groupBy("quality_score").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w = W.orderBy(F.col("quality_score").desc()).rowsBetween(W.unboundedPreceding, -1)
+    sc = by_score.withColumn(
+        "cum_before", F.coalesce(F.sum("bucket_tokens").over(w), F.lit(0))
+    )
+    full = sc.where(F.col("cum_before") + F.col("bucket_tokens") <= budget)
+    partial = sc.where(
+        (F.col("cum_before") < budget)
+        & (F.col("cum_before") + F.col("bucket_tokens") > budget)
+    )
+    kept_full = q.join(
+        F.broadcast(full.select("quality_score")), "quality_score", "left_semi"
+    )
+    tie = q.join(
+        F.broadcast(partial.select("quality_score", "cum_before")), "quality_score"
+    )
+    tw = W.partitionBy("quality_score").orderBy(id_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    kept_tie = (
+        tie.withColumn("tie_cum", F.sum("n_tokens").over(tw))
+        .where(F.col("cum_before") + F.col("tie_cum") <= budget)
+        .select(id_col, "n_tokens", "quality_score")
+    )
+    return kept_full.select(id_col, "n_tokens", "quality_score").unionByName(kept_tie)
+
+
 def span_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 10
 ) -> DataFrame:

@@ -2246,10 +2246,13 @@ def docs_substring_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents, so a missed retro-poisoning, a double-fed CDC row, or an
     index/corpus drift lands as a hash mismatch on the reassembled text.
 
-    Per commit: batch-sized windowing, one index equi-join (wkey-bucketed
-    at scale), matched-window position explodes; never a corpus re-window
-    after the initial index build. Coverage is a SET (union + distinct),
-    so replays are idempotent by construction."""
+    Per commit: batch-sized windowing, one index equi-join — the index is
+    written ``bucket_by=16`` on the window key (round 11), so the probe
+    join's index side reaches the join with NO Exchange and only the
+    batch windows shuffle (plan-pinned in tests/test_scale_plans.py);
+    matched-window position explodes; never a corpus re-window after the
+    initial index build. Coverage is a SET (union + distinct), so replays
+    are idempotent by construction."""
 
     from arrow_parquet_logs_spark.logstore.table import VersionedTable
 
@@ -2258,7 +2261,7 @@ def docs_substring_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = VersionedTable(spark, f"{root}/tbl", key_cols=["doc_id"])
     t.write(docs.where(F.col("doc_id") % 3 == 0))
     idx = f"{root}/idx"
-    X.materialize_window_index(t.read(), idx)
+    X.materialize_window_index(t.read(), idx, bucket_by=16)
     parts = [X.substring_coverage(t.read())]
     for i in (1, 2):
         pre_v = t.history()[-1]["version"]
@@ -2440,41 +2443,104 @@ def docs_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global sort the oracle performs never happens over documents;
     the only per-document shuffles are the score aggregation and the
     candidate-sized tie window. Output is selection-identical to the
-    naive window by construction."""
-    from pyspark.sql import Window as W
-
-    budget = 20_000
+    naive window by construction. (The plan lives in
+    `operators.text.token_budget_select`, shared with the cluster-level
+    composition row.)"""
     docs = load_table(spark, sf_dir, "documents")
     q = X.quality_features(docs).select(
         "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality_score"
     )
-    by_score = q.groupBy("quality_score").agg(F.sum("n_tokens").alias("bucket_tokens"))
-    w = W.orderBy(F.col("quality_score").desc()).rowsBetween(W.unboundedPreceding, -1)
-    sc = by_score.withColumn(
-        "cum_before", F.coalesce(F.sum("bucket_tokens").over(w), F.lit(0))
+    return X.token_budget_select(q, 20_000).orderBy("doc_id")
+
+
+@register(
+    "docs_cluster_budget_selection",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+        SELECT a_id, b_id FROM (
+            SELECT c.a_id, c.b_id,
+                   len(list_intersect(sa.s, sb.s)) AS common,
+                   len(sa.s) AS na, len(sb.s) AS nb
+            FROM (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id) c
+            JOIN sh sa ON sa.doc_id = c.a_id
+            JOIN sh sb ON sb.doc_id = c.b_id
+        ) WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    assign AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    q AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               {_QSCORE} AS quality_score
+        FROM documents
+    ),
+    surv AS (
+        SELECT q.doc_id, q.n_tokens, q.quality_score,
+               row_number() OVER (
+                   PARTITION BY coalesce(a.cluster_id, q.doc_id)
+                   ORDER BY q.quality_score DESC, q.doc_id) AS rn
+        FROM q LEFT JOIN assign a ON a.doc_id = q.doc_id
+    ),
+    kept AS (SELECT doc_id, n_tokens, quality_score FROM surv WHERE rn = 1),
+    c AS (
+        SELECT *, SUM(n_tokens) OVER (
+            ORDER BY quality_score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM kept
     )
-    full = sc.where(F.col("cum_before") + F.col("bucket_tokens") <= budget)
-    partial = sc.where(
-        (F.col("cum_before") < budget)
-        & (F.col("cum_before") + F.col("bucket_tokens") > budget)
+    SELECT doc_id, n_tokens, quality_score FROM c
+    WHERE cum <= 20000 ORDER BY doc_id
+    """,
+    tags=("pipeline", "dedup", "clusters", "quality", "selection", "curation"),
+)
+def docs_cluster_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level fuzzy dedup feeding the token-budget selector
+    (VERDICT r10 #6 — the corpus-curation composition the registry didn't
+    yet pin): near-dup pairs (n-gram Jaccard ≥ 0.6) → connected components
+    → ONE SURVIVOR PER CLUSTER chosen by quality ARGMAX (not min doc_id —
+    the SemDeDup-style keep-best policy at cluster granularity, tie-broken
+    by id), non-clustered docs survive as singletons → token-budget
+    selection over the survivors (`operators.text.token_budget_select`,
+    the same discrete-score two-stage plan the plain selection row runs).
+    The one oracle hash pins the INTERACTION: a cluster's budget
+    contribution is its best member's tokens, so a mis-merged cluster, a
+    wrong argmax, or budget accounting over non-survivors all land as a
+    selection diff.
+
+    Scale shape: pair generation is the priced/banded plan, components are
+    dup-docs-sized, the argmax window partitions by cluster id (groups =
+    cluster sizes), and the budget stage never globally sorts documents —
+    no corpus-sized single-partition stage anywhere."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = X.quality_features(docs).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality_score"
     )
-    kept_full = q.join(
-        F.broadcast(full.select("quality_score")), "quality_score", "left_semi"
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.6)
+    assign = D.connected_components(pairs).select("doc_id", "cluster_id")
+    grp = q.join(assign, "doc_id", "left").withColumn(
+        "_grp", F.coalesce("cluster_id", "doc_id")
     )
-    tie = q.join(F.broadcast(partial.select("quality_score", "cum_before")), "quality_score")
-    tw = W.partitionBy("quality_score").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    kept_tie = (
-        tie.withColumn("tie_cum", F.sum("n_tokens").over(tw))
-        .where(F.col("cum_before") + F.col("tie_cum") <= budget)
+    aw = W.partitionBy("_grp").orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    kept = (
+        grp.withColumn("_rn", F.row_number().over(aw))
+        .where(F.col("_rn") == 1)
         .select("doc_id", "n_tokens", "quality_score")
     )
-    return (
-        kept_full.select("doc_id", "n_tokens", "quality_score")
-        .unionByName(kept_tie)
-        .orderBy("doc_id")
-    )
+    return X.token_budget_select(kept, 20_000).orderBy("doc_id")
 
 
 @register(
