@@ -344,6 +344,93 @@ def substring_dedup_stats(
     )
 
 
+def contamination_coverage(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    min_len: int = 10,
+    fingerprint: bool = False,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Cross-corpus contaminated-position SET: distinct ``(id, tpos)`` for
+    every training-corpus token covered by a ``min_len``-token window that
+    ALSO occurs anywhere in ``bench`` (the benchmark / eval set). This is
+    the published train/test decontamination criterion (GPT-3 appendix C
+    n-gram overlap scrub; Lee et al. 2022 apply ExactSubstr across splits)
+    — the asymmetric sibling of `substring_coverage`: instead of a
+    corpus-wide multiplicity-≥2 count (which must SHUFFLE every window to
+    an aggregate), membership in the benchmark key set decides suppression.
+
+    Scale shape — the asymmetry is the whole point: eval sets are MBs
+    while the corpus is the 100 TB side, so the benchmark's distinct
+    window keys (≤ bench tokens, further shrunk to 12 bytes/key by
+    ``fingerprint=True``) are broadcast, and the corpus windows meet them
+    in a broadcast LEFT SEMI hash join mapped straight over the corpus
+    scan — the corpus side reaches the join with NO Exchange, and the only
+    corpus-sized shuffle in a stats consumer is the final per-doc count.
+    ``broadcast_bench=False`` degrades to a plain shuffled semi-join for
+    an oversized reference set (same rows, two Exchanges); at that point
+    a bucketed window index (`materialize_window_index`) is the better
+    home for the reference side."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    wins = _window_frame(base, id_col, min_len, fingerprint)
+    bkeys = (
+        _window_frame(
+            bench.select(F.lit(0).alias("_bid"), tokens(bench_text_col).alias("_t")),
+            "_bid",
+            min_len,
+            fingerprint,
+        )
+        .select("wkey")
+        .distinct()
+    )
+    if broadcast_bench:
+        bkeys = F.broadcast(bkeys)
+    return (
+        wins.join(bkeys, "wkey", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(min_len - 1))).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+    )
+
+
+def benchmark_decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    min_len: int = 10,
+    fingerprint: bool = False,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Scrub benchmark contamination out of a training corpus: every token
+    of ``df`` lying inside a ``min_len``-token window that occurs anywhere
+    in ``bench`` is removed, and each document's text is reassembled from
+    the survivors — ``(id, n_tokens, n_removed, clean_text)``, the same
+    contract as `exact_substring_dedup`. Unlike self-dedup, a span
+    duplicated WITHIN the training corpus but absent from the benchmark is
+    untouched (unit-pinned): the criterion is overlap with the reference
+    set, nothing else. Reuses `reassemble_minus_coverage`, so coverage
+    semantics, ordering, and the rebuild join are shared with the rest of
+    the family."""
+    return reassemble_minus_coverage(
+        df,
+        contamination_coverage(
+            df, bench, id_col, text_col, bench_text_col, min_len, fingerprint,
+            broadcast_bench,
+        ),
+        id_col,
+        text_col,
+    )
+
+
 def _window_index_table(path: str) -> str:
     """Session-catalog table name for a bucketed window index at ``path``
     (the catalog is what carries bucketing metadata — a plain

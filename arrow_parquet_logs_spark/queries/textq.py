@@ -2192,6 +2192,89 @@ def docs_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_benchmark_decontamination",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               '{_SPAN_SEED_PREFIX}' || CAST(doc_id // 10 AS VARCHAR) || ' ' || text AS text
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM seeded),
+    bkeys AS (
+        SELECT DISTINCT unnest(list_transform(range(0, greatest(len(t) - 9, 0)),
+            i -> array_to_string(list_slice(t, i + 1, i + 10), ' '))) AS wkey
+        FROM toks WHERE doc_id % 7 = 0
+    ),
+    ttoks AS (SELECT doc_id, t FROM toks WHERE doc_id % 7 <> 0),
+    tok AS (
+        SELECT doc_id, unnest(range(0, len(t))) AS tpos, unnest(t) AS token
+        FROM ttoks
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(t) - 9, 0))) AS p,
+               unnest(list_transform(range(0, greatest(len(t) - 9, 0)),
+                   i -> array_to_string(list_slice(t, i + 1, i + 10), ' '))) AS wkey
+        FROM ttoks
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, tpos FROM (
+            SELECT w.doc_id, unnest(range(w.p, w.p + 10)) AS tpos
+            FROM wins w JOIN bkeys b ON b.wkey = w.wkey
+        )
+    ),
+    flagged AS (
+        SELECT t.doc_id, t.tpos, t.token, (c.tpos IS NOT NULL) AS is_cut
+        FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+           sha256(coalesce(string_agg(token, ' ' ORDER BY tpos) FILTER (WHERE NOT is_cut), '')) AS clean_sha256
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "decontamination", "exact-substring", "lee2022"),
+)
+def docs_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (`operators.text.benchmark_decontaminate`)
+    — the published n-gram-overlap scrub (GPT-3 appendix C; Lee et al. 2022
+    across splits): docs with ``doc_id % 7 = 0`` of the seeded corpus act
+    as the benchmark/eval set, every other doc is training data, and every
+    training token inside a ≥10-token window that ALSO occurs anywhere in
+    the benchmark is suppressed, the text reassembled, and sha256-pinned.
+
+    What this pins that the self-dedup rows can't: the criterion is
+    membership in the REFERENCE set, not corpus multiplicity — a span
+    duplicated across training docs but absent from the benchmark survives
+    (unit-pinned in test_text_ops), while a span appearing ONCE in training
+    and once in the benchmark is scrubbed (multiplicity-2 self-dedup over
+    the union would behave identically only by accident of seeding; here
+    each side is windowed separately). On the seeded corpus the global
+    19-token boilerplate prefix and the group seeds of every group
+    containing a multiple of 7 vanish from training docs, plus any genuine
+    body overlap with benchmark docs.
+
+    Scale shape (the row's second point): the benchmark key set is
+    broadcast — the corpus windows meet it in a broadcast LEFT SEMI join
+    with NO corpus-side Exchange (plan-pinned), vs the self-dedup rows'
+    corpus-wide window-count shuffle. At 100 TB the eval set is MBs, so
+    decontamination costs one corpus scan + the reassembly it shares with
+    the family."""
+    seeded = _span_seeded(spark, sf_dir)
+    out = X.benchmark_decontaminate(
+        seeded.where((F.col("doc_id") % 7) != 0),
+        seeded.where((F.col("doc_id") % 7) == 0).select("text"),
+        min_len=10,
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.sha2("clean_text", 256).alias("clean_sha256"),
+    ).orderBy("doc_id")
+
+
+@register(
     "docs_substring_dedup_cdc",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

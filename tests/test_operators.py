@@ -2171,3 +2171,43 @@ def test_substring_fingerprint_mode_matches_exact(spark, tmp_path):
     inc_ex = {(r.doc_id, r.tpos) for r in
               substring_dedup_incremental(spark, idx_ex, new).collect()}
     assert inc_fp == inc_ex and inc_fp
+
+
+def test_benchmark_decontaminate_is_reference_membership_not_multiplicity(spark):
+    """Decontamination criterion: a training span is scrubbed iff it occurs
+    in the BENCHMARK — a span duplicated across training docs but absent
+    from the benchmark survives everywhere (self-dedup would kill it), and
+    a span occurring ONCE in training and once in the benchmark is scrubbed
+    (self-dedup over training alone would keep it). Fingerprint and
+    non-broadcast modes must agree bit-for-bit."""
+    from arrow_parquet_logs_spark.operators.text import benchmark_decontaminate
+
+    leak = "one two three four five six seven eight nine ten"      # in bench
+    traindup = "aa bb cc dd ee ff gg hh ii jj"                     # train-only dup
+    bench = spark.createDataFrame(
+        [(f"eval question stem {leak} answer choices",)], "text string"
+    )
+    rows = [
+        (0, f"{leak} unique tail zero"),            # contaminated once
+        (1, f"{traindup} body one"),                # train-train dup: SURVIVES
+        (2, f"{traindup} body two"),
+        (3, "completely distinct document body here"),
+        (4, f"prefix words {leak} {traindup}"),     # mixed: only leak cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r for r in benchmark_decontaminate(df, bench, min_len=10).collect()
+    }
+    assert out[0].clean_text == "unique tail zero" and out[0].n_removed == 10
+    assert out[1].clean_text == f"{traindup} body one" and out[1].n_removed == 0
+    assert out[2].clean_text == f"{traindup} body two"
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == f"prefix words {traindup}"
+    assert out[4].n_removed == 10 and out[4].n_tokens == 22
+
+    base = sorted(map(tuple, out.values()))
+    for kw in ({"fingerprint": True}, {"broadcast_bench": False}):
+        alt = sorted(
+            map(tuple, benchmark_decontaminate(df, bench, min_len=10, **kw).collect())
+        )
+        assert alt == base, kw

@@ -423,3 +423,60 @@ def test_substring_bucketed_index_probe_no_exchange(spark, tmp_path):
     b = {(r.doc_id, r.tpos) for r in
          substring_dedup_incremental(spark, idx2, batch).collect()}
     assert a == b and a
+
+
+def test_contamination_probe_is_broadcast_semi_join(spark):
+    """benchmark decontamination's 100 TB shape: the benchmark key set is
+    broadcast and the corpus windows meet it in a BroadcastHashJoin
+    LeftSemi — the corpus side reaches the join with NO shuffle Exchange
+    anywhere below it (the coverage distinct above the join is the only
+    shuffle). Auto-broadcast is disabled so only the operator's explicit
+    F.broadcast hint can produce this plan."""
+    from arrow_parquet_logs_spark.operators.text import contamination_coverage
+
+    span = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(i, f"{span} filler {i}") for i in range(50)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(f"stem {span} choices",)], "text string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cov = contamination_coverage(corpus, bench, min_len=10)
+        plan = cov._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+        for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                    "BroadcastNestedLoopJoin"):
+            assert bad not in plan, plan
+        # the join's SUBTREE (consecutive deeper lines after the join line)
+        # must contain no shuffle Exchange OUTSIDE the BroadcastExchange
+        # branch — the bench side may shuffle (its distinct is bench-sized,
+        # that's the asymmetry), but "Exchange hashpartitioning" on the
+        # corpus side means the 100 TB scan got shuffled before the probe
+        lines = plan.splitlines()
+
+        def depth(ln: str) -> int:
+            return max(ln.find("+- "), ln.find(":- "))
+
+        (ji,) = [i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln]
+        jd = depth(lines[ji])
+        bcast_depth = None
+        for ln in lines[ji + 1:]:
+            d = depth(ln)
+            if d <= jd:
+                break
+            if bcast_depth is not None and d > bcast_depth:
+                continue  # inside the broadcast (bench) branch
+            bcast_depth = None
+            if "BroadcastExchange" in ln:
+                bcast_depth = d
+                continue
+            assert "Exchange hashpartitioning" not in ln, (
+                f"shuffle below the contamination probe join:\n{plan}"
+            )
+        # semantics smoke: every corpus doc's leaked span (positions 0..9)
+        # is covered, the per-doc filler is not
+        got = {(r.doc_id, r.tpos) for r in cov.collect()}
+        assert got == {(i, p) for i in range(50) for p in range(10)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
