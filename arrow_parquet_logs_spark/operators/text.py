@@ -328,13 +328,17 @@ def substring_dedup_stats(
     the full operator, then ONE per-doc count of the distinct covered
     positions joined onto a doc-level token-count scan — the token frame is
     never posexploded and no text is collected. n_removed is 0 (not NULL)
-    for untouched docs."""
+    for untouched docs. NULL-text docs are dropped, exactly as the full
+    path drops them (posexplode of a NULL array emits no rows) — without
+    the filter this row set would diverge from `exact_substring_dedup` on
+    such docs, breaking the coverage-only contract."""
     cov = substring_coverage(df, id_col, text_col, min_len, fingerprint)
     removed = cov.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_removed")
     )
     return (
-        df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
         .join(removed, id_col, "left")
         .select(
             F.col(id_col),
@@ -441,14 +445,57 @@ def _window_index_table(path: str) -> str:
     return "wkidx_" + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
 
 
-def _window_index_df(spark, path: str) -> DataFrame:
-    """Read a window index, preferring the bucketed catalog table when this
-    session has one (bucketing metadata lives in the catalog; a fresh
-    session reading the raw parquet degrades gracefully to an unbucketed
-    scan of the same rows)."""
+def _index_spec_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_WKIDX_SPEC.json")
+
+
+def _index_spec(path: str) -> dict | None:
+    """Durable bucket-spec marker for a window index: the session catalog
+    carries bucketing metadata only for the session that wrote it, so a
+    bucketed build records ``{bucket_by, ddl}`` in an underscore-prefixed
+    JSON file at the index root (Spark's file index skips ``_*`` files,
+    like ``_SUCCESS``). Any later session — reader or appender — restores
+    the external catalog table from it instead of degrading to a plain
+    scan or, worse, appending non-bucket-encoded files into a bucketed
+    layout."""
+    import json
+
+    try:
+        with open(_index_spec_path(path), encoding="utf-8") as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _restore_index_table(spark, path: str) -> bool:
+    """Re-register the external bucketed catalog table for ``path`` from its
+    spec marker (no-op without a marker). Returns True when the catalog
+    table exists afterwards."""
+    import os
+
     name = _window_index_table(path)
     if spark.catalog.tableExists(name):
-        return spark.table(name)
+        return True
+    spec = _index_spec(path)
+    if not spec:
+        return False
+    spark.sql(
+        f"CREATE TABLE {name} ({spec['ddl']}) USING parquet "
+        f"CLUSTERED BY (wkey) SORTED BY (wkey) INTO {spec['bucket_by']} BUCKETS "
+        f"LOCATION '{os.path.abspath(path)}'"
+    )
+    return True
+
+
+def _window_index_df(spark, path: str) -> DataFrame:
+    """Read a window index, preferring the bucketed catalog table; a fresh
+    session restores the table from the index's spec marker (so bucketed
+    probe plans survive session boundaries), and only a marker-less plain
+    index falls back to an unbucketed parquet scan."""
+    if _restore_index_table(spark, path):
+        return spark.table(_window_index_table(path))
     return spark.read.parquet(path)
 
 
@@ -477,15 +524,30 @@ def materialize_window_index(
     index every commit and never. ``fingerprint=True`` stores the 96-bit
     hashed key instead of the window string (see `_window_frame`), shrinking
     the index itself."""
-    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
-    wf = _window_frame(base, id_col, min_len, fingerprint)
-    if bucket_by is None:
-        wf.write.mode(mode).parquet(path)
-        return
+    import json
+    import os
     import shutil
 
+    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    wf = _window_frame(base, id_col, min_len, fingerprint)
     spark = df.sparkSession
     name = _window_index_table(path)
+    if bucket_by is None:
+        if mode == "overwrite":
+            # a prior BUCKETED build at this path leaves a catalog entry
+            # (and a spec marker) whose bucket metadata would no longer
+            # match the plain files — drop both or every later probe dies
+            # with INVALID_BUCKET_FILE
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(path, ignore_errors=True)
+        elif _index_spec(path) is not None:
+            raise ValueError(
+                f"window index at {path} is bucketed; a plain append would "
+                "corrupt its layout — use append_to_window_index (which "
+                "re-buckets into the recorded spec)"
+            )
+        wf.write.mode(mode).parquet(path)
+        return
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(path, ignore_errors=True)
@@ -497,6 +559,11 @@ def materialize_window_index(
         .option("path", path)
         .saveAsTable(name)
     )
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in wf.schema.fields)
+    tmp = _index_spec_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"bucket_by": bucket_by, "ddl": ddl}, fh)
+    os.replace(tmp, _index_spec_path(path))
 
 
 def append_to_window_index(
@@ -509,15 +576,17 @@ def append_to_window_index(
 ) -> None:
     """Add an admitted batch's windows to an existing index (parquet
     append), keeping index ≡ corpus at every version. A bucketed index
-    (this session created its catalog table) keeps its bucket spec: the
-    append re-buckets the batch's windows into the same layout (Spark
-    rejects a mismatched spec loudly). ``fingerprint`` must match the
-    index's key form — mixing forms would silently never match, so the
-    probe join's key TYPE (struct vs string) makes a mix an analysis
-    error, not a wrong answer."""
+    keeps its bucket spec — even from a FRESH session: the spec marker
+    restores the catalog table first, then the append re-buckets the
+    batch's windows into the same layout (Spark rejects a mismatched spec
+    loudly); without the restore a fresh session would append plain files
+    into a bucketed directory and poison every later probe. ``fingerprint``
+    must match the index's key form — mixing forms would silently never
+    match, so the probe join's key TYPE (struct vs string) makes a mix an
+    analysis error, not a wrong answer."""
     spark = df.sparkSession
     name = _window_index_table(path)
-    if spark.catalog.tableExists(name):
+    if _restore_index_table(spark, path):
         n_buckets = next(
             int(r.data_type)
             for r in spark.sql(f"DESCRIBE EXTENDED {name}").collect()
@@ -637,7 +706,10 @@ def token_budget_select(
     The global sort a naive plan performs never happens over documents;
     the only per-document shuffles are the score aggregation and the
     candidate-sized tie window. Output is selection-identical to the
-    naive window by construction."""
+    naive window by construction — including NULL scores: the score joins
+    are null-SAFE, so a NULL-score group sorts last (desc NULLS LAST, same
+    as the window form) and is selected iff budget remains, instead of
+    being silently dropped by an equi-join that never matches NULL."""
     from pyspark.sql import Window as W
 
     by_score = q.groupBy("quality_score").agg(
@@ -653,11 +725,16 @@ def token_budget_select(
         & (F.col("cum_before") + F.col("bucket_tokens") > budget)
     )
     kept_full = q.join(
-        F.broadcast(full.select("quality_score")), "quality_score", "left_semi"
+        F.broadcast(full.select(F.col("quality_score").alias("_qs"))),
+        F.col("quality_score").eqNullSafe(F.col("_qs")),
+        "left_semi",
     )
     tie = q.join(
-        F.broadcast(partial.select("quality_score", "cum_before")), "quality_score"
-    )
+        F.broadcast(
+            partial.select(F.col("quality_score").alias("_qs"), "cum_before")
+        ),
+        F.col("quality_score").eqNullSafe(F.col("_qs")),
+    ).drop("_qs")
     tw = W.partitionBy("quality_score").orderBy(id_col).rowsBetween(
         W.unboundedPreceding, 0
     )

@@ -41,13 +41,10 @@ def _drain_stream(joined, prefix: str, shuffle_partitions: str | None = "8"):
     cleanup (they are multi-GB at sf10, × bench reps); cleanup waits for
     exit rather than a caller-side finally because the returned DataFrame
     reads the files LAZILY — the caller may collect long after return."""
-    import atexit
     import os
-    import shutil
 
     spark = joined.sparkSession
-    root = scratch_dir(prefix=prefix)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = scratch_dir(prefix=prefix)  # registers its own exit-time rmtree
     out, ck = root + "/rows", root + "/ck"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:

@@ -81,9 +81,16 @@ def get_spark(app_name: str = "arrow-parquet-logs-spark", cpus: int | str | None
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32" if cpus == "*" else str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        # UI off by default (bench noise); SPARK_GRAFT_UI=true flips it on
-        # for probes that read shuffle metrics over the UI REST API
-        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # UI off by default (bench noise); SPARK_GRAFT_UI=true/1/yes flips
+        # it on for probes that read shuffle metrics over the UI REST API
+        # (normalized here — a raw "1" would crash the JVM boolean parse)
+        .config(
+            "spark.ui.enabled",
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "").strip().lower()
+            in ("true", "1", "yes")
+            else "false",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # keep managed-table data (bucketed tables in tests) out of the repo
         .config(

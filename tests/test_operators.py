@@ -2140,6 +2140,7 @@ def test_substring_fingerprint_mode_matches_exact(spark, tmp_path):
         (1, f"head text first {span} ending"),
         (2, f"{span} middle words {span}"),
         (3, "completely distinct document body here"),
+        (4, None),   # NULL text: dropped by BOTH the full and the stats path
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     cov_ex = {(r.doc_id, r.tpos) for r in substring_coverage(df).collect()}
@@ -2171,6 +2172,112 @@ def test_substring_fingerprint_mode_matches_exact(spark, tmp_path):
     inc_ex = {(r.doc_id, r.tpos) for r in
               substring_dedup_incremental(spark, idx_ex, new).collect()}
     assert inc_fp == inc_ex and inc_fp
+
+
+def test_token_budget_select_matches_naive_window_incl_null_scores(spark):
+    """token_budget_select must equal the naive global-window selection it
+    replaces — including NULL quality scores, which sort LAST (desc NULLS
+    LAST) and are selected iff budget remains; the score joins are
+    null-safe, so the NULL group is neither silently dropped nor
+    privileged. Swept over budgets covering: cut inside a non-null tie
+    group, cut exactly at the NULL boundary, cut inside the NULL group,
+    and budget exceeding the corpus."""
+    from pyspark.sql import Window as W
+
+    from arrow_parquet_logs_spark.operators.text import token_budget_select
+
+    rows = [
+        (0, 10, 0.9), (1, 10, 0.9), (2, 10, 0.5), (3, 10, 0.5),
+        (4, 10, None), (5, 10, None), (6, 10, 0.1),
+    ]
+    q = spark.createDataFrame(
+        rows, "doc_id long, n_tokens int, quality_score double"
+    )
+    nw = W.orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    ).rowsBetween(W.unboundedPreceding, 0)
+    for budget in (15, 25, 50, 55, 65, 1000):
+        naive = {
+            r.doc_id
+            for r in q.withColumn("cum", F.sum("n_tokens").over(nw))
+            .where(F.col("cum") <= budget)
+            .collect()
+        }
+        got = {r.doc_id for r in token_budget_select(q, budget).collect()}
+        assert got == naive, (budget, got, naive)
+
+
+def test_window_index_bucket_spec_survives_sessions_and_rebuilds(spark, tmp_path):
+    """The bucketed window index's catalog entry is session-scoped, so the
+    spec marker must carry it: (a) a reader with no catalog table restores
+    the BUCKETED table from the marker (not the plain-scan fallback); (b) an
+    appender with no catalog table re-buckets into the recorded spec instead
+    of corrupting the layout with plain files; (c) a plain overwrite of a
+    formerly-bucketed path drops the stale catalog entry (else every later
+    probe dies with INVALID_BUCKET_FILE); (d) a plain APPEND onto a bucketed
+    index refuses loudly."""
+    import pytest as _pytest
+
+    from arrow_parquet_logs_spark.operators.text import (
+        _window_index_df,
+        _window_index_table,
+        append_to_window_index,
+        materialize_window_index,
+        substring_dedup_incremental,
+    )
+
+    span = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(i, f"{span} filler {i}") for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, f"incoming {span} tail")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "widx")
+    name = _window_index_table(idx)
+
+    # (a) fresh-session read restores the bucketed table from the marker:
+    # the catalog entry reappears with the recorded bucket count, and the
+    # probe join reads it bucketed (bare scans may legitimately disable
+    # bucketed reading via autoBucketedScan, so pin the JOIN plan)
+    materialize_window_index(corpus, idx, bucket_by=4)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")          # simulate a new session
+    _window_index_df(spark, idx)
+    assert spark.catalog.tableExists(name)
+    assert next(
+        r.data_type for r in spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+        if r.col_name == "Num Buckets"
+    ) == "4"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = substring_dedup_incremental(
+            spark, idx, batch, checkpoint=False
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan, plan
+
+    # (b) fresh-session append re-buckets into the recorded spec
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    append_to_window_index(batch, idx)
+    got = {(r.doc_id, r.tpos) for r in
+           substring_dedup_incremental(
+               spark, idx, spark.createDataFrame(
+                   [(200, f"probe {span} end")], "doc_id long, text string")
+           ).collect()}
+    assert {(200, i) for i in range(1, 11)} <= got     # probe still works
+    assert any(d == 100 for d, _ in got)               # appended rows visible
+
+    # (d) plain append onto the bucketed index refuses loudly
+    with _pytest.raises(ValueError, match="bucketed"):
+        materialize_window_index(batch, idx, mode="append")
+
+    # (c) plain overwrite drops the stale catalog entry and marker
+    materialize_window_index(corpus, idx)              # bucket_by=None
+    assert not spark.catalog.tableExists(name)
+    d2 = substring_dedup_incremental(spark, idx, batch)
+    assert d2.count() > 0                              # no INVALID_BUCKET_FILE
 
 
 def test_benchmark_decontaminate_is_reference_membership_not_multiplicity(spark):

@@ -50,17 +50,21 @@ def main() -> None:
 
     def shuffle_bytes() -> int:
         """Cumulative shuffle-write bytes of this app (UI REST; the delta
-        around a run is that run's shuffle volume)."""
+        around a run is that run's shuffle volume). Summed from EXECUTOR
+        totals, not the stage list: stage entries are evicted past
+        spark.ui.retainedStages (a long multi-rep probe would silently
+        under-count or go negative) while executor counters are monotone
+        for the app's lifetime."""
         import urllib.request
 
         url = spark.sparkContext.uiWebUrl
         apps = json.load(urllib.request.urlopen(f"{url}/api/v1/applications"))
-        stages = json.load(
+        execs = json.load(
             urllib.request.urlopen(
-                f"{url}/api/v1/applications/{apps[0]['id']}/stages"
+                f"{url}/api/v1/applications/{apps[0]['id']}/allexecutors"
             )
         )
-        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        return sum(e.get("totalShuffleWrite", 0) for e in execs)
 
     fn = REGISTRY[args.query].fn
     best = float("inf")
