@@ -2279,6 +2279,22 @@ def test_window_index_bucket_spec_survives_sessions_and_rebuilds(spark, tmp_path
     d2 = substring_dedup_incremental(spark, idx, batch)
     assert d2.count() > 0                              # no INVALID_BUCKET_FILE
 
+    # fingerprint (struct-key) bucketed index: the marker DDL carries
+    # struct<h1:bigint,h2:int> — restore + cross-session append must
+    # round-trip it and agree with the exact-string index's answer
+    fidx = str(tmp_path / "widx_fp_bkt")
+    fname = _window_index_table(fidx)
+    materialize_window_index(corpus, fidx, bucket_by=4, fingerprint=True)
+    spark.sql(f"DROP TABLE IF EXISTS {fname}")
+    append_to_window_index(batch, fidx, fingerprint=True)
+    probe = spark.createDataFrame(
+        [(200, f"probe {span} end")], "doc_id long, text string"
+    )
+    got_fp = {(r.doc_id, r.tpos) for r in
+              substring_dedup_incremental(spark, fidx, probe,
+                                          fingerprint=True).collect()}
+    assert got_fp == got
+
 
 def test_benchmark_decontaminate_is_reference_membership_not_multiplicity(spark):
     """Decontamination criterion: a training span is scrubbed iff it occurs
