@@ -357,6 +357,7 @@ def contamination_coverage(
     min_len: int = 10,
     fingerprint: bool = False,
     broadcast_bench: bool = True,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Cross-corpus contaminated-position SET: distinct ``(id, tpos)`` for
     every training-corpus token covered by a ``min_len``-token window that
@@ -375,9 +376,15 @@ def contamination_coverage(
     scan — the corpus side reaches the join with NO Exchange, and the only
     corpus-sized shuffle in a stats consumer is the final per-doc count.
     ``broadcast_bench=False`` degrades to a plain shuffled semi-join for
-    an oversized reference set (same rows, two Exchanges); at that point
-    a bucketed window index (`materialize_window_index`) is the better
-    home for the reference side."""
+    an oversized reference set (same rows, two Exchanges); pair it with
+    ``bloom_prefilter=True`` to put a fixed-size Bloom bitmap (the
+    `bloom_bitmap` two-phase move `docs_bloom_decontamination` pins at
+    shingle level) in front of the exact join — the corpus-side shuffle
+    then carries only BF-positive windows (true hits + the sized-FP
+    fraction) instead of every corpus window, and phase-2 exactness means
+    the output is unchanged (equality-pinned). A bucketed window index
+    (`materialize_window_index`) is the other home for a corpus-sized
+    reference side."""
     base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
     wins = _window_frame(base, id_col, min_len, fingerprint)
     bkeys = (
@@ -390,6 +397,23 @@ def contamination_coverage(
         .select("wkey")
         .distinct()
     )
+    if bloom_prefilter:
+        # Bloom hashes are string-keyed; fingerprint (struct) keys probe
+        # through a canonical "h1:h2" rendering — the exact join below
+        # still runs on the real wkey, so the rendering only has to be
+        # deterministic, not collision-free
+        if fingerprint:
+            def _bk(c):
+                return F.concat_ws(":", c.getField("h1"), c.getField("h2"))
+        else:
+            def _bk(c):
+                return c
+        bk = bkeys.select(_bk(F.col("wkey")).alias("_bk")).persist()
+        m_bits = bloom_size_for(bk, "_bk")
+        bloom = bloom_bitmap(bk, "_bk", m_bits=m_bits)
+        wins = bloom_might_contain(
+            wins.withColumn("_bk", _bk(F.col("wkey"))), bloom, "_bk", m_bits=m_bits
+        ).drop("_bk")
     if broadcast_bench:
         bkeys = F.broadcast(bkeys)
     return (
@@ -413,6 +437,7 @@ def benchmark_decontaminate(
     min_len: int = 10,
     fingerprint: bool = False,
     broadcast_bench: bool = True,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Scrub benchmark contamination out of a training corpus: every token
     of ``df`` lying inside a ``min_len``-token window that occurs anywhere
@@ -428,7 +453,7 @@ def benchmark_decontaminate(
         df,
         contamination_coverage(
             df, bench, id_col, text_col, bench_text_col, min_len, fingerprint,
-            broadcast_bench,
+            broadcast_bench, bloom_prefilter,
         ),
         id_col,
         text_col,

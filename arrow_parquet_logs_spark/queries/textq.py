@@ -2259,7 +2259,14 @@ def docs_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     with NO corpus-side Exchange (plan-pinned), vs the self-dedup rows'
     corpus-wide window-count shuffle. At 100 TB the eval set is MBs, so
     decontamination costs one corpus scan + the reassembly it shares with
-    the family."""
+    the family.
+
+    Completes the contamination family: `docs_benchmark_contamination`
+    FLAGS docs by shared 3-gram shingles (doc-level audit),
+    `docs_bloom_decontamination` does the same when the blocklist can't
+    broadcast (fixed-size bitmap + exact re-verify), and this row SCRUBS
+    at token-position granularity with reassembly — flag, flag-at-scale,
+    and rewrite are the three consumer shapes pipelines actually run."""
     seeded = _span_seeded(spark, sf_dir)
     out = X.benchmark_decontaminate(
         seeded.where((F.col("doc_id") % 7) != 0),

@@ -2329,7 +2329,12 @@ def test_benchmark_decontaminate_is_reference_membership_not_multiplicity(spark)
     assert out[4].n_removed == 10 and out[4].n_tokens == 22
 
     base = sorted(map(tuple, out.values()))
-    for kw in ({"fingerprint": True}, {"broadcast_bench": False}):
+    for kw in (
+        {"fingerprint": True},
+        {"broadcast_bench": False},
+        {"broadcast_bench": False, "bloom_prefilter": True},
+        {"broadcast_bench": False, "bloom_prefilter": True, "fingerprint": True},
+    ):
         alt = sorted(
             map(tuple, benchmark_decontaminate(df, bench, min_len=10, **kw).collect())
         )
