@@ -401,18 +401,27 @@ def contamination_coverage(
         # Bloom hashes are string-keyed; fingerprint (struct) keys probe
         # through a canonical "h1:h2" rendering — the exact join below
         # still runs on the real wkey, so the rendering only has to be
-        # deterministic, not collision-free
+        # deterministic, not collision-free. The distinct key frame is
+        # persisted and SHARED between the bitmap build and the phase-2
+        # exact join: without the persist the reference corpus is windowed
+        # and distinct-shuffled twice, which at test scale cost more than
+        # the prefilter saved (measured, tools/decon_ab_probe.py)
+        bkeys = bkeys.persist()
         if fingerprint:
             def _bk(c):
                 return F.concat_ws(":", c.getField("h1"), c.getField("h2"))
         else:
             def _bk(c):
                 return c
-        bk = bkeys.select(_bk(F.col("wkey")).alias("_bk")).persist()
+        bk = bkeys.select(_bk(F.col("wkey")).alias("_bk"))
         m_bits = bloom_size_for(bk, "_bk")
-        bloom = bloom_bitmap(bk, "_bk", m_bits=m_bits)
+        # hasher="fast": the prefilter is output-invisible (the exact join
+        # below kills false positives), so the probe side — every corpus
+        # window — gets codegen xxhash64 instead of one md5 per probe
+        bloom = bloom_bitmap(bk, "_bk", m_bits=m_bits, hasher="fast")
         wins = bloom_might_contain(
-            wins.withColumn("_bk", _bk(F.col("wkey"))), bloom, "_bk", m_bits=m_bits
+            wins.withColumn("_bk", _bk(F.col("wkey"))), bloom, "_bk",
+            m_bits=m_bits, hasher="fast",
         ).drop("_bk")
     if broadcast_bench:
         bkeys = F.broadcast(bkeys)
@@ -930,8 +939,22 @@ def bloom_size_for(keys: DataFrame, key_col: str, k_hashes: int = 3,
     return m_bits
 
 
+def _bloom_pos(c, i: int, m_bits: int, hasher: str):
+    """Bit position of hash ``i`` for key column ``c``: ``portable`` is the
+    repo-wide md5 family (oracle-replayable in SQL, ~one md5 per probe —
+    expensive on a corpus-sized probe side); ``fast`` is seeded xxhash64
+    (whole-stage codegen, ~100× cheaper) for callers whose Bloom layer is
+    OUTPUT-INVISIBLE (a prefilter backed by an exact verify join), where
+    replayability buys nothing and the probe side is the 100 TB side."""
+    from arrow_parquet_logs_spark.functions.hashing import hash64
+
+    if hasher == "fast":
+        return F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+    return F.pmod(hash64(c, seed=f"bf{i}"), F.lit(m_bits))
+
+
 def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
-                 k_hashes: int = 3) -> DataFrame:
+                 k_hashes: int = 3, hasher: str = "portable") -> DataFrame:
     """Build a Bloom filter over the distinct values of ``key_col`` as a
     BITMAP TABLE: one row per 64-bit word, ``(word int, bits long)``.
 
@@ -949,12 +972,13 @@ def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
     False positives: ~(1-e^{-kn/m})^k (classical bound) — callers that
     need EXACT output re-verify BF-positives against the real key set
     (two-phase: the verify join only sees the tiny surviving fraction).
-    False negatives: none, by construction."""
-    from arrow_parquet_logs_spark.functions.hashing import hash64
-
-    seeds = range(k_hashes)
+    False negatives: none, by construction. ``hasher="fast"`` swaps the
+    portable md5 hashes for seeded xxhash64 (see `_bloom_pos`) — pass the
+    SAME value to `bloom_might_contain`."""
     pos = F.explode(
-        F.array(*[F.pmod(hash64(F.col(key_col), seed=f"bf{i}"), F.lit(m_bits)) for i in seeds])
+        F.array(*[
+            _bloom_pos(F.col(key_col), i, m_bits, hasher) for i in range(k_hashes)
+        ])
     ).alias("pos")
     return (
         keys.select(F.col(key_col)).where(F.col(key_col).isNotNull()).distinct()
@@ -969,9 +993,10 @@ def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
 
 
 def bloom_might_contain(probe: DataFrame, bloom: DataFrame, key_col: str,
-                        m_bits: int = 1 << 20, k_hashes: int = 3) -> DataFrame:
+                        m_bits: int = 1 << 20, k_hashes: int = 3,
+                        hasher: str = "portable") -> DataFrame:
     """Filter ``probe`` to the rows whose ``key_col`` MIGHT be in the Bloom
-    filter built by ``bloom_bitmap`` (same ``m_bits``/``k_hashes``).
+    filter built by ``bloom_bitmap`` (same ``m_bits``/``k_hashes``/``hasher``).
 
     Plan shape: k chained LEFT broadcast joins of the bitmap (the
     broadcast is the BITMAP, never the key set), one per hash seed, each
@@ -980,8 +1005,6 @@ def bloom_might_contain(probe: DataFrame, bloom: DataFrame, key_col: str,
     is preserved exactly: a probe with duplicate rows keeps every
     duplicate that passes (the previous explode/collapse formulation
     silently deduplicated identical probe rows)."""
-    from arrow_parquet_logs_spark.functions.hashing import hash64
-
     cols = probe.columns
     out = probe
     hit_cols = []
@@ -989,7 +1012,7 @@ def bloom_might_contain(probe: DataFrame, bloom: DataFrame, key_col: str,
         pos_c, word_c, bits_c, hit_c = f"_pos{i}", f"_word{i}", f"_bits{i}", f"_hit{i}"
         bi = bloom.select(F.col("word").alias(word_c), F.col("bits").alias(bits_c))
         out = (
-            out.withColumn(pos_c, F.pmod(hash64(F.col(key_col), seed=f"bf{i}"), F.lit(m_bits)))
+            out.withColumn(pos_c, _bloom_pos(F.col(key_col), i, m_bits, hasher))
             .withColumn(word_c, (F.col(pos_c) / 64).cast("int"))
             .join(F.broadcast(bi), word_c, "left")
             .withColumn(
