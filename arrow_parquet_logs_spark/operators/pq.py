@@ -272,13 +272,27 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pandas_encode: bool = False,
 ) -> DataFrame:
     """End-to-end compressed-domain top-k: encode corpus, build query LUTs,
     ADC-score, rank by (score desc, id) — deterministic integer ranking,
-    self-matches excluded."""
+    self-matches excluded.
+
+    ``pandas_encode=True`` swaps the corpus-side expression encode for the
+    bit-equal Arrow-batched one (:func:`encode_pq_pandas` — the
+    ``materialize_ivfpq`` default, pinned equal in tests/test_pq.py): the
+    expression encode fans every vector into d·ks joined rows through two
+    aggregation exchanges before a code exists, while the pandas encode
+    emits the m code rows per vector directly in the scan stage — the
+    corpus-scale form. Query-side LUTs stay expression-built either way
+    (query-sized)."""
     from pyspark.sql.window import Window as W
 
-    codes = encode_pq(emb, codebooks, id_col, vec_col)
+    codes = (
+        encode_pq_pandas(emb.select(id_col, vec_col), codebooks, id_col, vec_col)
+        if pandas_encode
+        else encode_pq(emb, codebooks, id_col, vec_col)
+    )
     lut = adc_lut(queries, codebooks, id_col, vec_col)
     scored = adc_scores(codes, lut, id_col).where(F.col("q_id") != F.col(id_col))
     # partial top-k first (operators.topk): the per-query window then ranks
@@ -304,15 +318,20 @@ def pq_rerank_topk(
     rerank: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pandas_encode: bool = False,
 ) -> DataFrame:
     """PQ-then-rerank: ADC ranks the whole corpus in the compressed domain,
     the top ``rerank`` candidates per query are re-scored with exact cosine
     (operators.similarity ranking contract), and the true top-k of that
     pool is returned. This is the production ANN shape: the expensive exact
-    math touches rerank·|queries| rows, not the corpus."""
+    math touches rerank·|queries| rows, not the corpus.
+    ``pandas_encode`` as in :func:`pq_adc_topk` (bit-equal encode swap)."""
     from arrow_parquet_logs_spark.operators.similarity import _cos, _ranked, _with_vec_and_norm
 
-    cand = pq_adc_topk(emb, queries, codebooks, k=rerank, id_col=id_col, vec_col=vec_col)
+    cand = pq_adc_topk(
+        emb, queries, codebooks, k=rerank, id_col=id_col, vec_col=vec_col,
+        pandas_encode=pandas_encode,
+    )
     c = _with_vec_and_norm(emb, id_col, vec_col, "c")
     q = _with_vec_and_norm(queries, id_col, vec_col, "q")
     pairs = (

@@ -315,6 +315,13 @@ def brute_force_topk_pandas(
 
         ids, mat, norms = bq.value
         nq = len(ids)
+        # running top-(k+1) per query across ALL batches of the partition
+        # (the partial_topk fold done inline, one lexsort per batch): the
+        # stage emits ≤ (k+1)·Q rows per PARTITION — so the downstream
+        # window never needs its own pruning pass, at any corpus size.
+        # (The old per-batch emit grew with batches/partition and then
+        # paid a second Python stage — partial_topk — to prune it again.)
+        best: list | None = None  # per-query (ids, cosines) kept rows
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -322,27 +329,35 @@ def brute_force_topk_pandas(
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (B, d)
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
             sims = np.round((c_mat @ mat.T) / np.outer(c_norm, norms), 6)  # (B, Q)
-            m = min(k + 1, sims.shape[0])
-            out_q, out_id, out_cos = [], [], []
+            nxt = []
             for qi in range(nq):
-                # batch-local top-(k+1) on (rounded cosine desc, id asc) —
-                # lexsort keys are last-is-primary
-                order = np.lexsort((c_ids, -sims[:, qi]))[:m]
-                out_q.append(np.full(m, ids[qi], dtype=np.int64))
-                out_id.append(c_ids[order])
-                out_cos.append(sims[order, qi])
+                ids_qi, cos_qi = c_ids, sims[:, qi]
+                if best is not None:
+                    ids_qi = np.concatenate([best[qi][0], ids_qi])
+                    cos_qi = np.concatenate([best[qi][1], cos_qi])
+                # top-(k+1) on (rounded cosine desc, id asc) — lexsort keys
+                # are last-is-primary; identical total order to the final
+                # Catalyst window, so the fold is lossless
+                order = np.lexsort((ids_qi, -cos_qi))[: k + 1]
+                nxt.append((ids_qi[order], cos_qi[order]))
+            best = nxt
+        if best is not None:
             yield pd.DataFrame(
                 {
-                    "q_id": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_id),
-                    "cosine": np.concatenate(out_cos),
+                    "q_id": np.concatenate(
+                        [np.full(len(b[0]), q, dtype=np.int64) for q, b in zip(ids, best)]
+                    ),
+                    "vec_id": np.concatenate([b[0] for b in best]),
+                    "cosine": np.concatenate([b[1] for b in best]),
                 }
             )
 
     pairs = spread_for_python(emb.select(id_col, vec_col)).mapInPandas(
         score, schema="q_id long, vec_id long, cosine double"
     ).where(F.col("vec_id") != F.col("q_id"))
-    return _ranked(pairs, k)
+    # output is ≤ (k+1)·Q rows per partition by construction: the window
+    # ranks a shortlist, the partial_topk stage would be a pure extra pass
+    return _ranked(pairs, k, prune=False)
 
 
 def maxsim_topk_pandas(

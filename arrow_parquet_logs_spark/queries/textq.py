@@ -3171,13 +3171,29 @@ def docs_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_parquet_logs_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    dt = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("t"))
-        .where(F.col("t") != "")
-        .distinct()
+    # the (doc, distinct-token) relation is ROW-LOCAL: every token of a doc
+    # comes from that doc's one text cell, so the sorted distinct token SET
+    # is a per-row array expression — the old explode→DISTINCT paid a
+    # (doc, token)-keyed exchange to deduplicate rows that were never
+    # spread across partitions to begin with (guide §2.4: remove shuffles
+    # outright). Hoisted to a column so downstream lambdas reference an
+    # attribute, not a re-splittable expression (the lambda re-eval class).
+    # the (doc, distinct-token) relation is ROW-LOCAL: every token of a doc
+    # comes from that doc's one text cell, so the distinct token set is a
+    # per-row array expression — the old explode→DISTINCT paid a
+    # (doc, token)-keyed exchange to deduplicate rows that were never
+    # spread across partitions to begin with (guide §2.4)
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))).alias("t"),
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfc = dt.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # the doc-keyed self-join stays (codegen join beats both an interpreted
+    # C(k,2) HOF explode and a Python Counter pass — A/B'd, OPTIMIZATION_
+    # r11.md), but its two sides now share ONE doc_id exchange over the
+    # row-local dt instead of the old distinct's (doc_id, t) exchange plus
+    # two incompatible doc_id re-exchanges.
     a, b = dt.alias("a"), dt.alias("b")
     pairs = (
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.t") < F.col("b.t")))

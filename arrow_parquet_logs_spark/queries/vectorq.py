@@ -186,7 +186,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10)
     cents = ivf.fit_kmeans(emb, k=16, iters=5)
     approx = ivf.ivf_search(emb, q, cents, k=5, nprobe=4).select("q_id", "vec_id")
-    exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
+    # exact side of the recall gate: BLAS matmul form (bit-equal ranking
+    # contract; both forms pass the same oracle at every SF) — guide §4.2
+    exact = S.brute_force_topk_pandas(emb, q, k=5).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
     return (
         exact.select("q_id")
@@ -650,12 +652,15 @@ def embeddings_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break), the per-query lookup tables, AND the compressed-domain
     top-5 ranking are all exact int64 arithmetic — bit-identical in both
     engines. This pins the whole PQ machinery; learned codebooks swap in
-    via ann_pq_rerank."""
+    via ann_pq_rerank. Encode runs vectorized (``pandas_encode`` — the
+    bit-equal Arrow-batched form, same oracle hash): the expression encode
+    shuffles d·ks fan-out rows per vector through two aggregations, the
+    corpus-dominant cost at scale (encode_pq_pandas docstring)."""
     from arrow_parquet_logs_spark.operators import pq as PQ
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return PQ.pq_adc_topk(emb, q, PQ.rademacher_codebooks(), k=5)
+    return PQ.pq_adc_topk(emb, q, PQ.rademacher_codebooks(), k=5, pandas_encode=True)
 
 
 @register(
@@ -693,8 +698,12 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = 16 if n < 5_000 else 64
     rerank = max(100, n // 50)
     cbs = PQ.fit_pq(emb, ks=ks, sample=x)
-    approx = PQ.pq_rerank_topk(emb, q, cbs, k=5, rerank=rerank).select("q_id", "vec_id")
-    exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
+    approx = PQ.pq_rerank_topk(
+        emb, q, cbs, k=5, rerank=rerank, pandas_encode=True
+    ).select("q_id", "vec_id")
+    # exact side of the recall gate: BLAS matmul form (bit-equal ranking
+    # contract; both forms pass the same oracle at every SF) — guide §4.2
+    exact = S.brute_force_topk_pandas(emb, q, k=5).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
     return (
         exact.select("q_id")
@@ -749,7 +758,9 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = PQ.search_ivfpq(
         spark, path, emb, q, cents, books, k=5, nprobe=4, rerank=rerank
     ).select("q_id", "vec_id")
-    exact = S.brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
+    # exact side of the recall gate: BLAS matmul form (bit-equal ranking
+    # contract; both forms pass the same oracle at every SF) — guide §4.2
+    exact = S.brute_force_topk_pandas(emb, q, k=5).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
     return (
         exact.select("q_id")

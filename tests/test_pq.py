@@ -171,6 +171,18 @@ def test_encode_pq_pandas_bit_equal_to_expression(spark, sf_dir):
     assert expr == fast
 
 
+def test_pq_adc_topk_pandas_encode_bit_equal(spark, sf_dir):
+    """The ``pandas_encode=True`` form of the end-to-end ADC top-k (the
+    bench/production encode) must return the identical ranked rows as the
+    expression-encode default — same oracle hash by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    cbs = PQ.rademacher_codebooks()
+    a = sorted(map(tuple, PQ.pq_adc_topk(emb, q, cbs, k=5).collect()))
+    b = sorted(map(tuple, PQ.pq_adc_topk(emb, q, cbs, k=5, pandas_encode=True).collect()))
+    assert a == b
+
+
 def test_pq_empty_and_null_vectors(spark):
     cbs = PQ.rademacher_codebooks()
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")

@@ -209,6 +209,15 @@ def test_pq_adc_is_all_broadcast_joins(spark, sf_dir):
     plan = explain_str(PQ.pq_adc_topk(emb, q, PQ.rademacher_codebooks(), k=5))
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    # the pandas-encode (bench/production) form: corpus codes come straight
+    # out of the Arrow-batched scan stage — no encode fan-out joins/exchanges
+    # exist at all; the LUT join stays broadcast
+    fast = explain_str(
+        PQ.pq_adc_topk(emb, q, PQ.rademacher_codebooks(), k=5, pandas_encode=True)
+    )
+    assert fast.count("BroadcastHashJoin") >= 2, fast
+    assert "SortMergeJoin" not in fast and "CartesianProduct" not in fast, fast
+    assert "MapInPandas" in fast, fast
 
 
 def test_boilerplate_hot_set_broadcasts(spark, sf_dir):
