@@ -452,12 +452,69 @@ def _ivfpq_codes(
     vec_col: str,
     pandas_encode: bool,
 ) -> DataFrame:
+    """(id, cell, j, code) for the corpus — the index-build scan.
+
+    The pandas path runs assignment AND residual encode in ONE fused
+    Arrow pass: the two-stage form (``assign_cells_pandas`` →
+    ``encode_pq_pandas``) shipped every corpus vector across the
+    JVM↔Python boundary twice, with a round-robin repartition between
+    the stages (the second stage's spread gate sees a shuffle-rooted
+    frame) — at the corpus-dominant stage that is 2× the Arrow traffic
+    and one extra full exchange for zero extra work. Same math, same
+    ints, same first-minimum tie-breaks (cell assignment per
+    ``assign_cells_pandas``'s BLAS form, residual codes per
+    ``encode_pq_pandas``) — bit-equality vs the expression encode is
+    pinned in tests/test_pq.py."""
     if not pandas_encode:
         return encode_ivfpq(emb, centroids, codebooks, id_col, vec_col)
-    from arrow_parquet_logs_spark.operators.ivf import assign_cells_pandas
+    import numpy as np
+    from pyspark.sql import types as T
 
-    assigned = assign_cells_pandas(emb.select(id_col, vec_col), centroids, vec_col)
-    return encode_pq_pandas(assigned, codebooks, id_col, vec_col, centroids=centroids)
+    from arrow_parquet_logs_spark.operators._parallel import spread_for_python
+
+    C = np.array(centroids, dtype=np.float64)  # (k, d)
+    c_sq = (C * C).sum(axis=1)
+    cents_i = np.floor(C * SCALE).astype(np.int64)
+    books = np.array(codebooks, dtype=np.int64)  # (m, ks, sub)
+    m, _, sub = books.shape
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            live = [i for i, x in enumerate(pdf[vec_col]) if x is not None]
+            if not live:
+                continue
+            X = np.array([np.asarray(pdf[vec_col].iloc[i], dtype=np.float64) for i in live])
+            # cell assignment: argmin(|x|^2 - 2x.c^T + |c|^2), first minimum
+            d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
+            cells = d2.argmin(axis=1)
+            # residual encode on the int64 micro-unit grid
+            Q = np.floor(X * SCALE).astype(np.int64) - cents_i[cells]
+            n = len(live)
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                dd = ((Q[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dd.argmin(axis=1)
+            ids = pdf[id_col].to_numpy()[live]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, m),
+                    "cell": np.repeat(cells, m).astype(np.int32),
+                    "j": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": codes.reshape(-1).astype(np.int32),
+                }
+            )[[f.name for f in out_schema.fields]]
+
+    return spread_for_python(emb.select(id_col, vec_col)).mapInPandas(gen, out_schema)
 
 
 def materialize_ivfpq(

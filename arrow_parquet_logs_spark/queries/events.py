@@ -2488,15 +2488,30 @@ def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     sk = kmv_sketch(ev, "user_id", group_cols=("event_type",), k=_KMV_K)
-    dk = ev.select("event_type", F.col("user_id").cast("string").alias("uk")).distinct()
-    exact = (
-        dk.alias("a")
-        .join(dk.alias("b"), (F.col("a.uk") == F.col("b.uk"))
-              & (F.col("a.event_type") < F.col("b.event_type")))
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
+    # exact audit side: users-with-both-types counted from each user's
+    # distinct TYPE SET (collect_set dedups inside ONE user-keyed
+    # aggregation) with the ≤ C(|types|,2) pairs expanded row-locally —
+    # the old form paid a (type, user) DISTINCT exchange whose layout the
+    # uk-keyed self-join couldn't reuse, then exchanged+sorted both join
+    # sides again (guide §2.4). Same pairs: u contributes (a, b) iff both
+    # types are in u's set and a < b (sorted-array combinations).
+    tsets = (
+        ev.groupBy(F.col("user_id").cast("string").alias("uk"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("_ts"))
+        .select("_ts")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ts"), i + F.lit(2), F.size(F.col("_ts"))),
+                lambda y: F.struct(x.alias("ta"), y.alias("tb")),
+            ),
         )
+    )
+    exact = (
+        tsets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.ta").alias("type_a"), F.col("p.tb").alias("type_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_common"))
     )
     # the sketch frame is <= |event types| rows BY CONSTRUCTION, but its

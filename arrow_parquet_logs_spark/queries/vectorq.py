@@ -189,11 +189,14 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact side of the recall gate: BLAS matmul form (bit-equal ranking
     # contract; both forms pass the same oracle at every SF) — guide §4.2
     exact = S.brute_force_topk_pandas(emb, q, k=5).select("q_id", "vec_id")
-    hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
+    # gate frames are bounded BY CONSTRUCTION (exact: k rows per query,
+    # hits agg: one row per query) — broadcast both sides explicitly so
+    # the ≤ 50-row semi/outer joins never plan as exchange+sort SMJs
+    hits = approx.join(F.broadcast(exact), ["q_id", "vec_id"], "left_semi")
     return (
         exact.select("q_id")
         .distinct()
-        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits")), "q_id", "left")
+        .join(F.broadcast(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))), "q_id", "left")
         .select("q_id", (F.coalesce("n_hits", F.lit(0)) >= 2).alias("recall_ok"))
         .orderBy("q_id")
     )
@@ -704,11 +707,14 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact side of the recall gate: BLAS matmul form (bit-equal ranking
     # contract; both forms pass the same oracle at every SF) — guide §4.2
     exact = S.brute_force_topk_pandas(emb, q, k=5).select("q_id", "vec_id")
-    hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
+    # gate frames are bounded BY CONSTRUCTION (exact: k rows per query,
+    # hits agg: one row per query) — broadcast both sides explicitly so
+    # the ≤ 50-row semi/outer joins never plan as exchange+sort SMJs
+    hits = approx.join(F.broadcast(exact), ["q_id", "vec_id"], "left_semi")
     return (
         exact.select("q_id")
         .distinct()
-        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits")), "q_id", "left")
+        .join(F.broadcast(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))), "q_id", "left")
         .select("q_id", (F.coalesce("n_hits", F.lit(0)) >= 2).alias("recall_ok"))
         .orderBy("q_id")
     )
@@ -761,11 +767,14 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact side of the recall gate: BLAS matmul form (bit-equal ranking
     # contract; both forms pass the same oracle at every SF) — guide §4.2
     exact = S.brute_force_topk_pandas(emb, q, k=5).select("q_id", "vec_id")
-    hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
+    # gate frames are bounded BY CONSTRUCTION (exact: k rows per query,
+    # hits agg: one row per query) — broadcast both sides explicitly so
+    # the ≤ 50-row semi/outer joins never plan as exchange+sort SMJs
+    hits = approx.join(F.broadcast(exact), ["q_id", "vec_id"], "left_semi")
     return (
         exact.select("q_id")
         .distinct()
-        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits")), "q_id", "left")
+        .join(F.broadcast(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))), "q_id", "left")
         .select("q_id", (F.coalesce("n_hits", F.lit(0)) >= 2).alias("recall_ok"))
         .orderBy("q_id")
     )
@@ -1967,16 +1976,18 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     f10, t10 = top10("cos_full"), top10("cos_trunc")
+    # every frame below is ≤ 10·Q rows BY CONSTRUCTION — broadcast the
+    # probe sides so the overlap/assembly joins never plan as SMJs
     ov = (
-        f10.join(t10, ["q_id", "vec_id"])
+        f10.join(F.broadcast(t10), ["q_id", "vec_id"])
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n"))
     )
     f1 = f10.where(F.col("rn") == 1).select("q_id", F.col("vec_id").alias("f_top1"))
     t1 = t10.where(F.col("rn") == 1).select("q_id", F.col("vec_id").alias("t_top1"))
     return (
-        f1.join(t1, "q_id")
-        .join(ov, "q_id", "left")
+        f1.join(F.broadcast(t1), "q_id")
+        .join(F.broadcast(ov), "q_id", "left")
         .select(
             "q_id",
             F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("overlap10"),
@@ -2132,16 +2143,18 @@ def ann_bq_centered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     r10, c10 = top10("ham_raw", True), top10("ham_cen", True)
 
     def overlap(s: DataFrame, alias: str) -> DataFrame:
+        # both sides are ≤ 10·Q rows BY CONSTRUCTION — broadcast so the
+        # overlap and final assembly joins never plan as exchange+sort SMJs
         return (
-            ex10.join(s, ["q_id", "vec_id"])
+            ex10.join(F.broadcast(s), ["q_id", "vec_id"])
             .groupBy("q_id")
             .agg(F.count(F.lit(1)).cast("int").alias(alias))
         )
 
     return (
         q.select("q_id")
-        .join(overlap(r10, "nr"), "q_id", "left")
-        .join(overlap(c10, "nc"), "q_id", "left")
+        .join(F.broadcast(overlap(r10, "nr")), "q_id", "left")
+        .join(F.broadcast(overlap(c10, "nc")), "q_id", "left")
         .select(
             "q_id",
             F.coalesce("nr", F.lit(0)).cast("int").alias("overlap10_raw"),

@@ -169,6 +169,13 @@ def test_encode_pq_pandas_bit_equal_to_expression(spark, sf_dir):
         for r in PQ.encode_pq_pandas(assigned, books, centroids=cents).collect()
     )
     assert expr == fast
+    # the FUSED assign+encode pass (what materialize/append/stream actually
+    # run): same codes as the expression form
+    fused = sorted(
+        (r.vec_id, r.cell, r.j, r.code)
+        for r in PQ._ivfpq_codes(emb, cents, books, "vec_id", "embedding", True).collect()
+    )
+    assert expr == fused
 
 
 def test_pq_adc_topk_pandas_encode_bit_equal(spark, sf_dir):
