@@ -33,17 +33,30 @@ def kmeans_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_rows: int = 100_000,
+    with_ids: bool = False,
 ):
     """The deterministic id-ordered prefix fit sample, collected ONCE:
     ``(matrix, truncated)``. ``truncated=False`` means the sample IS the
     whole corpus — callers sizing cells as √N can then take N = len(matrix)
     for free instead of paying a separate ``count()`` job (the r5 bench
-    regression's second planning action). One TakeOrdered job either way."""
+    regression's second planning action). One TakeOrdered job either way.
+
+    Collected via ``toPandas`` (Arrow batches), not row ``collect``: the
+    row path deserializes |sample|·d cells one Py4J object at a time;
+    Arrow moves the same IEEE doubles columnar — bit-identical matrix.
+
+    ``with_ids=True`` returns ``(matrix, truncated, ids)`` — the sample is
+    an id-ordered PREFIX, so any query set defined as "id < Q" is fully
+    contained in it whenever those rows exist: callers can slice their
+    query vectors out of the one collected sample instead of paying a
+    second scan-and-collect job (the r12 job-chain collapse)."""
     import numpy as np
 
-    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
-    x = np.array([r[1] for r in rows], dtype=np.float64)
-    return x, len(rows) >= sample_rows
+    pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    if with_ids:
+        return x, len(pdf) >= sample_rows, pdf[id_col].to_numpy()
+    return x, len(pdf) >= sample_rows
 
 
 def sqrt_cells(n: int) -> int:

@@ -241,15 +241,44 @@ def adc_lut(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(q_id, j, c, part): per-query ADC lookup table — the dot product of
-    each query subvector with every codebook entry. Query-side only: m·ks
-    rows per query, built by the same broadcast join + partial agg."""
+    each query subvector with every codebook entry.
+
+    Query-sized BY CONTRACT (m·ks rows per query), so it is built
+    DRIVER-side as one int64 numpy einsum over the collected query batch
+    (r12; the search_ivfpq LUT precedent): the expression form exploded
+    each query into d rows, broadcast-joined the codebook frame and ran
+    two aggregation jobs — ~0.5 s of per-search fixed cost at sf0.1 for a
+    10-query batch the driver can score in microseconds. Identical values:
+    ``part = Σ_s floor(x_d·SCALE)·s`` is exact int64 arithmetic in both
+    engines (no reassociation concerns on integers), and NULL query
+    vectors vanish exactly as posexplode dropped them."""
+    import numpy as np
+    import pandas as pd
+
+    m, ks = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
-    cb = codebook_frame(queries.sparkSession, codebooks)
-    comps = _components(queries, id_col, vec_col, "q_id")
-    return (
-        comps.join(F.broadcast(cb), "d")
-        .groupBy("q_id", (F.col("d") / sub).cast("int").alias("j"), "c")
-        .agg(F.sum(F.col("q") * F.col("s")).alias("part"))
+    books = np.array(codebooks, dtype=np.int64)  # (m, ks, sub)
+    qrows = [
+        r for r in queries.select(id_col, vec_col).collect() if r[1] is not None
+    ]
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    if qrows:
+        qm = np.floor(
+            np.array([np.asarray(r[1], dtype=np.float64) for r in qrows]) * SCALE
+        ).astype(np.int64)  # (Q, d)
+        nq = len(qrows)
+        part = np.einsum("qjs,jcs->qjc", qm.reshape(nq, m, sub), books)  # int64
+        cols = {
+            "q_id": np.repeat(np.array([r[0] for r in qrows]), m * ks),
+            "j": np.tile(np.repeat(np.arange(m, dtype=np.int32), ks), nq),
+            "c": np.tile(np.arange(ks, dtype=np.int32), nq * m),
+            "part": part.reshape(-1),
+        }
+    else:
+        cols = {"q_id": [], "j": [], "c": [], "part": []}
+    return queries.sparkSession.createDataFrame(
+        pd.DataFrame(cols, columns=["q_id", "j", "c", "part"]),
+        f"q_id {q_id_type}, j int, c int, part long",
     )
 
 
@@ -334,9 +363,14 @@ def pq_rerank_topk(
     )
     c = _with_vec_and_norm(emb, id_col, vec_col, "c")
     q = _with_vec_and_norm(queries, id_col, vec_col, "q")
+    # broadcast the CAND side (≤ rerank·Q rows BY CONSTRUCTION): its size
+    # estimate inherits the corpus scan, so the planner otherwise broadcast
+    # the CORPUS's vectors into this join (scale-inverted — the corpus must
+    # stream, the bounded shortlist must ship)
     pairs = (
-        cand.select("q_id", F.col(id_col).alias("c_id"))
-        .join(c, "c_id")
+        c.join(
+            F.broadcast(cand.select("q_id", F.col(id_col).alias("c_id"))), "c_id"
+        )
         .join(F.broadcast(q), "q_id")
         .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )
@@ -756,6 +790,7 @@ def search_ivfpq(
     rerank: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    qrows=None,
 ) -> DataFrame:
     """IVF-PQ search against the materialized index: probe the ``nprobe``
     nearest cells per query (resolved driver-side — the query batch is small
@@ -766,7 +801,12 @@ def search_ivfpq(
     return the true top-k of that pool.
 
     Everything query-sized (LUTs: |Q|·nprobe·m·ks rows) broadcasts;
-    everything corpus-sized arrives pre-pruned and pre-compressed."""
+    everything corpus-sized arrives pre-pruned and pre-compressed.
+
+    ``qrows``: pre-collected ``[(id, vector), ...]`` for the query batch —
+    callers that already hold the query vectors driver-side (e.g. sliced
+    from the k-means fit sample) pass them to skip this function's own
+    scan-and-collect job. Must contain exactly the rows of ``queries``."""
     import numpy as np
 
     from arrow_parquet_logs_spark.operators.similarity import _cos, _ranked, _with_vec_and_norm
@@ -777,22 +817,36 @@ def search_ivfpq(
     cents_i = np.floor(cents * SCALE).astype(np.int64)
     books_i = np.array(codebooks, dtype=np.int64)  # (m, ks, sub)
 
-    qrows = queries.select(id_col, vec_col).collect()
-    lut_rows = []
+    if qrows is None:
+        qrows = queries.select(id_col, vec_col).collect()
+    # LUT built as ONE numpy reduction, not a |Q|·nprobe·m·ks Python loop:
+    # the loop form spent ~0.5 s of DRIVER time per search at 10 queries
+    # (r12 profile, "p4" phase) building 20k tuples row by row — the same
+    # int64 arithmetic batches to a (Q, nprobe, m, ks) tensor with
+    # identical values (integer math, no reassociation) and identical
+    # probe order (stable argsort rows match the per-query argsort).
     probed: set[int] = set()
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        order = ((qv[None, :] - cents) ** 2).sum(axis=1).argsort(kind="stable")[:nprobe]
-        qi = np.floor(qv * SCALE).astype(np.int64)
-        for cell in order:
-            probed.add(int(cell))
-            res = qi - cents_i[cell]  # integer residual, same grid as encode
-            for j in range(m):
-                rj = res[j * sub : (j + 1) * sub]
-                d2 = ((rj[None, :] - books_i[j]) ** 2).sum(axis=1)  # (ks,)
-                lut_rows.extend(
-                    (r[0], int(cell), j, c, int(d2[c])) for c in range(ks)
-                )
+    if qrows:
+        qm = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])  # (Q, d)
+        nq = len(qrows)
+        d2c = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (Q, k)
+        order = np.argsort(d2c, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+        probed = {int(c) for c in np.unique(order)}
+        qi = np.floor(qm * SCALE).astype(np.int64)  # (Q, d)
+        res = qi[:, None, :] - cents_i[order]  # (Q, nprobe, d)
+        resh = res.reshape(nq, nprobe, m, sub)
+        # (Q, nprobe, m, ks): per-subspace LUT distances, exact int64
+        d2 = ((resh[:, :, :, None, :] - books_i[None, None, :, :, :]) ** 2).sum(axis=4)
+        ids = np.array([r[0] for r in qrows])
+        lut_cols = {
+            "q_id": np.repeat(ids, nprobe * m * ks),
+            "cell": np.repeat(order.reshape(-1), m * ks).astype(np.int32),
+            "j": np.tile(np.repeat(np.arange(m, dtype=np.int32), ks), nq * nprobe),
+            "c": np.tile(np.arange(ks, dtype=np.int32), nq * nprobe * m),
+            "part": d2.reshape(-1),
+        }
+    else:
+        lut_cols = {"q_id": [], "cell": [], "j": [], "c": [], "part": []}
     # q_id keeps the caller's id type (string keys etc.), like the sibling
     # encode_pq/pq_adc_topk operators — no int64 assumption baked in.
     # Arrow-batched conversion: the LUT is |Q|·nprobe·m·ks rows (82k at 10
@@ -802,11 +856,21 @@ def search_ivfpq(
 
     q_id_type = queries.schema[id_col].dataType.simpleString()
     lut = spark.createDataFrame(
-        pd.DataFrame(lut_rows, columns=["q_id", "cell", "j", "c", "part"]),
+        pd.DataFrame(lut_cols, columns=["q_id", "cell", "j", "c", "part"]),
         f"q_id {q_id_type}, cell int, j int, c int, part long",
     )
 
-    codes = spark.read.parquet(path).where(F.col("cell").isin(sorted(probed)))
+    # explicit schema: the index layout is fixed by materialize_ivfpq, so
+    # inferring it costs a needless driver footer-read job per search
+    codes_schema = (
+        f"{id_col} {emb.schema[id_col].dataType.simpleString()}, "
+        "j int, code int, cell int"
+    )
+    codes = (
+        spark.read.schema(codes_schema)
+        .parquet(path)
+        .where(F.col("cell").isin(sorted(probed)))
+    )
     # the code value is a JOIN KEY, not a post-join filter: joining on
     # (cell, j) alone and then filtering code == c would materialize ks×
     # more rows than survive (every code row × all 256 LUT entries of its
@@ -833,9 +897,12 @@ def search_ivfpq(
 
     c = _with_vec_and_norm(emb, id_col, vec_col, "c")
     q = _with_vec_and_norm(queries, id_col, vec_col, "q")
+    # broadcast the CAND side (≤ rerank·Q rows BY CONSTRUCTION) — see
+    # pq_rerank_topk: the corpus streams, the bounded shortlist ships
     pairs = (
-        cand.select("q_id", F.col(id_col).alias("c_id"))
-        .join(c, "c_id")
+        c.join(
+            F.broadcast(cand.select("q_id", F.col(id_col).alias("c_id"))), "c_id"
+        )
         .join(F.broadcast(q), "q_id")
         .select("q_id", F.col("c_id").alias("vec_id"), _cos().alias("cosine"))
     )

@@ -285,8 +285,14 @@ def brute_force_topk_pandas(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_rows=None,
 ) -> DataFrame:
     """The Arrow-batched BLAS formulation of ``brute_force_topk``.
+
+    ``q_rows``: pre-collected ``[(id, vector), ...]`` for the query batch
+    (must equal ``queries``'s rows) — callers already holding the vectors
+    driver-side (the k-means fit sample slice) skip this function's own
+    collect job (r12 job-chain collapse).
 
     This is the one place the pandas-UDF path beats Catalyst expressions:
     a dense f64 matmul (candidates-batch × queriesᵀ) through numpy's BLAS
@@ -302,7 +308,8 @@ def brute_force_topk_pandas(
     import numpy as np
 
     sc = emb.sparkSession.sparkContext
-    q_rows = queries.select(id_col, vec_col).collect()
+    if q_rows is None:
+        q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:  # empty query set → empty result, correct schema
         return emb.sparkSession.createDataFrame([], "q_id long, vec_id long, cosine double, rn int")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)

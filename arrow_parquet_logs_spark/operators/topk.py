@@ -84,3 +84,84 @@ def partial_topk(
             yield best
 
     return df.mapInPandas(prune, schema=schema)
+
+
+def partial_topk_tagged(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    orders: dict[str, Sequence[tuple[str, bool]]],
+    k: int,
+    tag_col: str = "_ord",
+) -> DataFrame:
+    """Fused multi-order partial top-k: ONE pass over the input keeps, for
+    EACH order in ``orders`` (tag -> [(col, ascending)]), at most ``k`` rows
+    per group per input partition, emitting the union with ``tag_col``
+    naming the order each row survived under.
+
+    This is the two-heap pruner the matryoshka audit documents: two
+    rankings of one pair frame previously ran as two ``partial_topk``
+    passes, each recomputing the (corpus × queries) scoring subtree —
+    Spark cannot share a subtree consumed by two separate Python stages.
+    Fusing the prunes makes the expensive child exist ONCE in the plan;
+    downstream per-tag windows filter on ``tag_col`` and rank ≤ k·P rows.
+
+    Per-order output is bit-identical to ``partial_topk(df, group_cols,
+    orders[tag], k)`` (same pandas mergesort, same state fold — pinned in
+    tests/test_topk.py): partial top-k under a total order is invariant to
+    batch boundaries, so fusing cannot change what survives.
+
+    Same determinism contract as ``partial_topk``: every order must include
+    the full tie-break and order columns must be non-null."""
+    if k < 1:
+        raise ValueError(f"partial_topk_tagged needs k >= 1, got {k}")
+    if not orders:
+        raise ValueError("partial_topk_tagged needs at least one order")
+    gcols = list(group_cols)
+    schema = df.schema
+    for ocols in orders.values():
+        missing = [c for c in gcols + [c for c, _ in ocols] if c not in schema.names]
+        if missing:
+            raise ValueError(f"partial_topk_tagged columns not in frame: {missing}")
+    if tag_col in schema.names:
+        raise ValueError(f"tag column {tag_col!r} already in frame")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(list(schema.fields) + [StructField(tag_col, StringType())])
+    plans = {
+        tag: (
+            gcols + [c for c, _ in ocols],
+            [True] * len(gcols) + [bool(a) for _, a in ocols],
+        )
+        for tag, ocols in orders.items()
+    }
+
+    def prune(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        best: dict[str, object] = {tag: None for tag in plans}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for tag, (by, asc) in plans.items():
+                cur = (
+                    pdf
+                    if best[tag] is None
+                    else pd.concat([best[tag], pdf], ignore_index=True)
+                )
+                cur = cur.sort_values(by, ascending=asc, kind="mergesort")
+                best[tag] = (
+                    cur.groupby(gcols, sort=False, dropna=False).head(k)
+                    if gcols
+                    else cur.head(k)
+                )
+        out = [
+            b.assign(**{tag_col: tag})
+            for tag, b in best.items()
+            if b is not None and len(b)
+        ]
+        if out:
+            yield pd.concat(out, ignore_index=True)[
+                [f.name for f in out_schema.fields]
+            ]
+
+    return df.mapInPandas(prune, schema=out_schema)

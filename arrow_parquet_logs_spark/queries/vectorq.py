@@ -184,11 +184,24 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    cents = ivf.fit_kmeans(emb, k=16, iters=5)
+    # ONE sample job: the id-ordered prefix is the k-means fit matrix AND
+    # the query-vector source (every vec_id < 10 row is in the prefix by
+    # construction — r12 job-chain collapse)
+    x, _, ids = ivf.kmeans_sample(emb, with_ids=True)
+    cents = ivf._lloyd(x, 16, 5)
+    qrows = [(int(i), v.tolist()) for i, v in zip(ids, x) if i < 10]
     approx = ivf.ivf_search(emb, q, cents, k=5, nprobe=4).select("q_id", "vec_id")
     # exact side of the recall gate: BLAS matmul form (bit-equal ranking
-    # contract; both forms pass the same oracle at every SF) — guide §4.2
-    exact = S.brute_force_topk_pandas(emb, q, k=5).select("q_id", "vec_id")
+    # contract; both forms pass the same oracle at every SF) — guide §4.2.
+    # PERSISTED: the gate consumes this ≤ k·Q-row frame twice (semi-join
+    # probe + q_id spine), and a subtree behind a Python stage is never
+    # plan-shared — unpersisted, the corpus-sized BLAS scan ran TWICE per
+    # gate (two full MapInPandas passes in the executed plan, r12 profile)
+    exact = (
+        S.brute_force_topk_pandas(emb, q, k=5, q_rows=qrows)
+        .select("q_id", "vec_id")
+        .persist()
+    )
     # gate frames are bounded BY CONSTRUCTION (exact: k rows per query,
     # hits agg: one row per query) — broadcast both sides explicitly so
     # the ≤ 50-row semi/outer joins never plan as exchange+sort SMJs
@@ -696,17 +709,28 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ivf.kmeans_sample); a separate count only when the sample truncated.
     from arrow_parquet_logs_spark.operators import ivf
 
-    x, truncated = ivf.kmeans_sample(emb)
+    x, truncated, ids = ivf.kmeans_sample(emb, with_ids=True)
     n = emb.count() if truncated else len(x)
     ks = 16 if n < 5_000 else 64
     rerank = max(100, n // 50)
     cbs = PQ.fit_pq(emb, ks=ks, sample=x)
+    # the id-ordered prefix also supplies the query vectors (vec_id < 10
+    # is in the prefix by construction) — no separate collect job
+    qrows = [(int(i), v.tolist()) for i, v in zip(ids, x) if i < 10]
     approx = PQ.pq_rerank_topk(
         emb, q, cbs, k=5, rerank=rerank, pandas_encode=True
     ).select("q_id", "vec_id")
     # exact side of the recall gate: BLAS matmul form (bit-equal ranking
-    # contract; both forms pass the same oracle at every SF) — guide §4.2
-    exact = S.brute_force_topk_pandas(emb, q, k=5).select("q_id", "vec_id")
+    # contract; both forms pass the same oracle at every SF) — guide §4.2.
+    # PERSISTED: the gate consumes this ≤ k·Q-row frame twice (semi-join
+    # probe + q_id spine), and a subtree behind a Python stage is never
+    # plan-shared — unpersisted, the corpus-sized BLAS scan ran TWICE per
+    # gate (two full MapInPandas passes in the executed plan, r12 profile)
+    exact = (
+        S.brute_force_topk_pandas(emb, q, k=5, q_rows=qrows)
+        .select("q_id", "vec_id")
+        .persist()
+    )
     # gate frames are bounded BY CONSTRUCTION (exact: k rows per query,
     # hits agg: one row per query) — broadcast both sides explicitly so
     # the ≤ 50-row semi/outer joins never plan as exchange+sort SMJs
@@ -751,22 +775,37 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.25% of 20k) and 4-bit residual codebooks stop clearing the recall
     # gate. Grow rerank ~n/100 and move to 6-bit codebooks past 5k
     # vectors — the FAISS-style sizing rule, applied automatically.
-    # ONE planning job: fit sample doubles as the sizing probe.
+    # ONE planning job: fit sample doubles as the sizing probe — AND as the
+    # query-vector source (the sample is an id-ordered prefix, so every
+    # vec_id < 10 row is in it by construction): the search's own
+    # scan-and-collect job is skipped outright (r12 job-chain collapse).
     from arrow_parquet_logs_spark.operators import ivf
 
-    x, truncated = ivf.kmeans_sample(emb)
+    x, truncated, ids = ivf.kmeans_sample(emb, with_ids=True)
     n = emb.count() if truncated else len(x)
     ks = 16 if n < 5_000 else 64
     rerank = max(50, n // 100)
     cents, books = PQ.fit_ivfpq(emb, ks=ks, sample=x)
     path = scratch_dir(prefix="ivfpq_idx_") + "/idx"
     PQ.materialize_ivfpq(emb, cents, books, path)
+    qrows = [
+        (int(i), v.tolist()) for i, v in zip(ids, x) if i < 10
+    ]
     approx = PQ.search_ivfpq(
-        spark, path, emb, q, cents, books, k=5, nprobe=4, rerank=rerank
+        spark, path, emb, q, cents, books, k=5, nprobe=4, rerank=rerank,
+        qrows=qrows,
     ).select("q_id", "vec_id")
     # exact side of the recall gate: BLAS matmul form (bit-equal ranking
-    # contract; both forms pass the same oracle at every SF) — guide §4.2
-    exact = S.brute_force_topk_pandas(emb, q, k=5).select("q_id", "vec_id")
+    # contract; both forms pass the same oracle at every SF) — guide §4.2.
+    # PERSISTED: the gate consumes this ≤ k·Q-row frame twice (semi-join
+    # probe + q_id spine), and a subtree behind a Python stage is never
+    # plan-shared — unpersisted, the corpus-sized BLAS scan ran TWICE per
+    # gate (two full MapInPandas passes in the executed plan, r12 profile)
+    exact = (
+        S.brute_force_topk_pandas(emb, q, k=5, q_rows=qrows)
+        .select("q_id", "vec_id")
+        .persist()
+    )
     # gate frames are bounded BY CONSTRUCTION (exact: k rows per query,
     # hits agg: one row per query) — broadcast both sides explicitly so
     # the ≤ 50-row semi/outer joins never plan as exchange+sort SMJs
@@ -1926,13 +1965,12 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     that k; high recall licenses the 4x-cheaper scan.
 
     Scale shape: both rankings share one broadcast query-set join (the
-    ann_* pattern — never a corpus self-join); each ranking prunes through
-    ``partial_topk`` before its per-query window, so the windows see ≤ Q·k
-    rows; overlap/top-1 are then joins on two ≤ Q·k-row frames. The two
-    prunes each scan the pair frame once — at 100 TB you'd fuse them into
-    one pass (a two-heap pruner) or rank the prefix scores inside the
-    full-vector scan; the plan here keeps both rankings as the exact spec
-    those fusions must match."""
+    ann_* pattern — never a corpus self-join) and ONE fused two-heap prune
+    (``partial_topk_tagged``) before a shared per-(query, ranking) window,
+    so the pair frame is scored and scanned exactly once and the window
+    sees ≤ 2·Q·k rows; overlap/top-1 are then joins on two ≤ Q·k-row
+    slices of the persisted rank frame. Per-ranking output is bit-equal to
+    the unfused two-pass spec (pinned in tests/test_topk.py)."""
     from pyspark.sql import Window as W
 
     from arrow_parquet_logs_spark.functions.vector import cosine_sim
@@ -1960,22 +1998,43 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def top10(order_col: str) -> DataFrame:
-        pruned = partial_topk(
-            pairs, ["q_id"], [(order_col, False), ("vec_id", True)], 10
-        )
-        return (
-            pruned.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("q_id").orderBy(F.col(order_col).desc(), "vec_id")
-                ),
-            )
-            .where(F.col("rn") <= 10)
-            .select("q_id", "vec_id", "rn")
-        )
+    # FUSED two-heap pruner (the 100 TB form this audit's docstring used to
+    # defer): both rankings prune in ONE Arrow pass over the pair frame —
+    # the two-pass form ran the (corpus × Q) scoring subtree once per
+    # ranking (4× in the executed plan: each ranking is consumed by two
+    # joins, and a subtree behind a Python stage is never plan-shared).
+    # Per-order survivors are bit-identical to the unfused pruner
+    # (tests/test_topk.py); ONE window ranks both tags (the order column
+    # dispatches on the tag), so the whole rank pipeline shares one
+    # exchange, and the ≤ 2·10·Q·P-row result persists so each downstream
+    # consumer reads ~200 cached rows instead of re-scoring the corpus.
+    from arrow_parquet_logs_spark.operators.topk import partial_topk_tagged
 
-    f10, t10 = top10("cos_full"), top10("cos_trunc")
+    pruned = partial_topk_tagged(
+        pairs,
+        ["q_id"],
+        {
+            "full": [("cos_full", False), ("vec_id", True)],
+            "trunc": [("cos_trunc", False), ("vec_id", True)],
+        },
+        10,
+    )
+    skey = F.when(F.col("_ord") == "full", F.col("cos_full")).otherwise(
+        F.col("cos_trunc")
+    )
+    ranked = (
+        pruned.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id", "_ord").orderBy(skey.desc(), "vec_id")
+            ),
+        )
+        .where(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "rn", "_ord")
+        .persist()
+    )
+    f10 = ranked.where(F.col("_ord") == "full").select("q_id", "vec_id", "rn")
+    t10 = ranked.where(F.col("_ord") == "trunc").select("q_id", "vec_id", "rn")
     # every frame below is ≤ 10·Q rows BY CONSTRUCTION — broadcast the
     # probe sides so the overlap/assembly joins never plan as SMJs
     ov = (
@@ -2073,14 +2132,14 @@ def ann_bq_centered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     real offset corpus needs, exactly like the Matryoshka row's contract.
 
     Scale shape: one fused pass computes cosine and both integer Hammings
-    per (candidate × broadcast query) row and is PERSISTED — the three
-    rankings and both overlap joins then read the cache instead of
-    re-running the cross-join scan (without the persist the plan holds
-    four independent copies of it); each ranking prunes through
-    `partial_topk` before its per-query window (≤ Q·10 rows reach any
-    window), and the overlap joins run on ≤ Q·10-row frames. The serving
-    path keeps stage 1 integer-only (`binary_quantized_topk`); an audit
-    pays the fused floats once by design."""
+    per (candidate × broadcast query) row, and ONE tagged three-heap prune
+    (`partial_topk_tagged`) + one shared window rank all three orders in
+    that same pass — the corpus is scanned exactly once and only the
+    ≤ 3·10·Q-row ranked frame persists (r11 persisted the corpus-sized
+    pair frame and ran three prune passes over the cache). The overlap
+    joins run on ≤ Q·10-row broadcast frames. The serving path keeps
+    stage 1 integer-only (`binary_quantized_topk`); an audit pays the
+    fused floats once by design."""
     from pyspark.sql import Window as W
 
     from arrow_parquet_logs_spark.functions.vector import cosine_sim
@@ -2089,7 +2148,11 @@ def ann_bq_centered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
-    mean = S.corpus_mean_vector(emb, dims=64)
+    # persisted: the 1-row mean is consumed by BOTH words() packings (and
+    # its subtree is a full corpus aggregation — unpersisted, each consumer
+    # re-ran that scan; broadcast-subtree reuse never fired in the
+    # executed plans, same class as the gate-frame finding)
+    mean = S.corpus_mean_vector(emb, dims=64).persist()
 
     def words(df: DataFrame, p: str) -> DataFrame:
         return df.crossJoin(F.broadcast(mean)).select(
@@ -2121,26 +2184,47 @@ def ann_bq_centered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham("c_rw", "q_rw").alias("ham_raw"),
             ham("c_cw", "q_cw").alias("ham_cen"),
         )
-        # the fused scan feeds three rankings + two overlap joins: persist
-        # so the plan holds ONE copy of the cross-join, not four (cache
-        # ownership per the minhash_lsh_pairs note — plan-deduped, LRU)
-        .persist()
     )
 
-    def top10(col: str, asc: bool) -> DataFrame:
-        pruned = partial_topk(pairs, ["q_id"], [(col, asc), ("vec_id", True)], 10)
-        order = F.col(col).asc() if asc else F.col(col).desc()
-        return (
-            pruned.withColumn(
-                "rn",
-                F.row_number().over(W.partitionBy("q_id").orderBy(order, "vec_id")),
-            )
-            .where(F.col("rn") <= 10)
-            .select("q_id", "vec_id")
-        )
+    # FUSED three-heap prune (r12, the matryoshka pattern): all three
+    # rankings prune in ONE Arrow pass over the pair frame, ONE window
+    # ranks the tagged survivors, and only the ≤ 3·10·Q-row ranked frame
+    # persists — the previous form persisted the CORPUS-SIZED pair frame
+    # (n·Q rows of floats: fine locally, not a 100 TB cache) and still ran
+    # three Python prune passes over that cache. Per-order survivors are
+    # bit-equal to the unfused pruner (tests/test_topk.py). The negated
+    # cosine gives all three tags one ascending sort key (-x is an exact
+    # IEEE sign flip and SQL orders -0.0 = 0.0, so desc(cosine) ==
+    # asc(-cosine) with identical ties).
+    from arrow_parquet_logs_spark.operators.topk import partial_topk_tagged
 
-    ex10 = top10("cosine", False)
-    r10, c10 = top10("ham_raw", True), top10("ham_cen", True)
+    pruned = partial_topk_tagged(
+        pairs,
+        ["q_id"],
+        {
+            "ex": [("cosine", False), ("vec_id", True)],
+            "raw": [("ham_raw", True), ("vec_id", True)],
+            "cen": [("ham_cen", True), ("vec_id", True)],
+        },
+        10,
+    )
+    skey = (
+        F.when(F.col("_ord") == "ex", -F.col("cosine"))
+        .when(F.col("_ord") == "raw", F.col("ham_raw").cast("double"))
+        .otherwise(F.col("ham_cen").cast("double"))
+    )
+    ranked = (
+        pruned.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("q_id", "_ord").orderBy(skey, "vec_id")),
+        )
+        .where(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "_ord")
+        .persist()
+    )
+    ex10 = ranked.where(F.col("_ord") == "ex").select("q_id", "vec_id")
+    r10 = ranked.where(F.col("_ord") == "raw").select("q_id", "vec_id")
+    c10 = ranked.where(F.col("_ord") == "cen").select("q_id", "vec_id")
 
     def overlap(s: DataFrame, alias: str) -> DataFrame:
         # both sides are ≤ 10·Q rows BY CONSTRUCTION — broadcast so the
@@ -2151,8 +2235,12 @@ def ann_bq_centered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("int").alias(alias))
         )
 
+    # spine straight from the filtered corpus — q.select("q_id") would drag
+    # the words() packing (and the mean crossJoin under it) into a frame
+    # that only needs the ids; words() is 1:1 per row so the ids are equal
+    spine = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"))
     return (
-        q.select("q_id")
+        spine
         .join(F.broadcast(overlap(r10, "nr")), "q_id", "left")
         .join(F.broadcast(overlap(c10, "nc")), "q_id", "left")
         .select(

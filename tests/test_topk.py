@@ -116,6 +116,47 @@ def test_empty_frame_and_bad_args(spark):
 
 
 # --------------------------------------------------------------------------
+# partial_topk_tagged — the fused multi-order pruner (matryoshka's two-heap
+# pass): per tag, survivors must be BIT-EQUAL to an independent partial_topk
+# under that tag's order, so fusing two rankings into one corpus pass can
+# never change what the downstream windows see.
+# --------------------------------------------------------------------------
+
+def test_tagged_pruner_matches_unfused_per_order(spark):
+    from arrow_parquet_logs_spark.operators.topk import partial_topk_tagged
+
+    # two score columns with heavy ties + hostile scatter, like the fixture
+    df = (
+        spark.range(4000)
+        .select(
+            (F.col("id") % 8).alias("q_id"),
+            F.col("id").alias("item_id"),
+            (F.pmod(F.hash(F.col("id").cast("string")), 20) / 10.0).alias("s1"),
+            (F.pmod(F.hash(F.concat(F.lit("b:"), F.col("id").cast("string"))), 20) / 10.0).alias("s2"),
+        )
+        .repartition(16)
+    )
+    orders = {
+        "one": [("s1", False), ("item_id", True)],
+        "two": [("s2", False), ("item_id", True)],
+    }
+    fused = partial_topk_tagged(df, ["q_id"], orders, 7)
+    # the fused pass must stay narrow, like the single-order pruner
+    assert fused.rdd.getNumPartitions() == df.rdd.getNumPartitions()
+    for tag, ocols in orders.items():
+        got = sorted(
+            map(tuple, fused.where(F.col("_ord") == tag).drop("_ord").collect())
+        )
+        want = sorted(map(tuple, partial_topk(df, ["q_id"], ocols, 7).collect()))
+        assert got == want, tag
+
+    with pytest.raises(ValueError, match="at least one order"):
+        partial_topk_tagged(df, ["q_id"], {}, 7)
+    with pytest.raises(ValueError, match="already in frame"):
+        partial_topk_tagged(df, ["q_id"], orders, 7, tag_col="s1")
+
+
+# --------------------------------------------------------------------------
 # plan shape of the backported call sites: the per-group window must sit
 # ABOVE the pruner, and the pruner ABOVE the pair generator — i.e. the
 # window's shuffle consumes ≤ k·P pruned rows, never the raw pair frame.
