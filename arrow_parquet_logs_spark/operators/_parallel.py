@@ -158,6 +158,32 @@ def _row_groups_cached(path: str) -> int:
     return hit
 
 
+def scan_rows_upper_bound(df: DataFrame) -> int | None:
+    """Exact TOTAL row count of a file-backed frame's parquet footers — an
+    UPPER bound on the frame's rows under any filter, read driver-side
+    with zero Spark jobs. None when unknowable (non-parquet, remote
+    storage, stat failure, too many files to sweep). Use only where an
+    upper bound is sufficient (e.g. "is this corpus provably tiny?") —
+    a heavily filtered frame's true count can be far below it."""
+    try:
+        files = df.inputFiles()
+        if not files or len(files) > 512 or not all(
+            f.endswith(".parquet") for f in files
+        ):
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                return None
+            total += int(pq.ParquetFile(unquote(u.path) or f).metadata.num_rows)
+        return total
+    except Exception:
+        return None
+
+
 def provably_small_scan(df: DataFrame, max_splits: int = 2,
                         max_bytes: int = 64 << 20) -> bool:
     """True only when a file-backed frame is PROVABLY too small for

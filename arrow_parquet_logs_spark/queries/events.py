@@ -2495,8 +2495,13 @@ def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uk-keyed self-join couldn't reuse, then exchanged+sorted both join
     # sides again (guide §2.4). Same pairs: u contributes (a, b) iff both
     # types are in u's set and a < b (sorted-array combinations).
+    # NULL users are dropped explicitly: the oracle's uk-keyed self-join
+    # (a.uk = b.uk) never matches NULL, but a groupBy would count a NULL
+    # group's pairs — identical output on shipped data (no NULL user_ids),
+    # and the filter keeps parity on any corpus that has them (ADVICE r11).
     tsets = (
-        ev.groupBy(F.col("user_id").cast("string").alias("uk"))
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").cast("string").alias("uk"))
         .agg(F.array_sort(F.collect_set("event_type")).alias("_ts"))
         .select("_ts")
     )

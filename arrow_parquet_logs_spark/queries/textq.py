@@ -3172,17 +3172,14 @@ def docs_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # the (doc, distinct-token) relation is ROW-LOCAL: every token of a doc
-    # comes from that doc's one text cell, so the sorted distinct token SET
-    # is a per-row array expression — the old explode→DISTINCT paid a
-    # (doc, token)-keyed exchange to deduplicate rows that were never
-    # spread across partitions to begin with (guide §2.4: remove shuffles
-    # outright). Hoisted to a column so downstream lambdas reference an
-    # attribute, not a re-splittable expression (the lambda re-eval class).
-    # the (doc, distinct-token) relation is ROW-LOCAL: every token of a doc
     # comes from that doc's one text cell, so the distinct token set is a
     # per-row array expression — the old explode→DISTINCT paid a
     # (doc, token)-keyed exchange to deduplicate rows that were never
-    # spread across partitions to begin with (guide §2.4)
+    # spread across partitions to begin with (guide §2.4). Row-local
+    # array_distinct is equivalent to the oracle's SELECT DISTINCT doc_id,
+    # t ONLY while doc_id is unique per input row (true for the shipped
+    # documents table); a source with duplicated doc rows would double-
+    # count df and n_xy here where the oracle would dedup them.
     dt = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))).alias("t"),

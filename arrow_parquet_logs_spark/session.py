@@ -33,6 +33,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # let AQE swap sort-merge for shuffled-hash AT RUNTIME when every
+    # post-shuffle partition's build side fits this bound (default 0 = the
+    # rewrite is off; guide §3.1). Runtime-guarded by ACTUAL partition
+    # bytes — unlike a static SHUFFLE_HASH hint, which the r12 ngram A/B
+    # showed REGRESSES by overriding AQE's runtime broadcast — and sized
+    # to the advisory partition target, so a converted join's per-task
+    # hash map is bounded at what a coalesced partition already holds.
+    # Scale-neutral: the guard is per-partition, not per-corpus.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # parquet scan parallelism: default 128 MB splits are right at scale; keep.
     "spark.sql.parquet.filterPushdown": "true",
     # write µs timestamps (reference writer.py:318 parity) instead of the

@@ -3,7 +3,7 @@
 operator (fit → materialize → search → gate) actually spends its wall time.
 
     SPARK_GRAFT_UI=true python tools/profile_jobs.py --query ann_ivfpq_search \
-        --sf /root/testdata/sf0.1 [--reps 2]
+        --sf /root/testdata/sf0.1 [--warm 2]
 
 Warm-up protocol matches bench.py (JVM, python workers, one warm run at the
 target SF so janino codegen isn't billed), then one measured run; per-job
