@@ -489,3 +489,44 @@ def test_contamination_probe_is_broadcast_semi_join(spark):
         assert got == {(i, p) for i in range(50) for p in range(10)}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_r11_r12_win_plans_pinned(spark, sf_dir):
+    """Regression pins for the r11/r12 optimization wins (VERDICT r11 #7):
+    a future AQE/statistics change must not silently resurrect the
+    SortMergeJoins removed from the gate/audit rows, re-duplicate the UDF
+    work, or re-grow docs_token_lift's exchange count. Counts are taken on
+    the pre-AQE section of the simple plan (the Initial Plan echo repeats
+    every node; cached subtrees echo under InMemoryTableScan — SMJ=0 is
+    echo-proof, the shuffle bound is counted on the one query that holds
+    no cache)."""
+    from arrow_parquet_logs_spark.queries import REGISTRY
+
+    pinned_no_smj = (
+        "docs_token_lift",
+        "events_kmv_type_overlap",
+        "embeddings_matryoshka_recall",
+        "ann_bq_centered_recall_audit",
+        "ann_ivf_kmeans",
+        "ann_pq_rerank",
+        "ann_ivfpq_search",
+        "embeddings_pq_adc",
+    )
+    for name in pinned_no_smj:
+        plan = explain_str(
+            REGISTRY[name].fn(spark, sf_dir), mode="simple"
+        ).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+    # docs_token_lift: the row-local distinct + shared self-join exchange
+    # hold at 3 shuffles (agg + join key + orderBy); 8 was the r10 shape
+    plan = explain_str(
+        REGISTRY["docs_token_lift"].fn(spark, sf_dir), mode="simple"
+    ).split("== Initial Plan ==")[0]
+    shuffles = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange RoundRobin")
+    )
+    assert shuffles <= 4, plan
